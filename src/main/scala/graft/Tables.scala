@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Fixture table loaders + shared determinism helpers.
+  *
+  * The reference repo (FabianFer08/Big-Data-Management-and-Analytics,
+  * reference/README.md:1-2) contains no code; the capability surface is
+  * SURVEY.md §2 and the fixtures described in FIXTURES.md. All queries read
+  * the ten parquet tables under a scale-factor directory.
+  *
+  * Determinism rules (SURVEY.md §2 D1-D5) are centralized here:
+  *  - D2: money math on DECIMAL(38,6), never bare sum(double)
+  *  - D3: averages as round(sum_dec/count, 4), never bare avg(double)
+  *  - D4: events.ts is epoch-nanos LongType (nanosAsLong=true); convert with
+  *    integer division `ts div 1000` -> micros (double round-trip would lose
+  *    precision: 1.7e18 exceeds the 53-bit double mantissa)
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so ops can also run as Spark SQL. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+object Helpers {
+  /** D2: exact, order-independent money arithmetic. */
+  def dec(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** Cross-engine-safe rounding. Engine `round(double)` implementations
+    * disagree at halfway points (Spark rounds the shortest decimal repr
+    * HALF_UP; DuckDB rounds the exact binary value), so we never use them
+    * in oracle-compared output. This formula is pure IEEE-754 arithmetic —
+    * bit-identical in any engine given the same input double. The DuckDB
+    * oracle uses the literal same formula (Helpers.r6Sql / r4Sql).
+    */
+  def rN(x: Column, digits: Int): Column = {
+    val p = math.pow(10.0, digits.toDouble)
+    floor(x * lit(p) + lit(0.5)) / lit(p)
+  }
+  def r6(x: Column): Column = rN(x, 6)
+  def r4(x: Column): Column = rN(x, 4)
+  /** DuckDB-side twin of rN for oracle SQL strings. */
+  def rNSql(x: String, digits: Int): String = {
+    val p = "1" + ("0" * digits)
+    s"floor(($x) * $p + 0.5) / $p"
+  }
+  def r6Sql(x: String): String = rNSql(x, 6)
+  def r4Sql(x: String): String = rNSql(x, 4)
+
+  /** D3: cross-engine-stable average = safe-round(decimal_sum / count, 4). */
+  def avg4(sumDec: Column, cnt: Column): Column =
+    r4(sumDec.cast("double") / cnt)
+  def avg4Sql(sumDec: String, cnt: String): String =
+    r4Sql(s"CAST($sumDec AS DOUBLE) / ($cnt)")
+
+  /** D4 epoch-long output: micros since epoch as BIGINT (`ts div 1000`).
+    * IntegralDivide keeps the math in 64-bit integers; a double round-trip
+    * would corrupt epoch-nanos (~1.7e18 > 2^53). */
+  def tsDivMicros(tsNanos: Column): Column =
+    call_function("div", tsNanos, lit(1000L))
+
+  /** D4: epoch-nanos long -> TimestampType micros. */
+  def tsMicros(tsNanos: Column): Column =
+    timestamp_micros(tsDivMicros(tsNanos))
+
+  /** §2.7 keep-first dedup: deterministic one-row-per-key via full tiebreak. */
+  def keepFirst(df: DataFrame, keys: Seq[Column], tiebreak: Seq[Column]): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(keys: _*).orderBy(tiebreak: _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+}
+
+/** One §2 category = one registry object; SparkEntry flattens them. */
+trait OpRegistry {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracleSql: Map[String, String]
+  /** Convenience: table loader bound to the op's sfDir. */
+  protected def t(spark: SparkSession, sfDir: String)(name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+}

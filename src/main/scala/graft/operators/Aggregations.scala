@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{Helpers, OpRegistry, Tables}
+import graft.Helpers._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+
+/** §2.4 Aggregations. All money sums follow D2 (decimal(38,6)); output is
+  * totally ordered (D1). Partial/final 2-phase aggregation, hash->sort
+  * fallback and spill are Spark physical properties we rely on (§4).
+  */
+object Aggregations extends OpRegistry {
+
+  /** Typed UDAF (§2.12): exact Σx² as decimal via java BigDecimal buffer.
+    * BigDecimal.valueOf(double) uses the shortest decimal representation, so
+    * 1-decimal quantities square to exact 2-decimal products. */
+  class SumSqAgg extends Aggregator[java.lang.Double, java.math.BigDecimal, java.math.BigDecimal] {
+    import java.math.BigDecimal
+    def zero: BigDecimal = BigDecimal.ZERO
+    def reduce(b: BigDecimal, a: java.lang.Double): BigDecimal =
+      if (a == null) b
+      else { val d = BigDecimal.valueOf(a.doubleValue); b.add(d.multiply(d)) }
+    def merge(b1: BigDecimal, b2: BigDecimal): BigDecimal = b1.add(b2)
+    def finish(r: BigDecimal): BigDecimal = r
+    def bufferEncoder = org.apache.spark.sql.Encoders.DECIMAL
+    def outputEncoder = org.apache.spark.sql.Encoders.DECIMAL
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pricing_summary" -> ((s, dir) => {
+      val l = t(s, dir)("lineitem")
+      l.filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "agg_groupby_multi" -> ((s, dir) => {
+      t(s, dir)("orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("sum_total"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+    "agg_having" -> ((s, dir) => {
+      t(s, dir)("orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("sum_total"))
+        .filter(col("cnt") >= 12)
+        .orderBy("o_custkey")
+    }),
+    "agg_distinct_count" -> ((s, dir) => {
+      t(s, dir)("orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("distinct_cust"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+    "agg_multi_distinct" -> ((s, dir) => {
+      t(s, dir)("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("d_cust"),
+          countDistinct(col("o_orderdate")).as("d_dates"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+    "agg_rollup" -> ((s, dir) => {
+      // DataFrame .rollup after a multi-join trips Spark's ambiguous-self-join
+      // detection on the Expand-duplicated grouping attrs; the SQL form
+      // resolves cleanly and produces the identical plan.
+      Seq("region", "nation", "customer")
+        .foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT r_name, n_name, count(1) AS cnt,
+               sum(CAST(c_acctbal AS DECIMAL(38,6))) AS sum_bal,
+               CAST(grouping(r_name) AS INT) AS g_r, CAST(grouping(n_name) AS INT) AS g_n
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+                    JOIN customer ON n_nationkey = c_nationkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    }),
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir)("orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("sum_total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_s"), grouping(col("o_orderpriority")).cast("int").as("g_p"))
+        .orderBy(col("g_s"), col("g_p"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(1) AS cnt,
+               sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_total,
+               CAST(grouping(o_orderstatus) AS INT) AS g_s, CAST(grouping(o_orderpriority) AS INT) AS g_p
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_s, g_p,
+                 o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+    "agg_minmax_stats" -> ((s, dir) => {
+      t(s, dir)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+          min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+    "agg_sorted_collect" -> ((s, dir) => {
+      t(s, dir)("orders")
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .orderBy("o_custkey")
+    }),
+    "agg_approx_distinct" -> ((s, dir) => {
+      // No oracle (HLL implementations differ per engine); paired unit test
+      // asserts within 5% of exact. Rows-only driver check.
+      t(s, dir)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+    "agg_udaf_sumsq" -> ((s, dir) => {
+      val sumsq = udaf(new SumSqAgg)
+      t(s, dir)("lineitem")
+        .agg(dec(sumsq(col("l_quantity"))).as("sum_sq"), count(lit(1)).as("cnt"))
+    }),
+    "agg_median" -> ((s, dir) => {
+      // Exact median as the (lo, hi) middle-value pair — no interpolation
+      // arithmetic, so no cross-engine float divergence (SURVEY §7.4.3).
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+      val n = Window.partitionBy("o_orderpriority")
+      t(s, dir)("orders")
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .groupBy("o_orderpriority")
+        .agg(
+          max(col("n")).as("cnt"),
+          max(when(col("rn") === call_function("div", col("n") + 1, lit(2L)), col("o_totalprice"))).as("mid_lo"),
+          max(when(col("rn") === call_function("div", col("n"), lit(2L)) + 1, col("o_totalprice"))).as("mid_hi"))
+        .orderBy("o_orderpriority")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "agg_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+             COUNT(1) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "agg_groupby_multi" -> """
+      SELECT o_orderpriority, o_orderstatus, COUNT(1) AS cnt,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_total
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+      ORDER BY o_orderpriority, o_orderstatus""",
+    "agg_having" -> """
+      SELECT o_custkey, COUNT(1) AS cnt,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_total
+      FROM orders GROUP BY o_custkey HAVING COUNT(1) >= 12
+      ORDER BY o_custkey""",
+    "agg_distinct_count" -> """
+      SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS distinct_cust, COUNT(1) AS cnt
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_multi_distinct" -> """
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS d_cust,
+             COUNT(DISTINCT o_orderdate) AS d_dates, COUNT(1) AS cnt
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_rollup" -> """
+      SELECT r_name, n_name, COUNT(1) AS cnt,
+             SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS sum_bal,
+             CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n
+      FROM region JOIN nation ON r_regionkey = n_regionkey
+                  JOIN customer ON n_nationkey = c_nationkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "agg_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(1) AS cnt,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_total,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g_s, CAST(GROUPING(o_orderpriority) AS INT) AS g_p
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(1) AS cnt,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_total,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g_s, CAST(GROUPING(o_orderpriority) AS INT) AS g_p
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_minmax_stats" -> """
+      SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship, COUNT(1) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_sorted_collect" -> """
+      SELECT o_custkey, LIST(o_orderkey ORDER BY o_orderkey) AS order_keys
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "agg_udaf_sumsq" -> """
+      SELECT SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sum_sq,
+             COUNT(1) AS cnt
+      FROM lineitem""",
+    "agg_median" -> """
+      WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+               COUNT(1) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+      SELECT o_orderpriority, MAX(n) AS cnt,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS mid_lo,
+             MAX(CASE WHEN rn = n // 2 + 1 THEN o_totalprice END) AS mid_hi
+      FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+  )
+}
