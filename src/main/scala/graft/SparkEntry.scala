@@ -11,7 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registries: Seq[OpRegistry] = Seq(
+    operators.Scans,
+    operators.Filters,
+    operators.Joins,
     operators.Aggregations,
+    operators.SortsLimits,
+    operators.SetOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

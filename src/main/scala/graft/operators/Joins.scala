@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.OpRegistry
+import graft.Helpers._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.3 Joins — every shape. Physical strategy notes (scale design):
+  *  - broadcast for dimension tables (part/nation/region/customer at real
+  *    scale factors stay far below autoBroadcastJoinThreshold's role here,
+  *    pinned with hints for plan determinism);
+  *  - shuffle-hash / sort-merge pinned via hints where the op id names them;
+  *  - the as-of join is a union + carry-forward window (O(n log n), one
+  *    shuffle on user_id), not a per-key quadratic self-join;
+  *  - the interval join keys on its equi component (hash) with the range
+  *    as residual predicate, and is candidate-bounded so the intermediate
+  *    stays linear in the probe side at any SF.
+  */
+object Joins extends OpRegistry {
+
+  private val usPerDay = 86400000000L // micros per day
+  private val epoch20240101us = 1704067200000000L // 2024-01-01T00:00Z
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_hash" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      tt("orders").hint("shuffle_hash")
+        .join(tt("customer"), col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+    "join_broadcast" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      tt("lineitem")
+        .join(broadcast(tt("part")), col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "p_name", "p_brand", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "join_sortmerge" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      tt("lineitem").hint("merge")
+        .join(tt("orders"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "o_totalprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "join_left_outer" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      val p = tt("orders").filter(col("o_orderstatus") === "P")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      tt("customer").join(p, col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+    "join_right_outer" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      val p = tt("orders").filter(col("o_orderstatus") === "P")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      p.join(tt("customer"), col("c_custkey") === col("o_custkey"), "right")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+    "join_full_outer" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      tt("nation").join(tt("supplier"), col("n_nationkey") === col("s_nationkey"), "full")
+        .select("n_nationkey", "n_name", "s_suppkey", "s_name")
+        .orderBy(col("n_nationkey").asc_nulls_first, col("s_suppkey").asc_nulls_first)
+    }),
+    "join_left_semi" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      val f = tt("orders").filter(col("o_orderstatus") === "F")
+      tt("customer").join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "join_left_anti" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      val p = tt("orders").filter(col("o_orderstatus") === "P")
+      tt("customer").join(p, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "join_cross" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      tt("region").crossJoin(tt("part").filter(col("p_size") < 5))
+        .select("p_partkey", "r_regionkey", "r_name", "p_name")
+        .orderBy("p_partkey", "r_regionkey")
+    }),
+    "join_theta_band" -> ((s, dir) => {
+      val sup = t(s, dir)("supplier").select("s_suppkey", "s_acctbal")
+      val s1 = sup.select(col("s_suppkey").as("suppkey1"), col("s_acctbal").as("bal1"))
+      val s2 = sup.select(col("s_suppkey").as("suppkey2"), col("s_acctbal").as("bal2"))
+      s1.join(broadcast(s2),
+          abs(col("bal1") - col("bal2")) < 100 && col("suppkey1") < col("suppkey2"))
+        .orderBy("suppkey1", "suppkey2")
+    }),
+    "join_range_interval" -> ((s, dir) => {
+      // Events inside [anchor, anchor+7d) where anchor = 2024-01-01 +
+      // (o_orderkey % 28) days, bridged on user_id = o_orderkey % 15.
+      // All-integer epoch-micro arithmetic (D4) — no timestamp dialects.
+      // Candidate-bounded (o_orderkey % 97 = 0) and aggregated so the
+      // intermediate stays small at every SF.
+      val tt = t(s, dir) _
+      val o = tt("orders").filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          (lit(epoch20240101us) + (col("o_orderkey") % 28) * usPerDay).as("anchor_us"),
+          (col("o_orderkey") % 15).as("bridge_user"))
+      val e = tt("events")
+        .select(col("event_id"), col("user_id"), tsDivMicros(col("ts")).as("ts_us"), col("value"))
+      o.join(e, col("bridge_user") === col("user_id")
+          && col("ts_us") >= col("anchor_us")
+          && col("ts_us") < col("anchor_us") + lit(7L * usPerDay))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("evt_cnt"), sum(dec(col("value"))).as("sum_value"))
+        .orderBy("o_orderkey")
+    }),
+    "join_asof" -> ((s, dir) => {
+      // For each 'purchase', the latest preceding 'click' of the same user:
+      // union + carry-forward max over (user, time) — single shuffle,
+      // no quadratic per-key join. Tie order: (ts, event_id).
+      val e = t(s, dir)("events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_click_ts",
+          max(when(col("event_type") === "click", col("ts_ns"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_ns", "last_click_ts")
+        .orderBy("event_id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "join_inner_hash" -> """
+      SELECT o_orderkey, o_custkey, c_name, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""",
+    "join_broadcast" -> """
+      SELECT l_orderkey, l_linenumber, p_name, p_brand, l_quantity
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      ORDER BY l_orderkey, l_linenumber""",
+    "join_sortmerge" -> """
+      SELECT l_orderkey, l_linenumber, o_orderdate, o_totalprice
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY l_orderkey, l_linenumber""",
+    "join_left_outer" -> """
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      FROM customer LEFT JOIN (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'P') o
+        ON c_custkey = o_custkey
+      ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+    "join_right_outer" -> """
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'P') o
+        RIGHT JOIN customer ON c_custkey = o_custkey
+      ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+    "join_full_outer" -> """
+      SELECT n_nationkey, n_name, s_suppkey, s_name
+      FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+      ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""",
+    "join_left_semi" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey""",
+    "join_left_anti" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey""",
+    "join_cross" -> """
+      SELECT p_partkey, r_regionkey, r_name, p_name
+      FROM region CROSS JOIN (SELECT * FROM part WHERE p_size < 5) p
+      ORDER BY p_partkey, r_regionkey""",
+    "join_theta_band" -> """
+      SELECT s1.s_suppkey AS suppkey1, s1.s_acctbal AS bal1,
+             s2.s_suppkey AS suppkey2, s2.s_acctbal AS bal2
+      FROM supplier s1, supplier s2
+      WHERE abs(s1.s_acctbal - s2.s_acctbal) < 100 AND s1.s_suppkey < s2.s_suppkey
+      ORDER BY suppkey1, suppkey2""",
+    "join_range_interval" -> """
+      SELECT o_orderkey, COUNT(1) AS evt_cnt,
+             SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+      FROM (SELECT o_orderkey,
+                   1704067200000000 + (o_orderkey % 28) * 86400000000 AS anchor_us,
+                   o_orderkey % 15 AS bridge_user
+            FROM orders WHERE o_orderkey % 97 = 0) o
+      JOIN (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+            FROM events) e
+        ON bridge_user = user_id
+       AND ts_us >= anchor_us AND ts_us < anchor_us + 604800000000
+      GROUP BY o_orderkey
+      ORDER BY o_orderkey""",
+    "join_asof" -> """
+      WITH e AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (
+        SELECT *, MAX(CASE WHEN event_type = 'click' THEN ts_ns END)
+                 OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        FROM e)
+      SELECT event_id, user_id, ts_ns, last_click_ts
+      FROM w WHERE event_type = 'purchase'
+      ORDER BY event_id""",
+  )
+}

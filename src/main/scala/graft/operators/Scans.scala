@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.OpRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.1 Scans / sources / sinks. Projection and predicate pushdown reach the
+  * vectorized parquet reader (asserted in ScanSpec via the executed plan —
+  * `PushedFilters` / `ReadSchema`), which is what makes these scale: at
+  * 100 TB only the referenced columns and row groups are read.
+  */
+object Scans extends OpRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> ((s, dir) =>
+      t(s, dir)("nation").orderBy("n_nationkey")),
+
+    "scan_projection" -> ((s, dir) =>
+      // 3 of 11 lineitem columns: parquet reader only materializes these.
+      t(s, dir)("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "scan_pushdown" -> ((s, dir) =>
+      // Range predicate pushed to parquet row-group stats.
+      t(s, dir)("lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1998-07-01"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "scan_schema" -> ((s, dir) => {
+      // Schema introspection surfaced as rows. Engine-specific type names
+      // -> no oracle; self-tested in ScanSpec.
+      val fields = t(s, dir)("lineitem").schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      import s.implicits._
+      fields.toDF("col_name", "data_type", "nullable").orderBy("col_name")
+    }),
+
+    "sink_csv_roundtrip" -> ((s, dir) => {
+      // Write->read round-trip through the csv sink; returns per-flag counts
+      // so the driver's rows>0 check is meaningful. Unit test asserts
+      // equality with the direct read.
+      val out = s"/tmp/graft_sink_csv_${java.util.UUID.randomUUID().toString.take(8)}"
+      val src = t(s, dir)("nation")
+      src.write.mode("overwrite").option("header", "true").csv(out)
+      val back = s.read.option("header", "true").option("inferSchema", "true").csv(out)
+      back.groupBy("n_regionkey").agg(count(lit(1)).as("cnt")).orderBy("n_regionkey")
+    }),
+
+    "sink_json_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_sink_json_${java.util.UUID.randomUUID().toString.take(8)}"
+      val src = t(s, dir)("region")
+      src.write.mode("overwrite").json(out)
+      s.read.json(out).select("r_regionkey", "r_name").orderBy("r_regionkey")
+    }),
+
+    "source_jsonlines" -> ((s, dir) =>
+      // Parse the events.props JSON-lines column with an explicit schema —
+      // schema-on-read, no inference pass over 100 TB.
+      t(s, dir)("events")
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .orderBy("event_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "scan_parquet" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_projection" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "scan_pushdown" -> """
+      SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-07-01'
+      ORDER BY l_orderkey, l_linenumber""",
+    "source_jsonlines" -> """
+      SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+      FROM events ORDER BY event_id""",
+  )
+}
