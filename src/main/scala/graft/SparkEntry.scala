@@ -15,6 +15,8 @@ object SparkEntry {
     operators.Filters,
     operators.Joins,
     operators.Aggregations,
+    operators.Windows,
+    functions.Scalars,
     operators.SortsLimits,
     operators.SetOps,
   )

@@ -1,0 +1,249 @@
+package graft.functions
+
+import graft.OpRegistry
+import graft.Helpers._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** §2.8 Scalar functions. Cross-engine dialect traps handled here
+  * (SURVEY §7.4.3):
+  *  - regexp_replace: Spark replaces all matches, DuckDB only the first —
+  *    oracle passes the 'g' flag;
+  *  - dayofweek: both 1..7 only after adding 1 to DuckDB's 0-based dow;
+  *  - floor/len/date-part outputs: DuckDB BIGINT/DOUBLE vs Spark INT/LONG —
+  *    both sides cast to a pinned type;
+  *  - float arrays: promote to double before any arithmetic (float math
+  *    promotion rules differ between engines; float->double is exact);
+  *  - transcendentals (sqrt/ln/exp): identical IEEE results, then safe-r6;
+  *  - timestamps: output timestamp_ntz only (TimestampType would become
+  *    tz-aware parquet while DuckDB results are naive).
+  */
+object Scalars extends OpRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> ((s, dir) =>
+      t(s, dir)("part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        trim(lit("  pad  ")).as("trimmed"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        concat_ws("|", col("p_name"), col("p_type")).as("joined"),
+        length(col("p_name")).as("len"),
+        size(split(col("p_name"), " ")).as("n_tokens"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        levenshtein(col("p_name"), lit("small widget")).as("lev"))
+        .orderBy("p_partkey")),
+
+    "fn_date" -> ((s, dir) =>
+      t(s, dir)("orders")
+        .withColumn("d", col("o_orderdate").cast("date"))
+        .select(
+          col("o_orderkey"), col("d"),
+          year(col("d")).as("yr"), month(col("d")).as("mo"),
+          dayofmonth(col("d")).as("dom"), quarter(col("d")).as("qtr"),
+          trunc(col("d"), "month").as("month_start"),
+          date_add(col("d"), 30).as("plus30"),
+          datediff(col("d"), lit("1995-01-01").cast("date")).as("days_since"),
+          last_day(col("d")).as("eom"),
+          dayofweek(col("d")).as("dow1to7"),
+          date_format(col("d"), "yyyy-MM-dd").as("d_str"),
+          to_date(date_format(col("d"), "yyyy-MM-dd")).as("d_rt"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, dir) =>
+      t(s, dir)("lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_c"),
+        floor(col("l_extendedprice")).as("floor_p"),
+        ceil(col("l_extendedprice")).as("ceil_p"),
+        (col("l_orderkey") % 7).as("mod7"),
+        r6(sqrt(col("l_quantity"))).as("sqrt_q"),
+        r6(log(col("l_extendedprice"))).as("ln_p"),
+        r6(exp(col("l_discount"))).as("exp_d"),
+        r6(pow(col("l_quantity"), 2.0)).as("pow_q2"),
+        signum(col("l_discount") - 0.05).cast(IntegerType).as("sgn"),
+        greatest(col("l_quantity"), col("l_tax") * 100).as("gmax"),
+        least(col("l_quantity"), col("l_tax") * 100).as("lmin"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "fn_array" -> ((s, dir) =>
+      t(s, dir)("embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_el"),
+        transform(slice(col("embedding"), 1, 8),
+          x => r6(x.cast("double") * x.cast("double"))).as("head_sq"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).as("pos_cnt"),
+        r6(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("sumsq"),
+        array_max(col("embedding")).cast("double").as("vmax"),
+        array_min(col("embedding")).cast("double").as("vmin"),
+        array_contains(slice(col("embedding"), 1, 8), element_at(col("embedding"), 1)).as("has_first"))
+        .orderBy("vec_id")),
+
+    "fn_map" -> ((s, dir) =>
+      // Build a map from parsed props, emit exploded (key,value) rows —
+      // avoids engine-specific MAP parquet encodings entirely.
+      t(s, dir)("events")
+        .select(col("event_id"),
+          map(lit("k"), from_json(col("props"), lit("k INT")).getField("k")).as("m"))
+        .select(col("event_id"), explode(col("m")))
+        .withColumnRenamed("key", "map_key").withColumnRenamed("value", "map_value")
+        .orderBy("event_id")),
+
+    "fn_json" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      t(s, dir)("events").select(
+        col("event_id"),
+        k.as("k_get"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k_struct"),
+        (get_json_object(to_json(struct(k.as("k"))), "$.k").cast("int") <=> k).as("roundtrip_ok"))
+        .orderBy("event_id")
+    }),
+
+    "fn_conditional" -> ((s, dir) =>
+      t(s, dir)("orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("low").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("UNKNOWN")).as("status_c"),
+        (col("o_totalprice") > 200000 && lit(null).cast("boolean")).as("and_null"),
+        (col("o_totalprice") > 200000 || lit(null).cast("boolean")).as("or_null"))
+        .orderBy("o_orderkey")),
+
+    "fn_cast" -> ((s, dir) =>
+      t(s, dir)("events").select(
+        col("event_id"),
+        col("user_id").cast("int").as("user_int"),
+        dec(col("value")).as("value_dec"),
+        floor(col("value")).cast("int").as("value_floor_int"),
+        tsDivMicros(col("ts")).as("ts_us"),
+        tsMicros(col("ts")).cast("timestamp_ntz").as("ts_ts"),
+        tsMicros(col("ts")).cast("timestamp_ntz").cast("date").as("ts_date"))
+        .orderBy("event_id")),
+
+    "fn_hash" -> ((s, dir) =>
+      t(s, dir)("documents").select(
+        col("doc_id"),
+        sha2(col("text"), 256).as("sha"),
+        md5(col("text")).as("md5h"))
+        .orderBy("doc_id")),
+
+    "udf_scalar" -> ((s, dir) => {
+      // Scala UDF registration surface (§2.12); Catalyst-Expression upgrade
+      // path documented in SURVEY §4 (perf-only).
+      val slugify = udf((name: String) =>
+        if (name == null) null
+        else name.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+      t(s, dir)("part").select(col("p_partkey"), slugify(col("p_name")).as("slug"))
+        .orderBy("p_partkey")
+    }),
+
+    "udtf_generator" -> ((s, dir) =>
+      // Generator/table-function surface via posexplode (0-based position).
+      t(s, dir)("documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("pos", "tok_pos").withColumnRenamed("col", "token")
+        .orderBy("doc_id", "tok_pos")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "fn_string" -> """
+      SELECT p_partkey,
+             upper(p_name) AS up, lower(p_brand) AS lo,
+             trim('  pad  ') AS trimmed, lpad(p_brand, 12, '*') AS padded,
+             substring(p_name, 1, 5) AS sub5,
+             concat_ws('|', p_name, p_type) AS joined,
+             CAST(length(p_name) AS INT) AS len,
+             CAST(len(string_split(p_name, ' ')) AS INT) AS n_tokens,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+             regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+             CAST(levenshtein(p_name, 'small widget') AS INT) AS lev
+      FROM part ORDER BY p_partkey""",
+    "fn_date" -> """
+      SELECT o_orderkey, d,
+             CAST(year(d) AS INT) AS yr, CAST(month(d) AS INT) AS mo,
+             CAST(day(d) AS INT) AS dom, CAST(quarter(d) AS INT) AS qtr,
+             CAST(date_trunc('month', d) AS DATE) AS month_start,
+             d + 30 AS plus30,
+             CAST(datediff('day', DATE '1995-01-01', d) AS INT) AS days_since,
+             last_day(d) AS eom,
+             CAST(dayofweek(d) + 1 AS INT) AS dow1to7,
+             strftime(d, '%Y-%m-%d') AS d_str,
+             CAST(strftime(d, '%Y-%m-%d') AS DATE) AS d_rt
+      FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+      ORDER BY o_orderkey""",
+    "fn_math" -> s"""
+      SELECT l_orderkey, l_linenumber,
+             abs(l_discount - 0.05) AS abs_c,
+             CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+             CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+             l_orderkey % 7 AS mod7,
+             ${r6Sql("sqrt(l_quantity)")} AS sqrt_q,
+             ${r6Sql("ln(l_extendedprice)")} AS ln_p,
+             ${r6Sql("exp(l_discount)")} AS exp_d,
+             ${r6Sql("pow(l_quantity, 2.0)")} AS pow_q2,
+             CAST(sign(l_discount - 0.05) AS INT) AS sgn,
+             greatest(l_quantity, l_tax * 100) AS gmax,
+             least(l_quantity, l_tax * 100) AS lmin
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "fn_array" -> s"""
+      SELECT vec_id,
+             CAST(len(embedding) AS INT) AS dim,
+             CAST(embedding[1] AS DOUBLE) AS first_el,
+             list_transform(list_slice(embedding, 1, 8),
+               x -> ${r6Sql("CAST(x AS DOUBLE) * CAST(x AS DOUBLE)")}) AS head_sq,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS pos_cnt,
+             ${r6Sql("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")} AS sumsq,
+             CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
+             CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+             list_contains(list_slice(embedding, 1, 8), embedding[1]) AS has_first
+      FROM embeddings ORDER BY vec_id""",
+    "fn_map" -> """
+      SELECT event_id, 'k' AS map_key, CAST(props->>'$.k' AS INT) AS map_value
+      FROM events ORDER BY event_id""",
+    "fn_json" -> """
+      SELECT event_id,
+             CAST(props->>'$.k' AS INT) AS k_get,
+             CAST(props->>'$.k' AS INT) AS k_struct,
+             (CAST(to_json({'k': CAST(props->>'$.k' AS INT)})->>'$.k' AS INT)
+               IS NOT DISTINCT FROM CAST(props->>'$.k' AS INT)) AS roundtrip_ok
+      FROM events ORDER BY event_id""",
+    "fn_conditional" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 300000 THEN 'high'
+                  WHEN o_totalprice > 150000 THEN 'mid'
+                  ELSE 'low' END AS bucket,
+             coalesce(NULLIF(o_orderstatus, 'P'), 'UNKNOWN') AS status_c,
+             (o_totalprice > 200000 AND NULL) AS and_null,
+             (o_totalprice > 200000 OR NULL) AS or_null
+      FROM orders ORDER BY o_orderkey""",
+    "fn_cast" -> """
+      SELECT event_id,
+             CAST(user_id AS INT) AS user_int,
+             CAST(value AS DECIMAL(38,6)) AS value_dec,
+             CAST(floor(value) AS INT) AS value_floor_int,
+             epoch_ns(ts) // 1000 AS ts_us,
+             CAST(ts AS TIMESTAMP) AS ts_ts,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ts_date
+      FROM events ORDER BY event_id""",
+    "fn_hash" -> """
+      SELECT doc_id, sha256(text) AS sha, md5(text) AS md5h
+      FROM documents ORDER BY doc_id""",
+    "udf_scalar" -> """
+      SELECT p_partkey, regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g') AS slug
+      FROM part ORDER BY p_partkey""",
+    "udtf_generator" -> """
+      SELECT doc_id,
+             CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS tok_pos,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 50
+      ORDER BY doc_id, tok_pos""",
+  )
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.OpRegistry
+import graft.Helpers._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.5 Window functions. Every ORDER BY inside a window ends with a
+  * row-unique tiebreaker so rank/row_number/lead/lag are deterministic
+  * (SURVEY D1). Ratio outputs (percent_rank, cume_dist) go through the
+  * cross-engine-safe Helpers.r6 formula, never engine round().
+  */
+object Windows extends OpRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank_dense_row" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir)("customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          row_number().over(w).as("rn"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+    "win_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir)("customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    }),
+    "win_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir)("orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).as("run_sum"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "win_sliding_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+      t(s, dir)("orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).as("mov_sum3"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "win_range_frame" -> ((s, dir) => {
+      // Value-range frame: all orders within 1000.0 below the current price.
+      // Frame membership depends only on values, so ties are harmless.
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 0)
+      t(s, dir)("orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          sum(dec(col("o_totalprice"))).over(w).as("range_sum"),
+          count(lit(1)).over(w).as("range_cnt"))
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    }),
+    "win_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      t(s, dir)("events")
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"))
+        .withColumn("prev_ts", lag("ts_ns", 1).over(w))
+        .withColumn("next_ts", lead("ts_ns", 1).over(w))
+        .withColumn("gap_ns", col("ts_ns") - col("prev_ts"))
+        .orderBy("event_id")
+    }),
+    "win_first_last_nth" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir)("customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          first(col("c_custkey")).over(w).as("first_k"),
+          last(col("c_custkey")).over(w).as("last_k"),
+          nth_value(col("c_custkey"), 3).over(w).as("third_k"))
+        .orderBy("c_custkey")
+    }),
+    "win_ntile_pctrank" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir)("customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("tile"),
+          r6(percent_rank().over(w)).as("pr"),
+          r6(cume_dist().over(w)).as("cd"))
+        .orderBy("c_custkey")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "win_rank_dense_row" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(RANK() OVER w AS INT) AS rnk, CAST(DENSE_RANK() OVER w AS INT) AS drnk, CAST(ROW_NUMBER() OVER w AS INT) AS rn
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_mktsegment, rn""",
+    "win_topk_per_group" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal, rn FROM (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+        FROM customer)
+      WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+    "win_running_sum" -> """
+      SELECT o_custkey, o_orderkey,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+      FROM orders ORDER BY o_custkey, o_orderkey""",
+    "win_sliding_frame" -> """
+      SELECT o_custkey, o_orderkey,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_sum3
+      FROM orders ORDER BY o_custkey, o_orderkey""",
+    "win_range_frame" -> """
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+               OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS range_sum,
+             COUNT(1) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS range_cnt
+      FROM orders ORDER BY o_orderpriority, o_totalprice, o_orderkey""",
+    "win_lead_lag" -> """
+      SELECT event_id, user_id, ts_ns,
+             LAG(ts_ns, 1) OVER w AS prev_ts, LEAD(ts_ns, 1) OVER w AS next_ts,
+             ts_ns - LAG(ts_ns, 1) OVER w AS gap_ns
+      FROM (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+      ORDER BY event_id""",
+    "win_first_last_nth" -> """
+      SELECT c_custkey, c_mktsegment,
+             FIRST_VALUE(c_custkey) OVER w AS first_k,
+             LAST_VALUE(c_custkey) OVER w AS last_k,
+             NTH_VALUE(c_custkey, 3) OVER w AS third_k
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY c_custkey""",
+    "win_ntile_pctrank" -> s"""
+      SELECT c_custkey, c_mktsegment,
+             CAST(NTILE(4) OVER w AS INT) AS tile,
+             ${graft.Helpers.r6Sql("PERCENT_RANK() OVER w")} AS pr,
+             ${graft.Helpers.r6Sql("CUME_DIST() OVER w")} AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_custkey""",
+  )
+}
