@@ -19,6 +19,10 @@ object SparkEntry {
     functions.Scalars,
     operators.SortsLimits,
     operators.SetOps,
+    operators.Analytics,
+    llm.TextOps,
+    llm.VectorOps,
+    llm.DedupOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,109 @@
+package graft.llm
+
+import graft.OpRegistry
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.11 near-duplicate detection + language ID — the non-SQL-oracle ops
+  * (xxhash64 seeds are Spark-private, and langid is a trained two-pass
+  * heuristic). Verified by ScalaTest (DedupSpec): LSH candidates must
+  * cover every pair with exact Jaccard >= 0.8; simhash of a permuted
+  * near-duplicate stays within a small Hamming distance.
+  *
+  * Scale design: minhash-LSH is the canonical 100 TB dedup shape — band
+  * buckets bound the candidate join (linear in bucket occupancy), never a
+  * doc x doc cross product. Simhash banding (16-bit chunks) does the same
+  * for Hamming-space lookup.
+  */
+object DedupOps extends OpRegistry {
+
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
+
+  /** Distinct 3-token shingles per doc (same kernel as TextOps). */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), size(toks) - 3),
+        i => array_join(slice(toks, i + 1, lit(3)), " ")))).as("shingle"))
+  }
+
+  /** doc_id + 32 minhash signature columns mh0..mh31. */
+  private def minhashSignature(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(seed =>
+      min(xxhash64(concat(lit(s"$seed#"), col("shingle")))).as(s"mh$seed"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_near_minhash" -> ((s, dir) => {
+      val sig = minhashSignature(shingles(t(s, dir)("documents")))
+      // band hash = hash of the band's 4 signature slots
+      val bandCols = (0 until Bands).map { b =>
+        val slots = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+        xxhash64(slots: _*)
+      }
+      val banded = sig.select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_hash") === col("b.band_hash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      cand.orderBy("id1", "id2")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      // 64-bit simhash over token xxhash64s: per bit, majority vote of
+      // +1/-1 contributions. One explode + 64 conditional sums (single
+      // aggregation pass), then bit-assembly — no per-bit shuffle.
+      val toks = t(s, dir)("documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .withColumn("h", xxhash64(col("token")))
+      val bitSums = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+          .as(s"s$i"))
+      val agg = toks.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("n_tokens"): _*)
+      val simhash = (0 until 64).map(i =>
+        when(col(s"s$i") > 0, lit(if (i == 63) Long.MinValue else 1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      agg.select(col("doc_id"), simhash.as("simhash"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      // Two-pass n-gram language ID: learn top-20 character bigrams per
+      // lang from the corpus, score each doc by profile overlap, predict
+      // argmax (ties -> lang asc). Self-verified: deterministic and
+      // exercises the full train/apply pipeline shape.
+      langId(t(s, dir)("documents"))),
+  )
+
+  /** text_langid implementation (separate for readability). */
+  private def langId(docs: DataFrame): DataFrame = {
+    // char bigrams of each doc: substring(text, i, 2) for i in 1..len-1
+    val bg = docs.selectExpr("doc_id", "lang",
+      "explode(transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))) AS bigram")
+    val profile = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
+    val top = profile.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+      .select(col("lang").as("profile_lang"), col("bigram"))
+    val docBg = bg.select(col("doc_id"), col("lang").as("actual_lang"), col("bigram")).distinct()
+    val scores = docBg.join(broadcast(top), "bigram")
+      .groupBy("doc_id", "actual_lang", "profile_lang")
+      .agg(count(lit(1)).as("overlap"))
+    val w2 = Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("profile_lang"))
+    scores.withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("actual_lang"),
+        col("profile_lang").as("pred_lang"),
+        (col("actual_lang") === col("profile_lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  def oracleSql: Map[String, String] = Map() // all self-verified (DedupSpec)
+}

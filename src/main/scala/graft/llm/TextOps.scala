@@ -1,0 +1,179 @@
+package graft.llm
+
+import graft.OpRegistry
+import graft.Helpers._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.11 LLM-data-pipeline text operators: exact dedup, exact n-gram
+  * Jaccard, wordcount, tf-idf, language profiling, quality scoring, token
+  * counting, bag-of-words fingerprinting.
+  *
+  * Scale design: every pair-generating op is candidate-restricted (shared
+  * shingle) so the join is linear in the posting lists, not quadratic in
+  * documents; tf-idf broadcasts the (small) document-frequency side.
+  */
+object TextOps extends OpRegistry {
+
+  /** Distinct 3-token shingles per document: (doc_id, shingle). */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(toks) - 3),
+          i => array_join(slice(toks, i + 1, lit(3)), " ")))).as("shingle"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      t(s, dir)("documents")
+        .select(sha2(lower(trim(col("text"))), 256).as("h"), col("doc_id"))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("doc_id")),
+
+    "jaccard_pairs" -> ((s, dir) => {
+      val sh = shingles(t(s, dir)("documents"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id"), col("n").as("n1"))), col("id1") === col("doc_id")).drop("doc_id")
+        .join(broadcast(sizes.select(col("doc_id"), col("n").as("n2"))), col("id2") === col("doc_id")).drop("doc_id")
+        .withColumn("uni", col("n1") + col("n2") - col("inter"))
+        .filter(col("inter").cast("double") / col("uni") > 0.1)
+        .select(col("id1"), col("id2"), col("inter"), col("uni"),
+          r6(col("inter").cast("double") / col("uni")).as("jac"))
+        .orderBy("id1", "id2")
+    }),
+
+    "text_wordcount" -> ((s, dir) =>
+      t(s, dir)("documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("lang"), col("token"))
+        .limit(50)),
+
+    "text_tfidf_top" -> ((s, dir) => {
+      val docs = t(s, dir)("documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score_raw").desc, col("term"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score_raw", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          r6(col("score_raw")).as("score"), col("rn").cast("int").as("rn"))
+        .orderBy("doc_id", "rn")
+    }),
+
+    "text_lang_profile" -> ((s, dir) =>
+      t(s, dir)("documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("d_sources"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")),
+
+    "text_quality_score" -> ((s, dir) => {
+      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "data")
+      val toks = split(col("text"), " ")
+      t(s, dir)("documents").select(
+        col("doc_id"), col("n_chars"),
+        size(toks).as("n_tokens"),
+        r6(length(col("text")).cast("double") / size(toks)).as("avg_tok_len"),
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("punct_cnt"),
+        size(filter(toks, x => x.isin(stop: _*))).as("stop_cnt"),
+        r6(size(filter(toks, x => x.isin(stop: _*))).cast("double") / size(toks)).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "text_token_count" -> ((s, dir) =>
+      t(s, dir)("documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))").as("bpe_ish_tokens"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      // Content-defined fingerprint: hash of the sorted distinct token bag.
+      t(s, dir)("documents").select(
+        col("doc_id"),
+        md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))).as("fp_bow"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"))
+        .orderBy("doc_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT sha256(lower(trim(text))) AS h, MIN(doc_id) AS doc_id, COUNT(1) AS dup_cnt
+      FROM documents GROUP BY 1 ORDER BY doc_id""",
+    "jaccard_pairs" -> s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+      ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT id1, id2, inter, (s1.n + s2.n - inter) AS uni,
+             ${r6Sql("CAST(inter AS DOUBLE) / (s1.n + s2.n - inter)")} AS jac
+      FROM ix JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+      WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.1
+      ORDER BY id1, id2""",
+    "text_wordcount" -> """
+      SELECT lang, token, COUNT(1) AS cnt
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY lang, token
+      ORDER BY cnt DESC, lang, token LIMIT 50""",
+    "text_tfidf_top" -> s"""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),
+      dfreq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(1) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score_raw
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score_raw DESC, term) AS rn
+        FROM scored)
+      SELECT doc_id, term, tf, df, ${r6Sql("score_raw")} AS score, CAST(rn AS INT) AS rn
+      FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "text_lang_profile" -> """
+      SELECT lang, COUNT(1) AS docs, SUM(n_chars) AS sum_chars,
+             COUNT(DISTINCT source) AS d_sources,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "text_quality_score" -> s"""
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             ${r6Sql("CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))")} AS avg_tok_len,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INT) AS punct_cnt,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','of','and','a','to','in','is','data'))) AS INT) AS stop_cnt,
+             ${r6Sql("CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','of','and','a','to','in','is','data'))) AS DOUBLE) / len(string_split(text, ' '))")} AS stop_ratio
+      FROM documents ORDER BY doc_id""",
+    "text_token_count" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS bpe_ish_tokens
+      FROM documents ORDER BY doc_id""",
+    "text_fingerprint" -> """
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
+      FROM documents ORDER BY doc_id""",
+  )
+}

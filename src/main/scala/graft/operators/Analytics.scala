@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.OpRegistry
+import graft.Helpers._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.9 Composite analytics over the star schema (TPC-H-shaped).
+  * Scale notes: dimension sides (region/nation/customer) are broadcast;
+  * the lineitem-side aggregations are partial+final (map-side combine)
+  * automatically; date filters sit directly on the scans so parquet
+  * row-group pruning applies before any join.
+  */
+object Analytics extends OpRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_by_region" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      val o = tt("orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val dims = broadcast(
+        tt("customer").select("c_custkey", "c_nationkey")
+          .join(tt("nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(tt("region"), col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey", "r_name"))
+      tt("lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(dims, col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name")
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("line_cnt"))
+        .orderBy("r_name")
+    }),
+    "q_top_unshipped" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      val c = tt("customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = tt("orders").filter(col("o_orderdate") < lit("1996-03-15"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = tt("lineitem").filter(col("l_shipdate") > lit("1996-03-15"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q_parts_share" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      val rev = dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      tt("lineitem").select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(broadcast(tt("part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(trunc(col("l_shipdate").cast("date"), "month").as("ship_month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(dec(lit(0)))).as("promo_rev"),
+          sum(rev).as("total_rev"))
+        .withColumn("promo_share",
+          r6(col("promo_rev").cast("double") / col("total_rev").cast("double")))
+        .orderBy("ship_month")
+    }),
+    "q_customer_ltv" -> ((s, dir) => {
+      val tt = t(s, dir) _
+      val spend = tt("orders")
+        .groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("spend"),
+          count(lit(1)).as("order_cnt"),
+          min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("spend").desc, col("c_custkey"))
+      tt("customer").select("c_custkey", "c_mktsegment")
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("spend"),
+          col("order_cnt"), col("first_order"), col("last_order"),
+          rank().over(w).as("seg_rank"))
+        .orderBy("c_custkey")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_revenue_by_region" -> """
+      SELECT r_name,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue,
+             COUNT(1) AS line_cnt
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY r_name ORDER BY r_name""",
+    "q_top_unshipped" -> """
+      SELECT l_orderkey, o_orderdate,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1996-03-15'
+        AND l_shipdate > TIMESTAMP '1996-03-15'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_parts_share" -> s"""
+      SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS ship_month,
+             SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS promo_rev,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS total_rev,
+             ${r6Sql("CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)")} AS promo_share
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY ship_month""",
+    "q_customer_ltv" -> """
+      WITH spend AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS spend,
+               COUNT(1) AS order_cnt, MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order
+        FROM orders GROUP BY o_custkey)
+      SELECT c_custkey, c_mktsegment, spend, order_cnt, first_order, last_order,
+             CAST(RANK() OVER (PARTITION BY c_mktsegment
+                               ORDER BY spend DESC, c_custkey) AS INT) AS seg_rank
+      FROM customer JOIN spend ON c_custkey = o_custkey
+      ORDER BY c_custkey""",
+  )
+}
