@@ -23,6 +23,7 @@ object SparkEntry {
     llm.TextOps,
     llm.VectorOps,
     llm.DedupOps,
+    streaming.Streaming,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

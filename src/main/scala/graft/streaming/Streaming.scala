@@ -1,0 +1,186 @@
+package graft.streaming
+
+import graft.OpRegistry
+import graft.Helpers._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** §2.10 Streaming over the `events` stream.
+  *
+  * Oracle-checked ops compute time-window semantics in pure integer
+  * epoch-micro arithmetic on the static table (identical to the streaming
+  * window alignment: Spark tumbling/sliding windows are epoch-aligned).
+  * The genuinely incremental ops (watermark, streaming dedup, arbitrary
+  * state, foreachBatch sink) run REAL Structured Streaming here — file
+  * source -> Trigger.AvailableNow -> memory sink — which is deterministic
+  * in a single batch; multi-batch/late-data semantics are covered by
+  * StreamingSpec with MemoryStream feeds.
+  *
+  * Scale notes: windowed aggs shuffle once on (window x key); watermarks
+  * bound state size (without one, 100 TB of stream state never evicts);
+  * session windows use the built-in session_window state store path.
+  */
+object Streaming extends OpRegistry {
+
+  private val usPerHour = 3600000000L
+  private val usPer15m = 900000000L
+
+  /** Batch `events` with ts_us (epoch micros, integer-exact). */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("events").withColumn("ts_us", tsDivMicros(col("ts")))
+
+  /** Streaming read of the same events parquet (file source). The file
+    * source needs a directory, so the fixture file is symlinked into a
+    * fresh temp dir (no data copy). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val schema = t(s, dir)("events").schema
+    val tmp = Files.createTempDirectory("graft_events_src_")
+    Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts_ts", tsMicros(col("ts")))
+  }
+
+  /** Run an availableNow streaming query into a memory sink, return table. */
+  private def runToMemory(s: SparkSession, df: DataFrame, name: String,
+                          mode: OutputMode): DataFrame = {
+    val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_1h" -> ((s, dir) =>
+      eventsUs(s, dir)
+        .groupBy((call_function("div", col("ts_us"), lit(usPerHour)) * usPerHour).as("win_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .orderBy("win_us", "event_type")),
+
+    "stream_sliding_1h_15m" -> ((s, dir) => {
+      // 1h windows sliding 15m: each event belongs to 4 windows whose
+      // starts are (slot-k)*15m for k in 0..3 — integer arithmetic matches
+      // Spark's epoch-aligned window() exactly.
+      val e = eventsUs(s, dir)
+        .withColumn("slot", call_function("div", col("ts_us"), lit(usPer15m)))
+        .withColumn("k", explode(array((0 until 4).map(lit): _*)))
+        .withColumn("win_us", (col("slot") - col("k")) * usPer15m)
+      e.groupBy("win_us", "event_type")
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .orderBy("win_us", "event_type")
+    }),
+
+    "stream_session_30m" -> ((s, dir) => {
+      // Gaps-and-islands sessionization, 30-minute gap.
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wSess = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsUs(s, dir)
+        .withColumn("prev_us", lag("ts_us", 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(wSess))
+        .groupBy("user_id", "sess_id")
+        .agg(min(col("ts_us")).as("sess_start_us"), max(col("ts_us")).as("sess_end_us"),
+          count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .orderBy("user_id", "sess_id")
+    }),
+
+    "stream_watermark_late" -> ((s, dir) => {
+      // Real streaming: watermarked tumbling window aggregation. Single
+      // availableNow batch -> no drops; multi-batch late-drop behavior is
+      // asserted in StreamingSpec.
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts_ts", "10 minutes")
+        .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+      val out = runToMemory(s, agg, "wml", OutputMode.Append())
+      out.select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("win_us", "event_type")
+    }),
+
+    "stream_dedup" -> ((s, dir) => {
+      val dd = eventsStream(s, dir)
+        .withWatermark("ts_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"))
+      val out = runToMemory(s, dd, "sdd", OutputMode.Append())
+      out.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        sum(col("event_id")).as("sum_ids"))
+    }),
+
+    "stream_stateful_count" -> ((s, dir) => {
+      // Arbitrary stateful op: running per-user count via
+      // flatMapGroupsWithState (KeyValueGroupedDataset surface).
+      import s.implicits._
+      val typed = eventsStream(s, dir).select(col("user_id"), col("event_id"))
+        .as[(Long, Long)]
+      val counted = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+            val prev = state.getOption.getOrElse(0L)
+            val next = prev + rows.size
+            state.update(next)
+            Iterator((user, next))
+        }.toDF("user_id", "n_events")
+      val out = runToMemory(s, counted, "ssc", OutputMode.Update())
+      // last update per user is the final running count
+      val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+      out.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "n_events").orderBy("user_id")
+    }),
+
+    "stream_sink_foreachBatch" -> ((s, dir) => {
+      // Micro-batch parquet upsert, idempotent by batchId (same batch
+      // re-written to the same path on retry -> overwrite semantics).
+      val base = java.nio.file.Files.createTempDirectory("graft_febatch_").toString
+      val agg = eventsStream(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$base/out_$batchId")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dirs = new java.io.File(base).listFiles().filter(_.getName.startsWith("out_"))
+        .map(_.getAbsolutePath).sorted
+      s.read.parquet(dirs.last).orderBy("event_type")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "stream_tumbling_1h" -> """
+      SELECT (epoch_ns(ts) // 1000) // 3600000000 * 3600000000 AS win_us,
+             event_type, COUNT(1) AS cnt,
+             SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY win_us, event_type""",
+    "stream_sliding_1h_15m" -> """
+      SELECT ((epoch_ns(ts) // 1000) // 900000000 - k) * 900000000 AS win_us,
+             event_type, COUNT(1) AS cnt,
+             SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t
+      GROUP BY 1, 2 ORDER BY win_us, event_type""",
+    "stream_session_30m" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+      l AS (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+      f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+      g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f)
+      SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+             MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
+             COUNT(1) AS cnt, SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+      FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+  )
+}
