@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** §2.10 streaming-equivalence tests with MemoryStream: batch parity for
+  * the availableNow ops, and the genuinely incremental semantics (late-data
+  * drop past the watermark) that have no batch twin.
+  */
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("watermark drops late data beyond the delay") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, Double)]
+    val agg = ms.toDF().toDF("ts_ts", "user_id", "value")
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(window($"ts_ts", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val qn = "wmtest_" + System.nanoTime()
+    val query = agg.writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: events in hour 10:00; max event time 11:55
+      ms.addData((ts(5), 1L, 1.0), (ts(10), 1L, 1.0), (ts(115), 1L, 1.0))
+      query.processAllAvailable() // watermark -> 11:45
+      // batch 2: late event at 10:20 — far below watermark, must be dropped
+      ms.addData((ts(20), 1L, 99.0))
+      query.processAllAvailable()
+      // batch 3: advance time far enough to close all windows
+      ms.addData((ts(300), 1L, 1.0))
+      query.processAllAvailable()
+      val out = spark.table(qn)
+        .select(unix_micros($"window.start").as("ws"), $"cnt").as[(Long, Long)]
+        .collect().toMap
+      val hour10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+      assert(out(hour10) == 2L, s"late event leaked into closed window: $out")
+    } finally query.stop()
+  }
+
+  test("streaming dedup equals batch distinct") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val dd = ms.toDF().toDF("ts_ts", "event_id")
+      .withWatermark("ts_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val qn = "ddtest_" + System.nanoTime()
+    val query = dd.writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((ts(1), 1L), (ts(2), 2L), (ts(3), 1L)) // dup within batch
+      query.processAllAvailable()
+      ms.addData((ts(4), 2L), (ts(5), 3L)) // dup across batches
+      query.processAllAvailable()
+      val ids = spark.table(qn).select("event_id").as[Long].collect().sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.mkString(",")}")
+    } finally query.stop()
+  }
+
+  test("stateful running count converges to batch groupBy count") {
+    // the availableNow op over the fixture must equal the batch count
+    val streaming = q("stream_stateful_count")
+      .as[(Long, Long)].collect().toMap
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(streaming == batch)
+  }
+
+  test("tumbling window batch twin: counts sum to table size") {
+    val total = q("stream_tumbling_1h").agg(sum("cnt")).head().getLong(0)
+    assert(total == spark.read.parquet(s"$sfDir/events.parquet").count())
+    // sliding: each event in exactly 4 windows
+    val sliding = q("stream_sliding_1h_15m").agg(sum("cnt")).head().getLong(0)
+    assert(sliding == 4 * total)
+  }
+
+  test("sessionization: session bounds are consistent and gap-respecting") {
+    val s30 = q("stream_session_30m").cache()
+    assert(s30.filter($"sess_start_us" > $"sess_end_us").count() == 0)
+    // events per user sum to user's event count
+    val perUser = s30.groupBy("user_id").agg(sum("cnt").as("n"))
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").count()
+    val bad = perUser.join(batch, "user_id").filter($"n" =!= $"count").count()
+    assert(bad == 0)
+    s30.unpersist()
+  }
+}
