@@ -36,6 +36,17 @@ object Helpers {
   /** D2: exact, order-independent money arithmetic. */
   def dec(c: Column): Column = c.cast(DecimalType(38, 6))
 
+  /** D2 at the output boundary: money math stays DECIMAL(38,6) internally
+    * (exact, order-independent), but emitted columns are DOUBLE — decimal128
+    * parquet round-trips as python Decimal objects while DuckDB's pandas
+    * bridge yields float64, so a decimal output column can never hash-match
+    * even when values are identical (verified bit-identical once both sides
+    * cast; VERDICT.md round 1 "What's wrong" #1). The oracle twin wraps the
+    * same expression in CAST(... AS DOUBLE). */
+  def decSumOut(c: Column): Column = sum(dec(c)).cast("double")
+  def decSumOutSql(x: String): String =
+    s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+
   /** Cross-engine-safe rounding. Engine `round(double)` implementations
     * disagree at halfway points (Spark rounds the shortest decimal repr
     * HALF_UP; DuckDB rounds the exact binary value), so we never use them

@@ -71,12 +71,16 @@ object Scalars extends OpRegistry {
         .orderBy("l_orderkey", "l_linenumber")),
 
     "fn_array" -> ((s, dir) =>
+      // head_sq is emitted as a CSV string of micro-unit-quantized squares:
+      // the driver's pandas comparator cannot hash list columns (VERDICT r1
+      // #4), and double->string formatting differs across engines, so the
+      // elements are fixed-point integers before joining.
       t(s, dir)("embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).cast("double").as("first_el"),
-        transform(slice(col("embedding"), 1, 8),
-          x => r6(x.cast("double") * x.cast("double"))).as("head_sq"),
+        array_join(transform(slice(col("embedding"), 1, 8),
+          x => floor(x.cast("double") * x.cast("double") * lit(1e6) + lit(0.5)).cast("long")), ",").as("head_sq_q"),
         size(filter(col("embedding"), x => x > lit(0.0f))).as("pos_cnt"),
         r6(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))).as("sumsq"),
@@ -120,7 +124,7 @@ object Scalars extends OpRegistry {
       t(s, dir)("events").select(
         col("event_id"),
         col("user_id").cast("int").as("user_int"),
-        dec(col("value")).as("value_dec"),
+        dec(col("value")).cast("double").as("value_dec"),
         floor(col("value")).cast("int").as("value_floor_int"),
         tsDivMicros(col("ts")).as("ts_us"),
         tsMicros(col("ts")).cast("timestamp_ntz").as("ts_ts"),
@@ -197,8 +201,8 @@ object Scalars extends OpRegistry {
       SELECT vec_id,
              CAST(len(embedding) AS INT) AS dim,
              CAST(embedding[1] AS DOUBLE) AS first_el,
-             list_transform(list_slice(embedding, 1, 8),
-               x -> ${r6Sql("CAST(x AS DOUBLE) * CAST(x AS DOUBLE)")}) AS head_sq,
+             array_to_string(list_transform(list_slice(embedding, 1, 8),
+               x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ',') AS head_sq_q,
              CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS pos_cnt,
              ${r6Sql("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")} AS sumsq,
              CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
@@ -227,7 +231,7 @@ object Scalars extends OpRegistry {
     "fn_cast" -> """
       SELECT event_id,
              CAST(user_id AS INT) AS user_int,
-             CAST(value AS DECIMAL(38,6)) AS value_dec,
+             CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) AS value_dec,
              CAST(floor(value) AS INT) AS value_floor_int,
              epoch_ns(ts) // 1000 AS ts_us,
              CAST(ts AS TIMESTAMP) AS ts_ts,

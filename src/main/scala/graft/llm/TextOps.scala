@@ -16,14 +16,26 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextOps extends OpRegistry {
 
-  /** Distinct 3-token shingles per document: (doc_id, shingle). */
+  /** Distinct 3-token shingles per document: (doc_id, shingle). Guarded for
+    * docs with <3 tokens: sequence(0, size-3) would otherwise infer step -1
+    * and slice() throws at runtime (ADVICE r1); the guard matches the
+    * oracle's range(1, len-1) empty-result semantics. */
   private def shingles(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     docs.select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(0), size(toks) - 3),
+          when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
+            .otherwise(array().cast("array<int>")),
           i => array_join(slice(toks, i + 1, lit(3)), " ")))).as("shingle"))
   }
+
+  /** Skew guard for the shared-shingle candidate join: a shingle present in
+    * B documents expands to B² candidate rows, so one corpus-common
+    * "stop-shingle" is a quadratic hot key at 100 TB. Shingles above this
+    * document frequency are excluded from the intersection join (mirrored
+    * exactly in the oracle SQL so hashes still match); they carry almost no
+    * pair-discrimination signal. */
+  private val MaxShingleDf = 100
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
@@ -36,7 +48,11 @@ object TextOps extends OpRegistry {
     "jaccard_pairs" -> ((s, dir) => {
       val sh = shingles(t(s, dir)("documents"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
+      // df-cap the posting lists before the self-join (see MaxShingleDf)
+      val wdf = Window.partitionBy("shingle")
+      val shCapped = sh.withColumn("df", count(lit(1)).over(wdf))
+        .filter(col("df") <= MaxShingleDf).drop("df")
+      val inter = shCapped.as("a").join(shCapped.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .agg(count(lit(1)).as("inter"))
@@ -123,8 +139,12 @@ object TextOps extends OpRegistry {
               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
       sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
       sz AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+      shc AS (SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
+              WHERE df <= 100),
       ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
-             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
              GROUP BY 1, 2)
       SELECT id1, id2, inter, (s1.n + s2.n - inter) AS uni,
              ${r6Sql("CAST(inter AS DOUBLE) / (s1.n + s2.n - inter)")} AS jac
@@ -152,7 +172,7 @@ object TextOps extends OpRegistry {
       SELECT doc_id, term, tf, df, ${r6Sql("score_raw")} AS score, CAST(rn AS INT) AS rn
       FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""",
     "text_lang_profile" -> """
-      SELECT lang, COUNT(1) AS docs, SUM(n_chars) AS sum_chars,
+      SELECT lang, COUNT(1) AS docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              COUNT(DISTINCT source) AS d_sources,
              MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       FROM documents GROUP BY lang ORDER BY lang""",

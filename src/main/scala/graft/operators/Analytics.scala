@@ -29,7 +29,7 @@ object Analytics extends OpRegistry {
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(dims, col("o_custkey") === col("c_custkey"))
         .groupBy("r_name")
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        .agg(decSumOut(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("line_cnt"))
         .orderBy("r_name")
     }),
@@ -44,7 +44,7 @@ object Analytics extends OpRegistry {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .agg(decSumOut(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -56,17 +56,16 @@ object Analytics extends OpRegistry {
           col("l_partkey") === col("p_partkey"))
         .groupBy(trunc(col("l_shipdate").cast("date"), "month").as("ship_month"))
         .agg(
-          sum(when(col("p_type") === "PROMO", rev).otherwise(dec(lit(0)))).as("promo_rev"),
-          sum(rev).as("total_rev"))
-        .withColumn("promo_share",
-          r6(col("promo_rev").cast("double") / col("total_rev").cast("double")))
+          sum(when(col("p_type") === "PROMO", rev).otherwise(dec(lit(0)))).cast("double").as("promo_rev"),
+          sum(rev).cast("double").as("total_rev"))
+        .withColumn("promo_share", r6(col("promo_rev") / col("total_rev")))
         .orderBy("ship_month")
     }),
     "q_customer_ltv" -> ((s, dir) => {
       val tt = t(s, dir) _
       val spend = tt("orders")
         .groupBy("o_custkey")
-        .agg(sum(dec(col("o_totalprice"))).as("spend"),
+        .agg(decSumOut(col("o_totalprice")).as("spend"),
           count(lit(1)).as("order_cnt"),
           min(col("o_orderdate")).as("first_order"),
           max(col("o_orderdate")).as("last_order"))
@@ -84,7 +83,7 @@ object Analytics extends OpRegistry {
   def oracleSql: Map[String, String] = Map(
     "q_revenue_by_region" -> """
       SELECT r_name,
-             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
              COUNT(1) AS line_cnt
       FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -95,7 +94,7 @@ object Analytics extends OpRegistry {
       GROUP BY r_name ORDER BY r_name""",
     "q_top_unshipped" -> """
       SELECT l_orderkey, o_orderdate,
-             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
       FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -106,16 +105,16 @@ object Analytics extends OpRegistry {
       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_parts_share" -> s"""
       SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS ship_month,
-             SUM(CASE WHEN p_type = 'PROMO'
+             CAST(SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))
-                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS promo_rev,
-             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS total_rev,
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS promo_rev,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_rev,
              ${r6Sql("CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)")} AS promo_share
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY 1 ORDER BY ship_month""",
     "q_customer_ltv" -> """
       WITH spend AS (
-        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS spend,
+        SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend,
                COUNT(1) AS order_cnt, MIN(o_orderdate) AS first_order,
                MAX(o_orderdate) AS last_order
         FROM orders GROUP BY o_custkey)

@@ -43,7 +43,7 @@ object Filters extends OpRegistry {
       t(s, dir)("lineitem")
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("double").as("revenue"),
           when(col("l_quantity") > 25, lit("bulk")).otherwise(lit("small")).as("qty_class"),
           concat_ws("/", col("l_returnflag"), col("l_linestatus")).as("flag_status"))
         .orderBy("l_orderkey", "l_linenumber")),
@@ -70,7 +70,7 @@ object Filters extends OpRegistry {
       FROM (SELECT NULLIF(l_discount, 0.0) AS a, NULLIF(l_tax, 0.0) AS b FROM lineitem)""",
     "project_expr" -> """
       SELECT l_orderkey, l_linenumber,
-             CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) AS revenue,
+             CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
              CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS qty_class,
              concat_ws('/', l_returnflag, l_linestatus) AS flag_status
       FROM lineitem ORDER BY l_orderkey, l_linenumber""",

@@ -111,22 +111,26 @@ object Joins extends OpRegistry {
           && col("ts_us") >= col("anchor_us")
           && col("ts_us") < col("anchor_us") + lit(7L * usPerDay))
         .groupBy("o_orderkey")
-        .agg(count(lit(1)).as("evt_cnt"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("evt_cnt"), decSumOut(col("value")).as("sum_value"))
         .orderBy("o_orderkey")
     }),
     "join_asof" -> ((s, dir) => {
       // For each 'purchase', the latest preceding 'click' of the same user:
       // union + carry-forward max over (user, time) — single shuffle,
       // no quadratic per-key join. Tie order: (ts, event_id).
+      // D4: emitted times are epoch MICROS — DuckDB reads TIMESTAMP(NANOS)
+      // parquet at micro precision, so raw-nanos output can never match
+      // (VERDICT r1 #2); `ts div 1000` on both sides is exact.
       val e = t(s, dir)("events")
         .filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"), col("event_type"))
-      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        .select(col("event_id"), col("user_id"),
+          tsDivMicros(col("ts")).as("ts_us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       e.withColumn("last_click_ts",
-          max(when(col("event_type") === "click", col("ts_ns"))).over(w))
+          max(when(col("event_type") === "click", col("ts_us"))).over(w))
         .filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts_ns", "last_click_ts")
+        .select("event_id", "user_id", "ts_us", "last_click_ts")
         .orderBy("event_id")
     }),
   )
@@ -181,7 +185,7 @@ object Joins extends OpRegistry {
       ORDER BY suppkey1, suppkey2""",
     "join_range_interval" -> """
       SELECT o_orderkey, COUNT(1) AS evt_cnt,
-             SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       FROM (SELECT o_orderkey,
                    1704067200000000 + (o_orderkey % 28) * 86400000000 AS anchor_us,
                    o_orderkey % 15 AS bridge_user
@@ -194,14 +198,14 @@ object Joins extends OpRegistry {
       ORDER BY o_orderkey""",
     "join_asof" -> """
       WITH e AS (
-        SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type
+        SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
         FROM events WHERE event_type IN ('click', 'purchase')),
       w AS (
-        SELECT *, MAX(CASE WHEN event_type = 'click' THEN ts_ns END)
-                 OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        SELECT *, MAX(CASE WHEN event_type = 'click' THEN ts_us END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
         FROM e)
-      SELECT event_id, user_id, ts_ns, last_click_ts
+      SELECT event_id, user_id, ts_us, last_click_ts
       FROM w WHERE event_type = 'purchase'
       ORDER BY event_id""",
   )

@@ -39,7 +39,7 @@ object Windows extends OpRegistry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir)("orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(dec(col("o_totalprice"))).over(w).as("run_sum"))
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("run_sum"))
         .orderBy("o_custkey", "o_orderkey")
     }),
     "win_sliding_frame" -> ((s, dir) => {
@@ -48,7 +48,7 @@ object Windows extends OpRegistry {
         .rowsBetween(-2, 0)
       t(s, dir)("orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(dec(col("o_totalprice"))).over(w).as("mov_sum3"))
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("mov_sum3"))
         .orderBy("o_custkey", "o_orderkey")
     }),
     "win_range_frame" -> ((s, dir) => {
@@ -59,17 +59,20 @@ object Windows extends OpRegistry {
         .rangeBetween(-1000, 0)
       t(s, dir)("orders")
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-          sum(dec(col("o_totalprice"))).over(w).as("range_sum"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("range_sum"),
           count(lit(1)).over(w).as("range_cnt"))
         .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
     }),
     "win_lead_lag" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      // D4: epoch MICROS at the boundary — DuckDB reads TIMESTAMP(NANOS)
+      // parquet at micro precision so raw nanos never hash-match
+      // (VERDICT r1 #2); `ts div 1000` is exact on both sides.
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       t(s, dir)("events")
-        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"))
-        .withColumn("prev_ts", lag("ts_ns", 1).over(w))
-        .withColumn("next_ts", lead("ts_ns", 1).over(w))
-        .withColumn("gap_ns", col("ts_ns") - col("prev_ts"))
+        .select(col("event_id"), col("user_id"), tsDivMicros(col("ts")).as("ts_us"))
+        .withColumn("prev_ts", lag("ts_us", 1).over(w))
+        .withColumn("next_ts", lead("ts_us", 1).over(w))
+        .withColumn("gap_us", col("ts_us") - col("prev_ts"))
         .orderBy("event_id")
     }),
     "win_first_last_nth" -> ((s, dir) => {
@@ -111,30 +114,30 @@ object Windows extends OpRegistry {
       WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
     "win_running_sum" -> """
       SELECT o_custkey, o_orderkey,
-             SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
       FROM orders ORDER BY o_custkey, o_orderkey""",
     "win_sliding_frame" -> """
       SELECT o_custkey, o_orderkey,
-             SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_sum3
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3
       FROM orders ORDER BY o_custkey, o_orderkey""",
     "win_range_frame" -> """
       SELECT o_orderkey, o_orderpriority, o_totalprice,
-             SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
                OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
-                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS range_sum,
+                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum,
              COUNT(1) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS range_cnt
       FROM orders ORDER BY o_orderpriority, o_totalprice, o_orderkey""",
     "win_lead_lag" -> """
-      SELECT event_id, user_id, ts_ns,
-             LAG(ts_ns, 1) OVER w AS prev_ts, LEAD(ts_ns, 1) OVER w AS next_ts,
-             ts_ns - LAG(ts_ns, 1) OVER w AS gap_ns
-      FROM (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events)
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+      SELECT event_id, user_id, ts_us,
+             LAG(ts_us, 1) OVER w AS prev_ts, LEAD(ts_us, 1) OVER w AS next_ts,
+             ts_us - LAG(ts_us, 1) OVER w AS gap_us
+      FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       ORDER BY event_id""",
     "win_first_last_nth" -> """
       SELECT c_custkey, c_mktsegment,

@@ -59,7 +59,7 @@ object Streaming extends OpRegistry {
       eventsUs(s, dir)
         .groupBy((call_function("div", col("ts_us"), lit(usPerHour)) * usPerHour).as("win_us"),
           col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), decSumOut(col("value")).as("sum_value"))
         .orderBy("win_us", "event_type")),
 
     "stream_sliding_1h_15m" -> ((s, dir) => {
@@ -71,7 +71,7 @@ object Streaming extends OpRegistry {
         .withColumn("k", explode(array((0 until 4).map(lit): _*)))
         .withColumn("win_us", (col("slot") - col("k")) * usPer15m)
       e.groupBy("win_us", "event_type")
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), decSumOut(col("value")).as("sum_value"))
         .orderBy("win_us", "event_type")
     }),
 
@@ -88,7 +88,7 @@ object Streaming extends OpRegistry {
         .withColumn("sess_id", sum(col("new_sess")).over(wSess))
         .groupBy("user_id", "sess_id")
         .agg(min(col("ts_us")).as("sess_start_us"), max(col("ts_us")).as("sess_end_us"),
-          count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+          count(lit(1)).as("cnt"), decSumOut(col("value")).as("sum_value"))
         .orderBy("user_id", "sess_id")
     }),
 
@@ -154,9 +154,11 @@ object Streaming extends OpRegistry {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val dirs = new java.io.File(base).listFiles().filter(_.getName.startsWith("out_"))
-        .map(_.getAbsolutePath).sorted
-      s.read.parquet(dirs.last).orderBy("event_type")
+      // final batch by NUMERIC batchId — lexicographic sort would pick
+      // out_9 over out_10 once >=10 micro-batches exist (ADVICE r1)
+      val last = new java.io.File(base).listFiles().filter(_.getName.startsWith("out_"))
+        .maxBy(_.getName.stripPrefix("out_").toLong)
+      s.read.parquet(last.getAbsolutePath).orderBy("event_type")
     }),
   )
 
@@ -164,12 +166,12 @@ object Streaming extends OpRegistry {
     "stream_tumbling_1h" -> """
       SELECT (epoch_ns(ts) // 1000) // 3600000000 * 3600000000 AS win_us,
              event_type, COUNT(1) AS cnt,
-             SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY win_us, event_type""",
     "stream_sliding_1h_15m" -> """
       SELECT ((epoch_ns(ts) // 1000) // 900000000 - k) * 900000000 AS win_us,
              event_type, COUNT(1) AS cnt,
-             SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t
       GROUP BY 1, 2 ORDER BY win_us, event_type""",
     "stream_session_30m" -> """
@@ -180,7 +182,7 @@ object Streaming extends OpRegistry {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f)
       SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
              MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
-             COUNT(1) AS cnt, SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+             COUNT(1) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
   )
 }

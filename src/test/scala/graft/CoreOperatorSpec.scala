@@ -44,11 +44,11 @@ class CoreOperatorSpec extends GraftSuite {
   }
 
   test("agg_udaf_sumsq equals exact decimal sum of squares") {
-    val viaUdaf = q("agg_udaf_sumsq").head().getDecimal(0)
+    val viaUdaf = q("agg_udaf_sumsq").head().getDouble(0)
     val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .agg(sum(Helpers.dec(col("l_quantity") * col("l_quantity"))))
-      .head().getDecimal(0)
-    assert(viaUdaf.compareTo(direct) == 0)
+      .agg(sum(Helpers.dec(col("l_quantity") * col("l_quantity"))).cast("double"))
+      .head().getDouble(0)
+    assert(viaUdaf == direct)
   }
 
   test("outer joins synthesize NULLs; semi+anti partition customers") {
@@ -65,7 +65,7 @@ class CoreOperatorSpec extends GraftSuite {
 
   test("join_asof: every purchase row's click is the latest preceding one") {
     val asof = q("join_asof")
-    val bad = asof.filter($"last_click_ts" > $"ts_ns").count()
+    val bad = asof.filter($"last_click_ts" > $"ts_us").count()
     assert(bad == 0)
     assert(asof.count() > 0)
   }
@@ -87,7 +87,7 @@ class CoreOperatorSpec extends GraftSuite {
       .select($"o_custkey", $"run_sum".as("final_sum"))
     // keepFirst by desc orderkey is only a proxy; compare against group sums
     val totals = spark.read.parquet(s"$sfDir/orders.parquet")
-      .groupBy("o_custkey").agg(sum(Helpers.dec($"o_totalprice")).as("total"))
+      .groupBy("o_custkey").agg(sum(Helpers.dec($"o_totalprice")).cast("double").as("total"))
     // the max running sum per customer equals the customer total
     val maxRun = rs.groupBy("o_custkey").agg(max($"run_sum").as("mx"))
     val bad = maxRun.join(totals, "o_custkey").filter($"mx" =!= $"total").count()

@@ -33,40 +33,33 @@ class LlmOpsSpec extends GraftSuite {
     }
   }
 
-  test("quantized dot product equals manual computation for one pair") {
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .filter($"vec_id" < 2).orderBy("vec_id")
-      .select($"embedding").as[Array[Float]].collect()
-    val manual = (0 until 64).map { i =>
-      val qa = math.floor(e(0)(i).toDouble * 1e6 + 0.5).toLong
-      val qb = math.floor(e(1)(i).toDouble * 1e6 + 0.5).toLong
+  test("quantized dot product in op outputs equals manual computation") {
+    // take query 0's top-1 neighbor from the op output and recompute its
+    // dot_q by hand — asserts the emitted kernel value, not a re-derivation
+    val top = q("knn_cosine_topk").filter($"qid" === 0 && $"rn" === 1).head()
+    val vid = top.getAs[Long]("vid")
+    val engineDot = top.getAs[Long]("dot_q")
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter($"vec_id".isin(0L, vid))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val (a, b) = (vecs(0L), vecs(vid))
+    val manual = a.indices.map { i =>
+      val qa = math.floor(a(i).toDouble * 1e6 + 0.5).toLong
+      val qb = math.floor(b(i).toDouble * 1e6 + 0.5).toLong
       qa * qb
     }.sum
-    val engine = q("knn_cosine_topk").filter($"qid" === 0 && $"vid" === 1)
-    val fromSim = q("sim_threshold_pairs").filter($"id1" === 0 && $"id2" === 1)
-    // vid 1 may not be in top-5; recompute directly through the same kernel
-    val direct = {
-      import graft.llm.VectorOps
-      val all = VectorOps.queries("sim_threshold_pairs")(spark, sfDir)
-      // threshold may exclude it; fall back to brute force via knn over full set
-      val scored = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .filter($"vec_id" < 2)
-        .select($"vec_id",
-          transform($"embedding", x => floor(x.cast("double") * lit(1e6) + lit(0.5))).as("qe"))
-      val a = scored.filter($"vec_id" === 0).select($"qe".as("qa"))
-      val b = scored.filter($"vec_id" === 1).select($"qe".as("qb"))
-      a.crossJoin(b)
-        .select(aggregate(zip_with($"qa", $"qb", (x, y) => x * y), lit(0L), (acc, x) => acc + x))
-        .head().getLong(0)
-    }
-    assert(direct == manual, s"engine $direct vs manual $manual")
+    assert(engineDot == manual, s"engine $engineDot vs manual $manual")
+    // sim_threshold_pairs shares the kernel: any emitted (0, vid) row agrees
+    q("sim_threshold_pairs").filter($"id1" === 0 && $"id2" === vid)
+      .select("dot_q").as[Long].collect()
+      .foreach(v => assert(v == manual, s"sim_threshold_pairs $v vs $manual"))
   }
 
-  test("IVF kNN achieves reasonable recall vs brute force") {
+  test("IVF kNN achieves high recall vs brute force") {
     val brute = q("knn_cosine_topk").select("qid", "vid").as[(Long, Long)].collect().toSet
     val ivf = q("knn_ivf_topk").select("qid", "vid").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    assert(recall >= 0.9, s"IVF recall too low: $recall")
   }
 
   test("simhash: near-identical docs collide closely, distinct docs do not") {
