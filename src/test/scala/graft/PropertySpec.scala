@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator-driven property suite (SURVEY §5.4). Each property
+  * materializes deterministic samples (fixed seeds — every Spark trial costs
+  * a job, so trials are few but reproducible), writes them as the parquet
+  * table the registry op reads, and checks an algebraic law of the operator
+  * against a Scala-computed oracle.
+  */
+class PropertySpec extends GraftSuite {
+  import spark.implicits._
+
+  private val seeds = Seq(11L, 42L, 1234L)
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def writeDir(tables: (String, DataFrame)*): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prop_").toString
+    tables.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$tmp/$n.parquet")
+    }
+    tmp
+  }
+
+  // random orders-shaped rows: (o_orderkey, o_custkey, o_totalprice,
+  // o_orderstatus, o_orderpriority, o_orderdate)
+  private val ordersGen: Gen[List[(Long, Long, Double, String, String, String)]] =
+    Gen.chooseNum(5, 60).flatMap { n =>
+      Gen.listOfN(n, for {
+        c  <- Gen.chooseNum(0L, 10L)
+        p  <- Gen.chooseNum(100, 50000000).map(_ / 100.0)
+        st <- Gen.oneOf("F", "O", "P")
+        pr <- Gen.oneOf("1-URGENT", "3-MEDIUM")
+        y  <- Gen.chooseNum(1992, 1998)
+        m  <- Gen.chooseNum(1, 12)
+        d  <- Gen.chooseNum(1, 28)
+      } yield (c, p, st, pr, f"$y%04d-$m%02d-$d%02d"))
+        .map(_.zipWithIndex.map { case ((c, p, st, pr, dt), i) =>
+          (i.toLong, c, p, st, pr, dt) })
+    }
+
+  private def ordersDf(seed: Long): DataFrame =
+    sample(ordersGen, seed)
+      .toDF("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority", "o_orderdate")
+
+  test("property: union_all count additivity; union_distinct bounded") {
+    for (s <- seeds) {
+      val o = ordersDf(s)
+      val dir = writeDir("orders" -> o)
+      val a = o.filter($"o_orderstatus" === "F").count()
+      val b = o.filter($"o_orderpriority" === "1-URGENT").count()
+      assert(SparkEntry.queries("set_union_all")(spark, dir).count() == a + b)
+      val ud = SparkEntry.queries("set_union_distinct")(spark, dir).count()
+      assert(ud <= a + b && ud >= math.max(a, b) - math.min(a, b))
+    }
+  }
+
+  test("property: dedup_by_key emits one row per key, each from the input, minimal") {
+    for (s <- seeds) {
+      val o = ordersDf(s)
+      val dir = writeDir("orders" -> o)
+      val d = SparkEntry.queries("dedup_by_key")(spark, dir)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .as[(Long, Long, String)].collect()
+      val input = o.select("o_custkey", "o_orderkey", "o_orderdate")
+        .as[(Long, Long, String)].collect()
+      // one row per distinct key
+      assert(d.map(_._1).distinct.length == d.length)
+      assert(d.map(_._1).toSet == input.map(_._1).toSet)
+      // subset of input
+      assert(d.toSet.subsetOf(input.toSet))
+      // survivor is the (o_orderdate, o_orderkey)-minimal row of its key
+      val expect = input.groupBy(_._1).view.mapValues(_.minBy(r => (r._3, r._2))).toMap
+      d.foreach(r => assert(r == expect(r._1), s"non-minimal survivor $r"))
+    }
+  }
+
+  test("property: inner join bounded by |A|x|B|; semi+anti partition the left") {
+    for (s <- seeds) {
+      val o = ordersDf(s)
+      val cust = o.select($"o_custkey".as("c_custkey")).distinct()
+        .withColumn("c_name", concat(lit("c#"), $"c_custkey"))
+        .withColumn("c_mktsegment", lit("BUILDING"))
+        .withColumn("c_acctbal", $"c_custkey" * 1.5)
+      val dir = writeDir("orders" -> o, "customer" -> cust)
+      val rows = o.select("o_custkey", "o_orderstatus").as[(Long, String)].collect()
+      // semi filters status 'F', anti filters status 'P' (registry defs)
+      val expectSemi = rows.filter(_._2 == "F").map(_._1).distinct.length
+      val expectAnti = (rows.map(_._1).toSet -- rows.filter(_._2 == "P").map(_._1)).size
+      assert(SparkEntry.queries("join_left_semi")(spark, dir).count() == expectSemi)
+      assert(SparkEntry.queries("join_left_anti")(spark, dir).count() == expectAnti)
+      val inner = SparkEntry.queries("join_inner_hash")(spark, dir).count()
+      assert(inner == o.count(), "every generated order has a matching customer")
+      assert(inner <= o.count() * cust.count())
+    }
+  }
+
+  // random documents: ~tokens words over a tiny vocabulary so overlap occurs
+  private val docsGen: Gen[List[(Long, String)]] =
+    Gen.chooseNum(8, 30).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(5, 40).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(
+          "alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+          "eta", "theta", "iota", "kappa", "lambda", "mu"))
+          .map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    }
+
+  private def shingleSet(text: String): Set[String] = {
+    val t = text.split(" ")
+    if (t.length < 3) Set.empty
+    else (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+  }
+
+  test("property: jaccard_pairs matches an exact Scala oracle (symmetric, in range)") {
+    for (s <- seeds) {
+      val docs = sample(docsGen, s)
+      val dir = writeDir("documents" -> docs.toDF("doc_id", "text"))
+      val got = SparkEntry.queries("jaccard_pairs")(spark, dir)
+        .select("id1", "id2", "inter", "uni")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val expect = (for {
+        (i, a) <- sh; (j, b) <- sh
+        if i < j && a.nonEmpty && b.nonEmpty
+        inter = (a & b).size; uni = (a | b).size
+        if inter.toDouble / uni > 0.1
+      } yield (i, j, inter.toLong, uni.toLong)).toSet
+      assert(got == expect, s"seed $s: op=${got.size} oracle=${expect.size}")
+      // range law: 0 < jac <= 1 for every emitted pair
+      got.foreach { case (_, _, inter, uni) =>
+        assert(inter > 0 && inter <= uni)
+      }
+    }
+  }
+
+  test("property: minhash-LSH candidates cover every Jaccard>=0.8 pair (planted dups)") {
+    for (s <- seeds) {
+      val base = sample(docsGen, s)
+      // plant near-duplicates: copy of each doc with the last token changed
+      val planted = base.flatMap { case (id, t) =>
+        val toks = t.split(" ")
+        val dup = (toks.dropRight(1) :+ "omega").mkString(" ")
+        Seq((id * 2, t), (id * 2 + 1, dup))
+      }
+      val dir = writeDir("documents" -> planted.toDF("doc_id", "text"))
+      val cand = SparkEntry.queries("dedup_near_minhash")(spark, dir)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val sh = planted.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val high = (for {
+        (i, a) <- sh; (j, b) <- sh
+        if i < j && a.nonEmpty && b.nonEmpty
+        if (a & b).size.toDouble / (a | b).size >= 0.8
+      } yield (i, j)).toSet
+      val missed = high.diff(cand)
+      assert(missed.isEmpty, s"seed $s: LSH missed ${missed.size} of ${high.size} high-Jaccard pairs")
+    }
+  }
+}
