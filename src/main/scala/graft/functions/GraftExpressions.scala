@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression for the exact quantized integer dot product
+  * used by the vector ops (§2.11). The declarative form —
+  * `aggregate(zip_with(a, b, _*_), 0L, _+_)` — routes through two
+  * HigherOrderFunction nodes that allocate an intermediate array and invoke
+  * lambda closures per element; this expression is a single fused
+  * whole-stage-codegen loop over the two ArrayData buffers (preference rung
+  * (b) of the custom-operator ladder: a native Expression with doGenCode
+  * beats composing HOFs, beats a Scala UDF).
+  *
+  * Semantics: Σ a(i)*b(i) over i < min(len(a), len(b)); NULL if either
+  * array is NULL. (The HOF form instead returns NULL on length mismatch —
+  * the fixtures and ops always supply equal-length quantized vectors, and
+  * knn_ivf_topk derives its plane length from the data.)
+  */
+case class DotQ(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot_q"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-level registration for graft's native expressions. Registered in
+  * the session FunctionRegistry (idempotent) rather than via
+  * SparkSessionExtensions so they work on ANY already-built session — the
+  * driver harness constructs its own SparkSession and passes it in.
+  */
+object GraftExpressions {
+  val DotQName = "graft_dot_q"
+
+  def register(spark: SparkSession): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotQName, exprs => DotQ(exprs.head, exprs(1)), "scala_udf")
+  }
+
+  /** Column form of the fused dot product; registers on first use. */
+  def dotQ(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(DotQName, a, b)
+  }
+}

@@ -25,9 +25,11 @@ object VectorOps extends OpRegistry {
   private def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * lit(1e6) + lit(0.5)))
 
-  /** exact integer dot product of two quantized vectors. */
-  private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** exact integer dot product of two quantized vectors — the native fused
+    * codegen expression (graft.functions.DotQ); see GraftExpressions for why
+    * it replaces aggregate(zip_with(...)). */
+  private def dotQ(s: SparkSession, a: Column, b: Column): Column =
+    graft.functions.GraftExpressions.dotQ(s, a, b)
 
   /** Deterministic zero-mean integer hyperplane for sign-LSH (knn_ivf_topk):
     * splitmix64 (public-domain mixing constants) keyed by plane index — no
@@ -52,7 +54,7 @@ object VectorOps extends OpRegistry {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qe").as("qv"))
       val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("vid"), dotQ(col("qv"), col("qe")).as("dot_q"))
+        .select(col("qid"), col("vec_id").as("vid"), dotQ(s, col("qv"), col("qe")).as("dot_q"))
       val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
@@ -68,7 +70,7 @@ object VectorOps extends OpRegistry {
       val a = e.select(col("vec_id").as("id1"), col("qe").as("q1"))
       val b = e.select(col("vec_id").as("id2"), col("qe").as("q2"))
       a.join(broadcast(b), col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), dotQ(col("q1"), col("q2")).as("dot_q"))
+        .select(col("id1"), col("id2"), dotQ(s, col("q1"), col("q2")).as("dot_q"))
         .filter(col("dot_q") > 250000000000L)
         .select(col("id1"), col("id2"), col("dot_q"),
           r4(col("dot_q").cast("double") / lit(1e12)).as("cos4"))
@@ -78,7 +80,7 @@ object VectorOps extends OpRegistry {
     "vec_norm_stats" -> ((s, dir) => {
       val e = t(s, dir)("embeddings")
         .withColumn("qe", quantize(col("embedding")))
-        .withColumn("sumsq_q", dotQ(col("qe"), col("qe")))
+        .withColumn("sumsq_q", dotQ(s, col("qe"), col("qe")))
         .withColumn("norm_q",
           floor(sqrt(col("sumsq_q").cast("double") / lit(1e12)) * lit(1e6) + lit(0.5)))
       e.groupBy("label")
@@ -141,9 +143,7 @@ object VectorOps extends OpRegistry {
       def cellOf(qe: Column, tb: Int): Column =
         (0 until Planes).map { p =>
           val plane = planeComponents(tb * Planes + p, dim)
-          val proj = aggregate(
-            zip_with(qe, lit(plane), (x, c) => x * c),
-            lit(0L), (acc, x) => acc + x)
+          val proj = dotQ(s, qe, lit(plane))
           when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
       val cells = e.select(col("vec_id"), col("qe"),
@@ -164,7 +164,7 @@ object VectorOps extends OpRegistry {
             && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("vid"), col("qv"), col("qe"))
         .dropDuplicates("qid", "vid")
-        .select(col("qid"), col("vid"), dotQ(col("qv"), col("qe")).as("dot_q"))
+        .select(col("qid"), col("vid"), dotQ(s, col("qv"), col("qe")).as("dot_q"))
       val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)

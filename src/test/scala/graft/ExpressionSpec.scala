@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.GraftExpressions
+import org.apache.spark.sql.functions._
+
+/** graft.functions.DotQ — the native codegen dot-product expression — must
+  * agree exactly with the declarative aggregate(zip_with(...)) form it
+  * replaced, handle NULLs, and actually stay inside whole-stage codegen.
+  */
+class ExpressionSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def quant(c: org.apache.spark.sql.Column) =
+    transform(c, x => floor(x.cast("double") * lit(1e6) + lit(0.5)))
+
+  test("DotQ equals aggregate(zip_with) on every fixture embedding pair (self & cross)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", quant($"embedding").as("qe"))
+    val hof = aggregate(zip_with($"qe", $"q2", (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val native = GraftExpressions.dotQ(spark, $"qe", $"q2")
+    // self-dot for all rows + cross-dot against a shifted copy
+    val shifted = e.select(($"vec_id" + 1).as("vid2"), $"qe".as("q2"))
+    val joined = e.join(shifted, $"vec_id" === $"vid2")
+    val mismatches = joined.select(hof.as("h"), native.as("n"))
+      .filter($"h" =!= $"n").count()
+    assert(mismatches == 0)
+    val selfMismatch = e.withColumn("q2", $"qe")
+      .select(hof.as("h"), native.as("n")).filter($"h" =!= $"n").count()
+    assert(selfMismatch == 0)
+  }
+
+  test("DotQ: NULL array yields NULL; empty arrays yield 0") {
+    GraftExpressions.register(spark)
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L, 6L))),
+      (None, Some(Seq(1L))),
+      (Some(Seq.empty[Long]), Some(Seq.empty[Long]))
+    ).toDF("a", "b")
+      .select(call_function(GraftExpressions.DotQName, $"a", $"b").as("d"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got(0) == 32L) // 4 + 10 + 18
+    assert(got(1) == null)
+    assert(got(2) == 0L)
+  }
+
+  test("DotQ runs inside WholeStageCodegen in the knn plan") {
+    val df = q("knn_cosine_topk")
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final-plan render;
+    // the Project evaluating graft_dot_q must carry one (no codegen fallback)
+    val codegenDotQ = "\\*\\(\\d+\\) Project .*graft_dot_q".r
+    assert(codegenDotQ.findFirstIn(plan).isDefined,
+      s"graft_dot_q not inside a WholeStageCodegen Project:\n$plan")
+  }
+}
