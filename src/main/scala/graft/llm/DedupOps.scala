@@ -103,19 +103,27 @@ object DedupOps extends OpRegistry {
       langId(t(s, dir)("documents"))),
   )
 
-  /** text_langid implementation (separate for readability). */
+  /** text_langid implementation (separate for readability).
+    *
+    * Perf shape (was 6.5 s at sf0.1): the per-doc DISTINCT bigram set is
+    * computed map-side with array_distinct BEFORE exploding — the previous
+    * explode-then-global-distinct shuffled every bigram occurrence (~n_chars
+    * rows per doc) across the cluster. The profile ranks bigrams by DOCUMENT
+    * frequency (docs containing the bigram per lang), which both passes can
+    * share; one cached frame feeds profile build and scoring. */
   private def langId(docs: DataFrame): DataFrame = {
-    // char bigrams of each doc: substring(text, i, 2) for i in 1..len-1.
-    // Cached: scanned twice (profile build + doc scoring) — without the
-    // cache the explode is recomputed end-to-end for both passes.
-    val bg = docs.selectExpr("doc_id", "lang",
-      "explode(transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))) AS bigram")
+    val docBg = docs.select(col("doc_id"), col("lang").as("actual_lang"),
+      explode(array_distinct(expr(
+        """transform(
+             CASE WHEN length(text) >= 2 THEN sequence(1, length(text) - 1)
+                  ELSE array() END,
+             i -> substring(text, i, 2))"""))).as("bigram"))
       .cache()
-    val profile = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+    val profile = docBg.groupBy(col("actual_lang").as("lang"), col("bigram"))
+      .agg(count(lit(1)).as("cnt")) // doc frequency: docBg is doc-distinct
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
     val top = profile.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
       .select(col("lang").as("profile_lang"), col("bigram"))
-    val docBg = bg.select(col("doc_id"), col("lang").as("actual_lang"), col("bigram")).distinct()
     val scores = docBg.join(broadcast(top), "bigram")
       .groupBy("doc_id", "actual_lang", "profile_lang")
       .agg(count(lit(1)).as("overlap"))

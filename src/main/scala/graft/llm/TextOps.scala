@@ -46,14 +46,19 @@ object TextOps extends OpRegistry {
         .orderBy("doc_id")),
 
     "jaccard_pairs" -> ((s, dir) => {
+      // Posting lists keyed by xxhash64(shingle), not the string: the
+      // shuffle/join moves 8-byte keys instead of ~25-byte text and equality
+      // is one word compare. A 64-bit collision would merge two shingles
+      // (P ≈ pairs²/2^64 ≈ 1e-10 at sf0.1) — the same trade minhash makes.
       val sh = shingles(t(s, dir)("documents"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // df-cap the posting lists before the self-join (see MaxShingleDf)
-      val wdf = Window.partitionBy("shingle")
+      val wdf = Window.partitionBy("sh_h")
       val shCapped = sh.withColumn("df", count(lit(1)).over(wdf))
         .filter(col("df") <= MaxShingleDf).drop("df")
       val inter = shCapped.as("a").join(shCapped.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .agg(count(lit(1)).as("inter"))
       inter
