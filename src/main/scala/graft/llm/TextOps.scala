@@ -125,6 +125,21 @@ object TextOps extends OpRegistry {
         expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))").as("bpe_ish_tokens"))
         .orderBy("doc_id")),
 
+    "text_ngram_freq" -> ((s, dir) =>
+      // Character-trigram frequency table per language — the n-gram stats a
+      // langid/quality model trains on. Map-side transform+explode, one
+      // partial+final agg, global top-100 with a total tiebreak order.
+      t(s, dir)("documents")
+        .select(col("lang"), explode(expr(
+          """transform(
+               CASE WHEN length(text) >= 3 THEN sequence(1, length(text) - 2)
+                    ELSE array() END,
+               i -> substring(text, i, 3))""")).as("tri"))
+        .groupBy("lang", "tri")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("lang"), col("tri"))
+        .limit(100)),
+
     "text_fingerprint" -> ((s, dir) =>
       // Content-defined fingerprint: hash of the sorted distinct token bag.
       t(s, dir)("documents").select(
@@ -195,6 +210,13 @@ object TextOps extends OpRegistry {
              CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS bpe_ish_tokens
       FROM documents ORDER BY doc_id""",
+    "text_ngram_freq" -> """
+      SELECT lang, tri, COUNT(1) AS cnt FROM (
+        SELECT lang, substring(text, i, 3) AS tri
+        FROM (SELECT lang, text, unnest(range(1, length(text) - 1)) AS i
+              FROM documents WHERE length(text) >= 3))
+      GROUP BY lang, tri
+      ORDER BY cnt DESC, lang, tri LIMIT 100""",
     "text_fingerprint" -> """
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow,

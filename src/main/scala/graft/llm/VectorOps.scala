@@ -172,6 +172,27 @@ object VectorOps extends OpRegistry {
         .orderBy("qid", "rn")
     }),
 
+    "vec_centroid_by_label" -> ((s, dir) => {
+      // Per-label centroid of the quantized embeddings, emitted as the pair
+      // (per-dim SUM vector, vector count) — the D3 sum/count pattern: no
+      // division, so no integer-division dialect trap (Spark `div` truncates
+      // toward zero, DuckDB `//` floors). Sums are serialized as CSV text
+      // (D7). Shape: posexplode → (label, dim) partial+final agg → one
+      // shuffle keyed (label, dim); re-assembled with an ordered collect.
+      val e = t(s, dir)("embeddings")
+        .select(col("label"), quantize(col("embedding")).as("qe"))
+      val pe = e.select(col("label"), posexplode(col("qe")).as(Seq("i", "v")))
+      pe.groupBy("label", "i")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("nvec"))
+        .groupBy("label")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("sv")))),
+            x => x.getField("sv")), ",").as("centroid_sums"),
+          max(col("nvec")).as("n_vec"))
+        .orderBy("label")
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       // Multimodal plumbing (no oracle; unit-tested): binary payload column
       // + typed metadata struct + per-partition batched "decode". The real
@@ -239,6 +260,17 @@ object VectorOps extends OpRegistry {
              CAST(MIN(dim) AS INT) AS dim_min, CAST(MAX(dim) AS INT) AS dim_max,
              ${r6Sql("CAST(SUM(norm_q) AS DOUBLE) / COUNT(1) / 1000000")} AS mean_norm
       FROM n GROUP BY label ORDER BY label""",
+    "vec_centroid_by_label" -> """
+      WITH q AS (SELECT label, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT label, generate_subscripts(qe, 1) AS i, unnest(qe) AS v FROM q),
+      g AS (SELECT label, i, CAST(SUM(v) AS BIGINT) AS sv, COUNT(1) AS nvec
+            FROM e GROUP BY label, i)
+      SELECT label,
+             array_to_string(LIST(sv ORDER BY i), ',') AS centroid_sums,
+             MAX(nvec) AS n_vec
+      FROM g GROUP BY label ORDER BY label""",
     "multimodal_join" -> """
       SELECT doc_id, lang, n_chars, label,
              CAST(len(embedding) AS INT) AS dim, sha256(text) AS text_sha

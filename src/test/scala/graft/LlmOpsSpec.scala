@@ -88,6 +88,25 @@ class LlmOpsSpec extends GraftSuite {
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
   }
 
+  test("vec_centroid_by_label: centroid has embedding-dim sums; counts partition vectors") {
+    val rows = q("vec_centroid_by_label").collect()
+    val dim = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("size(embedding)").head().getInt(0)
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    rows.foreach { r =>
+      assert(r.getAs[String]("centroid_sums").split(",").length == dim)
+    }
+    assert(rows.map(_.getAs[Long]("n_vec")).sum == total)
+  }
+
+  test("text_ngram_freq: top-100 trigrams, counts descending, all length 3") {
+    val rows = q("text_ngram_freq").collect()
+    assert(rows.length == 100)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getAs[String]("tri").length == 3))
+  }
+
   test("multimodal_features checksum is deterministic byte stats") {
     val f = q("multimodal_features")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
