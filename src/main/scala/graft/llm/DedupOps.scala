@@ -135,5 +135,30 @@ object DedupOps extends OpRegistry {
       .orderBy("doc_id")
   }
 
-  def oracleSql: Map[String, String] = Map() // all self-verified (DedupSpec)
+  // minhash/simhash stay self-verified (xxhash64 is Spark-private), but
+  // text_langid is pure deterministic SQL logic since the r2 rewrite — the
+  // doc-frequency profile and argmax scoring mirror exactly in DuckDB.
+  def oracleSql: Map[String, String] = Map(
+    "text_langid" -> """
+      WITH bg AS (
+        SELECT DISTINCT doc_id, lang AS actual_lang, substring(text, i, 2) AS bigram
+        FROM (SELECT doc_id, lang, text, unnest(range(1, length(text))) AS i
+              FROM documents WHERE length(text) >= 2)),
+      profile AS (SELECT actual_lang AS lang, bigram, COUNT(1) AS cnt
+                  FROM bg GROUP BY 1, 2),
+      top AS (SELECT lang AS profile_lang, bigram FROM (
+                SELECT lang, bigram,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY cnt DESC, bigram) AS rn
+                FROM profile) WHERE rn <= 20),
+      scores AS (SELECT doc_id, actual_lang, profile_lang, COUNT(1) AS overlap
+                 FROM bg JOIN top USING (bigram) GROUP BY 1, 2, 3),
+      pred AS (SELECT doc_id, actual_lang, profile_lang AS pred_lang,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY overlap DESC, profile_lang) AS rn
+               FROM scores)
+      SELECT doc_id, actual_lang, pred_lang,
+             (actual_lang = pred_lang) AS correct
+      FROM pred WHERE rn = 1 ORDER BY doc_id""",
+  )
 }

@@ -102,7 +102,7 @@ object Streaming extends OpRegistry {
         .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
       val out = runToMemory(s, agg, "wml", OutputMode.Append())
       out.select(unix_micros(col("window.start")).as("win_us"),
-          col("event_type"), col("cnt"), col("sum_value"))
+          col("event_type"), col("cnt"), col("sum_value").cast("double").as("sum_value"))
         .orderBy("win_us", "event_type")
     }),
 
@@ -163,6 +163,20 @@ object Streaming extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Append-mode watermark emission on a single AvailableNow batch: a
+    // window is emitted iff window.end <= watermark, where Spark tracks the
+    // watermark in MILLISECONDS: floor(max_event_us/1000) - delay_ms. The
+    // HAVING clause mirrors that ms-granularity comparison exactly.
+    "stream_watermark_late" -> """
+      WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, event_type, value FROM events)
+      SELECT ts_us // 3600000000 * 3600000000 AS win_us, event_type,
+             COUNT(1) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM e
+      GROUP BY 1, 2
+      HAVING (win_us + 3600000000) // 1000 <=
+             (SELECT MAX(ts_us) // 1000 - 600000 FROM e)
+      ORDER BY win_us, event_type""",
     "stream_tumbling_1h" -> """
       SELECT (epoch_ns(ts) // 1000) // 3600000000 * 3600000000 AS win_us,
              event_type, COUNT(1) AS cnt,
