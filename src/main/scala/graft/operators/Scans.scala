@@ -45,7 +45,9 @@ object Scans extends OpRegistry {
       val src = t(s, dir)("nation")
       src.write.mode("overwrite").option("header", "true").csv(out)
       val back = s.read.option("header", "true").option("inferSchema", "true").csv(out)
-      back.groupBy("n_regionkey").agg(count(lit(1)).as("cnt")).orderBy("n_regionkey")
+      // cast: csv inference narrows int64 -> int32; pin the boundary type
+      back.groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+        .agg(count(lit(1)).as("cnt")).orderBy("n_regionkey")
     }),
 
     "sink_json_roundtrip" -> ((s, dir) => {
@@ -77,5 +79,13 @@ object Scans extends OpRegistry {
     "source_jsonlines" -> """
       SELECT event_id, CAST(props->>'$.k' AS INT) AS k
       FROM events ORDER BY event_id""",
+    // The sink round-trips are lossless (unit-asserted write->read->except
+    // both directions in ScanSinkSpec), so their aggregated outputs equal
+    // the same aggregate over the source table — which IS oracle-able.
+    "sink_csv_roundtrip" -> """
+      SELECT n_regionkey, COUNT(1) AS cnt
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "sink_json_roundtrip" -> """
+      SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
   )
 }

@@ -115,7 +115,7 @@ object Streaming extends OpRegistry {
       out.agg(count(lit(1)).as("n_rows"),
         countDistinct(col("event_id")).as("n_distinct"),
         sum(col("event_id")).as("sum_ids"))
-    }),
+    }),  // single batch -> dedup keeps one row per event_id (oracle below)
 
     "stream_stateful_count" -> ((s, dir) => {
       // Arbitrary stateful op: running per-user count via
@@ -158,7 +158,9 @@ object Streaming extends OpRegistry {
       // out_9 over out_10 once >=10 micro-batches exist (ADVICE r1)
       val last = new java.io.File(base).listFiles().filter(_.getName.startsWith("out_"))
         .maxBy(_.getName.stripPrefix("out_").toLong)
-      s.read.parquet(last.getAbsolutePath).orderBy("event_type")
+      s.read.parquet(last.getAbsolutePath)
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy("event_type")
     }),
   )
 
@@ -188,6 +190,22 @@ object Streaming extends OpRegistry {
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t
       GROUP BY 1, 2 ORDER BY win_us, event_type""",
+    // Single-AvailableNow-batch semantics equal batch SQL for the remaining
+    // streaming ops: dedup keeps one row per key (nothing is late in batch
+    // 1), the final stateful running count is the per-user total, and the
+    // Complete-mode foreachBatch snapshot is the full aggregate.
+    "stream_dedup" -> """
+      SELECT COUNT(1) AS n_rows,
+             COUNT(DISTINCT event_id) AS n_distinct,
+             CAST(SUM(event_id) AS BIGINT) AS sum_ids
+      FROM (SELECT DISTINCT event_id FROM events)""",
+    "stream_stateful_count" -> """
+      SELECT user_id, COUNT(1) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    "stream_sink_foreachBatch" -> """
+      SELECT event_type, COUNT(1) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_session_30m" -> """
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
       l AS (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
