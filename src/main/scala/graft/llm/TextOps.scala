@@ -50,9 +50,16 @@ object TextOps extends OpRegistry {
       // shuffle/join moves 8-byte keys instead of ~25-byte text and equality
       // is one word compare. A 64-bit collision would merge two shingles
       // (P ≈ pairs²/2^64 ≈ 1e-10 at sf0.1) — the same trade minhash makes.
-      val sh = shingles(t(s, dir)("documents"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Per-doc shingle-set sizes come from the array form MAP-SIDE (no
+      // groupBy shuffle over the exploded posting rows).
+      val toks = split(col("text"), " ")
+      val docsArr = t(s, dir)("documents").select(col("doc_id"),
+        array_distinct(transform(
+          when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
+            .otherwise(array().cast("array<int>")),
+          i => xxhash64(array_join(slice(toks, i + 1, lit(3)), " ")))).as("shs"))
+      val sh = docsArr.select(col("doc_id"), explode(col("shs")).as("sh_h"))
+      val sizes = docsArr.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
       // df-cap the posting lists before the self-join (see MaxShingleDf)
       val wdf = Window.partitionBy("sh_h")
       val shCapped = sh.withColumn("df", count(lit(1)).over(wdf))

@@ -1,0 +1,47 @@
+package graft
+
+/** Golden-plan assertions for 100-TB plan shapes (§4): dimension sides
+  * broadcast, aggregations partial+final, top-k never a full sort, and —
+  * critically — no accidental cartesian/nested-loop joins in the
+  * candidate-bounded text/similarity pipeline.
+  */
+class PlanSpec extends GraftSuite {
+
+  private def finalPlan(name: String): String = {
+    val df = q(name)
+    df.collect() // finalize AQE before inspecting
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_revenue_by_region: dims broadcast, agg is partial+final, filters on scans") {
+    val p = finalPlan("q_revenue_by_region")
+    assert(p.contains("BroadcastHashJoin"), s"dimension join not broadcast:\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"no partial+final aggregation pair:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no scan-level filters:\n$p")
+  }
+
+  test("q_top_unshipped: top-10 via TakeOrderedAndProject, never a global sort") {
+    val p = finalPlan("q_top_unshipped")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plan:\n$p")
+  }
+
+  test("candidate-bounded pipeline: jaccard and minhash plans contain no cartesian join") {
+    for (name <- Seq("jaccard_pairs", "dedup_near_minhash")) {
+      val p = finalPlan(name)
+      assert(!p.contains("CartesianProduct"), s"$name degenerated to a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name uses a nested-loop join:\n$p")
+    }
+  }
+
+  test("agg_pricing_summary: partial+final agg, shipdate filter reaches the scan") {
+    val p = finalPlan("agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), s"filter not pushed:\n$p")
+  }
+
+  test("tf-idf: document-frequency side is broadcast, not shuffled") {
+    val p = finalPlan("text_tfidf_top")
+    assert(p.contains("BroadcastHashJoin"), s"df side not broadcast:\n$p")
+  }
+}
