@@ -132,6 +132,49 @@ object TextOps extends OpRegistry {
         expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))").as("bpe_ish_tokens"))
         .orderBy("doc_id")),
 
+    "dedup_assign_canonical" -> ((s, dir) => {
+      // Dedup as ASSIGNMENT rather than filtering: every row maps to the
+      // retained representative (min doc_id of its exact-hash group) — the
+      // form a pipeline needs to propagate labels/weights from dropped
+      // duplicates onto survivors. One window over the hash.
+      val h = sha2(lower(trim(col("text"))), 256)
+      t(s, dir)("documents").select(col("doc_id"), h.as("h"))
+        .withColumn("canonical_id", min(col("doc_id")).over(Window.partitionBy("h")))
+        .select(col("doc_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality_filter" -> ((s, dir) => {
+      // Composite cleaning filter (the keep-set of a training-data pipeline):
+      // token count floor, stopword-ratio and punctuation-ratio ceilings.
+      // All thresholds are INTEGER inequalities (stop_cnt*2 <= n_tokens
+      // instead of ratio <= 0.5) — zero float-comparison dialect risk.
+      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "data")
+      val toks = split(col("text"), " ")
+      t(s, dir)("documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(toks).as("n_tokens"),
+          size(filter(toks, x => x.isin(stop: _*))).as("stop_cnt"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("punct_cnt"))
+        .filter(col("n_tokens") >= 5
+          && col("stop_cnt") * 2 <= col("n_tokens")
+          && col("punct_cnt") * 10 <= col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "text_scrub" -> ((s, dir) =>
+      // Normalization/masking pass: digit runs -> <num>, whitespace
+      // collapsed; emits the scrubbed text, a mask count, and the content
+      // hash a downstream exact-dedup would key on. Patterns restricted to
+      // the regex subset Java and RE2 interpret identically.
+      t(s, dir)("documents").select(
+        col("doc_id"),
+        trim(regexp_replace(regexp_replace(col("text"), "[0-9]+", "<num>"), "  +", " ")).as("scrubbed"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_masked"))
+        .withColumn("scrub_sha", sha2(col("scrubbed"), 256))
+        .orderBy("doc_id")),
+
     "text_ngram_freq" -> ((s, dir) =>
       // Character-trigram frequency table per language — the n-gram stats a
       // langid/quality model trains on. Map-side transform+explode, one
@@ -217,6 +260,28 @@ object TextOps extends OpRegistry {
              CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS bpe_ish_tokens
       FROM documents ORDER BY doc_id""",
+    "dedup_assign_canonical" -> """
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS canonical_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS is_canonical
+      FROM documents ORDER BY doc_id""",
+    "text_quality_filter" -> """
+      SELECT doc_id, lang, n_chars, n_tokens, stop_cnt, punct_cnt FROM (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','of','and','a','to','in','is','data'))) AS INT) AS stop_cnt,
+               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INT) AS punct_cnt
+        FROM documents)
+      WHERE n_tokens >= 5 AND stop_cnt * 2 <= n_tokens AND punct_cnt * 10 <= n_chars
+      ORDER BY doc_id""",
+    "text_scrub" -> """
+      SELECT doc_id, scrubbed, n_masked, sha256(scrubbed) AS scrub_sha FROM (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'), '  +', ' ', 'g')) AS scrubbed,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_masked
+        FROM documents)
+      ORDER BY doc_id""",
     "text_ngram_freq" -> """
       SELECT lang, tri, COUNT(1) AS cnt FROM (
         SELECT lang, substring(text, i, 3) AS tri

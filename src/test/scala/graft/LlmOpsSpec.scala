@@ -107,6 +107,33 @@ class LlmOpsSpec extends GraftSuite {
     rows.foreach(r => assert(r.getAs[String]("tri").length == 3))
   }
 
+  test("dedup_assign_canonical: assignment is total, canonical ids are self-canonical") {
+    val rows = q("dedup_assign_canonical")
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect()
+    val canon = rows.filter { case (d, c) => d == c }.map(_._1).toSet
+    rows.foreach { case (d, c) =>
+      assert(c <= d, s"canonical $c must be the min of its group (doc $d)")
+      assert(canon.contains(c), s"canonical $c of doc $d is not itself canonical")
+    }
+  }
+
+  test("text_scrub masks every digit run and hashes the scrubbed text") {
+    val r = q("text_scrub").collect()
+    r.foreach { row =>
+      assert(!row.getAs[String]("scrubbed").exists(_.isDigit),
+        "every digit run must be masked")
+      assert(row.getAs[String]("scrub_sha").length == 64)
+    }
+  }
+
+  test("text_quality_filter output satisfies its own integer thresholds") {
+    q("text_quality_filter").collect().foreach { r =>
+      assert(r.getAs[Int]("n_tokens") >= 5)
+      assert(r.getAs[Int]("stop_cnt") * 2 <= r.getAs[Int]("n_tokens"))
+      assert(r.getAs[Int]("punct_cnt") * 10 <= r.getAs[Long]("n_chars"))
+    }
+  }
+
   test("multimodal_features checksum is deterministic byte stats") {
     val f = q("multimodal_features")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
