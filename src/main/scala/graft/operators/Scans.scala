@@ -82,10 +82,13 @@ object Scans extends OpRegistry {
     // The sink round-trips are lossless (unit-asserted write->read->except
     // both directions in ScanSinkSpec), so their aggregated outputs equal
     // the same aggregate over the source table — which IS oracle-able.
+    // BIGINT casts: the fixture stores these keys as int32; the Spark side
+    // emits int64 (csv inference / json read), so the oracle must widen too.
     "sink_csv_roundtrip" -> """
-      SELECT n_regionkey, COUNT(1) AS cnt
+      SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(1) AS cnt
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "sink_json_roundtrip" -> """
-      SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+      SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+      FROM region ORDER BY r_regionkey""",
   )
 }
