@@ -31,6 +31,9 @@ object VectorOps extends OpRegistry {
   private def dotQ(s: SparkSession, a: Column, b: Column): Column =
     graft.functions.GraftExpressions.dotQ(s, a, b)
 
+  private val IvfTables = 4
+  private val IvfPlanes = 6
+
   /** Deterministic zero-mean integer hyperplane for sign-LSH (knn_ivf_topk):
     * splitmix64 (public-domain mixing constants) keyed by plane index — no
     * RNG state, reproducible across runs and engines. */
@@ -132,8 +135,8 @@ object VectorOps extends OpRegistry {
       // 1-(1-0.6)^4 ≈ 0.97 recall — while the candidate set stays bounded
       // by cell occupancy (never doc × doc). At larger corpora, add planes
       // per table: cell count scales exponentially, probe count stays 22L.
-      val NumTables = 4
-      val Planes = 6
+      val NumTables = IvfTables
+      val Planes = IvfPlanes
       val e = t(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
       // Embedding dim from the data (a literal-plane/array length mismatch
       // would silently null out projections — ADVICE r1); one-row scan.
@@ -208,19 +211,83 @@ object VectorOps extends OpRegistry {
         .as[(Long, Array[Byte], String)]
         .mapPartitions { it =>
           it.map { case (id, bytes, lang) =>
-            // stubbed "decode": byte stats stand in for pixel stats
+            // stubbed "decode": byte stats stand in for pixel stats. The
+            // rolling checksum folds mod 2^31 so a SQL engine can recompute
+            // it without 64-bit wraparound (DuckDB errors on overflow).
             val n = bytes.length
             val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-            val checksum = bytes.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
+            val checksum = bytes.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 2147483648L)
             (id, lang, n, sum, checksum)
           }
         }
-        .toDF("doc_id", "lang", "n_bytes", "byte_sum", "checksum")
+        .toDF("doc_id", "lang", "n_bytes", "byte_sum", "checksum31")
       decoded.orderBy("doc_id")
     }),
   )
 
+  /** Generated DuckDB twin of knn_ivf_topk: the splitmix64 plane vectors are
+    * emitted as SQL literals (24 rows of 64 ints), and the whole index —
+    * cell assignment, Hamming<=2 multiprobe, candidate union, exact
+    * quantized re-rank — is recomputed in pure SQL. Genuinely differential:
+    * a second engine re-derives the same ANN result from the same planes.
+    * Note: the SQL pins dim=64 (the fixture dim the Spark op discovers at
+    * run time). */
+  private def ivfOracleSql: String = {
+    val dim = 64
+    val vals = (for { t <- 0 until IvfTables; p <- 0 until IvfPlanes } yield
+      s"($t, $p, [${planeComponents(t * IvfPlanes + p, dim).mkString(",")}])"
+    ).mkString(",\n        ")
+    val masks = (Seq(0L)
+      ++ (0 until IvfPlanes).map(b => 1L << b)
+      ++ (for { a <- 0 until IvfPlanes; b <- a + 1 until IvfPlanes }
+           yield (1L << a) | (1L << b))).mkString(",")
+    s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      planes(tbl, p, comps) AS (VALUES
+        $vals),
+      proj AS (SELECT vec_id, tbl, p,
+                      list_sum(list_transform(range(1, ${dim + 1}), i -> qe[i] * comps[i])) AS pr
+               FROM q CROSS JOIN planes),
+      cells AS (SELECT vec_id, tbl,
+                       CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS cell
+                FROM proj GROUP BY vec_id, tbl),
+      qc AS (SELECT vec_id AS qid, tbl, cell AS qcell FROM cells WHERE vec_id < 10),
+      probe AS (SELECT qid, tbl, xor(qcell, m.mask) AS cand_cell
+                FROM qc CROSS JOIN (SELECT unnest([$masks]) AS mask) m),
+      cand AS (SELECT DISTINCT p.qid, c.vec_id AS vid
+               FROM probe p JOIN cells c ON p.tbl = c.tbl AND p.cand_cell = c.cell
+               WHERE c.vec_id <> p.qid),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      d AS (SELECT cand.qid, cand.vid, CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
+            FROM cand
+              JOIN e a ON a.vec_id = cand.qid
+              JOIN e b ON b.vec_id = cand.vid AND a.i = b.i
+            GROUP BY cand.qid, cand.vid),
+      r AS (SELECT qid, vid, dot_q,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vid) AS rn
+            FROM d)
+      SELECT qid, vid, dot_q, CAST(rn AS INT) AS rn
+      FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "knn_ivf_topk" -> ivfOracleSql,
+    // The decode itself is stubbed (no codec libs), but its byte-statistics
+    // output is differential: DuckDB re-derives the same stats from the text
+    // via a per-character fold (ord == byte on the all-ascii fixture, which
+    // LlmOpsSpec asserts via n_bytes == length(text)).
+    "multimodal_features" -> """
+      SELECT doc_id, lang,
+             CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+             CAST(list_sum(list_transform(range(1, length(text) + 1),
+               i -> ord(substring(text, i, 1)))) AS BIGINT) AS byte_sum,
+             list_reduce(list_prepend(CAST(17 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                 i -> CAST(ord(substring(text, i, 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483648) AS checksum31
+      FROM documents ORDER BY doc_id""",
     "knn_cosine_topk" -> s"""
       WITH q AS (SELECT vec_id, list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe

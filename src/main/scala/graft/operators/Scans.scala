@@ -29,8 +29,10 @@ object Scans extends OpRegistry {
         .orderBy("l_orderkey", "l_linenumber")),
 
     "scan_schema" -> ((s, dir) => {
-      // Schema introspection surfaced as rows. Engine-specific type names
-      // -> no oracle; self-tested in ScanSpec.
+      // Schema introspection surfaced as rows. Oracle-checked via DuckDB
+      // DESCRIBE with a declared type-name correspondence (BIGINT→bigint,
+      // VARCHAR→string, TIMESTAMP→timestamp_ntz, …): both engines
+      // introspect the same parquet footer through their own type systems.
       val fields = t(s, dir)("lineitem").schema.fields.toSeq
         .map(f => (f.name, f.dataType.simpleString, f.nullable))
       import s.implicits._
@@ -79,6 +81,17 @@ object Scans extends OpRegistry {
     "source_jsonlines" -> """
       SELECT event_id, CAST(props->>'$.k' AS INT) AS k
       FROM events ORDER BY event_id""",
+    "scan_schema" -> """
+      SELECT column_name AS col_name,
+             CASE column_type
+               WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+               WHEN 'DOUBLE' THEN 'double' WHEN 'FLOAT' THEN 'float'
+               WHEN 'VARCHAR' THEN 'string' WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+               WHEN 'DATE' THEN 'date' WHEN 'BOOLEAN' THEN 'boolean'
+               ELSE lower(column_type) END AS data_type,
+             "null" = 'YES' AS nullable
+      FROM (DESCRIBE SELECT * FROM lineitem)
+      ORDER BY col_name""",
     // The sink round-trips are lossless (unit-asserted write->read->except
     // both directions in ScanSinkSpec), so their aggregated outputs equal
     // the same aggregate over the source table — which IS oracle-able.
