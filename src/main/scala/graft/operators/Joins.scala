@@ -114,6 +114,35 @@ object Joins extends OpRegistry {
         .agg(count(lit(1)).as("evt_cnt"), decSumOut(col("value")).as("sum_value"))
         .orderBy("o_orderkey")
     }),
+    "join_bucketed_noshuffle" -> ((s, dir) => {
+      // The 100-TB co-located join: both sides written bucketed+sorted on
+      // the join key, so the join needs NO shuffle and NO sort — the
+      // bucketed scans feed SortMergeJoin directly (PlanSpec asserts zero
+      // Exchange operators in the join subtree). This is the pattern that
+      // turns an everyday fact-dim join from a full-network shuffle into a
+      // local merge at scale.
+      val tt = t(s, dir) _
+      // external tables at a fresh path per run: a stale warehouse dir from
+      // an earlier session would otherwise collide with a fresh catalog
+      val base = s"/tmp/graft_bucketed_${java.util.UUID.randomUUID().toString.take(8)}"
+      s.sql("DROP TABLE IF EXISTS graft_b_orders")
+      s.sql("DROP TABLE IF EXISTS graft_b_customer")
+      tt("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").option("path", s"$base/orders")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_b_orders")
+      tt("customer").select("c_custkey", "c_name")
+        .write.mode("overwrite").option("path", s"$base/customer")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_b_customer")
+      // merge hint pins the bucketed-SMJ path (at fixture scale Spark would
+      // otherwise broadcast the small side — also shuffle-free, but the
+      // point here is the co-located merge that survives both sides huge)
+      s.table("graft_b_orders").hint("merge")
+        .join(s.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(count(lit(1)).as("orders"), decSumOut(col("o_totalprice")).as("total"))
+        .orderBy("c_custkey")
+    }),
+
     "join_asof" -> ((s, dir) => {
       // For each 'purchase', the latest preceding 'click' of the same user:
       // union + carry-forward max over (user, time) — single shuffle,
@@ -196,6 +225,12 @@ object Joins extends OpRegistry {
        AND ts_us >= anchor_us AND ts_us < anchor_us + 604800000000
       GROUP BY o_orderkey
       ORDER BY o_orderkey""",
+    // bucketing is physical layout only — the oracle is the plain join
+    "join_bucketed_noshuffle" -> """
+      SELECT c_custkey, c_name, COUNT(1) AS orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name ORDER BY c_custkey""",
     "join_asof" -> """
       WITH e AS (
         SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type

@@ -59,6 +59,21 @@ object Scans extends OpRegistry {
       s.read.json(out).select("r_regionkey", "r_name").orderBy("r_regionkey")
     }),
 
+    "sink_partitioned_pruned" -> ((s, dir) => {
+      // Hive-style partitioned layout + partition pruning — the mechanism
+      // that lets a 100 TB table answer a partition-selective query by
+      // listing one directory. The read-back filter must appear as a
+      // PartitionFilter (not a data filter) in the scan; PlanSpec asserts it.
+      val out = s"/tmp/graft_part_orders_${java.util.UUID.randomUUID().toString.take(8)}"
+      t(s, dir)("orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(graft.Helpers.dec(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
     "source_jsonlines" -> ((s, dir) =>
       // Parse the events.props JSON-lines column with an explicit schema —
       // schema-on-read, no inference pass over 100 TB.
@@ -81,6 +96,10 @@ object Scans extends OpRegistry {
     "source_jsonlines" -> """
       SELECT event_id, CAST(props->>'$.k' AS INT) AS k
       FROM events ORDER BY event_id""",
+    "sink_partitioned_pruned" -> """
+      SELECT o_orderstatus, COUNT(1) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""",
     "scan_schema" -> """
       SELECT column_name AS col_name,
              CASE column_type

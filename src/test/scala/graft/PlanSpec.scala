@@ -40,6 +40,21 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"), s"filter not pushed:\n$p")
   }
 
+  test("bucketed join: no hash-partition exchange anywhere — co-located merge") {
+    val p = finalPlan("join_bucketed_noshuffle")
+    assert(p.contains("SortMergeJoin"), s"expected a merge join over bucketed scans:\n$p")
+    assert(p.contains("Bucketed: true"), s"scans must use the bucketed layout:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle (only the final ORDER BY may range-partition):\n$p")
+  }
+
+  test("partitioned sink: read-back filter prunes partitions at the scan") {
+    val p = finalPlan("sink_partitioned_pruned")
+    val pf = "PartitionFilters: \\[[^\\]]*o_orderstatus".r
+    assert(pf.findFirstIn(p).isDefined,
+      s"o_orderstatus filter must be a PartitionFilter, not a data filter:\n$p")
+  }
+
   test("tf-idf: document-frequency side is broadcast, not shuffled") {
     val p = finalPlan("text_tfidf_top")
     assert(p.contains("BroadcastHashJoin"), s"df side not broadcast:\n$p")
