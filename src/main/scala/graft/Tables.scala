@@ -41,11 +41,9 @@ object Helpers {
     * parquet round-trips as python Decimal objects while DuckDB's pandas
     * bridge yields float64, so a decimal output column can never hash-match
     * even when values are identical (verified bit-identical once both sides
-    * cast; VERDICT.md round 1 "What's wrong" #1). The oracle twin wraps the
-    * same expression in CAST(... AS DOUBLE). */
+    * cast; VERDICT.md round 1 "What's wrong" #1). The oracle twins write the
+    * same pattern literally: CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE). */
   def decSumOut(c: Column): Column = sum(dec(c)).cast("double")
-  def decSumOutSql(x: String): String =
-    s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
 
   /** Cross-engine-safe rounding. Engine `round(double)` implementations
     * disagree at halfway points (Spark rounds the shortest decimal repr

@@ -34,15 +34,25 @@ case class DotQ(left: Expression, right: Expression)
     }
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // always nullable: a NULL *element* nulls the result even when both
+  // array children are non-nullable (ev.isNull must be a real variable)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_q"
 
+  // NULL element => NULL result, matching aggregate(zip_with(a,b,_*_),0,_+_)
+  // semantics (x*null -> null, acc+null -> null). Without the per-element
+  // check, ArrayData.getLong on a null slot reads 0/garbage silently.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -55,6 +65,7 @@ case class DotQ(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $acc;

@@ -21,23 +21,20 @@ object DedupOps extends OpRegistry {
   private val NumHashes = 32
   private val Bands = 8
   private val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
-  /** Band buckets larger than this are dropped before the candidate
-    * self-join: a bucket shared by B docs yields B² candidate pairs, so one
-    * degenerate stop-shingle bucket turns the join quadratic at scale. Real
-    * near-dup clusters are tiny; oversized buckets carry no dedup signal. */
+  /** Band buckets larger than this switch from the all-pairs self-join to a
+    * STAR link (every member → the bucket's min doc_id): a bucket shared by
+    * B docs yields B² pairs, so one giant duplicate cluster turns the join
+    * quadratic at scale — but dropping the bucket outright would lose the
+    * highest-signal case entirely (201 copies of the same boilerplate is
+    * exactly what a 100 TB dedup must catch; review r2 finding). The star
+    * keeps the cluster connected in O(B) pairs. */
   private val MaxBandBucket = 200
 
-  /** Distinct 3-token shingles per doc (same kernel as TextOps). Guarded for
-    * docs with <3 tokens: sequence(0, size-3) would otherwise infer step -1
-    * and slice() throws at runtime (ADVICE r1). */
-  private def shingles(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+  /** Distinct 3-token shingles per doc — shared kernel, see
+    * [[Shingling.shingleArray]]. */
+  private def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(array_distinct(transform(
-        when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
-          .otherwise(array().cast("array<int>")),
-        i => array_join(slice(toks, i + 1, lit(3)), " ")))).as("shingle"))
-  }
+      explode(Shingling.shingleArray(col("text"), hashed = false)).as("shingle"))
 
   /** doc_id + 32 minhash signature columns mh0..mh31.
     *
@@ -63,17 +60,23 @@ object DedupOps extends OpRegistry {
       }
       val banded = sig.select(col("doc_id"),
           posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-      // bucket-size cap: bound the self-join fan-out (see MaxBandBucket)
+      // bucket-size switch: all-pairs below the cap, star above (see
+      // MaxBandBucket) — one window pass computes both size and min
       val wb = Window.partitionBy("band_idx", "band_hash")
-      val capped = banded.withColumn("bsz", count(lit(1)).over(wb))
-        .filter(col("bsz") <= MaxBandBucket).drop("bsz")
-      val cand = capped.as("a").join(capped.as("b"),
+      val sized = banded
+        .withColumn("bsz", count(lit(1)).over(wb))
+        .withColumn("bmin", min(col("doc_id")).over(wb))
+      val small = sized.filter(col("bsz") <= MaxBandBucket)
+        .select("doc_id", "band_idx", "band_hash")
+      val pairs = small.as("a").join(small.as("b"),
           col("a.band_idx") === col("b.band_idx")
             && col("a.band_hash") === col("b.band_hash")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
-      cand.orderBy("id1", "id2")
+      val star = sized
+        .filter(col("bsz") > MaxBandBucket && col("doc_id") =!= col("bmin"))
+        .select(col("bmin").as("id1"), col("doc_id").as("id2"))
+      pairs.union(star).distinct().orderBy("id1", "id2")
     }),
 
     "dedup_simhash" -> ((s, dir) => {

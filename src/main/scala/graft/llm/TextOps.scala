@@ -16,18 +16,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextOps extends OpRegistry {
 
-  /** Distinct 3-token shingles per document: (doc_id, shingle). Guarded for
-    * docs with <3 tokens: sequence(0, size-3) would otherwise infer step -1
-    * and slice() throws at runtime (ADVICE r1); the guard matches the
-    * oracle's range(1, len-1) empty-result semantics. */
-  private def shingles(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+  /** Distinct 3-token shingles per document: (doc_id, shingle) — shared
+    * kernel, see [[Shingling.shingleArray]]. */
+  private def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(array_distinct(transform(
-          when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
-            .otherwise(array().cast("array<int>")),
-          i => array_join(slice(toks, i + 1, lit(3)), " ")))).as("shingle"))
-  }
+      explode(Shingling.shingleArray(col("text"), hashed = false)).as("shingle"))
 
   /** Skew guard for the shared-shingle candidate join: a shingle present in
     * B documents expands to B² candidate rows, so one corpus-common
@@ -52,12 +45,8 @@ object TextOps extends OpRegistry {
       // (P ≈ pairs²/2^64 ≈ 1e-10 at sf0.1) — the same trade minhash makes.
       // Per-doc shingle-set sizes come from the array form MAP-SIDE (no
       // groupBy shuffle over the exploded posting rows).
-      val toks = split(col("text"), " ")
       val docsArr = t(s, dir)("documents").select(col("doc_id"),
-        array_distinct(transform(
-          when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
-            .otherwise(array().cast("array<int>")),
-          i => xxhash64(array_join(slice(toks, i + 1, lit(3)), " ")))).as("shs"))
+        Shingling.shingleArray(col("text"), hashed = true).as("shs"))
       val sh = docsArr.select(col("doc_id"), explode(col("shs")).as("sh_h"))
       val sizes = docsArr.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
       // df-cap the posting lists before the self-join (see MaxShingleDf)

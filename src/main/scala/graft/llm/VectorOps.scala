@@ -36,9 +36,16 @@ object VectorOps extends OpRegistry {
 
   /** Deterministic zero-mean integer hyperplane for sign-LSH (knn_ivf_topk):
     * splitmix64 (public-domain mixing constants) keyed by plane index — no
-    * RNG state, reproducible across runs and engines. */
+    * RNG state, reproducible across runs and engines.
+    *
+    * Each plane draws from a DISJOINT stride of the splitmix counter
+    * (positions planeIdx*dim+1 .. planeIdx*dim+dim). Seeding with
+    * `planeIdx+1` and stepping by the same increment would make component i
+    * of plane k depend only on k+i — every plane a one-element shift of its
+    * neighbor, and the "independent" tables almost fully correlated (review
+    * r2 finding; the recall math assumes independence). */
   private def planeComponents(planeIdx: Int, dim: Int): Array[Long] = {
-    var x = 0x9E3779B97F4A7C15L * (planeIdx + 1)
+    var x = 0x9E3779B97F4A7C15L * (planeIdx.toLong * dim)
     Array.fill(dim) {
       x += 0x9E3779B97F4A7C15L
       var z = x

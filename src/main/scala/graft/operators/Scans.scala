@@ -71,7 +71,7 @@ object Scans extends OpRegistry {
         .filter(col("o_orderstatus") === "F")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
-          sum(graft.Helpers.dec(col("o_totalprice"))).cast("double").as("total"))
+          graft.Helpers.decSumOut(col("o_totalprice")).as("total"))
     }),
 
     "source_jsonlines" -> ((s, dir) =>

@@ -43,6 +43,18 @@ class ExpressionSpec extends GraftSuite {
     assert(got(2) == 0L)
   }
 
+  test("DotQ: NULL element nulls the result (matches the HOF form's semantics)") {
+    GraftExpressions.register(spark)
+    val df = Seq(
+      (Seq[Option[Long]](Some(1L), None, Some(3L)), Seq[Option[Long]](Some(1L), Some(2L), Some(3L))),
+      (Seq[Option[Long]](Some(2L), Some(2L)), Seq[Option[Long]](Some(3L), Some(4L))))
+      .toDF("a", "b")
+      .select(call_function(GraftExpressions.DotQName, $"a", $"b").as("d"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0), "null element must null the dot product")
+    assert(rows(1).getLong(0) == 14L)
+  }
+
   test("DotQ runs inside WholeStageCodegen in the knn plan") {
     val df = q("knn_cosine_topk")
     df.collect() // finalize the adaptive plan before inspecting it

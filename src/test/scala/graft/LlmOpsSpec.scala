@@ -19,6 +19,22 @@ class LlmOpsSpec extends GraftSuite {
     assert(exact.nonEmpty, "fixture should contain near-duplicate pairs")
   }
 
+  test("minhash-LSH: giant duplicate cluster (over bucket cap) stays connected, bounded") {
+    import graft.llm.DedupOps
+    val docs = (0L until 250L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toSeq :+ ((900L, "totally different content with many unique words present here"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_giant_").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cand = DedupOps.queries("dedup_near_minhash")(spark, tmp)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val connected = cand.flatMap(p => Seq(p._1, p._2)).toSet
+    (0L until 250L).foreach(i =>
+      assert(connected.contains(i), s"doc $i lost from the over-cap duplicate cluster"))
+    assert(cand.length < 2500,
+      s"pair count must stay linear in cluster size (star links), got ${cand.length}")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val joined = q("agg_approx_distinct").join(
       spark.read.parquet(s"$sfDir/lineitem.parquet")

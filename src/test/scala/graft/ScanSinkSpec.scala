@@ -15,7 +15,8 @@ class ScanSinkSpec extends GraftSuite {
     val back0 = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
     // csv type inference may narrow integers; cast back to the source schema
     val back = back0.select(src.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
-    assert(back.schema == spark.createDataFrame(back.rdd, src.schema).schema)
+    assert(back.schema.fields.map(f => (f.name, f.dataType))
+      .sameElements(src.schema.fields.map(f => (f.name, f.dataType))))
     assert(src.except(back).isEmpty && back.except(src).isEmpty,
       "csv round-trip must be lossless both directions")
     assert(back.count() == src.count())
