@@ -164,6 +164,50 @@ object TextOps extends OpRegistry {
         .withColumn("scrub_sha", sha2(col("scrubbed"), 256))
         .orderBy("doc_id")),
 
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      // Capstone composite: the whole training-data cleaning pipeline in one
+      // plan — quality filter (integer thresholds) → scrub/normalize →
+      // exact-dedup keep-canonical → per-lang survivor stats. Everything is
+      // narrow or single-shuffle: filter+scrub are per-row, dedup is one
+      // window over the content hash, stats one aggregation.
+      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "data")
+      val toks = split(col("text"), " ")
+      val kept = t(s, dir)("documents")
+        .withColumn("n_tokens", size(toks))
+        .withColumn("stop_cnt", size(filter(toks, x => x.isin(stop: _*))))
+        .withColumn("punct_cnt", length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+        .filter(col("n_tokens") >= 5
+          && col("stop_cnt") * 2 <= col("n_tokens")
+          && col("punct_cnt") * 10 <= col("n_chars"))
+        .withColumn("scrubbed",
+          trim(regexp_replace(regexp_replace(col("text"), "[0-9]+", "<num>"), "  +", " ")))
+      val canon = kept
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(sha2(col("scrubbed"), 256))))
+        .filter(col("doc_id") === col("canonical_id"))
+      canon.groupBy("lang")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_chars")).as("kept_chars"),
+          countDistinct(col("source")).as("d_sources"))
+        .orderBy("lang")
+    }),
+
+    "docs_sample_stratified" -> ((s, dir) => {
+      // Deterministic ~50% sample via the first md5 hex digit of the doc id
+      // (identical text->hash in any engine, no RNG state): per-lang totals
+      // vs sampled counts. The primitive behind reproducible train/eval
+      // splits at corpus scale.
+      val inSample = substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7")
+      t(s, dir)("documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total_docs"),
+          sum(when(inSample, 1L).otherwise(0L)).as("sampled_docs"))
+        .withColumn("ratio6",
+          r6(col("sampled_docs").cast("double") / col("total_docs")))
+        .orderBy("lang")
+    }),
+
     "text_ngram_freq" -> ((s, dir) =>
       // Character-trigram frequency table per language — the n-gram stats a
       // langid/quality model trains on. Map-side transform+explode, one
@@ -271,6 +315,36 @@ object TextOps extends OpRegistry {
                CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_masked
         FROM documents)
       ORDER BY doc_id""",
+    "pipeline_clean_corpus" -> """
+      WITH staged AS (
+        SELECT doc_id, lang, source, n_chars, text,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','of','and','a','to','in','is','data'))) AS INT) AS stop_cnt,
+               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INT) AS punct_cnt
+        FROM documents),
+      kept AS (
+        SELECT doc_id, lang, source, n_chars,
+               trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'), '  +', ' ', 'g')) AS scrubbed
+        FROM staged
+        WHERE n_tokens >= 5 AND stop_cnt * 2 <= n_tokens AND punct_cnt * 10 <= n_chars),
+      canon AS (
+        SELECT * FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(scrubbed)) AS canonical_id
+          FROM kept)
+        WHERE doc_id = canonical_id)
+      SELECT lang, COUNT(1) AS kept_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+             COUNT(DISTINCT source) AS d_sources
+      FROM canon GROUP BY lang ORDER BY lang""",
+    "docs_sample_stratified" -> s"""
+      SELECT lang, total_docs, sampled_docs,
+             ${r6Sql("CAST(sampled_docs AS DOUBLE) / total_docs")} AS ratio6
+      FROM (SELECT lang, COUNT(1) AS total_docs,
+                   CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
+            FROM documents GROUP BY lang)
+      ORDER BY lang""",
     "text_ngram_freq" -> """
       SELECT lang, tri, COUNT(1) AS cnt FROM (
         SELECT lang, substring(text, i, 3) AS tri
