@@ -135,6 +135,31 @@ object Aggregations extends OpRegistry {
       t(s, dir)("lineitem")
         .agg(dec(sumsq(col("l_quantity"))).cast("double").as("sum_sq"), count(lit(1)).as("cnt"))
     }),
+    "agg_pivot_status" -> ((s, dir) => {
+      // Pivot with a PINNED value list (never inferred — inference is a
+      // full distinct scan AND makes the schema data-dependent at 100 TB).
+      // Missing combinations surface as 0 (coalesce) to match COUNT FILTER.
+      t(s, dir)("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")
+    }),
+    "agg_unpivot" -> ((s, dir) => {
+      // Wide->long reshaping via Dataset.unpivot (melt); values unified to
+      // DOUBLE (unpivot requires a common type).
+      t(s, dir)("orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("price"),
+          col("o_custkey").cast("double").as("cust"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("price"), col("cust")), "metric", "value")
+        .orderBy("o_orderkey", "metric")
+    }),
     "agg_median" -> ((s, dir) => {
       // Exact median as the (lo, hi) middle-value pair — no interpolation
       // arithmetic, so no cross-engine float divergence (SURVEY §7.4.3).
@@ -215,6 +240,17 @@ object Aggregations extends OpRegistry {
       SELECT CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_sq,
              COUNT(1) AS cnt
       FROM lineitem""",
+    "agg_pivot_status" -> """
+      SELECT o_orderpriority,
+             COUNT(1) FILTER (WHERE o_orderstatus = 'F') AS "F",
+             COUNT(1) FILTER (WHERE o_orderstatus = 'O') AS "O",
+             COUNT(1) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_unpivot" -> """
+      SELECT o_orderkey, 'price' AS metric, CAST(o_totalprice AS DOUBLE) AS value FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'cust' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+      ORDER BY o_orderkey, metric""",
     "agg_median" -> """
       WITH r AS (
         SELECT o_orderpriority, o_totalprice,

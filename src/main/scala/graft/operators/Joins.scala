@@ -114,6 +114,22 @@ object Joins extends OpRegistry {
         .agg(count(lit(1)).as("evt_cnt"), decSumOut(col("value")).as("sum_value"))
         .orderBy("o_orderkey")
     }),
+    "join_lateral_topn" -> ((s, dir) => {
+      // Correlated LATERAL subquery with per-row LIMIT: top-2 orders per
+      // customer. A distinct join shape from win_topk_per_group — the limit
+      // runs inside the correlated subquery. Spark decorrelates it to a
+      // ranked window under the hood; DuckDB executes it as a lateral join.
+      Seq("customer", "orders")
+        .foreach(n => graft.Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c_custkey, o.o_totalprice DESC, o.o_orderkey""")
+    }),
+
     "join_bucketed_noshuffle" -> ((s, dir) => {
       // The 100-TB co-located join: both sides written bucketed+sorted on
       // the join key, so the join needs NO shuffle and NO sort — the
@@ -225,6 +241,13 @@ object Joins extends OpRegistry {
        AND ts_us >= anchor_us AND ts_us < anchor_us + 604800000000
       GROUP BY o_orderkey
       ORDER BY o_orderkey""",
+    "join_lateral_topn" -> """
+      SELECT c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      ORDER BY c_custkey, o.o_totalprice DESC, o.o_orderkey""",
     // bucketing is physical layout only — the oracle is the plain join
     "join_bucketed_noshuffle" -> """
       SELECT c_custkey, c_name, COUNT(1) AS orders,

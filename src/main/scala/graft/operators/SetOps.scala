@@ -43,6 +43,23 @@ object SetOps extends OpRegistry {
       o.except(c).orderBy("custkey")
     }),
 
+    "set_except_all" -> ((s, dir) => {
+      // Multiset difference: each matching right-side row cancels ONE
+      // left-side occurrence (vs set except which removes all).
+      val o = t(s, dir)("orders").select(col("o_custkey").as("custkey"))
+      val c = t(s, dir)("customer").filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("custkey"))
+      o.exceptAll(c).orderBy("custkey")
+    }),
+
+    "set_intersect_all" -> ((s, dir) => {
+      // Multiset intersection: min of the two occurrence counts per value.
+      val o = t(s, dir)("orders").select(col("o_custkey").as("custkey"))
+      val c = t(s, dir)("customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("custkey"))
+      o.intersectAll(c).orderBy("custkey")
+    }),
+
     "distinct_rows" -> ((s, dir) =>
       t(s, dir)("orders").select("o_orderstatus", "o_orderpriority")
         .distinct().orderBy("o_orderstatus", "o_orderpriority")),
@@ -76,6 +93,16 @@ object SetOps extends OpRegistry {
       SELECT o_custkey AS custkey FROM orders
       EXCEPT
       SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      ORDER BY custkey""",
+    "set_except_all" -> """
+      SELECT o_custkey AS custkey FROM orders
+      EXCEPT ALL
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      ORDER BY custkey""",
+    "set_intersect_all" -> """
+      SELECT o_custkey AS custkey FROM orders
+      INTERSECT ALL
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
       ORDER BY custkey""",
     "distinct_rows" -> """
       SELECT DISTINCT o_orderstatus, o_orderpriority
