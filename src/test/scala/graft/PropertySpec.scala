@@ -101,6 +101,31 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("property: exceptAll/intersectAll obey the multiset count laws") {
+    for (s <- seeds) {
+      val o = ordersDf(s)
+      val cust = o.select($"o_custkey".as("c_custkey")).distinct()
+        .withColumn("c_name", concat(lit("c#"), $"c_custkey"))
+        .withColumn("c_mktsegment",
+          when($"c_custkey" % 3 === 0, "MACHINERY").otherwise("AUTOMOBILE"))
+        .withColumn("c_acctbal", $"c_custkey" * 1.5)
+      val dir = writeDir("orders" -> o, "customer" -> cust)
+      val left = o.select($"o_custkey").as[Long].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      def rightKeys(seg: String) = cust
+        .filter($"c_mktsegment" === seg).select($"c_custkey").as[Long].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val rM = rightKeys("MACHINERY")
+      val expectExcept = left.map { case (k, n) => math.max(0, n - rM.getOrElse(k, 0)) }.sum
+      assert(SparkEntry.queries("set_except_all")(spark, dir).count() == expectExcept)
+      val rA = rightKeys("AUTOMOBILE")
+      val expectIntersect = left.map { case (k, n) => math.min(n, rA.getOrElse(k, 0)) }.sum
+      assert(SparkEntry.queries("set_intersect_all")(spark, dir).count() == expectIntersect)
+      // unpivot doubles the row count (two value columns)
+      assert(SparkEntry.queries("agg_unpivot")(spark, dir).count() == 2 * o.count())
+    }
+  }
+
   // random documents: ~tokens words over a tiny vocabulary so overlap occurs
   private val docsGen: Gen[List[(Long, String)]] =
     Gen.chooseNum(8, 30).flatMap { n =>
