@@ -61,11 +61,21 @@ case class DotQ(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // per-element null branch only for sides that can actually hold null
+      // elements — e.g. the IVF plane literals are containsNull=false, so
+      // their side of the fused loop stays branch-free
+      val checks = Seq(
+        if (left.dataType.asInstanceOf[ArrayType].containsNull) Some(s"$a.isNullAt($i)") else None,
+        if (right.dataType.asInstanceOf[ArrayType].containsNull) Some(s"$b.isNullAt($i)") else None
+      ).flatten
+      val nullGuard =
+        if (checks.isEmpty) ""
+        else s"if (${checks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullGuard
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $acc;

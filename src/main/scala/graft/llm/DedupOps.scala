@@ -5,11 +5,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** §2.11 near-duplicate detection + language ID — the non-SQL-oracle ops
-  * (xxhash64 seeds are Spark-private, and langid is a trained two-pass
-  * heuristic). Verified by ScalaTest (DedupSpec): LSH candidates must
-  * cover every pair with exact Jaccard >= 0.8; simhash of a permuted
-  * near-duplicate stays within a small Hamming distance.
+/** §2.11 near-duplicate detection + language ID.
+  *
+  * Candidate contract (two regimes): for band buckets at or below
+  * MaxBandBucket, candidates cover EVERY pair sharing a band (and hence, by
+  * the banding construction, every pair with exact Jaccard >= 0.8 w.h.p. —
+  * asserted by LlmOpsSpec on fixture + planted corpora); buckets above the
+  * cap guarantee CONNECTIVITY only (star links to the bucket minimum), not
+  * direct pair coverage — the downstream dedup group-assignment is
+  * unaffected, the full pair list within a giant cluster is deliberately
+  * not materialized (it is quadratic).
   *
   * Scale design: minhash-LSH is the canonical 100 TB dedup shape — band
   * buckets bound the candidate join (linear in bucket occupancy), never a

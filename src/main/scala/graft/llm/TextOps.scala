@@ -22,6 +22,17 @@ object TextOps extends OpRegistry {
     docs.select(col("doc_id"),
       explode(Shingling.shingleArray(col("text"), hashed = false)).as("shingle"))
 
+  /** Shared stopword list for quality scoring/filtering and the capstone
+    * pipeline — one copy so the composed pipeline cannot drift from the
+    * unit ops it claims to compose (their oracle twins list the same words
+    * literally). */
+  private val StopWords = Seq("the", "of", "and", "a", "to", "in", "is", "data")
+
+  /** Shared scrub/normalize kernel: digit runs → `<num>`, whitespace
+    * collapsed — used by text_scrub and pipeline_clean_corpus. */
+  private def scrubExpr(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[0-9]+", "<num>"), "  +", " "))
+
   /** Skew guard for the shared-shingle candidate join: a shingle present in
     * B documents expands to B² candidate rows, so one corpus-common
     * "stop-shingle" is a quadratic hot key at 100 TB. Shingles above this
@@ -102,7 +113,7 @@ object TextOps extends OpRegistry {
         .orderBy("lang")),
 
     "text_quality_score" -> ((s, dir) => {
-      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "data")
+      val stop = StopWords
       val toks = split(col("text"), " ")
       t(s, dir)("documents").select(
         col("doc_id"), col("n_chars"),
@@ -139,7 +150,7 @@ object TextOps extends OpRegistry {
       // token count floor, stopword-ratio and punctuation-ratio ceilings.
       // All thresholds are INTEGER inequalities (stop_cnt*2 <= n_tokens
       // instead of ratio <= 0.5) — zero float-comparison dialect risk.
-      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "data")
+      val stop = StopWords
       val toks = split(col("text"), " ")
       t(s, dir)("documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -159,7 +170,7 @@ object TextOps extends OpRegistry {
       // the regex subset Java and RE2 interpret identically.
       t(s, dir)("documents").select(
         col("doc_id"),
-        trim(regexp_replace(regexp_replace(col("text"), "[0-9]+", "<num>"), "  +", " ")).as("scrubbed"),
+        scrubExpr(col("text")).as("scrubbed"),
         size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_masked"))
         .withColumn("scrub_sha", sha2(col("scrubbed"), 256))
         .orderBy("doc_id")),
@@ -170,7 +181,7 @@ object TextOps extends OpRegistry {
       // exact-dedup keep-canonical → per-lang survivor stats. Everything is
       // narrow or single-shuffle: filter+scrub are per-row, dedup is one
       // window over the content hash, stats one aggregation.
-      val stop = Seq("the", "of", "and", "a", "to", "in", "is", "data")
+      val stop = StopWords
       val toks = split(col("text"), " ")
       val kept = t(s, dir)("documents")
         .withColumn("n_tokens", size(toks))
@@ -179,8 +190,7 @@ object TextOps extends OpRegistry {
         .filter(col("n_tokens") >= 5
           && col("stop_cnt") * 2 <= col("n_tokens")
           && col("punct_cnt") * 10 <= col("n_chars"))
-        .withColumn("scrubbed",
-          trim(regexp_replace(regexp_replace(col("text"), "[0-9]+", "<num>"), "  +", " ")))
+        .withColumn("scrubbed", scrubExpr(col("text")))
       val canon = kept
         .withColumn("canonical_id",
           min(col("doc_id")).over(Window.partitionBy(sha2(col("scrubbed"), 256))))

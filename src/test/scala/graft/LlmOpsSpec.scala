@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class LlmOpsSpec extends GraftSuite {
   import spark.implicits._
 
-  test("minhash-LSH candidates cover every pair with exact Jaccard >= 0.8") {
+  test("minhash-LSH candidates cover every Jaccard>=0.8 pair (sub-cap buckets regime)") {
     val exact = q("jaccard_pairs").filter($"jac" >= 0.8)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     val cand = q("dedup_near_minhash")

@@ -104,11 +104,15 @@ class PropertySpec extends GraftSuite {
   test("property: exceptAll/intersectAll obey the multiset count laws") {
     for (s <- seeds) {
       val o = ordersDf(s)
-      val cust = o.select($"o_custkey".as("c_custkey")).distinct()
+      // right side carries REAL multiplicity (odd keys duplicated) so the
+      // min/max-of-counts laws actually bind — a distinct right degenerates
+      // intersectAll's law to min(n, 1)
+      val base = o.select($"o_custkey".as("c_custkey")).distinct()
         .withColumn("c_name", concat(lit("c#"), $"c_custkey"))
         .withColumn("c_mktsegment",
           when($"c_custkey" % 3 === 0, "MACHINERY").otherwise("AUTOMOBILE"))
         .withColumn("c_acctbal", $"c_custkey" * 1.5)
+      val cust = base.union(base.filter($"c_custkey" % 2 === 1))
       val dir = writeDir("orders" -> o, "customer" -> cust)
       val left = o.select($"o_custkey").as[Long].collect()
         .groupBy(identity).view.mapValues(_.length).toMap

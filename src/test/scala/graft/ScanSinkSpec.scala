@@ -13,10 +13,11 @@ class ScanSinkSpec extends GraftSuite {
     val out = s"/tmp/graft_test_csv_${java.util.UUID.randomUUID().toString.take(8)}"
     src.write.mode("overwrite").option("header", "true").csv(out)
     val back0 = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    // header round-trip: the INFERRED schema must carry the same columns
+    assert(back0.columns.sorted.sameElements(src.columns.sorted),
+      s"csv header lost columns: ${back0.columns.mkString(",")}")
     // csv type inference may narrow integers; cast back to the source schema
     val back = back0.select(src.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
-    assert(back.schema.fields.map(f => (f.name, f.dataType))
-      .sameElements(src.schema.fields.map(f => (f.name, f.dataType))))
     assert(src.except(back).isEmpty && back.except(src).isEmpty,
       "csv round-trip must be lossless both directions")
     assert(back.count() == src.count())
