@@ -20,6 +20,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    plans.GraftOptimizations.install(spark)
     // untimed warm-up: JIT/codegen/session init + parquet footers, so the
     // alphabetically-first query doesn't carry ~5 s of one-time cost
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())

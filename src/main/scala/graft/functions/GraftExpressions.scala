@@ -17,10 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * (b) of the custom-operator ladder: a native Expression with doGenCode
   * beats composing HOFs, beats a Scala UDF).
   *
-  * Semantics: Σ a(i)*b(i) over i < min(len(a), len(b)); NULL if either
-  * array is NULL. (The HOF form instead returns NULL on length mismatch —
-  * the fixtures and ops always supply equal-length quantized vectors, and
-  * knn_ivf_topk derives its plane length from the data.)
+  * Semantics: EXACTLY the HOF form's — Σ a(i)*b(i) when len(a)==len(b);
+  * NULL if either array is NULL, any paired element is NULL, or the lengths
+  * differ (zip_with pads the shorter array with NULL elements, which null
+  * the product and then the sum). Exact equivalence is what makes
+  * [[graft.plans.RewriteDotProduct]] a sound optimizer rewrite.
   */
 case class DotQ(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -45,7 +46,8 @@ case class DotQ(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -72,13 +74,17 @@ case class DotQ(left: Expression, right: Expression)
         if (checks.isEmpty) ""
         else s"if (${checks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullGuard
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -159,6 +159,29 @@ object Joins extends OpRegistry {
         .orderBy("c_custkey")
     }),
 
+    "join_skew_salted" -> ((s, dir) => {
+      // The 100-TB hot-key pattern: when one join key carries a huge share
+      // of the fact rows (a viral document, a default supplier), hash
+      // partitioning sends that key's entire volume to ONE task. Salting
+      // splits it R ways: the fact side gets a deterministic salt in [0,R),
+      // the dim side is replicated R times (R× a DIM table is still tiny),
+      // and the join keys on (key, salt) — the hot key now spreads over R
+      // tasks. Logically identical to the plain join (oracle = plain SQL
+      // join; salt is physical-only), same shape AQE skew-split produces at
+      // runtime, but explicit and planner-independent.
+      val R = 8
+      val tt = t(s, dir) _
+      val fact = tt("lineitem").select(col("l_suppkey"), col("l_extendedprice"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(R)).as("fsalt"))
+      val dim = tt("supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .withColumn("dsalt", explode(array((0 until R).map(i => lit(i.toLong)): _*)))
+      fact.hint("shuffle_hash")
+        .join(dim, col("l_suppkey") === col("s_suppkey") && col("fsalt") === col("dsalt"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("items"), decSumOut(col("l_extendedprice")).as("revenue"))
+        .orderBy("s_nationkey")
+    }),
+
     "join_asof" -> ((s, dir) => {
       // For each 'purchase', the latest preceding 'click' of the same user:
       // union + carry-forward max over (user, time) — single shuffle,
@@ -254,6 +277,13 @@ object Joins extends OpRegistry {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    // salt is physical-only: the oracle is the PLAIN join — that identity is
+    // the point of the op.
+    "join_skew_salted" -> """
+      SELECT s_nationkey, COUNT(1) AS items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey""",
     "join_asof" -> """
       WITH e AS (
         SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type

@@ -63,6 +63,20 @@ class CoreOperatorSpec extends GraftSuite {
     assert(q("join_left_outer").filter($"o_orderkey".isNull).count() > 0)
   }
 
+  test("join_skew_salted equals the plain join (salt is physical-only)") {
+    val salted = q("join_skew_salted")
+    val plain = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .join(spark.read.parquet(s"$sfDir/supplier.parquet"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("items"),
+        Helpers.decSumOut($"l_extendedprice").as("revenue"))
+      .orderBy("s_nationkey")
+    assert(salted.count() > 0)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty,
+      "salting must not change the join result")
+  }
+
   test("join_asof: every purchase row's click is the latest preceding one") {
     val asof = q("join_asof")
     val bad = asof.filter($"last_click_ts" > $"ts_us").count()

@@ -29,18 +29,20 @@ class ExpressionSpec extends GraftSuite {
     assert(selfMismatch == 0)
   }
 
-  test("DotQ: NULL array yields NULL; empty arrays yield 0") {
+  test("DotQ: NULL array yields NULL; empty arrays yield 0; length mismatch yields NULL") {
     GraftExpressions.register(spark)
     val df = Seq(
       (Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L, 6L))),
       (None, Some(Seq(1L))),
-      (Some(Seq.empty[Long]), Some(Seq.empty[Long]))
+      (Some(Seq.empty[Long]), Some(Seq.empty[Long])),
+      (Some(Seq(1L, 2L)), Some(Seq(1L))) // zip_with null-pads -> NULL sum
     ).toDF("a", "b")
       .select(call_function(GraftExpressions.DotQName, $"a", $"b").as("d"))
     val got = df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
     assert(got(0) == 32L) // 4 + 10 + 18
     assert(got(1) == null)
     assert(got(2) == 0L)
+    assert(got(3) == null)
   }
 
   test("DotQ: NULL element nulls the result (matches the HOF form's semantics)") {
