@@ -139,6 +139,34 @@ object Streaming extends OpRegistry {
         .select("user_id", "n_events").orderBy("user_id")
     }),
 
+    "stream_stream_join" -> ((s, dir) => {
+      // Real stream-stream INNER join with an event-time range: each click
+      // joined to the same user's purchases within the following 30 minutes.
+      // Both sides carry watermarks + the range condition, so Spark can
+      // evict join state (without them, 100 TB of stream buffers never
+      // clear — the state-bound is the scale-critical part). Inner-join
+      // matches emit immediately; the watermark only gates eviction, so a
+      // single AvailableNow batch emits exactly the batch-join result
+      // (= the DuckDB oracle).
+      val clicks = eventsStream(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts_ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      val purchases = eventsStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts_ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      val out = runToMemory(s, joined, "ssj", OutputMode.Append())
+      out.select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("c_ts")).as("click_us"),
+          unix_micros(col("p_ts")).as("purchase_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     "stream_sink_foreachBatch" -> ((s, dir) => {
       // Micro-batch parquet upsert, idempotent by batchId (same batch
       // re-written to the same path on retry -> overwrite semantics).
@@ -206,6 +234,15 @@ object Streaming extends OpRegistry {
       SELECT event_type, COUNT(1) AS cnt,
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_stream_join" -> """
+      WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS click_us
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS purchase_us
+            FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id AS user_id, click_id, purchase_id, click_us, purchase_us
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND purchase_us >= click_us AND purchase_us <= click_us + 1800000000
+      ORDER BY c.user_id, click_id, purchase_id""",
     "stream_session_30m" -> """
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
       l AS (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),

@@ -79,6 +79,55 @@ class StreamingSpec extends GraftSuite {
     assert(sliding == 4 * total)
   }
 
+  test("stream_stream_join equals the batch interval join on the fixture") {
+    val streaming = q("stream_stream_join")
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", Helpers.tsDivMicros($"ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts_us".as("click_us"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("purchase_id"), $"ts_us".as("purchase_us"))
+    val batch = c.join(p, $"user_id" === $"pu"
+        && $"purchase_us" >= $"click_us"
+        && $"purchase_us" <= $"click_us" + 1800000000L)
+      .select("user_id", "click_id", "purchase_id", "click_us", "purchase_us")
+    assert(streaming.count() > 0, "fixture must contain click->purchase pairs")
+    assert(streaming.except(batch).isEmpty && batch.except(streaming).isEmpty)
+  }
+
+  test("stream-stream join: timely match emits, state-evicted late purchase does not") {
+    implicit val ctx = spark.sqlContext
+    val mc = MemoryStream[(Timestamp, Long, Long)]
+    val mp = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = mc.toDF().toDF("c_ts", "c_user", "click_id")
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = mp.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      $"c_user" === $"p_user" && $"p_ts" >= $"c_ts"
+        && $"p_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"))
+    val qn = "ssjtest_" + System.nanoTime()
+    val query = joined.writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: one in-range pair for user 1 + far-future rows on BOTH
+      // sides (user 9) so the min-of-streams watermark advances to ~110min
+      mc.addData((ts(0), 1L, 100L), (ts(120), 9L, 101L))
+      mp.addData((ts(5), 1L, 200L), (ts(120), 9L, 201L))
+      query.processAllAvailable()
+      // batch 2: purchase at 10min is in-range for click 100, but the
+      // watermark (110min) passed c_ts + 30min + 10min delay long ago —
+      // the click's join state is evicted, so no match may emit
+      mp.addData((ts(10), 1L, 202L))
+      query.processAllAvailable()
+      val got = spark.table(qn).select("click_id", "purchase_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got.contains((100L, 200L)) && got.contains((101L, 201L)), s"got $got")
+      assert(!got.contains((100L, 202L)),
+        s"late purchase matched evicted click state: $got")
+    } finally query.stop()
+  }
+
   test("sessionization: session bounds are consistent and gap-respecting") {
     val s30 = q("stream_session_30m").cache()
     assert(s30.filter($"sess_start_us" > $"sess_end_us").count() == 0)
