@@ -225,6 +225,27 @@ object TextOps extends OpRegistry {
         .orderBy("lang")
     }),
 
+    "docs_topk_quality_per_lang" -> ((s, dir) => {
+      // Training-mix selection: the best K documents per language by a
+      // deterministic quality score (token count penalized by stopword and
+      // punctuation counts — integer arithmetic only, so the rank order is
+      // dialect-proof). The per-group top-k is a rank window: one shuffle
+      // on lang, partial sort per partition — the shape that holds when
+      // "per language" is 10 TB each.
+      val toks = split(col("text"), " ")
+      val scored = t(s, dir)("documents").select(
+        col("doc_id"), col("lang"),
+        (size(toks).cast("long") * 10
+          - size(filter(toks, x => x.isin(StopWords: _*))).cast("long") * 5
+          - length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
+          .as("quality"))
+      val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"), col("quality"))
+        .orderBy("lang", "rk")
+    }),
+
     "text_ngram_freq" -> ((s, dir) =>
       // Character-trigram frequency table per language — the n-gram stats a
       // langid/quality model trains on. Map-side transform+explode, one
@@ -362,6 +383,20 @@ object TextOps extends OpRegistry {
                             IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
             FROM documents GROUP BY lang)
       ORDER BY lang""",
+    "docs_topk_quality_per_lang" -> """
+      WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) * 10
+                 - CAST(len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','of','and','a','to','in','is','data'))) AS BIGINT) * 5
+                 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT)
+                 AS quality
+        FROM documents)
+      SELECT lang, CAST(rk AS INT) AS rk, doc_id, quality FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY quality DESC, doc_id) AS rk
+        FROM scored)
+      WHERE rk <= 10 ORDER BY lang, rk""",
     "text_ngram_freq" -> """
       SELECT lang, tri, COUNT(1) AS cnt FROM (
         SELECT lang, substring(text, i, 3) AS tri

@@ -59,6 +59,21 @@ object Scans extends OpRegistry {
       s.read.json(out).select("r_regionkey", "r_name").orderBy("r_regionkey")
     }),
 
+    "sink_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink/source round-trip (Spark-native columnar alternative to
+      // parquet): write supplier as ORC, read it back, aggregate — ORC
+      // preserves types exactly (no csv/json narrowing), so the read-back
+      // aggregate must equal the same aggregate on the source table.
+      val out = s"/tmp/graft_sink_orc_${java.util.UUID.randomUUID().toString.take(8)}"
+      val src = t(s, dir)("supplier")
+      src.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          graft.Helpers.decSumOut(col("s_acctbal")).as("sum_bal"))
+        .orderBy("s_nationkey")
+    }),
+
     "sink_partitioned_pruned" -> ((s, dir) => {
       // Hive-style partitioned layout + partition pruning — the mechanism
       // that lets a 100 TB table answer a partition-selective query by
@@ -116,6 +131,10 @@ object Scans extends OpRegistry {
     // the same aggregate over the source table — which IS oracle-able.
     // BIGINT casts: the fixture stores these keys as int32; the Spark side
     // emits int64 (csv inference / json read), so the oracle must widen too.
+    "sink_orc_roundtrip" -> """
+      SELECT s_nationkey, COUNT(1) AS cnt,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "sink_csv_roundtrip" -> """
       SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(1) AS cnt
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",

@@ -34,6 +34,20 @@ class ScanSinkSpec extends GraftSuite {
     assert(back.count() == src.count())
   }
 
+  test("orc sink round-trips supplier exactly, schema included (no cast needed)") {
+    val src = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val out = s"/tmp/graft_test_orc_${java.util.UUID.randomUUID().toString.take(8)}"
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    // ORC is typed: the schema must survive verbatim, unlike csv/json
+    assert(back.schema.fields.map(f => (f.name, f.dataType))
+      .sameElements(src.schema.fields.map(f => (f.name, f.dataType))),
+      s"orc schema drifted: ${back.schema.simpleString}")
+    assert(src.except(back).isEmpty && back.except(src).isEmpty,
+      "orc round-trip must be lossless both directions")
+    assert(back.count() == src.count())
+  }
+
   test("scan_schema rows equal the parquet footer schema, all tables introspectable") {
     // the registered op introspects lineitem
     val got = q("scan_schema").collect()
