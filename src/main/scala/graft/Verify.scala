@@ -3,9 +3,23 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
+/** Maintenance helper: prints registry size + queries lacking an oracle. */
+object QueryCount {
+  def main(args: Array[String]): Unit = {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    println(s"COUNTS queries=${q.size} oracled=${o.size}")
+    println(s"NO_ORACLE ${(q -- o).toSeq.sorted.mkString(",")}")
+    println(s"ORPHAN_ORACLE ${(o -- q).toSeq.sorted.mkString(",")}")
+  }
+}
+
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // driver contract: exactly (sfDir, outDir). Extra args (local iteration
+    // only) restrict the dump to the named queries.
+    val sfDir = args(0); val outDir = args(1)
+    val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +33,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     plans.GraftOptimizations.install(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -58,7 +58,58 @@ object VectorOps extends OpRegistry {
     }
   }
 
+  private val PqSubspaces = 8
+  private val PqCodebook = 16
+
+  /** Deterministic PQ codebook centroid (quantized micro-units): splitmix64
+    * keyed by (subspace, code) with a different multiplier than the LSH
+    * planes so the two ops share no pseudo-random structure. Components span
+    * ±150000 µ-units ≈ ±0.15, the realistic component range of an
+    * L2-normalized 64-dim vector. Real PQ k-means-trains the codebook; a
+    * fixed one still exercises the full encode path (subvector split, exact
+    * argmin assignment, code packing) and keeps both engines differential. */
+  private def pqCentroid(m: Int, k: Int, subDim: Int): Array[Long] = {
+    var x = 0xC2B2AE3D27D4EB4FL * ((m.toLong * PqCodebook + k) * subDim + 1)
+    Array.fill(subDim) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      math.floorMod(z, 300001L) - 150000L
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_pq_codes" -> ((s, dir) => {
+      // Product quantization encode — the 100 TB embedding-compression
+      // primitive: 64 dims × 4 bytes shrink to 8 one-byte codes (32× less
+      // storage/IO for ANN shortlists). Exact integer kernel: per subspace m,
+      // code = argmin_k ||sub_m - c_{m,k}||² over quantized BIGINTs, expanded
+      // as ||sub||² - 2<sub,c> + ||c||² so the data-dependent part is one
+      // DotQ per (m,k) — all codegen, no shuffle; the only shuffle is the
+      // final global sort for output determinism. Ties break on smallest k
+      // (struct ordering), mirrored by the oracle's ORDER BY dist, k.
+      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val subDim = dim / PqSubspaces
+      val e = t(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val perSub = (0 until PqSubspaces).map { m =>
+        val sub = slice(col("qe"), m * subDim + 1, subDim)
+        val subsq = dotQ(s, sub, sub)
+        val best = array_min(array((0 until PqCodebook).map { k =>
+          val c = pqCentroid(m, k, subDim)
+          val cSq = c.map(v => v * v).sum
+          struct((lit(cSq) - lit(2L) * dotQ(s, sub, lit(c))).as("s"), lit(k).as("k"))
+        }: _*))
+        struct((subsq + best.getField("s")).as("err"), best.getField("k").as("code"))
+      }
+      e.select(col("vec_id"), array(perSub: _*).as("ps"))
+        .select(col("vec_id"),
+          array_join(transform(col("ps"), p => p.getField("code")), ",").as("codes"),
+          aggregate(col("ps"), lit(0L), (a, p) => a + p.getField("err")).as("qerr"))
+        .orderBy("vec_id")
+    }),
+
     "knn_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
       val q = e.filter(col("vec_id") < 10)
@@ -279,8 +330,38 @@ object VectorOps extends OpRegistry {
       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
   }
 
+  /** Generated DuckDB twin of vec_pq_codes: the 8×16 codebook is emitted as
+    * SQL literals and the encode — subvector slice, exact integer L2 argmin
+    * with (dist, k) tie-break, code packing, total quantization error — is
+    * recomputed in pure SQL. Pins dim=64 (fixture dim; Spark discovers it). */
+  private def pqOracleSql: String = {
+    val dim = 64
+    val subDim = dim / PqSubspaces
+    val vals = (for { m <- 0 until PqSubspaces; k <- 0 until PqCodebook } yield
+      s"($m, $k, [${pqCentroid(m, k, subDim).mkString(",")}])"
+    ).mkString(",\n        ")
+    s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      cent(m, k, comps) AS (VALUES
+        $vals),
+      d AS (SELECT vec_id, m, k,
+                   list_sum(list_transform(range(1, ${subDim + 1}),
+                     i -> (qe[m * $subDim + i] - comps[i])
+                        * (qe[m * $subDim + i] - comps[i]))) AS dist
+            FROM q CROSS JOIN cent),
+      r AS (SELECT vec_id, m, k, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+            FROM d)
+      SELECT vec_id, array_to_string(LIST(k ORDER BY m), ',') AS codes,
+             CAST(SUM(dist) AS BIGINT) AS qerr
+      FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "knn_ivf_topk" -> ivfOracleSql,
+    "vec_pq_codes" -> pqOracleSql,
     // The decode itself is stubbed (no codec libs), but its byte-statistics
     // output is differential: DuckDB re-derives the same stats from the text
     // via a per-character fold (ord == byte on the all-ascii fixture, which
