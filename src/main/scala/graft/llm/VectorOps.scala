@@ -233,6 +233,46 @@ object VectorOps extends OpRegistry {
         .orderBy("qid", "rn")
     }),
 
+    "dedup_near_embedding" -> ((s, dir) => {
+      // Embedding-cosine near-dup — the semantic-dedup primitive: candidate
+      // pairs from sign-LSH buckets (8 tables × 3 planes; plane indices
+      // offset +64 so they share no splitmix stride with knn_ivf_topk),
+      // exact quantized-cosine threshold (≥0.40 ≈ this fixture's top 0.05%
+      // of pairs; a real near-dup corpus would use ≥0.95 with more planes —
+      // agreement probability rises with cosine, so buckets get MORE
+      // selective exactly when the threshold tightens), then star
+      // assignment: canonical_id = min(id, neighbors). Never doc × doc:
+      // pair volume is bounded by per-cell occupancy per table.
+      val NumTables = 8
+      val Planes = 3
+      val Threshold = 400000000000L // 0.40 * 1e12 in quantized dot units
+      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val e = t(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      def cellOf(qe: Column, tb: Int): Column =
+        (0 until Planes).map { p =>
+          val plane = planeComponents(64 + tb * Planes + p, dim)
+          when(dotQ(s, qe, lit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val cells = e.select(col("vec_id"), col("qe"),
+        posexplode(array((0 until NumTables).map(tb => cellOf(col("qe"), tb)): _*))
+          .as(Seq("tbl", "cell")))
+      val a = cells.select(col("vec_id").as("id1"), col("qe").as("q1"), col("tbl"), col("cell"))
+      val b = cells.select(col("vec_id").as("id2"), col("qe").as("q2"), col("tbl"), col("cell"))
+      val pairs = a.join(b, Seq("tbl", "cell"))
+        .filter(col("id1") < col("id2"))
+        .dropDuplicates("id1", "id2")
+        .filter(dotQ(s, col("q1"), col("q2")) >= Threshold)
+        .select(col("id1"), col("id2"))
+      val nbrs = pairs.select(col("id1").as("vid"), col("id2").as("nbr"))
+        .union(pairs.select(col("id2").as("vid"), col("id1").as("nbr")))
+        .groupBy("vid").agg(min(col("nbr")).as("mn"))
+      e.select(col("vec_id")).join(nbrs, col("vec_id") === col("vid"), "left")
+        .select(col("vec_id"),
+          coalesce(least(col("mn"), col("vec_id")), col("vec_id")).as("canonical_id"))
+        .withColumn("is_canonical", col("vec_id") === col("canonical_id"))
+        .orderBy("vec_id")
+    }),
+
     "vec_centroid_by_label" -> ((s, dir) => {
       // Per-label centroid of the quantized embeddings, emitted as the pair
       // (per-dim SUM vector, vector count) — the D3 sum/count pattern: no
@@ -359,9 +399,51 @@ object VectorOps extends OpRegistry {
       FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
   }
 
+  /** Generated DuckDB twin of dedup_near_embedding: re-derives the 8×3 LSH
+    * plane literals, bucket candidates, exact threshold, and min-id star
+    * assignment in pure SQL. Pins dim=64 (fixture dim). */
+  private def nearEmbOracleSql: String = {
+    val dim = 64
+    val tables = 8
+    val planes = 3
+    val vals = (for { t <- 0 until tables; p <- 0 until planes } yield
+      s"($t, $p, [${planeComponents(64 + t * planes + p, dim).mkString(",")}])"
+    ).mkString(",\n        ")
+    s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      planes(tbl, p, comps) AS (VALUES
+        $vals),
+      proj AS (SELECT vec_id, tbl, p,
+                      list_sum(list_transform(range(1, ${dim + 1}), i -> qe[i] * comps[i])) AS pr
+               FROM q CROSS JOIN planes),
+      cells AS (SELECT vec_id, tbl,
+                       CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS cell
+                FROM proj GROUP BY vec_id, tbl),
+      cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+               FROM cells a JOIN cells b
+                 ON a.tbl = b.tbl AND a.cell = b.cell AND a.vec_id < b.vec_id),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      d AS (SELECT cand.id1, cand.id2
+            FROM cand
+              JOIN e a ON a.vec_id = cand.id1
+              JOIN e b ON b.vec_id = cand.id2 AND a.i = b.i
+            GROUP BY cand.id1, cand.id2
+            HAVING SUM(a.v * b.v) >= 400000000000),
+      nbr AS (SELECT id1 AS vid, id2 AS nbr FROM d
+              UNION ALL SELECT id2, id1 FROM d),
+      m AS (SELECT vid, MIN(nbr) AS mn FROM nbr GROUP BY vid)
+      SELECT q.vec_id,
+             COALESCE(LEAST(m.mn, q.vec_id), q.vec_id) AS canonical_id,
+             (COALESCE(LEAST(m.mn, q.vec_id), q.vec_id) = q.vec_id) AS is_canonical
+      FROM q LEFT JOIN m ON m.vid = q.vec_id ORDER BY q.vec_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "knn_ivf_topk" -> ivfOracleSql,
     "vec_pq_codes" -> pqOracleSql,
+    "dedup_near_embedding" -> nearEmbOracleSql,
     // The decode itself is stubbed (no codec libs), but its byte-statistics
     // output is differential: DuckDB re-derives the same stats from the text
     // via a per-character fold (ord == byte on the all-ascii fixture, which
