@@ -33,7 +33,7 @@ object DedupOps extends OpRegistry {
     * highest-signal case entirely (201 copies of the same boilerplate is
     * exactly what a 100 TB dedup must catch; review r2 finding). The star
     * keeps the cluster connected in O(B) pairs. */
-  private val MaxBandBucket = 200
+  private[graft] val MaxBandBucket = 200
 
   /** Distinct 3-token shingles per doc — shared kernel, see
     * [[Shingling.shingleArray]]. */

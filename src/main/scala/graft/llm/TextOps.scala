@@ -36,10 +36,14 @@ object TextOps extends OpRegistry {
   /** Skew guard for the shared-shingle candidate join: a shingle present in
     * B documents expands to B² candidate rows, so one corpus-common
     * "stop-shingle" is a quadratic hot key at 100 TB. Shingles above this
-    * document frequency are excluded from the intersection join (mirrored
-    * exactly in the oracle SQL so hashes still match); they carry almost no
-    * pair-discrimination signal. */
-  private val MaxShingleDf = 100
+    * document frequency are excluded from the WHOLE computation — both the
+    * intersection join and the per-doc set sizes, so inter/uni/jac are an
+    * internally consistent Jaccard over the capped shingle universe (ADVICE
+    * r2: capping only the intersection understated jac and was not a
+    * Jaccard of anything). Mirrored exactly in the oracle SQL. Visible to
+    * tests (private[graft]) so they can assert their corpora stay sub-cap,
+    * where capped == exact Jaccard. */
+  private[graft] val MaxShingleDf = 100
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
@@ -59,7 +63,6 @@ object TextOps extends OpRegistry {
       val docsArr = t(s, dir)("documents").select(col("doc_id"),
         Shingling.shingleArray(col("text"), hashed = true).as("shs"))
       val sh = docsArr.select(col("doc_id"), explode(col("shs")).as("sh_h"))
-      val sizes = docsArr.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
       // df-cap the posting lists before the self-join (see MaxShingleDf) via
       // a count-window over sh_h. Measured note: a broadcast anti-join
       // against the heavy-hitter set looks cheaper on paper (no sort), but
@@ -71,6 +74,9 @@ object TextOps extends OpRegistry {
       val wdf = Window.partitionBy("sh_h")
       val shCapped = sh.withColumn("df", count(lit(1)).over(wdf))
         .filter(col("df") <= MaxShingleDf).drop("df")
+      // set sizes over the SAME capped universe as the intersection (ADVICE
+      // r2 consistency): reuses the window exchange a third time
+      val sizes = shCapped.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = shCapped.as("a").join(shCapped.as("b"),
           col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -279,11 +285,11 @@ object TextOps extends OpRegistry {
       sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
       sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-      sz AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
       shc AS (SELECT doc_id, shingle FROM (
                 SELECT doc_id, shingle,
                        COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
               WHERE df <= 100),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM shc GROUP BY doc_id),
       ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
              GROUP BY 1, 2)

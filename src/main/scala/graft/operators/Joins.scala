@@ -138,9 +138,10 @@ object Joins extends OpRegistry {
       // turns an everyday fact-dim join from a full-network shuffle into a
       // local merge at scale.
       val tt = t(s, dir) _
-      // external tables at a fresh path per run: a stale warehouse dir from
-      // an earlier session would otherwise collide with a fresh catalog
-      val base = s"/tmp/graft_bucketed_${java.util.UUID.randomUUID().toString.take(8)}"
+      // fixed external path: DROP + mode(overwrite) replaces both catalog
+      // entry and files, so repeated runs reuse one directory instead of
+      // accumulating UUID-suffixed copies under /tmp (ADVICE r2)
+      val base = "/tmp/graft_bucketed"
       s.sql("DROP TABLE IF EXISTS graft_b_orders")
       s.sql("DROP TABLE IF EXISTS graft_b_customer")
       tt("orders").select("o_orderkey", "o_custkey", "o_totalprice")

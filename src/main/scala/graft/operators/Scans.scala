@@ -43,7 +43,9 @@ object Scans extends OpRegistry {
       // Write->read round-trip through the csv sink; returns per-flag counts
       // so the driver's rows>0 check is meaningful. Unit test asserts
       // equality with the direct read.
-      val out = s"/tmp/graft_sink_csv_${java.util.UUID.randomUUID().toString.take(8)}"
+      // fixed path + overwrite: a UUID-per-run path accumulated unbounded
+      // /tmp data across repeated Verify/Bench runs (ADVICE r2)
+      val out = "/tmp/graft_sink_csv"
       val src = t(s, dir)("nation")
       src.write.mode("overwrite").option("header", "true").csv(out)
       val back = s.read.option("header", "true").option("inferSchema", "true").csv(out)
@@ -53,7 +55,7 @@ object Scans extends OpRegistry {
     }),
 
     "sink_json_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_sink_json_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = "/tmp/graft_sink_json"
       val src = t(s, dir)("region")
       src.write.mode("overwrite").json(out)
       s.read.json(out).select("r_regionkey", "r_name").orderBy("r_regionkey")
@@ -64,7 +66,7 @@ object Scans extends OpRegistry {
       // parquet): write supplier as ORC, read it back, aggregate — ORC
       // preserves types exactly (no csv/json narrowing), so the read-back
       // aggregate must equal the same aggregate on the source table.
-      val out = s"/tmp/graft_sink_orc_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = "/tmp/graft_sink_orc"
       val src = t(s, dir)("supplier")
       src.write.mode("overwrite").orc(out)
       s.read.orc(out)
@@ -79,7 +81,7 @@ object Scans extends OpRegistry {
       // that lets a 100 TB table answer a partition-selective query by
       // listing one directory. The read-back filter must appear as a
       // PartitionFilter (not a data filter) in the scan; PlanSpec asserts it.
-      val out = s"/tmp/graft_part_orders_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = "/tmp/graft_part_orders"
       t(s, dir)("orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
       s.read.parquet(out)

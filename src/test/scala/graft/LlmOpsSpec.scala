@@ -10,6 +10,15 @@ class LlmOpsSpec extends GraftSuite {
   import spark.implicits._
 
   test("minhash-LSH candidates cover every Jaccard>=0.8 pair (sub-cap buckets regime)") {
+    // jaccard_pairs computes Jaccard over the df-capped shingle universe; on
+    // this fixture no shingle reaches the cap (measured max df 9), so jac IS
+    // exact Jaccard and remains valid LSH ground truth. Assert that
+    // precondition so a fixture change fails loudly here.
+    val maxDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.llm.Shingling.shingleArray($"text", hashed = true)).as("h"))
+      .groupBy("h").count().agg(max("count")).head().getLong(0)
+    assert(maxDf <= graft.llm.TextOps.MaxShingleDf,
+      s"fixture max shingle df $maxDf exceeds the cap; jac is no longer exact ground truth")
     val exact = q("jaccard_pairs").filter($"jac" >= 0.8)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     val cand = q("dedup_near_minhash")

@@ -147,9 +147,25 @@ class PropertySpec extends GraftSuite {
     else (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
   }
 
+  /** The ops' skew caps (shingle df <= MaxShingleDf, band bucket <=
+    * MaxBandBucket) are NOT modeled by the uncapped Scala oracles below;
+    * they only agree when the generated corpus never trips either cap. This
+    * guard makes that precondition explicit, so a future generator bump
+    * fails HERE with a clear message instead of producing silent false
+    * failures (ADVICE r2). Max shingle df and max band-bucket occupancy are
+    * both bounded by the document count. */
+  private def assertCapsInert(docs: Seq[(Long, String)]): Unit = {
+    val bound = docs.size
+    assert(bound <= graft.llm.TextOps.MaxShingleDf
+        && bound <= graft.llm.DedupOps.MaxBandBucket,
+      s"generator produced $bound docs — caps (df<=${graft.llm.TextOps.MaxShingleDf}, " +
+        s"bucket<=${graft.llm.DedupOps.MaxBandBucket}) may fire; model them in the oracle first")
+  }
+
   test("property: jaccard_pairs matches an exact Scala oracle (symmetric, in range)") {
     for (s <- seeds) {
       val docs = sample(docsGen, s)
+      assertCapsInert(docs)
       val dir = writeDir("documents" -> docs.toDF("doc_id", "text"))
       val got = SparkEntry.queries("jaccard_pairs")(spark, dir)
         .select("id1", "id2", "inter", "uni")
@@ -178,6 +194,7 @@ class PropertySpec extends GraftSuite {
         val dup = (toks.dropRight(1) :+ "omega").mkString(" ")
         Seq((id * 2, t), (id * 2 + 1, dup))
       }
+      assertCapsInert(planted)
       val dir = writeDir("documents" -> planted.toDF("doc_id", "text"))
       val cand = SparkEntry.queries("dedup_near_minhash")(spark, dir)
         .select("id1", "id2").as[(Long, Long)].collect().toSet
