@@ -97,4 +97,19 @@ trait OpRegistry {
   /** Convenience: table loader bound to the op's sfDir. */
   protected def t(spark: SparkSession, sfDir: String)(name: String): DataFrame =
     Tables.load(spark, sfDir, name)
+
+  /** Loader for ops whose map-side work dominates (shingling, regex,
+    * per-element vector math): a small single-file table is one parquet
+    * row-group, so Spark's byte-range file splits give it ONE task and the
+    * whole per-row pipeline runs single-threaded regardless of cores
+    * (measured: the sf0.1 documents scan serialized ~2 s of shingling per
+    * query). Round-robin repartition spreads it across the cluster; the
+    * condition makes it a NO-OP at scale, where a 100 TB table already
+    * scans as thousands of splits and a blind repartition would be a
+    * pointless full-table shuffle. */
+  protected def tWide(spark: SparkSession, sfDir: String)(name: String): DataFrame = {
+    val df = Tables.load(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -57,7 +57,7 @@ object DedupOps extends OpRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_near_minhash" -> ((s, dir) => {
-      val sig = minhashSignature(shingles(t(s, dir)("documents")))
+      val sig = minhashSignature(shingles(tWide(s, dir)("documents")))
       // band hash = hash of the band's 4 signature slots
       val bandCols = (0 until Bands).map { b =>
         val slots = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
@@ -88,7 +88,7 @@ object DedupOps extends OpRegistry {
       // 64-bit simhash over token xxhash64s: per bit, majority vote of
       // +1/-1 contributions. One explode + 64 conditional sums (single
       // aggregation pass), then bit-assembly — no per-bit shuffle.
-      val toks = t(s, dir)("documents")
+      val toks = tWide(s, dir)("documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .withColumn("h", xxhash64(col("token")))
       val bitSums = (0 until 64).map(i =>
@@ -108,7 +108,7 @@ object DedupOps extends OpRegistry {
       // lang from the corpus, score each doc by profile overlap, predict
       // argmax (ties -> lang asc). Self-verified: deterministic and
       // exercises the full train/apply pipeline shape.
-      langId(t(s, dir)("documents"))),
+      langId(tWide(s, dir)("documents"))),
   )
 
   /** text_langid implementation (separate for readability).

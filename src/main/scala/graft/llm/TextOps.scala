@@ -47,7 +47,7 @@ object TextOps extends OpRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
-      t(s, dir)("documents")
+      tWide(s, dir)("documents")
         .select(sha2(lower(trim(col("text"))), 256).as("h"), col("doc_id"))
         .groupBy("h")
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
@@ -60,7 +60,7 @@ object TextOps extends OpRegistry {
       // (P ≈ pairs²/2^64 ≈ 1e-10 at sf0.1) — the same trade minhash makes.
       // Per-doc shingle-set sizes come from the array form MAP-SIDE (no
       // groupBy shuffle over the exploded posting rows).
-      val docsArr = t(s, dir)("documents").select(col("doc_id"),
+      val docsArr = tWide(s, dir)("documents").select(col("doc_id"),
         Shingling.shingleArray(col("text"), hashed = true).as("shs"))
       val sh = docsArr.select(col("doc_id"), explode(col("shs")).as("sh_h"))
       // df-cap the posting lists before the self-join (see MaxShingleDf) via
@@ -92,7 +92,7 @@ object TextOps extends OpRegistry {
     }),
 
     "text_wordcount" -> ((s, dir) =>
-      t(s, dir)("documents")
+      tWide(s, dir)("documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .groupBy("lang", "token")
         .agg(count(lit(1)).as("cnt"))
@@ -100,7 +100,7 @@ object TextOps extends OpRegistry {
         .limit(50)),
 
     "text_tfidf_top" -> ((s, dir) => {
-      val docs = t(s, dir)("documents")
+      val docs = tWide(s, dir)("documents")
       val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -116,6 +116,7 @@ object TextOps extends OpRegistry {
         .orderBy("doc_id", "rn")
     }),
 
+    // no tWide: pure scalar-column agg, no per-row text work to spread
     "text_lang_profile" -> ((s, dir) =>
       t(s, dir)("documents")
         .groupBy("lang")
@@ -128,7 +129,7 @@ object TextOps extends OpRegistry {
     "text_quality_score" -> ((s, dir) => {
       val stop = StopWords
       val toks = split(col("text"), " ")
-      t(s, dir)("documents").select(
+      tWide(s, dir)("documents").select(
         col("doc_id"), col("n_chars"),
         size(toks).as("n_tokens"),
         r6(length(col("text")).cast("double") / size(toks)).as("avg_tok_len"),
@@ -139,7 +140,7 @@ object TextOps extends OpRegistry {
     }),
 
     "text_token_count" -> ((s, dir) =>
-      t(s, dir)("documents").select(
+      tWide(s, dir)("documents").select(
         col("doc_id"),
         size(split(col("text"), " ")).as("ws_tokens"),
         expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))").as("bpe_ish_tokens"))
@@ -151,7 +152,7 @@ object TextOps extends OpRegistry {
       // form a pipeline needs to propagate labels/weights from dropped
       // duplicates onto survivors. One window over the hash.
       val h = sha2(lower(trim(col("text"))), 256)
-      t(s, dir)("documents").select(col("doc_id"), h.as("h"))
+      tWide(s, dir)("documents").select(col("doc_id"), h.as("h"))
         .withColumn("canonical_id", min(col("doc_id")).over(Window.partitionBy("h")))
         .select(col("doc_id"), col("canonical_id"),
           (col("doc_id") === col("canonical_id")).as("is_canonical"))
@@ -165,7 +166,7 @@ object TextOps extends OpRegistry {
       // instead of ratio <= 0.5) — zero float-comparison dialect risk.
       val stop = StopWords
       val toks = split(col("text"), " ")
-      t(s, dir)("documents")
+      tWide(s, dir)("documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           size(toks).as("n_tokens"),
           size(filter(toks, x => x.isin(stop: _*))).as("stop_cnt"),
@@ -181,7 +182,7 @@ object TextOps extends OpRegistry {
       // collapsed; emits the scrubbed text, a mask count, and the content
       // hash a downstream exact-dedup would key on. Patterns restricted to
       // the regex subset Java and RE2 interpret identically.
-      t(s, dir)("documents").select(
+      tWide(s, dir)("documents").select(
         col("doc_id"),
         scrubExpr(col("text")).as("scrubbed"),
         size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_masked"))
@@ -196,7 +197,7 @@ object TextOps extends OpRegistry {
       // window over the content hash, stats one aggregation.
       val stop = StopWords
       val toks = split(col("text"), " ")
-      val kept = t(s, dir)("documents")
+      val kept = tWide(s, dir)("documents")
         .withColumn("n_tokens", size(toks))
         .withColumn("stop_cnt", size(filter(toks, x => x.isin(stop: _*))))
         .withColumn("punct_cnt", length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
@@ -239,7 +240,7 @@ object TextOps extends OpRegistry {
       // on lang, partial sort per partition — the shape that holds when
       // "per language" is 10 TB each.
       val toks = split(col("text"), " ")
-      val scored = t(s, dir)("documents").select(
+      val scored = tWide(s, dir)("documents").select(
         col("doc_id"), col("lang"),
         (size(toks).cast("long") * 10
           - size(filter(toks, x => x.isin(StopWords: _*))).cast("long") * 5
@@ -256,7 +257,7 @@ object TextOps extends OpRegistry {
       // Character-trigram frequency table per language — the n-gram stats a
       // langid/quality model trains on. Map-side transform+explode, one
       // partial+final agg, global top-100 with a total tiebreak order.
-      t(s, dir)("documents")
+      tWide(s, dir)("documents")
         .select(col("lang"), explode(expr(
           """transform(
                CASE WHEN length(text) >= 3 THEN sequence(1, length(text) - 2)
@@ -267,9 +268,65 @@ object TextOps extends OpRegistry {
         .orderBy(col("cnt").desc, col("lang"), col("tri"))
         .limit(100)),
 
+    "docs_length_buckets" -> ((s, dir) => {
+      // Token-length histogram per language — the stats a batch-packing /
+      // curriculum scheduler reads before deciding sequence budgets. Bucket
+      // width 20 tokens, capped at bucket 10. Pure integer math; one
+      // partial+final aggregate.
+      val nTok = size(split(col("text"), " ")).cast("long")
+      tWide(s, dir)("documents")
+        .select(col("lang"), nTok.as("n_tokens"))
+        .withColumn("bucket", least(floor(col("n_tokens") / 20).cast("long"), lit(10L)))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tok"), max(col("n_tokens")).as("max_tok"),
+          sum(col("n_tokens")).as("sum_tok"))
+        .orderBy("lang", "bucket")
+    }),
+
+    "docs_pack_greedy" -> ((s, dir) => {
+      // Sequence packing for training batches: within each language, docs
+      // (ordered by doc_id) fill batches of ~2000 tokens — batch id =
+      // floor(exclusive-prefix-sum / budget), so a batch may overflow by at
+      // most one document (greedy fill). The window and the final groupBy
+      // both key on lang: one shuffle, prefix sums run locally per
+      // partition — the shape that survives per-language corpora of
+      // billions of docs.
+      val budget = 2000L
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tWide(s, dir)("documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("batch_id", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+        .groupBy("lang", "batch_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "batch_id")
+    }),
+
+    "text_dup_ngram_rate" -> ((s, dir) => {
+      // Within-document repetition metric (the Gopher-style quality signal):
+      // share of token trigrams that are repeats of an earlier trigram in
+      // the same doc. total = n_tokens - 2 occurrences, uniq = distinct
+      // trigram count (the shared Shingling kernel), rep6 = 1 - uniq/total.
+      // Entirely map-side per doc; the only shuffle is the output sort.
+      val nTok = size(split(col("text"), " "))
+      val total = greatest(nTok - 2, lit(0)).cast("long")
+      val uniq = size(Shingling.shingleArray(col("text"), hashed = false)).cast("long")
+      tWide(s, dir)("documents")
+        .select(col("doc_id"), total.as("total_tri"), uniq.as("uniq_tri"))
+        .withColumn("rep6",
+          when(col("total_tri") > 0,
+            r6(lit(1.0) - col("uniq_tri").cast("double") / col("total_tri")))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id")
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       // Content-defined fingerprint: hash of the sorted distinct token bag.
-      t(s, dir)("documents").select(
+      tWide(s, dir)("documents").select(
         col("doc_id"),
         md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))).as("fp_bow"),
         size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"))
@@ -410,6 +467,43 @@ object TextOps extends OpRegistry {
               FROM documents WHERE length(text) >= 3))
       GROUP BY lang, tri
       ORDER BY cnt DESC, lang, tri LIMIT 100""",
+    "docs_length_buckets" -> """
+      SELECT lang, bucket, COUNT(1) AS n_docs,
+             MIN(n_tokens) AS min_tok, MAX(n_tokens) AS max_tok,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tok
+      FROM (SELECT lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   LEAST(CAST(floor(CAST(len(string_split(text, ' ')) AS BIGINT) / 20) AS BIGINT),
+                         10) AS bucket
+            FROM documents)
+      GROUP BY lang, bucket ORDER BY lang, bucket""",
+    "docs_pack_greedy" -> """
+      WITH d AS (SELECT lang, doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT lang, doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM d)
+      SELECT lang, CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS batch_id,
+             COUNT(1) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id""",
+    "text_dup_ngram_rate" -> s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      base AS (SELECT doc_id,
+                      GREATEST(CAST(len(ts) AS BIGINT) - 2, 0) AS total_tri
+               FROM tok),
+      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
+      u AS (SELECT doc_id, COUNT(DISTINCT shingle) AS uniq_tri FROM sh0 GROUP BY doc_id)
+      SELECT b.doc_id, b.total_tri,
+             CAST(COALESCE(u.uniq_tri, 0) AS BIGINT) AS uniq_tri,
+             CASE WHEN b.total_tri > 0
+                  THEN ${r6Sql("1.0 - CAST(COALESCE(u.uniq_tri, 0) AS DOUBLE) / b.total_tri")}
+                  ELSE 0.0 END AS rep6
+      FROM base b LEFT JOIN u ON b.doc_id = u.doc_id
+      ORDER BY b.doc_id""",
     "text_fingerprint" -> """
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow,

@@ -90,9 +90,9 @@ object VectorOps extends OpRegistry {
       // DotQ per (m,k) — all codegen, no shuffle; the only shuffle is the
       // final global sort for output determinism. Ties break on smallest k
       // (struct ordering), mirrored by the oracle's ORDER BY dist, k.
-      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val dim = tWide(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
       val subDim = dim / PqSubspaces
-      val e = t(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val e = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
       val perSub = (0 until PqSubspaces).map { m =>
         val sub = slice(col("qe"), m * subDim + 1, subDim)
         val subsq = dotQ(s, sub, sub)
@@ -111,7 +111,7 @@ object VectorOps extends OpRegistry {
     }),
 
     "knn_cosine_topk" -> ((s, dir) => {
-      val e = t(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val e = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qe").as("qv"))
       val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
@@ -126,7 +126,7 @@ object VectorOps extends OpRegistry {
     }),
 
     "sim_threshold_pairs" -> ((s, dir) => {
-      val e = t(s, dir)("embeddings").filter(col("vec_id") < 100)
+      val e = tWide(s, dir)("embeddings").filter(col("vec_id") < 100)
         .select(col("vec_id"), quantize(col("embedding")).as("qe"))
       val a = e.select(col("vec_id").as("id1"), col("qe").as("q1"))
       val b = e.select(col("vec_id").as("id2"), col("qe").as("q2"))
@@ -139,7 +139,7 @@ object VectorOps extends OpRegistry {
     }),
 
     "vec_norm_stats" -> ((s, dir) => {
-      val e = t(s, dir)("embeddings")
+      val e = tWide(s, dir)("embeddings")
         .withColumn("qe", quantize(col("embedding")))
         .withColumn("sumsq_q", dotQ(s, col("qe"), col("qe")))
         .withColumn("norm_q",
@@ -195,10 +195,10 @@ object VectorOps extends OpRegistry {
       // per table: cell count scales exponentially, probe count stays 22L.
       val NumTables = IvfTables
       val Planes = IvfPlanes
-      val e = t(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val e = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
       // Embedding dim from the data (a literal-plane/array length mismatch
       // would silently null out projections — ADVICE r1); one-row scan.
-      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val dim = tWide(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
       // cell bits for table tb: sign of <qe, plane(tb, p)> with deterministic
       // zero-mean integer planes baked in as literals (no per-row hashing).
       def cellOf(qe: Column, tb: Int): Column =
@@ -246,8 +246,8 @@ object VectorOps extends OpRegistry {
       val NumTables = 8
       val Planes = 3
       val Threshold = 400000000000L // 0.40 * 1e12 in quantized dot units
-      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
-      val e = t(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val dim = tWide(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val e = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
       def cellOf(qe: Column, tb: Int): Column =
         (0 until Planes).map { p =>
           val plane = planeComponents(64 + tb * Planes + p, dim)
@@ -280,7 +280,7 @@ object VectorOps extends OpRegistry {
       // toward zero, DuckDB `//` floors). Sums are serialized as CSV text
       // (D7). Shape: posexplode → (label, dim) partial+final agg → one
       // shuffle keyed (label, dim); re-assembled with an ordered collect.
-      val e = t(s, dir)("embeddings")
+      val e = tWide(s, dir)("embeddings")
         .select(col("label"), quantize(col("embedding")).as("qe"))
       val pe = e.select(col("label"), posexplode(col("qe")).as(Seq("i", "v")))
       pe.groupBy("label", "i")
@@ -300,7 +300,7 @@ object VectorOps extends OpRegistry {
       // image/audio decode is STUBBED (container has no codec libs) with a
       // deterministic byte-statistics extractor; schema, partitioning and
       // batch shape are the real Spark surface a decode UDF would use.
-      val src = t(s, dir)("documents")
+      val src = tWide(s, dir)("documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"),
           struct(col("lang"), col("source"), col("n_chars")).as("meta"))
       import s.implicits._

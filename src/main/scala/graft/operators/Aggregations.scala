@@ -160,6 +160,40 @@ object Aggregations extends OpRegistry {
           Array(col("price"), col("cust")), "metric", "value")
         .orderBy("o_orderkey", "metric")
     }),
+    "agg_corr_covar" -> ((s, dir) => {
+      // Distributed two-variable statistics (Pearson corr, sample covar,
+      // stddev) from EXACT integer moment sums. Built-in corr()/covar_samp()
+      // fold doubles in partition order — non-deterministic across engines
+      // and plans — so instead the five moments are accumulated as exact
+      // cent-quantized sums (BIGINT products, DECIMAL(38,0) sums: y² ≈ 1e14
+      // per row fits int64, but the 600k-row SUM would overflow it), and the
+      // double arithmetic runs once per group on those exact scalars.
+      // Scale shape: one partial+final hash aggregate, 6 buffers, no extra
+      // shuffle — the moment-sum trick is exactly how distributed stats
+      // engines keep reducers mergeable.
+      import org.apache.spark.sql.types.DecimalType
+      val d = DecimalType(38, 0)
+      val g = t(s, dir)("lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("x"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d)).cast("double").as("sx"),
+          sum(col("y").cast(d)).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(d)).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast(d)).cast("double").as("syy"),
+          sum((col("x") * col("y")).cast(d)).cast("double").as("sxy"))
+      val nD = col("n").cast("double")
+      g.select(col("l_returnflag"), col("n"),
+          r6((nD * col("sxy") - col("sx") * col("sy")) /
+            sqrt((nD * col("sxx") - col("sx") * col("sx"))
+              * (nD * col("syy") - col("sy") * col("sy")))).as("corr6"),
+          r6((col("sxy") - col("sx") * col("sy") / nD) / (nD - 1) / lit(1e4)).as("covar6"),
+          r6(sqrt((nD * col("sxx") - col("sx") * col("sx")) / (nD * (nD - 1))) / lit(100.0))
+            .as("stddev_qty6"))
+        .orderBy("l_returnflag")
+    }),
     "agg_median" -> ((s, dir) => {
       // Exact median as the (lo, hi) middle-value pair — no interpolation
       // arithmetic, so no cross-engine float divergence (SURVEY §7.4.3).
@@ -179,6 +213,22 @@ object Aggregations extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "agg_corr_covar" -> s"""
+      WITH m AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem),
+      g AS (SELECT l_returnflag, COUNT(1) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+                   CAST(SUM(x*y) AS DOUBLE) AS sxy
+            FROM m GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             ${r6Sql("(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))")} AS corr6,
+             ${r6Sql("(sxy - sx*sy/n) / (n-1) / 10000.0")} AS covar6,
+             ${r6Sql("sqrt((n*sxx - sx*sx) / (n*(n-1))) / 100.0")} AS stddev_qty6
+      FROM g ORDER BY l_returnflag""",
     "agg_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,

@@ -86,6 +86,30 @@ object Windows extends OpRegistry {
           nth_value(col("c_custkey"), 3).over(w).as("third_k"))
         .orderBy("c_custkey")
     }),
+    "events_sessionize" -> ((s, dir) => {
+      // Batch sessionization — assign every event a session id (new session
+      // when >30 min elapses since the user's previous event), then emit
+      // per-session stats. The classic lag→flag→running-sum shape: both
+      // windows and the final groupBy key on user_id, so it is ONE shuffle
+      // (the sort/exchange is reused across all three), and at 100 TB each
+      // user's timeline sorts locally in its partition. Times in exact
+      // integer micros (D4b).
+      val gapUs = 30L * 60L * 1000000L
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir)("events")
+        .select(col("user_id"), col("event_id"), tsDivMicros(col("ts")).as("ts_us"))
+        .withColumn("is_new",
+          when(col("ts_us") - lag("ts_us", 1).over(wOrd) > gapUs, 1L)
+            .when(lag("ts_us", 1).over(wOrd).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+          min(col("event_id")).as("first_event"))
+        .withColumn("dur_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_id")
+    }),
     "win_ntile_pctrank" -> ((s, dir) => {
       val w = Window.partitionBy("c_mktsegment")
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -99,6 +123,24 @@ object Windows extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "events_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1
+                    WHEN LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sess AS (
+        SELECT user_id, event_id, ts_us,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, COUNT(1) AS n_events,
+             MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             MIN(event_id) AS first_event,
+             MAX(ts_us) - MIN(ts_us) AS dur_us
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
     "win_rank_dense_row" -> """
       SELECT c_custkey, c_mktsegment, c_acctbal,
              CAST(RANK() OVER w AS INT) AS rnk, CAST(DENSE_RANK() OVER w AS INT) AS drnk, CAST(ROW_NUMBER() OVER w AS INT) AS rn

@@ -138,6 +138,34 @@ class CoreOperatorSpec extends GraftSuite {
     assert(h.contains("ShuffledHashJoin"), s"hash plan:\n$h")
   }
 
+  test("agg_corr_covar: corr in [-1,1]; stddev positive; groups complete") {
+    val rows = q("agg_corr_covar").collect()
+    assert(rows.map(_.getAs[String]("l_returnflag")).toSet == Set("A", "N", "R"))
+    rows.foreach { r =>
+      val corr = r.getAs[Double]("corr6")
+      assert(corr >= -1.0 && corr <= 1.0, s"corr out of range: $corr")
+      assert(r.getAs[Double]("stddev_qty6") > 0.0)
+    }
+  }
+
+  test("events_sessionize: sessions partition events; durations bound gaps") {
+    val rows = q("events_sessionize").collect()
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total,
+      "every event must land in exactly one session")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dur_us") >= 0)
+      // a session of n events with every gap <= 30 min can span at most
+      // (n-1) * 30 min
+      assert(r.getAs[Long]("dur_us") <= (r.getAs[Long]("n_events") - 1) * 1800000000L)
+    }
+    // session ids are 1-based and contiguous per user
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("session_id")).sorted.toSeq
+      assert(ids == (1L to ids.length.toLong))
+    }
+  }
+
   test("oracle coverage: every oracleSql key has a query; column names align") {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet

@@ -159,6 +159,50 @@ class LlmOpsSpec extends GraftSuite {
     }
   }
 
+  test("docs_length_buckets: histogram partitions the corpus; buckets bound tokens") {
+    val rows = q("docs_length_buckets").collect()
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 10)
+      assert(r.getAs[Long]("min_tok") >= b * 20, "doc below its bucket floor")
+      if (b < 10) assert(r.getAs[Long]("max_tok") < (b + 1) * 20, "doc above its bucket ceiling")
+    }
+  }
+
+  test("docs_pack_greedy: batches partition the corpus; overflow bounded by one doc") {
+    val rows = q("docs_pack_greedy").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("batch_id"))
+      // doc_id ranges of consecutive batches must not interleave
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+      // exclusive-prefix batching: a non-final batch can fall short of the
+      // 2000-token budget by at most one document (greedy fill)
+      val maxTok = docs
+        .selectExpr("max(size(split(text, ' ')))").head().getInt(0)
+      sorted.dropRight(1).foreach { r =>
+        assert(r.getAs[Long]("sum_tokens") >= 2000 - maxTok,
+          "non-final batch left more than a max-doc of unused budget")
+      }
+    }
+  }
+
+  test("text_dup_ngram_rate: rates in [0,1]; uniq bounded by total") {
+    q("text_dup_ngram_rate").collect().foreach { r =>
+      val (t, u) = (r.getAs[Long]("total_tri"), r.getAs[Long]("uniq_tri"))
+      assert(u <= t || (t == 0 && u == 0))
+      val rep = r.getAs[Double]("rep6")
+      assert(rep >= 0.0 && rep <= 1.0)
+    }
+  }
+
   test("multimodal_features checksum is deterministic byte stats") {
     val f = q("multimodal_features")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
