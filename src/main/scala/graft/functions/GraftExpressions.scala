@@ -100,16 +100,26 @@ case class DotQ(left: Expression, right: Expression)
   */
 object GraftExpressions {
   val DotQName = "graft_dot_q"
+  val HllName = "graft_hll_distinct"
 
   def register(spark: SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotQName, exprs => DotQ(exprs.head, exprs(1)), "scala_udf")
+    // bare AggregateFunction: the analyzer wraps it in AggregateExpression
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HllName, exprs => HllDistinct(exprs.head), "scala_udf")
   }
 
   /** Column form of the fused dot product; registers on first use. */
   def dotQ(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(DotQName, a, b)
+  }
+
+  /** Column form of the mergeable HLL distinct-count; registers on first use. */
+  def hllDistinct(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function(HllName, c)
   }
 }

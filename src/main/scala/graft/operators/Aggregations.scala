@@ -130,6 +130,17 @@ object Aggregations extends OpRegistry {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
     }),
+    "agg_hll_custom" -> ((s, dir) =>
+      // Custom mergeable HLL sketch (graft.functions.HllDistinct, a
+      // TypedImperativeAggregate): per-partition 4 KB register arrays merge
+      // by element-wise max through Spark's partial/final path. No oracle
+      // (sketch is built on Spark-private xxhash64); ExpressionSpec asserts
+      // ±5% of exact and partitioning-invariance.
+      t(s, dir)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(graft.functions.GraftExpressions.hllDistinct(s, col("l_partkey")).as("hll_parts"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
     "agg_udaf_sumsq" -> ((s, dir) => {
       val sumsq = udaf(new SumSqAgg)
       t(s, dir)("lineitem")

@@ -44,13 +44,35 @@ object Streaming extends OpRegistry {
       .withColumn("ts_ts", tsMicros(col("ts")))
   }
 
+  /** State-store partition count for the real streaming queries. Stateful
+    * operators create one state store (plus its checkpoint dir) PER shuffle
+    * partition per stateful op, so a CPU-sized 32 means 64+ store inits for
+    * a stream-stream join — measured 12.5 s vs 3.3 s at 8 partitions on the
+    * fixture. State partitioning should track STATE VOLUME, not core count:
+    * 8 comfortably bounds the fixture's state; a 100 TB deployment raises
+    * it (the count is pinned by the first checkpoint, so it is a deploy-time
+    * choice either way). */
+  private val StreamStatePartitions = "8"
+
+  /** Scope `spark.sql.shuffle.partitions` to a streaming query's lifetime:
+    * set before start (the value is captured into the query's checkpoint at
+    * planning), restore after termination so batch queries keep the
+    * session's CPU-sized setting. */
+  private def withStreamPartitions[T](s: SparkSession)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run an availableNow streaming query into a memory sink, return table. */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
                           mode: OutputMode): DataFrame = {
     val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val q = df.writeStream.format("memory").queryName(qn)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamPartitions(s) {
+      val q = df.writeStream.format("memory").queryName(qn)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(qn)
   }
 
@@ -174,14 +196,16 @@ object Streaming extends OpRegistry {
       val agg = eventsStream(s, dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
-      val q = agg.writeStream
-        .outputMode(OutputMode.Complete())
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.write.mode("overwrite").parquet(s"$base/out_$batchId")
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = agg.writeStream
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$base/out_$batchId")
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       // final batch by NUMERIC batchId — lexicographic sort would pick
       // out_9 over out_10 once >=10 micro-batches exist (ADVICE r1)
       val last = new java.io.File(base).listFiles().filter(_.getName.startsWith("out_"))

@@ -57,6 +57,25 @@ class ExpressionSpec extends GraftSuite {
     assert(rows(1).getLong(0) == 14L)
   }
 
+  test("HllDistinct estimates within 5% of exact and is partitioning-invariant") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_d"))
+    val est = q("agg_hll_custom")
+    est.join(exact, "l_returnflag").collect().foreach { r =>
+      val e = r.getAs[Long]("hll_parts").toDouble
+      val x = r.getAs[Long]("exact_d").toDouble
+      assert(math.abs(e - x) / x < 0.05, s"hll $e vs exact $x")
+    }
+    // merge correctness: the estimate must not depend on how rows are split
+    // across partitions (different partial/merge trees, serialized buffers)
+    def run(parts: Int) = li.repartition(parts)
+      .groupBy("l_returnflag")
+      .agg(GraftExpressions.hllDistinct(spark, $"l_partkey").as("h"))
+      .orderBy("l_returnflag").collect().map(_.getAs[Long]("h")).toSeq
+    assert(run(1) == run(13), "HLL result changed with partitioning")
+  }
+
   test("DotQ runs inside WholeStageCodegen in the knn plan") {
     val df = q("knn_cosine_topk")
     df.collect() // finalize the adaptive plan before inspecting it
