@@ -19,6 +19,7 @@ object SparkEntry {
     functions.Scalars,
     operators.SortsLimits,
     operators.SetOps,
+    operators.Subqueries,
     operators.Analytics,
     llm.TextOps,
     llm.VectorOps,

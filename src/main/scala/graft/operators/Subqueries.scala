@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.OpRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §2 SQL-subquery surface: correlated EXISTS, IN-subquery, correlated
+  * scalar subqueries, and FILTER-clause aggregates, expressed as Spark SQL.
+  *
+  * These exercise Catalyst's decorrelation machinery (RewriteCorrelatedScalarSubquery,
+  * RewritePredicateSubquery): Spark rewrites each subquery into the
+  * corresponding join (left-semi for EXISTS/IN, left-outer + aggregate for
+  * scalar), which is exactly the shape that scales — a correlated subquery
+  * executed per-row would be a 100 TB disaster; the decorrelated join is
+  * one shuffle. DuckDB runs the identical SQL through its own unnesting,
+  * so the oracle is fully differential.
+  *
+  * Determinism: the scalar-subquery comparison is rearranged to
+  * multiplication-only integer math (price*cnt*2 > 3*sum in exact cents) —
+  * no division, no decimal-scale dialect rules, no float folding.
+  */
+object Subqueries extends OpRegistry {
+
+  private def sqlOn(s: SparkSession, dir: String, tables: Seq[String], q: String): DataFrame = {
+    tables.foreach(n => graft.Tables.load(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_exists_subquery" -> ((s, dir) =>
+      sqlOn(s, dir, Seq("customer", "orders"), """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        ORDER BY c_custkey""")),
+
+    "sql_in_subquery" -> ((s, dir) =>
+      sqlOn(s, dir, Seq("part", "lineitem"), """
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                            WHERE l_shipdate >= TIMESTAMP '2001-06-01')
+        ORDER BY p_partkey""")),
+
+    "sql_scalar_subquery" -> ((s, dir) =>
+      // orders priced above 1.5x their customer's mean order value;
+      // price > 1.5*(sum/cnt) rearranged to price*cnt*2 > 3*sum in exact
+      // cents so both engines compare integers. Two correlated scalar
+      // subqueries -> Catalyst decorrelates to one aggregate + join.
+      sqlOn(s, dir, Seq("orders"), """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                * (SELECT COUNT(1) FROM orders i WHERE i.o_custkey = o.o_custkey)
+                * 2
+              > 3 * (SELECT SUM(CAST(floor(i.o_totalprice * 100 + 0.5) AS BIGINT))
+                     FROM orders i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")),
+
+    "sql_filtered_agg" -> ((s, dir) =>
+      // FILTER (WHERE ...) clause aggregates: conditional aggregation
+      // without self-joins or CASE pyramids — one pass, partial+final.
+      sqlOn(s, dir, Seq("lineitem"), """
+        SELECT l_returnflag,
+               COUNT(1) AS cnt,
+               COUNT(1) FILTER (WHERE l_discount > 0.05) AS cnt_disc,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                 FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                 FILTER (WHERE l_tax = 0.0) AS DOUBLE) AS price_notax
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sql_exists_subquery" -> """
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+      ORDER BY c_custkey""",
+    "sql_in_subquery" -> """
+      SELECT p_partkey, p_name, p_brand
+      FROM part
+      WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                          WHERE l_shipdate >= TIMESTAMP '2001-06-01')
+      ORDER BY p_partkey""",
+    "sql_scalar_subquery" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+              * (SELECT COUNT(1) FROM orders i WHERE i.o_custkey = o.o_custkey)
+              * 2
+            > 3 * (SELECT SUM(CAST(floor(i.o_totalprice * 100 + 0.5) AS BIGINT))
+                   FROM orders i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""",
+    "sql_filtered_agg" -> """
+      SELECT l_returnflag,
+             COUNT(1) AS cnt,
+             COUNT(1) FILTER (WHERE l_discount > 0.05) AS cnt_disc,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+               FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+               FILTER (WHERE l_tax = 0.0) AS DOUBLE) AS price_notax
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+  )
+}

@@ -166,6 +166,23 @@ class CoreOperatorSpec extends GraftSuite {
     }
   }
 
+  test("sql_scalar_subquery: every returned order beats 1.5x its customer's mean") {
+    import org.apache.spark.sql.functions._
+    val rows = q("sql_scalar_subquery").collect()
+    assert(rows.nonEmpty)
+    val stats = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("o_custkey") -> (r.getAs[Long]("s"), r.getAs[Long]("n")))
+      .toMap
+    rows.foreach { r =>
+      val (s, n) = stats(r.getAs[Long]("o_custkey"))
+      val cents = math.floor(r.getAs[Double]("o_totalprice") * 100 + 0.5).toLong
+      assert(cents * n * 2 > 3 * s, s"order ${r.getAs[Long]("o_orderkey")} not above 1.5x mean")
+    }
+  }
+
   test("oracle coverage: every oracleSql key has a query; column names align") {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet

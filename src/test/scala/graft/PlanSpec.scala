@@ -59,4 +59,30 @@ class PlanSpec extends GraftSuite {
     val p = finalPlan("text_tfidf_top")
     assert(p.contains("BroadcastHashJoin"), s"df side not broadcast:\n$p")
   }
+
+  test("subqueries decorrelate to joins — never per-row subquery execution") {
+    // EXISTS / IN must become semi-joins
+    for (name <- Seq("sql_exists_subquery", "sql_in_subquery")) {
+      val p = finalPlan(name)
+      assert(p.contains("LeftSemi"), s"$name did not decorrelate to a semi-join:\n$p")
+    }
+    // the correlated scalar subqueries must become aggregate+join, with no
+    // nested-loop fallback
+    val p = finalPlan("sql_scalar_subquery")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")),
+      s"scalar subquery not decorrelated to aggregate+join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scalar subquery fell back to a nested loop:\n$p")
+  }
+
+  test("events_sessionize: windows and aggregate share one user_id exchange") {
+    // count only the executed section — AdaptiveSparkPlan's render repeats
+    // the tree under "== Initial Plan ==", which would double the tally
+    val p = finalPlan("events_sessionize").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    val reuses = "ReusedExchange".r.findAllIn(p).size
+    assert(exchanges - reuses <= 1,
+      s"sessionize should shuffle on user_id once ($exchanges exchanges, $reuses reused):\n$p")
+  }
 }
