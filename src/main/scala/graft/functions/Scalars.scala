@@ -138,6 +138,20 @@ object Scalars extends OpRegistry {
         md5(col("text")).as("md5h"))
         .orderBy("doc_id")),
 
+    "fn_bitwise" -> ((s, dir) =>
+      // Bitwise scalar family over 64-bit keys: AND/OR/XOR, shifts, bit
+      // count — the primitives behind bucket masks, bloom probes, and flag
+      // words. All exact integer ops, identical in any engine.
+      t(s, dir)("events").select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("band"),
+        col("event_id").bitwiseOR(lit(4096L)).as("bor"),
+        col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+        shiftleft(col("event_id"), 3).as("shl3"),
+        shiftright(col("event_id"), 2).as("shr2"),
+        bit_count(col("event_id")).as("nbits"))
+        .orderBy("event_id")),
+
     "udf_scalar" -> ((s, dir) => {
       // Scala UDF registration surface (§2.12); Catalyst-Expression upgrade
       // path documented in SURVEY §4 (perf-only).
@@ -240,6 +254,15 @@ object Scalars extends OpRegistry {
     "fn_hash" -> """
       SELECT doc_id, sha256(text) AS sha, md5(text) AS md5h
       FROM documents ORDER BY doc_id""",
+    "fn_bitwise" -> """
+      SELECT event_id,
+             event_id & 255 AS band,
+             event_id | 4096 AS bor,
+             xor(event_id, user_id) AS bxor,
+             event_id << 3 AS shl3,
+             event_id >> 2 AS shr2,
+             CAST(bit_count(event_id) AS INT) AS nbits
+      FROM events ORDER BY event_id""",
     "udf_scalar" -> """
       SELECT p_partkey, regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g') AS slug
       FROM part ORDER BY p_partkey""",

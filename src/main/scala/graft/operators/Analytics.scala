@@ -15,6 +15,22 @@ import org.apache.spark.sql.expressions.Window
 object Analytics extends OpRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_monthly_trend" -> ((s, dir) => {
+      // Time-series rollup + month-over-month delta: date_trunc to month,
+      // exact decimal revenue, lag window for the delta (subtraction stays
+      // decimal until the output boundary). The trend window is global
+      // (ORDER BY month, no partition) — fine for a bounded month count;
+      // a 100 TB deployment with an unbounded time axis would partition
+      // the window by year and stitch the year boundaries.
+      val m = t(s, dir)("orders")
+        .groupBy(to_date(date_trunc("MONTH", col("o_orderdate"))).as("month"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev_dec"), count(lit(1)).as("n_orders"))
+      val w = Window.orderBy("month")
+      m.withColumn("prev_dec", lag("rev_dec", 1).over(w))
+        .select(col("month"), col("rev_dec").cast("double").as("revenue"), col("n_orders"),
+          (col("rev_dec") - col("prev_dec")).cast("double").as("mom_delta"))
+        .orderBy("month")
+    }),
     "q_revenue_by_region" -> ((s, dir) => {
       val tt = t(s, dir) _
       val o = tt("orders")
@@ -81,6 +97,14 @@ object Analytics extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_monthly_trend" -> """
+      WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                        SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec,
+                        COUNT(1) AS n_orders
+                 FROM orders GROUP BY 1)
+      SELECT month, CAST(rev_dec AS DOUBLE) AS revenue, n_orders,
+             CAST(rev_dec - LAG(rev_dec) OVER (ORDER BY month) AS DOUBLE) AS mom_delta
+      FROM m ORDER BY month""",
     "q_revenue_by_region" -> """
       SELECT r_name,
              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
