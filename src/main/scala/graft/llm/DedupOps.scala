@@ -103,6 +103,55 @@ object DedupOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "dedup_components" -> ((s, dir) => {
+      // Connected components over the near-dup graph — the clustering step
+      // after candidate generation: a dedup group is a COMPONENT, not a
+      // pair list (A~B, B~C must put A and C in one group even when A~C was
+      // never scored). Distributed min-label propagation: every node starts
+      // labeled with itself; each round, nodes take the min label among
+      // themselves and their neighbors; fixpoint in O(diameter) rounds.
+      // This is the shape that scales — union-find does not distribute, but
+      // each propagation round is one join+aggregate over edges (the
+      // large-star/small-star variants cut the round count further at 100 TB
+      // diameters). Lineage is truncated per round (localCheckpoint), or the
+      // plan would double every iteration. Edges: capped-universe Jaccard
+      // pairs (jac > 0.1) — SQL-expressible, so DuckDB re-derives the same
+      // components with a recursive CTE and the op is fully oracle-checked.
+      // materialize=true pins the shared posting list once — the lazy form
+      // re-runs the whole shingling pipeline per consumer (see jaccardEdges)
+      val pairs = TextOps.jaccardEdges(s, dir, materialize = true)
+        .select("id1", "id2").localCheckpoint()
+      val bidir = pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      val docs = t(s, dir)("documents").select(col("doc_id"))
+      var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
+        .localCheckpoint()
+      // convergence via the exact label sum (DECIMAL — id sums overflow
+      // int64 at scale): per-node labels only ever decrease, so the sum is
+      // strictly decreasing until the fixpoint — one aggregate per round
+      // instead of a join+count change detector (halves per-round jobs)
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .head().getDecimal(0)
+      var prevSum = labelSum(labels)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 20) {
+        val msgs = bidir.join(labels, col("a") === col("node"))
+          .select(col("b").as("node"), col("label"))
+        val next = labels.union(msgs)
+          .groupBy("node").agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        val s2 = labelSum(next)
+        converged = s2.compareTo(prevSum) == 0
+        prevSum = s2
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+        .orderBy("doc_id")
+    }),
+
     "text_langid" -> ((s, dir) =>
       // Two-pass n-gram language ID: learn top-20 character bigrams per
       // lang from the corpus, score each doc by profile overlap, predict
@@ -154,6 +203,36 @@ object DedupOps extends OpRegistry {
   // text_langid is pure deterministic SQL logic since the r2 rewrite — the
   // doc-frequency profile and argmax scoring mirror exactly in DuckDB.
   def oracleSql: Map[String, String] = Map(
+    // Differential components check: DuckDB re-derives the same edge set
+    // (capped-universe Jaccard pairs, mirroring the jaccard_pairs oracle)
+    // and computes components by transitive closure in a recursive CTE —
+    // reach(node, label) accumulates every label reachable from node, and
+    // MIN over it is exactly the min-label-propagation fixpoint.
+    "dedup_components" -> """
+      WITH RECURSIVE
+      tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      shc AS (SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
+              WHERE df <= 100),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM shc GROUP BY doc_id),
+      ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pairs AS (SELECT id1, id2
+                FROM ix JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+                WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.1),
+      bidir AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION ALL SELECT id2, id1 FROM pairs),
+      reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT b.b, r.label FROM reach r JOIN bidir b ON r.node = b.a)
+      SELECT node AS doc_id, MIN(label) AS component_id
+      FROM reach GROUP BY node ORDER BY doc_id""",
     "text_langid" -> """
       WITH bg AS (
         SELECT DISTINCT doc_id, lang AS actual_lang, substring(text, i, 2) AS bigram

@@ -45,6 +45,49 @@ object TextOps extends OpRegistry {
     * where capped == exact Jaccard. */
   private[graft] val MaxShingleDf = 100
 
+  /** Shared exact-Jaccard pair kernel: (id1, id2, inter, uni) for pairs
+    * with jac > 0.1 over the capped shingle universe.
+    *
+    * Posting lists keyed by xxhash64(shingle), not the string: the
+    * shuffle/join moves 8-byte keys instead of ~25-byte text and equality
+    * is one word compare. A 64-bit collision would merge two shingles
+    * (P ≈ pairs²/2^64 ≈ 1e-10 at sf0.1) — the same trade minhash makes.
+    * The df-cap runs as a count-window over sh_h (measured r2: 2× faster
+    * than a separate hot-set aggregate + anti-join, which re-tokenizes the
+    * corpus for a second full pass).
+    *
+    * `materialize`: the capped posting list fans out to FOUR consumers
+    * (both self-join sides + both size lookups); lazy plans recompute the
+    * whole shingling pipeline per consumer when exchange reuse doesn't
+    * fire (measured: full materialization of the lazy form ran 4 FileScans
+    * / 4 window passes, 8.6 s vs 3.9 s). Iterative callers
+    * (dedup_components) pass true to pin the posting list once via
+    * localCheckpoint; the oracle-compared op keeps the lazy form — same
+    * result either way. */
+  private[llm] def jaccardEdges(s: SparkSession, dir: String,
+                                materialize: Boolean): DataFrame = {
+    val docsArr = tWide(s, dir)("documents").select(col("doc_id"),
+      Shingling.shingleArray(col("text"), hashed = true).as("shs"))
+    val sh = docsArr.select(col("doc_id"), explode(col("shs")).as("sh_h"))
+    val wdf = Window.partitionBy("sh_h")
+    val shCapped0 = sh.withColumn("df", count(lit(1)).over(wdf))
+      .filter(col("df") <= MaxShingleDf).drop("df")
+    val shCapped = if (materialize) shCapped0.localCheckpoint() else shCapped0
+    // set sizes over the SAME capped universe as the intersection (ADVICE
+    // r2 consistency)
+    val sizes = shCapped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shCapped.as("a").join(shCapped.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("n1"))), col("id1") === col("doc_id")).drop("doc_id")
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("n2"))), col("id2") === col("doc_id")).drop("doc_id")
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") > 0.1)
+      .select(col("id1"), col("id2"), col("inter"), col("uni"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       tWide(s, dir)("documents")
@@ -53,43 +96,11 @@ object TextOps extends OpRegistry {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
         .orderBy("doc_id")),
 
-    "jaccard_pairs" -> ((s, dir) => {
-      // Posting lists keyed by xxhash64(shingle), not the string: the
-      // shuffle/join moves 8-byte keys instead of ~25-byte text and equality
-      // is one word compare. A 64-bit collision would merge two shingles
-      // (P ≈ pairs²/2^64 ≈ 1e-10 at sf0.1) — the same trade minhash makes.
-      // Per-doc shingle-set sizes come from the array form MAP-SIDE (no
-      // groupBy shuffle over the exploded posting rows).
-      val docsArr = tWide(s, dir)("documents").select(col("doc_id"),
-        Shingling.shingleArray(col("text"), hashed = true).as("shs"))
-      val sh = docsArr.select(col("doc_id"), explode(col("shs")).as("sh_h"))
-      // df-cap the posting lists before the self-join (see MaxShingleDf) via
-      // a count-window over sh_h. Measured note: a broadcast anti-join
-      // against the heavy-hitter set looks cheaper on paper (no sort), but
-      // the hot-set aggregate is a SEPARATE full pass over the shingle
-      // stream (re-tokenize + re-hash every doc), while this window's
-      // exchange is REUSED verbatim by both sides of the self-join below —
-      // one shingling pass total. Benchmarked 2x faster at sf0.1 (5.6 s vs
-      // 11.5 s).
-      val wdf = Window.partitionBy("sh_h")
-      val shCapped = sh.withColumn("df", count(lit(1)).over(wdf))
-        .filter(col("df") <= MaxShingleDf).drop("df")
-      // set sizes over the SAME capped universe as the intersection (ADVICE
-      // r2 consistency): reuses the window exchange a third time
-      val sizes = shCapped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shCapped.as("a").join(shCapped.as("b"),
-          col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(sizes.select(col("doc_id"), col("n").as("n1"))), col("id1") === col("doc_id")).drop("doc_id")
-        .join(broadcast(sizes.select(col("doc_id"), col("n").as("n2"))), col("id2") === col("doc_id")).drop("doc_id")
-        .withColumn("uni", col("n1") + col("n2") - col("inter"))
-        .filter(col("inter").cast("double") / col("uni") > 0.1)
+    "jaccard_pairs" -> ((s, dir) =>
+      jaccardEdges(s, dir, materialize = false)
         .select(col("id1"), col("id2"), col("inter"), col("uni"),
           r6(col("inter").cast("double") / col("uni")).as("jac"))
-        .orderBy("id1", "id2")
-    }),
+        .orderBy("id1", "id2")),
 
     "text_wordcount" -> ((s, dir) =>
       tWide(s, dir)("documents")

@@ -159,6 +159,21 @@ class LlmOpsSpec extends GraftSuite {
     }
   }
 
+  test("dedup_components: pairs land in one component; ids are member minima") {
+    val comp = q("dedup_components")
+      .select("doc_id", "component_id").as[(Long, Long)].collect().toMap
+    // complete assignment
+    assert(comp.size == spark.read.parquet(s"$sfDir/documents.parquet").count())
+    // every scored pair must share a component (edges ⊆ components)
+    q("jaccard_pairs").select("id1", "id2").as[(Long, Long)].collect().foreach {
+      case (a, b) => assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    // a component's id is the min doc_id among its members, and is itself a member
+    comp.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"component $cid is not its member minimum")
+    }
+  }
+
   test("docs_length_buckets: histogram partitions the corpus; buckets bound tokens") {
     val rows = q("docs_length_buckets").collect()
     val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
