@@ -233,6 +233,58 @@ object VectorOps extends OpRegistry {
         .orderBy("qid", "rn")
     }),
 
+    "vec_kmeans_iter" -> ((s, dir) => {
+      // Distributed k-means, the canonical iterative-ML shape: model state
+      // (K centroid vectors) lives on the driver and broadcasts into each
+      // round's assignment expressions; the data never moves — each Lloyd
+      // round is one codegen'd argmin map + one (cluster, dim) aggregate.
+      // Collecting K×dim longs per round is the legitimate "small model
+      // state" pattern (512 values here), not a driver-side data loop.
+      // Determinism: init = quantized embeddings of vec_id 0..K-1; argmin
+      // on exact integer scores with min-k tie-break; centroid update
+      // floor-quantizes the mean (floor(sum/count) on exact ints → same
+      // IEEE double → same floor in any engine). Two fixed rounds — a
+      // convergence loop would be data-dependent and unmirrorable.
+      val K = 8
+      val Iters = 2
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .localCheckpoint() // reused by every round: pin the scan+quantize
+      var cents: Seq[(Int, Array[Long])] = e.filter(col("vec_id") < K)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).toSeq
+      // argmin_k ||qe-c_k||²: ||qe||² is constant per row, so rank on
+      // ||c_k||² - 2<qe,c_k> (exact BIGINT), tie → smallest k
+      def assign(cs: Seq[(Int, Array[Long])]) =
+        array_min(array(cs.map { case (k, c) =>
+          val cSq = c.map(v => v * v).sum
+          struct((lit(cSq) - lit(2L) * dotQ(s, col("qe"), lit(c))).as("s"),
+            lit(k).as("k"))
+        }: _*)).getField("k")
+      for (_ <- 0 until Iters) {
+        val asg = e.withColumn("cl", assign(cents))
+        cents = asg.select(col("cl"), posexplode(col("qe")).as(Seq("i", "v")))
+          .groupBy("cl", "i")
+          .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c"))
+          .collect()
+          .groupBy(_.getAs[Int]("cl"))
+          .map { case (cl, rows) =>
+            (cl, rows.sortBy(_.getAs[Int]("i")).map(_.getAs[Long]("c")).toArray)
+          }.toSeq.sortBy(_._1)
+      }
+      // final assignment + exact inertia under the round-2 centroids
+      val distCols = cents.map { case (k, c) =>
+        val cSq = c.map(v => v * v).sum
+        struct((dotQ(s, col("qe"), col("qe")) - lit(2L) * dotQ(s, col("qe"), lit(c)) + lit(cSq)).as("d"),
+          lit(k).as("k"))
+      }
+      val best = array_min(array(distCols: _*))
+      e.select(col("vec_id"), best.getField("k").as("cluster"), best.getField("d").as("dist_q"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vec"), sum(col("dist_q")).as("inertia_q"))
+        .orderBy("cluster")
+    }),
+
     "dedup_near_embedding" -> ((s, dir) => {
       // Embedding-cosine near-dup — the semantic-dedup primitive: candidate
       // pairs from sign-LSH buckets (8 tables × 3 planes; plane indices
@@ -441,6 +493,43 @@ object VectorOps extends OpRegistry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // Differential k-means: DuckDB replays both Lloyd rounds — integer
+    // argmin assignment (rank on Σc²-2Σvc, tie → smallest cluster),
+    // floor-quantized centroid update, exact integer inertia — from the
+    // same vec_id<8 initialization.
+    "vec_kmeans_iter" -> """
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      c0 AS (SELECT vec_id AS cl, i, v AS c FROM e WHERE vec_id < 8),
+      s1 AS (SELECT e.vec_id, c.cl, SUM(c.c*c.c - 2*e.v*c.c) AS s
+             FROM e JOIN c0 c ON e.i = c.i GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cl FROM (
+               SELECT vec_id, cl,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cl) AS rn
+               FROM s1) WHERE rn = 1),
+      c1 AS (SELECT a1.cl, e.i,
+                    CAST(floor(CAST(SUM(e.v) AS DOUBLE) / COUNT(1)) AS BIGINT) AS c
+             FROM e JOIN a1 ON e.vec_id = a1.vec_id GROUP BY 1, 2),
+      s2 AS (SELECT e.vec_id, c.cl, SUM(c.c*c.c - 2*e.v*c.c) AS s
+             FROM e JOIN c1 c ON e.i = c.i GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cl FROM (
+               SELECT vec_id, cl,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cl) AS rn
+               FROM s2) WHERE rn = 1),
+      c2 AS (SELECT a2.cl, e.i,
+                    CAST(floor(CAST(SUM(e.v) AS DOUBLE) / COUNT(1)) AS BIGINT) AS c
+             FROM e JOIN a2 ON e.vec_id = a2.vec_id GROUP BY 1, 2),
+      d AS (SELECT e.vec_id, c.cl, SUM((e.v - c.c) * (e.v - c.c)) AS dist
+            FROM e JOIN c2 c ON e.i = c.i GROUP BY 1, 2),
+      best AS (SELECT vec_id, cl, dist FROM (
+                 SELECT vec_id, cl, dist,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+                 FROM d) WHERE rn = 1)
+      SELECT CAST(cl AS INT) AS cluster, COUNT(1) AS n_vec,
+             CAST(SUM(dist) AS BIGINT) AS inertia_q
+      FROM best GROUP BY cl ORDER BY cluster""",
     "knn_ivf_topk" -> ivfOracleSql,
     "vec_pq_codes" -> pqOracleSql,
     "dedup_near_embedding" -> nearEmbOracleSql,

