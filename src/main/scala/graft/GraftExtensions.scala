@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotQ, GraftExpressions}
+import graft.functions.{DotQ, GraftExpressions, HllDistinct}
 import graft.plans.RewriteDotProduct
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftExpressions.DotQName),
       new ExpressionInfo(classOf[DotQ].getName, GraftExpressions.DotQName),
       (exprs: Seq[Expression]) => DotQ(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftExpressions.HllName),
+      new ExpressionInfo(classOf[HllDistinct].getName, GraftExpressions.HllName),
+      (exprs: Seq[Expression]) => HllDistinct(exprs.head)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -185,6 +185,73 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  // random events: (event_id, user_id, ts_nanos) — micros-aligned nanos so
+  // the op's `ts div 1000` is exact
+  private val eventsGen: Gen[List[(Long, Long, Long)]] =
+    Gen.chooseNum(10, 80).flatMap { n =>
+      Gen.listOfN(n, for {
+        u <- Gen.chooseNum(0L, 4L)
+        t <- Gen.chooseNum(0L, 6L * 3600L * 1000000L) // micros inside 6 h
+      } yield (u, t * 1000L))
+        .map(_.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) })
+    }
+
+  test("property: events_sessionize matches a Scala gap-split oracle") {
+    for (s <- seeds) {
+      val ev = sample(eventsGen, s)
+      val dir = writeDir("events" -> ev.toDF("event_id", "user_id", "ts"))
+      val got = SparkEntry.queries("events_sessionize")(spark, dir)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us", "first_event")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val expect = ev.groupBy(_._2).flatMap { case (u, rows) =>
+        val sorted = rows.map { case (id, _, ts) => (ts / 1000, id) }.sorted
+        val sessions = sorted.foldLeft(List.empty[List[(Long, Long)]]) {
+          case (cur :: rest, e) if e._1 - cur.head._1 <= 1800000000L =>
+            (e :: cur) :: rest
+          case (acc, e) => List(e) :: acc
+        }.reverse.map(_.reverse)
+        sessions.zipWithIndex.map { case (ss, i) =>
+          (u, i + 1L, ss.size.toLong,
+            ss.map(_._1).min, ss.map(_._1).max, ss.map(_._2).min)
+        }
+      }.toSet
+      assert(got == expect, s"seed $s: op=${got.size} oracle=${expect.size}")
+    }
+  }
+
+  // enough docs that the 2000-token budget actually splits batches
+  private val packGen: Gen[List[(Long, String)]] =
+    Gen.chooseNum(150, 250).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(5, 40).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+          .map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    }
+
+  test("property: docs_pack_greedy matches a Scala prefix-sum oracle") {
+    for (s <- seeds) {
+      val docs = sample(packGen, s).map { case (id, t) => (id, t, "l" + (id % 3)) }
+      val dir = writeDir("documents" -> docs.toDF("doc_id", "text", "lang"))
+      val got = SparkEntry.queries("docs_pack_greedy")(spark, dir)
+        .select("lang", "batch_id", "n_docs", "sum_tokens", "first_doc", "last_doc")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      val expect = docs.groupBy(_._3).flatMap { case (lang, ds) =>
+        var cum = 0L
+        val tagged = ds.sortBy(_._1).map { case (id, t, _) =>
+          val n = t.split(" ").length.toLong
+          val b = cum / 2000L
+          cum += n
+          (b, id, n)
+        }
+        tagged.groupBy(_._1).map { case (b, rows) =>
+          (lang, b, rows.size.toLong, rows.map(_._3).sum,
+            rows.map(_._2).min, rows.map(_._2).max)
+        }
+      }.toSet
+      assert(got == expect, s"seed $s: op=${got.size} oracle=${expect.size}")
+    }
+  }
+
   test("property: minhash-LSH candidates cover every Jaccard>=0.8 pair (planted dups)") {
     for (s <- seeds) {
       val base = sample(docsGen, s)
