@@ -101,6 +101,7 @@ case class DotQ(left: Expression, right: Expression)
 object GraftExpressions {
   val DotQName = "graft_dot_q"
   val HllName = "graft_hll_distinct"
+  val ShingleName = "graft_shingle_hash64"
 
   def register(spark: SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -109,6 +110,8 @@ object GraftExpressions {
     // bare AggregateFunction: the analyzer wraps it in AggregateExpression
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       HllName, exprs => HllDistinct(exprs.head), "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShingleName, exprs => ShingleHash64(exprs.head), "scala_udf")
   }
 
   /** Column form of the fused dot product; registers on first use. */

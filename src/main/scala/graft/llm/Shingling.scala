@@ -16,15 +16,23 @@ object Shingling {
     * byte strings for the shuffle-heavy consumers. Docs with <3 tokens
     * yield an empty array (sequence(0, size-3) would otherwise infer step
     * -1 and slice() would throw), matching the oracle's range(1, len-1)
-    * empty-result semantics. */
-  def shingleArray(text: Column, hashed: Boolean): Column = {
-    val toks = split(text, " ")
-    array_distinct(transform(
-      when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
-        .otherwise(array().cast("array<int>")),
-      i => {
-        val sh = array_join(slice(toks, i + 1, lit(3)), " ")
-        if (hashed) xxhash64(sh) else sh
-      }))
-  }
+    * empty-result semantics.
+    *
+    * The hashed path routes through the fused native kernel
+    * [[graft.functions.ShingleHash64]] (one tokenize + byte-level concat +
+    * hash-set dedup per row) — bit-identical to the declarative chain below
+    * (ExpressionSpec asserts equality on the fixture), ~3× less per-row
+    * allocation on the jaccard/minhash/components hot path. */
+  def shingleArray(text: Column, hashed: Boolean): Column =
+    if (hashed) {
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.functions.GraftExpressions.register(s)
+      call_function(graft.functions.GraftExpressions.ShingleName, text)
+    } else {
+      val toks = split(text, " ")
+      array_distinct(transform(
+        when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
+          .otherwise(array().cast("array<int>")),
+        i => array_join(slice(toks, i + 1, lit(3)), " ")))
+    }
 }

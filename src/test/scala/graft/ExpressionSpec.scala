@@ -57,6 +57,26 @@ class ExpressionSpec extends GraftSuite {
     assert(rows(1).getLong(0) == 14L)
   }
 
+  test("ShingleHash64 equals the declarative shingle-hash chain on every doc") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = split($"text", " ")
+    val declarative = array_distinct(transform(
+      when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
+        .otherwise(array().cast("array<int>")),
+      i => xxhash64(array_join(slice(toks, i + 1, lit(3)), " "))))
+    val mismatches = docs.select($"doc_id",
+        graft.llm.Shingling.shingleArray($"text", hashed = true).as("fused"),
+        declarative.as("decl"))
+      .filter(not($"fused" <=> $"decl")).count()
+    assert(mismatches == 0, s"$mismatches docs diverge from the declarative chain")
+    // edge cases: <3 tokens → empty; repeated shingles → deduped, first order
+    val edge = Seq((1L, "a b"), (2L, "x y z x y z x y z"), (3L, "")).toDF("doc_id", "text")
+    val rows = edge.select(graft.llm.Shingling.shingleArray($"text", hashed = true).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows(0).isEmpty && rows(2).isEmpty)
+    assert(rows(1).distinct == rows(1) && rows(1).nonEmpty)
+  }
+
   test("HllDistinct estimates within 5% of exact and is partitioning-invariant") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val exact = li.groupBy("l_returnflag")
