@@ -205,6 +205,21 @@ object Aggregations extends OpRegistry {
             .as("stddev_qty6"))
         .orderBy("l_returnflag")
     }),
+    "agg_mode" -> ((s, dir) => {
+      // Deterministic mode (most frequent o_orderstatus per priority):
+      // count + rank window with an explicit (cnt desc, status asc)
+      // tie-break instead of engine mode() — whose tie choice is
+      // implementation-defined and differs between engines.
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("cnt").desc, col("o_orderstatus"))
+      t(s, dir)("orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"), col("cnt"))
+        .orderBy("o_orderpriority")
+    }),
     "agg_median" -> ((s, dir) => {
       // Exact median as the (lo, hi) middle-value pair — no interpolation
       // arithmetic, so no cross-engine float divergence (SURVEY §7.4.3).
@@ -224,6 +239,13 @@ object Aggregations extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "agg_mode" -> """
+      SELECT o_orderpriority, o_orderstatus AS mode_status, cnt FROM (
+        SELECT o_orderpriority, o_orderstatus, COUNT(1) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY COUNT(1) DESC, o_orderstatus) AS rn
+        FROM orders GROUP BY o_orderpriority, o_orderstatus)
+      WHERE rn = 1 ORDER BY o_orderpriority""",
     "agg_corr_covar" -> s"""
       WITH m AS (
         SELECT l_returnflag,

@@ -110,6 +110,28 @@ object Windows extends OpRegistry {
         .withColumn("dur_us", col("end_us") - col("start_us"))
         .orderBy("user_id", "session_id")
     }),
+    "events_funnel" -> ((s, dir) => {
+      // Ordered conversion funnel view → click → purchase: each stage's
+      // timestamp is the user's FIRST event of that type strictly after the
+      // previous stage. Three (filter → join → min-agg) steps, all keyed on
+      // user_id — the dimension side is the per-user stage table (tiny,
+      // broadcast), so the event stream is scanned three times but never
+      // reshuffled more than once per stage. Exact integer micros (D4b).
+      val e = t(s, dir)("events")
+        .select(col("user_id"), col("event_type"), tsDivMicros(col("ts")).as("ts_us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("v_us"))
+      val c = e.filter(col("event_type") === "click")
+        .join(broadcast(v), "user_id").filter(col("ts_us") > col("v_us"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("c_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(broadcast(c), "user_id").filter(col("ts_us") > col("c_us"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("p_us"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),
+          col("p_us").isNotNull.as("converted"))
+        .orderBy("user_id")
+    }),
     "win_ntile_pctrank" -> ((s, dir) => {
       val w = Window.partitionBy("c_mktsegment")
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -123,6 +145,21 @@ object Windows extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "events_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+      v AS (SELECT user_id, MIN(ts_us) AS v_us FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts_us) AS c_us
+            FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts_us > v.v_us GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts_us) AS p_us
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts_us > c.c_us GROUP BY e.user_id)
+      SELECT v.user_id, v.v_us, c.c_us, p.p_us,
+             (p.p_us IS NOT NULL) AS converted
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id""",
     "events_sessionize" -> """
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
       flagged AS (

@@ -183,6 +183,20 @@ class CoreOperatorSpec extends GraftSuite {
     }
   }
 
+  test("events_funnel: stage times strictly ordered; converted iff purchase stage") {
+    q("events_funnel").collect().foreach { r =>
+      val v = r.getAs[Long]("v_us")
+      if (!r.isNullAt(r.fieldIndex("c_us"))) {
+        val c = r.getAs[Long]("c_us")
+        assert(c > v, "click stage must follow the first view")
+        if (!r.isNullAt(r.fieldIndex("p_us"))) {
+          assert(r.getAs[Long]("p_us") > c, "purchase stage must follow the click")
+          assert(r.getAs[Boolean]("converted"))
+        } else assert(!r.getAs[Boolean]("converted"))
+      } else assert(r.isNullAt(r.fieldIndex("p_us")) && !r.getAs[Boolean]("converted"))
+    }
+  }
+
   test("oracle coverage: every oracleSql key has a query; column names align") {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
