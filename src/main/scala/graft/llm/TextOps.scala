@@ -279,6 +279,25 @@ object TextOps extends OpRegistry {
         .orderBy(col("cnt").desc, col("lang"), col("tri"))
         .limit(100)),
 
+    "text_fuzzy_pairs" -> ((s, dir) => {
+      // Edit-distance refinement of the candidate pairs: levenshtein is
+      // O(len²) per pair, so it NEVER runs doc × doc — only on the
+      // jaccard-candidate pairs (shared-shingle bounded), the
+      // cheap-filter-then-expensive-verify shape every fuzzy-match pipeline
+      // uses at scale. sim6 = 1 - dist/max(len) in safe-rounded double.
+      val docs = tWide(s, dir)("documents").select(col("doc_id"), col("text"))
+      val pairs = jaccardEdges(s, dir, materialize = false).select("id1", "id2")
+      pairs
+        .join(docs.select(col("doc_id"), col("text").as("t1")), col("id1") === col("doc_id")).drop("doc_id")
+        .join(docs.select(col("doc_id"), col("text").as("t2")), col("id2") === col("doc_id")).drop("doc_id")
+        .select(col("id1"), col("id2"),
+          levenshtein(col("t1"), col("t2")).as("edit_dist"),
+          greatest(length(col("t1")), length(col("t2"))).as("max_len"))
+        .withColumn("sim6",
+          r6(lit(1.0) - col("edit_dist").cast("double") / col("max_len")))
+        .orderBy("id1", "id2")
+    }),
+
     "docs_length_buckets" -> ((s, dir) => {
       // Token-length histogram per language — the stats a batch-packing /
       // curriculum scheduler reads before deciding sequence budgets. Bucket
@@ -478,6 +497,29 @@ object TextOps extends OpRegistry {
               FROM documents WHERE length(text) >= 3))
       GROUP BY lang, tri
       ORDER BY cnt DESC, lang, tri LIMIT 100""",
+    "text_fuzzy_pairs" -> s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      shc AS (SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
+              WHERE df <= 100),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM shc GROUP BY doc_id),
+      ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pairs AS (SELECT id1, id2
+                FROM ix JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+                WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.1)
+      SELECT p.id1, p.id2,
+             CAST(levenshtein(d1.text, d2.text) AS INT) AS edit_dist,
+             CAST(GREATEST(length(d1.text), length(d2.text)) AS INT) AS max_len,
+             ${r6Sql("1.0 - CAST(levenshtein(d1.text, d2.text) AS DOUBLE) / GREATEST(length(d1.text), length(d2.text))")} AS sim6
+      FROM pairs p JOIN documents d1 ON p.id1 = d1.doc_id
+                   JOIN documents d2 ON p.id2 = d2.doc_id
+      ORDER BY p.id1, p.id2""",
     "docs_length_buckets" -> """
       SELECT lang, bucket, COUNT(1) AS n_docs,
              MIN(n_tokens) AS min_tok, MAX(n_tokens) AS max_tok,

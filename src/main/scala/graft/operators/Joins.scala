@@ -183,6 +183,22 @@ object Joins extends OpRegistry {
         .orderBy("s_nationkey")
     }),
 
+    "join_null_safe" -> ((s, dir) => {
+      // Null-safe equality join (<=>): NULL keys match NULL keys instead of
+      // vanishing — the join form that keeps unknown-key rows groupable.
+      // The fixture has no null keys, so both sides derive one (nationkey
+      // 0 → NULL) and the null bucket provably joins: plain = would drop
+      // every 0-key customer, <=> pairs them with the nulled nation row.
+      val c = t(s, dir)("customer").select(col("c_custkey"),
+        when(col("c_nationkey") === 0, lit(null)).otherwise(col("c_nationkey")).as("ck"))
+      val n = t(s, dir)("nation").select(col("n_name"),
+        when(col("n_nationkey") === 0, lit(null)).otherwise(col("n_nationkey")).as("nk"))
+      c.join(broadcast(n), col("ck") <=> col("nk"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("customers"), min(col("c_custkey")).as("min_cust"))
+        .orderBy("n_name")
+    }),
+
     "join_asof" -> ((s, dir) => {
       // For each 'purchase', the latest preceding 'click' of the same user:
       // union + carry-forward max over (user, time) — single shuffle,
@@ -205,6 +221,16 @@ object Joins extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "join_null_safe" -> """
+      WITH c AS (SELECT c_custkey,
+                        CASE WHEN c_nationkey = 0 THEN NULL ELSE c_nationkey END AS ck
+                 FROM customer),
+      n AS (SELECT n_name,
+                   CASE WHEN n_nationkey = 0 THEN NULL ELSE n_nationkey END AS nk
+            FROM nation)
+      SELECT n_name, COUNT(1) AS customers, MIN(c_custkey) AS min_cust
+      FROM c JOIN n ON c.ck IS NOT DISTINCT FROM n.nk
+      GROUP BY n_name ORDER BY n_name""",
     "join_inner_hash" -> """
       SELECT o_orderkey, o_custkey, c_name, o_totalprice
       FROM orders JOIN customer ON o_custkey = c_custkey
