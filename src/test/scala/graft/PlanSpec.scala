@@ -76,6 +76,20 @@ class PlanSpec extends GraftSuite {
       s"scalar subquery fell back to a nested loop:\n$p")
   }
 
+  test("agg_corr_covar: one partial+final aggregate pair, no extra shuffle") {
+    val p = finalPlan("agg_corr_covar").split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"moment sums must be exactly one partial+final pair:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"moment aggregation must shuffle exactly once:\n$p")
+  }
+
+  test("events_funnel: stage tables broadcast; event scan is never shuffled for the joins") {
+    val p = finalPlan("events_funnel").split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"per-user stage tables must broadcast into the event scans:\n$p")
+  }
+
   test("events_sessionize: windows and aggregate share one user_id exchange") {
     // count only the executed section — AdaptiveSparkPlan's render repeats
     // the tree under "== Initial Plan ==", which would double the tally
