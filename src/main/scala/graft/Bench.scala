@@ -24,7 +24,8 @@ object Bench {
     "sort_multi_nulls", "set_union_distinct", "dedup_exact",
     "dedup_near_minhash", "jaccard_pairs", "knn_cosine_topk", "knn_ivf_topk",
     "text_tfidf_top", "text_langid", "text_ngram_freq", "stream_tumbling_1h",
-    "stream_stream_join", "vec_pq_codes", "sink_partitioned_pruned")
+    "stream_stream_join", "vec_pq_codes", "sink_partitioned_pruned",
+    "dedup_components", "vec_kmeans_iter", "events_funnel", "sql_scalar_subquery")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
