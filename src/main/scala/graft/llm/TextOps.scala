@@ -354,6 +354,38 @@ object TextOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "docs_char_lm" -> ((s, dir) => {
+      // Count-based character bigram LM per language: transition
+      // probability P(c2|c1) = count(c1c2) / count(c1·) — the statistic a
+      // char-level language/quality model trains on. Two aggregations over
+      // one bigram explode; the unigram denominator re-derives map-side
+      // from the bigram's first char (no second corpus pass). Top-5
+      // transitions per lang by probability (ties → bigram asc).
+      val bg = tWide(s, dir)("documents")
+        .select(col("lang"), explode(expr(
+          """transform(
+               CASE WHEN length(text) >= 2 THEN sequence(1, length(text) - 1)
+                    ELSE array() END,
+               i -> substring(text, i, 2))""")).as("bg"))
+      val cnt2 = bg.groupBy("lang", "bg").agg(count(lit(1)).as("c2"))
+      val cnt1 = cnt2.groupBy(col("lang"), substring(col("bg"), 1, 1).as("c1"))
+        .agg(sum(col("c2")).as("c1cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("p6").desc, col("bg"))
+      // cnt1 derives from cnt2, so the join is a self-join by lineage —
+      // alias both sides explicitly
+      cnt2.as("n2").join(cnt1.as("n1"),
+          col("n2.lang") === col("n1.lang")
+            && substring(col("n2.bg"), 1, 1) === col("n1.c1"))
+        .select(col("n2.lang").as("lang"), col("n2.bg").as("bg"),
+          col("n2.c2").as("c2"), col("n1.c1cnt").as("c1cnt"),
+          r6(col("n2.c2").cast("double") / col("n1.c1cnt")).as("p6"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk").cast("int").as("rk"), col("bg"),
+          col("c2"), col("c1cnt"), col("p6"))
+        .orderBy("lang", "rk")
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       // Content-defined fingerprint: hash of the sorted distinct token bag.
       tWide(s, dir)("documents").select(
@@ -557,6 +589,23 @@ object TextOps extends OpRegistry {
                   ELSE 0.0 END AS rep6
       FROM base b LEFT JOIN u ON b.doc_id = u.doc_id
       ORDER BY b.doc_id""",
+    "docs_char_lm" -> s"""
+      WITH bg AS (SELECT lang, substring(text, i, 2) AS bg
+                  FROM (SELECT lang, text, unnest(range(1, length(text))) AS i
+                        FROM documents WHERE length(text) >= 2)),
+      cnt2 AS (SELECT lang, bg, COUNT(1) AS c2 FROM bg GROUP BY lang, bg),
+      cnt1 AS (SELECT lang, substring(bg, 1, 1) AS c1,
+                      CAST(SUM(c2) AS BIGINT) AS c1cnt
+               FROM cnt2 GROUP BY 1, 2),
+      scored AS (SELECT cnt2.lang, cnt2.bg, cnt2.c2, cnt1.c1cnt,
+                        ${r6Sql("CAST(cnt2.c2 AS DOUBLE) / cnt1.c1cnt")} AS p6
+                 FROM cnt2 JOIN cnt1
+                   ON cnt2.lang = cnt1.lang AND substring(cnt2.bg, 1, 1) = cnt1.c1)
+      SELECT lang, CAST(rk AS INT) AS rk, bg, c2, c1cnt, p6 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY p6 DESC, bg) AS rk
+        FROM scored)
+      WHERE rk <= 5 ORDER BY lang, rk""",
     "text_fingerprint" -> """
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow,

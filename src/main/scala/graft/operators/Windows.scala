@@ -110,6 +110,23 @@ object Windows extends OpRegistry {
         .withColumn("dur_us", col("end_us") - col("start_us"))
         .orderBy("user_id", "session_id")
     }),
+    "events_retention_cohorts" -> ((s, dir) => {
+      // Cohort retention: users grouped by first-active day, counted on
+      // each later activity day as a day offset — the table behind every
+      // retention curve. Two aggregations + one broadcast join, all keyed
+      // on user_id / (cohort, offset); day arithmetic in exact integer
+      // micros-per-day so both engines bucket identically.
+      val usPerDay = 86400000000L
+      val e = t(s, dir)("events")
+        .select(col("user_id"),
+          call_function("div", tsDivMicros(col("ts")), lit(usPerDay)).as("day"))
+      val act = e.distinct()
+      val cohort = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      act.join(broadcast(cohort), "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
     "events_funnel" -> ((s, dir) => {
       // Ordered conversion funnel view → click → purchase: each stage's
       // timestamp is the user's FIRST event of that type strictly after the
@@ -145,6 +162,16 @@ object Windows extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "events_retention_cohorts" -> """
+      WITH act AS (SELECT DISTINCT user_id,
+                          (epoch_ns(ts) // 1000) // 86400000000 AS day
+                   FROM events),
+      cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+      SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+             COUNT(DISTINCT a.user_id) AS n_users
+      FROM act a JOIN cohort c ON a.user_id = c.user_id
+      GROUP BY c.cohort_day, a.day - c.cohort_day
+      ORDER BY cohort_day, day_offset""",
     "events_funnel" -> """
       WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
       v AS (SELECT user_id, MIN(ts_us) AS v_us FROM e

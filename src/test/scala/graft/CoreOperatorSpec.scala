@@ -197,6 +197,20 @@ class CoreOperatorSpec extends GraftSuite {
     }
   }
 
+  test("events_retention_cohorts: day-0 row is each cohort's maximum") {
+    val rows = q("events_retention_cohorts").collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset"), r.getAs[Long]("n_users")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val day0 = rs.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $cohort lacks its day-0 row")
+      // every user is active on their first day, so no offset can exceed it
+      rs.foreach { case (_, off, n) =>
+        assert(off >= 0 && n <= day0.get._3, s"cohort $cohort offset $off exceeds day-0 users")
+      }
+    }
+  }
+
   test("oracle coverage: every oracleSql key has a query; column names align") {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
