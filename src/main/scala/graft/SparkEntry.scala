@@ -20,6 +20,7 @@ object SparkEntry {
     operators.SortsLimits,
     operators.SetOps,
     operators.Subqueries,
+    operators.TypedOps,
     operators.Analytics,
     llm.TextOps,
     llm.VectorOps,
