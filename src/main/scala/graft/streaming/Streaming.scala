@@ -192,7 +192,12 @@ object Streaming extends OpRegistry {
     "stream_sink_foreachBatch" -> ((s, dir) => {
       // Micro-batch parquet upsert, idempotent by batchId (same batch
       // re-written to the same path on retry -> overwrite semantics).
-      val base = java.nio.file.Files.createTempDirectory("graft_febatch_").toString
+      // Fixed path, deleted up front: the checkpoint must be FRESH per run
+      // (a reused checkpoint resumes the previous query and emits nothing
+      // new), but a UUID-per-run dir accumulated unbounded /tmp data
+      // (ADVICE r2 pattern).
+      val base = "/tmp/graft_febatch"
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(base))
       val agg = eventsStream(s, dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
