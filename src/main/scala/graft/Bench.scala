@@ -68,8 +68,11 @@ object Bench {
     val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$fl,"sf":"$sfDir""""
     val full =
       s"""{$head,"queries":${qJson(results)}}"""
+    // the full_map pointer is only honest on full-registry runs — filtered
+    // profiling runs don't (re)write BENCH_LOCAL.json
+    val mapRef = if (args.isEmpty) ""","full_map":"BENCH_LOCAL.json"""" else ""
     val short =
-      s"""{$head,"queries":${qJson(Headline.flatMap(h => results.get(h).map(h -> _)))},"full_map":"BENCH_LOCAL.json"}"""
+      s"""{$head,"queries":${qJson(Headline.flatMap(h => results.get(h).map(h -> _)))}$mapRef}"""
     println(short)
     // full-registry runs only: a filtered profiling run must not clobber the
     // committed full-bench evidence

@@ -41,7 +41,7 @@ object DedupOps extends OpRegistry {
     * materialize at all on this path. */
   private def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(Shingling.shingleArray(col("text"), hashed = true)).as("h"))
+      explode(Shingling.shingleArray(col("text"), hashed = true)(docs.sparkSession)).as("h"))
 
   /** doc_id + 32 minhash signature columns mh0..mh31.
     *
@@ -137,7 +137,12 @@ object DedupOps extends OpRegistry {
       var prevSum = labelSum(labels)
       var iter = 0
       var converged = false
-      while (!converged && iter < 20) {
+      // 50 rounds covers graph diameters far beyond any near-dup corpus
+      // (fixture converges in 2); the assert below turns a pathological
+      // non-convergence into a loud failure instead of silently returning
+      // non-fixpoint labels that would diverge from the exact oracle
+      val MaxRounds = 50
+      while (!converged && iter < MaxRounds) {
         val msgs = bidir.join(labels, col("a") === col("node"))
           .select(col("b").as("node"), col("label"))
         val next = labels.union(msgs)
@@ -149,6 +154,8 @@ object DedupOps extends OpRegistry {
         labels = next
         iter += 1
       }
+      require(converged,
+        s"dedup_components did not reach the label-propagation fixpoint in $MaxRounds rounds")
       labels.select(col("node").as("doc_id"), col("label").as("component_id"))
         .orderBy("doc_id")
     }),

@@ -23,9 +23,11 @@ object Shingling {
     * hash-set dedup per row) — bit-identical to the declarative chain below
     * (ExpressionSpec asserts equality on the fixture), ~3× less per-row
     * allocation on the jaccard/minhash/components hot path. */
-  def shingleArray(text: Column, hashed: Boolean): Column =
+  def shingleArray(text: Column, hashed: Boolean)
+                  (implicit s: org.apache.spark.sql.SparkSession): Column =
     if (hashed) {
-      val s = org.apache.spark.sql.SparkSession.active
+      // explicit session (review r3): registering on SparkSession.active
+      // would silently target the wrong session in multi-session setups
       graft.functions.GraftExpressions.register(s)
       call_function(graft.functions.GraftExpressions.ShingleName, text)
     } else {

@@ -20,7 +20,7 @@ object TextOps extends OpRegistry {
     * kernel, see [[Shingling.shingleArray]]. */
   private def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(Shingling.shingleArray(col("text"), hashed = false)).as("shingle"))
+      explode(Shingling.shingleArray(col("text"), hashed = false)(docs.sparkSession)).as("shingle"))
 
   /** Shared stopword list for quality scoring/filtering and the capstone
     * pipeline — one copy so the composed pipeline cannot drift from the
@@ -67,7 +67,7 @@ object TextOps extends OpRegistry {
   private[llm] def jaccardEdges(s: SparkSession, dir: String,
                                 materialize: Boolean): DataFrame = {
     val docsArr = tWide(s, dir)("documents").select(col("doc_id"),
-      Shingling.shingleArray(col("text"), hashed = true).as("shs"))
+      Shingling.shingleArray(col("text"), hashed = true)(s).as("shs"))
     val sh = docsArr.select(col("doc_id"), explode(col("shs")).as("sh_h"))
     val wdf = Window.partitionBy("sh_h")
     val shCapped0 = sh.withColumn("df", count(lit(1)).over(wdf))
@@ -344,7 +344,7 @@ object TextOps extends OpRegistry {
       // Entirely map-side per doc; the only shuffle is the output sort.
       val nTok = size(split(col("text"), " "))
       val total = greatest(nTok - 2, lit(0)).cast("long")
-      val uniq = size(Shingling.shingleArray(col("text"), hashed = false)).cast("long")
+      val uniq = size(Shingling.shingleArray(col("text"), hashed = false)(s)).cast("long")
       tWide(s, dir)("documents")
         .select(col("doc_id"), total.as("total_tri"), uniq.as("uniq_tri"))
         .withColumn("rep6",

@@ -90,7 +90,7 @@ object VectorOps extends OpRegistry {
       // DotQ per (m,k) — all codegen, no shuffle; the only shuffle is the
       // final global sort for output determinism. Ties break on smallest k
       // (struct ordering), mirrored by the oracle's ORDER BY dist, k.
-      val dim = tWide(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe, a repartition would force a full scan+shuffle
       val subDim = dim / PqSubspaces
       val e = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
       val perSub = (0 until PqSubspaces).map { m =>
@@ -198,7 +198,7 @@ object VectorOps extends OpRegistry {
       val e = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
       // Embedding dim from the data (a literal-plane/array length mismatch
       // would silently null out projections — ADVICE r1); one-row scan.
-      val dim = tWide(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe, a repartition would force a full scan+shuffle
       // cell bits for table tb: sign of <qe, plane(tb, p)> with deterministic
       // zero-mean integer planes baked in as literals (no per-row hashing).
       def cellOf(qe: Column, tb: Int): Column =
@@ -298,7 +298,7 @@ object VectorOps extends OpRegistry {
       val NumTables = 8
       val Planes = 3
       val Threshold = 400000000000L // 0.40 * 1e12 in quantized dot units
-      val dim = tWide(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe, a repartition would force a full scan+shuffle
       val e = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
       def cellOf(qe: Column, tb: Int): Column =
         (0 until Planes).map { p =>

@@ -44,7 +44,9 @@ object Scans extends OpRegistry {
       // so the driver's rows>0 check is meaningful. Unit test asserts
       // equality with the direct read.
       // fixed path + overwrite: a UUID-per-run path accumulated unbounded
-      // /tmp data across repeated Verify/Bench runs (ADVICE r2)
+      // /tmp data across repeated Verify/Bench runs (ADVICE r2). Fixed
+      // paths assume ONE engine process at a time (the driver's execution
+      // model); concurrent runs would race on the shared dirs.
       val out = "/tmp/graft_sink_csv"
       val src = t(s, dir)("nation")
       src.write.mode("overwrite").option("header", "true").csv(out)

@@ -65,13 +65,13 @@ class ExpressionSpec extends GraftSuite {
         .otherwise(array().cast("array<int>")),
       i => xxhash64(array_join(slice(toks, i + 1, lit(3)), " "))))
     val mismatches = docs.select($"doc_id",
-        graft.llm.Shingling.shingleArray($"text", hashed = true).as("fused"),
+        graft.llm.Shingling.shingleArray($"text", hashed = true)(spark).as("fused"),
         declarative.as("decl"))
       .filter(not($"fused" <=> $"decl")).count()
     assert(mismatches == 0, s"$mismatches docs diverge from the declarative chain")
     // edge cases: <3 tokens → empty; repeated shingles → deduped, first order
     val edge = Seq((1L, "a b"), (2L, "x y z x y z x y z"), (3L, "")).toDF("doc_id", "text")
-    val rows = edge.select(graft.llm.Shingling.shingleArray($"text", hashed = true).as("h"))
+    val rows = edge.select(graft.llm.Shingling.shingleArray($"text", hashed = true)(spark).as("h"))
       .collect().map(_.getSeq[Long](0))
     assert(rows(0).isEmpty && rows(2).isEmpty)
     assert(rows(1).distinct == rows(1) && rows(1).nonEmpty)

@@ -15,7 +15,7 @@ class LlmOpsSpec extends GraftSuite {
     // exact Jaccard and remains valid LSH ground truth. Assert that
     // precondition so a fixture change fails loudly here.
     val maxDf = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(explode(graft.llm.Shingling.shingleArray($"text", hashed = true)).as("h"))
+      .select(explode(graft.llm.Shingling.shingleArray($"text", hashed = true)(spark)).as("h"))
       .groupBy("h").count().agg(max("count")).head().getLong(0)
     assert(maxDf <= graft.llm.TextOps.MaxShingleDf,
       s"fixture max shingle df $maxDf exceeds the cap; jac is no longer exact ground truth")
