@@ -110,6 +110,30 @@ object Windows extends OpRegistry {
         .withColumn("dur_us", col("end_us") - col("start_us"))
         .orderBy("user_id", "session_id")
     }),
+    "events_anomaly_zscore" -> ((s, dir) => {
+      // Outlier detection on the event stream: per-type mean/stddev from
+      // EXACT cent-quantized moment sums (the agg_corr_covar technique), z
+      // computed per row against the broadcast 5-row stats table, events
+      // with |z| > 3 flagged. Identical integer sums → identical IEEE
+      // doubles → identical z in any engine. One aggregate + one broadcast
+      // join — no second shuffle of the stream.
+      import org.apache.spark.sql.types.DecimalType
+      val d = DecimalType(38, 0)
+      val e = t(s, dir)("events").select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+      val stats = e.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("vc").cast(d)).cast("double").as("sx"),
+          sum((col("vc") * col("vc")).cast(d)).cast("double").as("sxx"))
+        .withColumn("mean_c", col("sx") / col("n"))
+        .withColumn("sd_c", sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          / (col("n") * (col("n") - lit(1)))))
+      e.join(broadcast(stats), col("event_type") === col("et"))
+        .withColumn("z", (col("vc") - col("mean_c")) / col("sd_c"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("vc"), r4(col("z")).as("z4"))
+        .orderBy("event_id")
+    }),
     "events_retention_cohorts" -> ((s, dir) => {
       // Cohort retention: users grouped by first-active day, counted on
       // each later activity day as a day offset — the table behind every
@@ -162,6 +186,22 @@ object Windows extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "events_anomaly_zscore" -> s"""
+      WITH e AS (SELECT event_id, event_type,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+                 FROM events),
+      stats AS (SELECT event_type AS et, COUNT(1) AS n,
+                       CAST(SUM(vc) AS DOUBLE) AS sx,
+                       CAST(SUM(vc * vc) AS DOUBLE) AS sxx
+                FROM e GROUP BY event_type),
+      st AS (SELECT et, sx / n AS mean_c,
+                    sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS sd_c
+             FROM stats)
+      SELECT e.event_id, e.event_type, e.vc,
+             ${r4Sql("(e.vc - st.mean_c) / st.sd_c")} AS z4
+      FROM e JOIN st ON e.event_type = st.et
+      WHERE abs((e.vc - st.mean_c) / st.sd_c) > 3.0
+      ORDER BY e.event_id""",
     "events_retention_cohorts" -> """
       WITH act AS (SELECT DISTINCT user_id,
                           (epoch_ns(ts) // 1000) // 86400000000 AS day
