@@ -285,6 +285,39 @@ object VectorOps extends OpRegistry {
         .orderBy("cluster")
     }),
 
+    "vec_power_iter" -> ((s, dir) => {
+      // Dominant eigenvector of the (uncentered) Gram matrix XᵀX by power
+      // iteration — the PCA primitive. Each round is ONE distributed pass:
+      // per row compute <x,v> (codegen DotQ against the broadcast v), then
+      // aggregate Σ x_i·<x,v> per dimension with exact DECIMAL sums (the
+      // per-row product fits int64 at ~8e16, the 2000-row sum does not).
+      // Rescale w → ±1000 ints on the driver (64 values of model state,
+      // like k-means) from the decimal-exact doubles, so both engines
+      // derive identical components. Two fixed rounds; emits both rounds'
+      // vectors so convergence is visible.
+      import org.apache.spark.sql.types.DecimalType
+      val d380 = DecimalType(38, 0)
+      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .localCheckpoint()
+      var v: Array[Long] = Array.fill(dim)(1000L)
+      val rounds = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+      for (_ <- 0 until 2) {
+        val w = e.select(dotQ(s, col("qe"), lit(v)).as("dot"),
+            posexplode(col("qe")).as(Seq("i", "x")))
+          .groupBy("i")
+          .agg(sum((col("x") * col("dot")).cast(d380)).cast("double").as("w"))
+          .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("w")).toMap
+        val maxAbs = (0 until dim).map(i => math.abs(w(i))).max
+        v = (0 until dim).map(i => math.floor(w(i) / maxAbs * 1000 + 0.5).toLong).toArray
+        rounds += v
+      }
+      import s.implicits._
+      (0 until dim).map(i => (i, rounds(0)(i), rounds(1)(i)))
+        .toDF("i", "v1_comp", "v2_comp").orderBy("i")
+    }),
+
     "dedup_near_embedding" -> ((s, dir) => {
       // Embedding-cosine near-dup — the semantic-dedup primitive: candidate
       // pairs from sign-LSH buckets (8 tables × 3 planes; plane indices
@@ -493,6 +526,30 @@ object VectorOps extends OpRegistry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // Differential power iteration: DuckDB replays both rounds — exact
+    // HUGEINT matrix-vector sums cast to the same doubles, same
+    // floor-rescale to ±1000 — from the same all-1000 start vector.
+    "vec_power_iter" -> """
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT vec_id, unnest(qe) AS x, generate_subscripts(qe, 1) AS i FROM q),
+      d1 AS (SELECT vec_id, CAST(SUM(x * 1000) AS BIGINT) AS dot FROM e GROUP BY vec_id),
+      w1 AS (SELECT e.i, CAST(SUM(e.x * d1.dot) AS DOUBLE) AS w
+             FROM e JOIN d1 ON e.vec_id = d1.vec_id GROUP BY e.i),
+      m1 AS (SELECT MAX(abs(w)) AS m FROM w1),
+      v1 AS (SELECT i, CAST(floor(w / (SELECT m FROM m1) * 1000 + 0.5) AS BIGINT) AS c
+             FROM w1),
+      d2 AS (SELECT e.vec_id, CAST(SUM(e.x * v1.c) AS BIGINT) AS dot
+             FROM e JOIN v1 ON e.i = v1.i GROUP BY e.vec_id),
+      w2 AS (SELECT e.i, CAST(SUM(e.x * d2.dot) AS DOUBLE) AS w
+             FROM e JOIN d2 ON e.vec_id = d2.vec_id GROUP BY e.i),
+      m2 AS (SELECT MAX(abs(w)) AS m FROM w2),
+      v2 AS (SELECT i, CAST(floor(w / (SELECT m FROM m2) * 1000 + 0.5) AS BIGINT) AS c
+             FROM w2)
+      SELECT CAST(v1.i - 1 AS INT) AS i, v1.c AS v1_comp, v2.c AS v2_comp
+      FROM v1 JOIN v2 ON v1.i = v2.i
+      ORDER BY i""",
     // Differential k-means: DuckDB replays both Lloyd rounds — integer
     // argmin assignment (rank on Σc²-2Σvc, tie → smallest cluster),
     // floor-quantized centroid update, exact integer inertia — from the
