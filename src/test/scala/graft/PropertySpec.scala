@@ -185,6 +185,38 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("property: agg_corr_covar matches a Scala moment-formula oracle") {
+    for (s <- seeds) {
+      // lineitem-shaped rows with only the columns the op reads; 2-decimal
+      // values so the cent quantization is exact
+      val rows = sample(Gen.listOfN(80, for {
+        f <- Gen.oneOf("A", "N", "R")
+        q <- Gen.chooseNum(100, 5000).map(_ / 100.0)
+        p <- Gen.chooseNum(10000, 10000000).map(_ / 100.0)
+      } yield (f, q, p)), s)
+      val dir = writeDir("lineitem" ->
+        rows.toDF("l_returnflag", "l_quantity", "l_extendedprice"))
+      val got = SparkEntry.queries("agg_corr_covar")(spark, dir).collect()
+        .map(r => r.getAs[String]("l_returnflag") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("corr6"))).toMap
+      rows.groupBy(_._1).foreach { case (flag, rs) =>
+        val x = rs.map(t => math.floor(t._2 * 100 + 0.5).toLong)
+        val y = rs.map(t => math.floor(t._3 * 100 + 0.5).toLong)
+        val n = rs.size.toDouble
+        val (sx, sy) = (x.sum.toDouble, y.sum.toDouble)
+        val sxx = x.map(v => v * v).sum.toDouble
+        val syy = y.map(v => v * v).sum.toDouble
+        val sxy = x.zip(y).map { case (a, b) => a * b }.sum.toDouble
+        val corr = (n * sxy - sx * sy) /
+          math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        val (gn, gc) = got(flag)
+        assert(gn == rs.size)
+        assert(math.abs(gc - math.floor(corr * 1e6 + 0.5) / 1e6) < 1e-9,
+          s"seed $s flag $flag: op $gc vs oracle $corr")
+      }
+    }
+  }
+
   // random events: (event_id, user_id, ts_nanos) — micros-aligned nanos so
   // the op's `ts div 1000` is exact
   private val eventsGen: Gen[List[(Long, Long, Long)]] =
