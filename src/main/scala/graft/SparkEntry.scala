@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Subqueries,
     operators.TypedOps,
     operators.Analytics,
+    operators.Timeseries,
     llm.TextOps,
     llm.VectorOps,
     llm.DedupOps,
