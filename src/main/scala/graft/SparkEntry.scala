@@ -23,6 +23,7 @@ object SparkEntry {
     operators.TypedOps,
     operators.Analytics,
     operators.Timeseries,
+    operators.Profiling,
     llm.TextOps,
     llm.VectorOps,
     llm.DedupOps,

@@ -166,6 +166,29 @@ object DedupOps extends OpRegistry {
       // argmax (ties -> lang asc). Self-verified: deterministic and
       // exercises the full train/apply pipeline shape.
       langId(tWide(s, dir)("documents"))),
+
+    "dedup_incremental" -> ((s, dir) => {
+      // Incremental-ingest dedup (round 4): a new batch (doc_id % 10 = 7)
+      // is admitted only if its content fingerprint is unseen in the
+      // already-ingested corpus — LEFT ANTI join on an md5 over the
+      // normalized 5-token prefix. This is the batch-over-batch shape of
+      // a training-data pipeline: the seen-fingerprint side is a compact
+      // (fp)-only projection that at 100 TB lives as a bucketed
+      // fingerprint store, so each nightly batch joins against it without
+      // rescanning text; the anti join itself is broadcastable whenever
+      // the NEW batch is small, and the fingerprint is engine-portable
+      // (md5, not a seeded private hash).
+      val d = tWide(s, dir)("documents")
+      val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+      val fp = md5(array_join(slice(split(norm, " "), 1, 5), " ").cast("binary"))
+      val withFp = d.withColumn("fp", fp)
+      val seen = withFp.filter(col("doc_id") % 10 =!= 7)
+        .select(col("fp").as("seen_fp"))
+      withFp.filter(col("doc_id") % 10 === 7)
+        .join(seen, col("fp") === col("seen_fp"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("fp"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** text_langid implementation (separate for readability).
@@ -211,6 +234,19 @@ object DedupOps extends OpRegistry {
   // text_langid is pure deterministic SQL logic since the r2 rewrite — the
   // doc-frequency profile and argmax scoring mirror exactly in DuckDB.
   def oracleSql: Map[String, String] = Map(
+    "dedup_incremental" -> """
+      WITH f AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(list_slice(
+                 string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                 1, 5), ' ')) AS fp
+        FROM documents)
+      SELECT b.doc_id, b.lang, b.fp
+      FROM f b
+      WHERE b.doc_id % 10 = 7
+        AND NOT EXISTS (SELECT 1 FROM f s
+                        WHERE s.doc_id % 10 <> 7 AND s.fp = b.fp)
+      ORDER BY b.doc_id""",
     // Differential components check: DuckDB re-derives the same edge set
     // (capped-universe Jaccard pairs, mirroring the jaccard_pairs oracle)
     // and computes components by transitive closure in a recursive CTE —

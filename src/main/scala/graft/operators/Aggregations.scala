@@ -236,9 +236,50 @@ object Aggregations extends OpRegistry {
           max(when(col("rn") === call_function("div", col("n"), lit(2L)) + 1, col("o_totalprice"))).as("mid_hi"))
         .orderBy("o_orderpriority")
     }),
+
+    "agg_string_agg" -> ((s, dir) =>
+      // Ordered set-valued aggregation emitted as ONE STRING (D7: the
+      // comparator cannot hash arrays) — the listagg/string_agg surface.
+      // array_sort(collect_set) pins the element order deterministically;
+      // map-side partial collect_set keeps the shuffle small (distinct
+      // priorities per status ≤ 5 regardless of SF).
+      t(s, dir)("orders")
+        .groupBy("o_orderstatus")
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority")))).as("priorities"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    "agg_listagg_ordered" -> ((s, dir) =>
+      // Event-sequence compression: per customer, order statuses
+      // concatenated in (date, orderkey) order — the funnel-mining /
+      // session-path primitive. Sorting structs inside the aggregated
+      // array (not relying on collect_list input order, which Spark does
+      // NOT guarantee across shuffles) is what makes it deterministic on
+      // a real cluster.
+      t(s, dir)("orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          concat_ws("", transform(
+            array_sort(collect_list(struct(col("o_orderdate"), col("o_orderkey"),
+              col("o_orderstatus")))),
+            x => x.getField("o_orderstatus"))).as("status_seq"))
+        .orderBy("o_custkey")),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "agg_string_agg" -> """
+      WITH d AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders),
+      a AS (SELECT o_orderstatus,
+                   string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+            FROM d GROUP BY o_orderstatus),
+      n AS (SELECT o_orderstatus, COUNT(1) AS n FROM orders GROUP BY o_orderstatus)
+      SELECT a.o_orderstatus, a.priorities, n.n
+      FROM a JOIN n ON a.o_orderstatus = n.o_orderstatus
+      ORDER BY a.o_orderstatus""",
+    "agg_listagg_ordered" -> """
+      SELECT o_custkey, COUNT(1) AS n,
+             string_agg(o_orderstatus, '' ORDER BY o_orderdate, o_orderkey) AS status_seq
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "agg_mode" -> """
       SELECT o_orderpriority, o_orderstatus AS mode_status, cnt FROM (
         SELECT o_orderpriority, o_orderstatus, COUNT(1) AS cnt,

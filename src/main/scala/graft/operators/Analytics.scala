@@ -94,9 +94,49 @@ object Analytics extends OpRegistry {
           rank().over(w).as("seg_rank"))
         .orderBy("c_custkey")
     }),
+
+    "q_yoy_growth" -> ((s, dir) => {
+      // Year-over-year growth per customer nation: yearly decimal revenue,
+      // lag window for delta and ratio. The yearly rollup shrinks the data
+      // to |nation|×|year| rows before the window, so the (unavoidable)
+      // per-nation sort is over a tiny aggregate, never the fact table.
+      val tt = t(s, dir) _
+      val yearly = tt("orders")
+        .join(broadcast(tt("customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tt("nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev_dec"), count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy("n_name").orderBy("yr")
+      yearly.withColumn("prev_dec", lag("rev_dec", 1).over(w))
+        .select(col("n_name"), col("yr"),
+          col("rev_dec").cast("double").as("revenue"), col("n_orders"),
+          (col("rev_dec") - col("prev_dec")).cast("double").as("yoy_delta"),
+          r6(col("rev_dec").cast("double") / col("prev_dec").cast("double") - lit(1.0))
+            .as("yoy_growth"))
+        .orderBy("n_name", "yr")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_yoy_growth" -> s"""
+      WITH yearly AS (
+        SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec,
+               COUNT(1) AS n_orders
+        FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      l AS (
+        SELECT n_name, yr, rev_dec, n_orders,
+               LAG(rev_dec) OVER (PARTITION BY n_name ORDER BY yr) AS prev_dec
+        FROM yearly)
+      SELECT n_name, yr, CAST(rev_dec AS DOUBLE) AS revenue, n_orders,
+             CAST(rev_dec - prev_dec AS DOUBLE) AS yoy_delta,
+             ${r6Sql("CAST(rev_dec AS DOUBLE) / CAST(prev_dec AS DOUBLE) - 1.0")} AS yoy_growth
+      FROM l ORDER BY n_name, yr""",
     "q_monthly_trend" -> """
       WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec,

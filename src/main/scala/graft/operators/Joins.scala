@@ -218,9 +218,42 @@ object Joins extends OpRegistry {
         .select("event_id", "user_id", "ts_us", "last_click_ts")
         .orderBy("event_id")
     }),
+
+    "join_bloom_prefilter" -> ((s, dir) => {
+      // Semi-join reduction via Bloom filter (round 4): build a ~1%-fpp
+      // Bloom over the urgent orders' keys, prune lineitem BEFORE the
+      // shuffle, then the real join removes the false positives — the
+      // result is exactly the plain inner join, which is what the oracle
+      // checks. At 100 TB this is the decisive join optimization: the
+      // probe side ships only matching-ish rows across the network
+      // (Spark's runtime row-level filtering,
+      // spark.sql.optimizer.runtime.bloomFilter.enabled, injects the same
+      // shape automatically; the explicit build keeps sizing and fpp
+      // under user control and works on any join the optimizer skips).
+      val tt = t(s, dir) _
+      val urgent = tt("orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+      val bloom = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
+      val bloomB = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+      tt("lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        .filter(mightContain(col("l_orderkey")))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderdate")
+        .agg(count(lit(1)).as("line_cnt"),
+          decSumOut(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("o_orderdate")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "join_bloom_prefilter" -> """
+      SELECT o_orderdate, COUNT(1) AS line_cnt,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderdate ORDER BY o_orderdate""",
     "join_null_safe" -> """
       WITH c AS (SELECT c_custkey,
                         CASE WHEN c_nationkey = 0 THEN NULL ELSE c_nationkey END AS ck

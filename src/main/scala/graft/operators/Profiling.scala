@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.OpRegistry
+import graft.Helpers._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.14 Data-management utilities (round 4): table profiling, multi-dim
+  * layout clustering, and graph analytics over the star schema.
+  *
+  * These are the ops a 100 TB lakehouse runs BETWEEN queries: profile to
+  * drive optimizer stats and data-quality gates, z-order to cluster files
+  * for multi-dimensional pruning, graph shapes for relationship analysis.
+  */
+object Profiling extends OpRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_table_stats" -> ((s, dir) => {
+      // Column profiling (the ANALYZE primitive): null count, exact NDV,
+      // min/max per column — ONE pass over the table. Multiple exact
+      // count-distincts plan as a single Expand-based aggregate (expand
+      // factor = #profiled columns); at 100 TB you would swap
+      // count_distinct for approx_count_distinct and keep the identical
+      // plan shape. Values are emitted as strings so one narrow schema
+      // covers every column type.
+      val o = t(s, dir)("orders")
+      def stat(c: String, minS: Column, maxS: Column): Seq[Column] = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__ndv"),
+        minS.as(s"${c}__min"), maxS.as(s"${c}__max"))
+      val aggs =
+        stat("o_orderkey", min(col("o_orderkey")).cast("string"),
+          max(col("o_orderkey")).cast("string")) ++
+        stat("o_custkey", min(col("o_custkey")).cast("string"),
+          max(col("o_custkey")).cast("string")) ++
+        stat("o_orderstatus", min(col("o_orderstatus")), max(col("o_orderstatus"))) ++
+        stat("o_orderpriority", min(col("o_orderpriority")), max(col("o_orderpriority"))) ++
+        stat("o_totalprice", format_string("%.2f", min(col("o_totalprice"))),
+          format_string("%.2f", max(col("o_totalprice")))) ++
+        stat("o_orderdate", min(col("o_orderdate")).cast("string"),
+          max(col("o_orderdate")).cast("string"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_totalprice", "o_orderdate")
+      val row = o.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols
+        .map(c => s"'$c', ${c}__nulls, ${c}__ndv, ${c}__min, ${c}__max")
+        .mkString(", ")
+      row.selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, ndv, min_s, max_s)")
+        .orderBy("col_name")
+    }),
+
+    "layout_zorder" -> ((s, dir) => {
+      // Z-order (Morton) clustering key over (customer, order-day):
+      // equi-width 8-bit binning from table stats — NOT a global ntile
+      // sort, which would serialize at scale; range-binning from min/max
+      // is how lakehouse z-order clustering actually assigns bits — then
+      // bit interleave, bucket by z-range, and report per-bucket dim
+      // spans. Narrow spans on BOTH dims is the property that lets a
+      // 2-predicate query prune most z-ordered files.
+      val o = t(s, dir)("orders")
+      val stats = o.agg(
+        max(col("o_custkey")).as("max_c"),
+        max(datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")))
+          .as("max_d"))
+      val b = o.select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("day"))
+        .crossJoin(broadcast(stats))
+        .withColumn("bx", call_function("div", col("o_custkey") * 256L, col("max_c") + 1L))
+        .withColumn("by", call_function("div", col("day") * 256L, col("max_d") + 1L))
+      val z = (0 until 8).map { i =>
+        shiftright(col("bx"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+          shiftright(col("by"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+      }.reduce(_ + _)
+      b.withColumn("zbucket", call_function("div", z, lit(1024L)))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min("bx").as("bx_min"), max("bx").as("bx_max"),
+          min("by").as("by_min"), max("by").as("by_max"))
+        .orderBy("zbucket")
+    }),
+
+    "graph_triangles" -> ((s, dir) => {
+      // Triangle count over the nation co-trade graph: undirected edge
+      // (a,b) iff some order has a customer in nation a and a line
+      // supplied from nation b. Edge build is fact-table-sized but
+      // collapses via distinct to ≤ |nation|² rows; counting joins run on
+      // the tiny edge list with the a<b<c orientation — the same
+      // degree-oriented wedge join that keeps triangle counting at
+      // O(m^1.5) on sparse 100 TB-scale graphs (never count per-node on
+      // the unoriented graph: that is quadratic in max degree).
+      val tt = t(s, dir) _
+      val pairs = tt("lineitem").select("l_orderkey", "l_suppkey")
+        .join(tt("orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tt("customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tt("supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        // long, not int: DuckDB's least() promotes to BIGINT and the
+        // comparator is dtype-exact
+        .select(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+      val e1 = pairs.select(col("a"), col("b"))
+      val e2 = pairs.select(col("a").as("b2"), col("b").as("c"))
+      val e3 = pairs.select(col("a").as("a3"), col("b").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("a")
+    }),
+  )
+
+  private def profileSql(c: String, minS: String, maxS: String): String =
+    s"""SELECT '$c' AS col_name,
+        CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        COUNT(DISTINCT $c) AS ndv, $minS AS min_s, $maxS AS max_s FROM orders"""
+
+  def oracleSql: Map[String, String] = Map(
+    "profile_table_stats" -> (Seq(
+      profileSql("o_orderkey", "CAST(MIN(o_orderkey) AS VARCHAR)", "CAST(MAX(o_orderkey) AS VARCHAR)"),
+      profileSql("o_custkey", "CAST(MIN(o_custkey) AS VARCHAR)", "CAST(MAX(o_custkey) AS VARCHAR)"),
+      profileSql("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+      profileSql("o_orderpriority", "MIN(o_orderpriority)", "MAX(o_orderpriority)"),
+      profileSql("o_totalprice", "printf('%.2f', MIN(o_totalprice))", "printf('%.2f', MAX(o_totalprice))"),
+      profileSql("o_orderdate", "CAST(MIN(o_orderdate) AS VARCHAR)", "CAST(MAX(o_orderdate) AS VARCHAR)"),
+    ).mkString("", " UNION ALL ", " ORDER BY col_name")),
+
+    "layout_zorder" -> {
+      val zSum = (0 until 8).map { i =>
+        s"((bx >> $i) & 1) * ${1L << (2 * i)} + ((by >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""
+      WITH stats AS (
+        SELECT MAX(o_custkey) AS max_c,
+               MAX(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS max_d
+        FROM orders),
+      b AS (
+        SELECT (o_custkey * 256) // (max_c + 1) AS bx,
+               (date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) * 256)
+                 // (max_d + 1) AS by
+        FROM orders, stats),
+      z AS (SELECT ($zSum) AS zv, bx, by FROM b)
+      SELECT zv // 1024 AS zbucket, COUNT(1) AS n,
+             CAST(MIN(bx) AS BIGINT) AS bx_min, CAST(MAX(bx) AS BIGINT) AS bx_max,
+             CAST(MIN(by) AS BIGINT) AS by_min, CAST(MAX(by) AS BIGINT) AS by_max
+      FROM z GROUP BY 1 ORDER BY zbucket"""
+    },
+
+    "graph_triangles" -> """
+      WITH pairs AS (
+        SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                        greatest(c_nationkey, s_nationkey) AS b
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey)
+      SELECT e1.a, COUNT(1) AS n_triangles
+      FROM pairs e1
+        JOIN pairs e2 ON e1.b = e2.a
+        JOIN pairs e3 ON e1.a = e3.a AND e2.b = e3.b
+      GROUP BY e1.a ORDER BY e1.a""",
+  )
+}
