@@ -189,6 +189,61 @@ object Streaming extends OpRegistry {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    "stream_threshold_alerts" -> ((s, dir) => {
+      // Arbitrary stateful detector (round 4): emit an alert row each time
+      // a user's cumulative spend crosses another $1000 boundary. State is
+      // one LONG (cumulative integer cents — exact, no float drift) per
+      // user; rows are sorted per group in-memory because a file-source
+      // batch iterator carries no order guarantee (bounded by
+      // microbatch-size x key share; a production deployment bounds it
+      // with watermark-windowed batches). The alert stream is
+      // Update-mode: each crossing emits exactly once.
+      import s.implicits._
+      val typed = eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"), tsDivMicros(col("ts")).as("ts_us"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v100"))
+        .as[(Long, Long, Long, Long)]
+      val levelCents = 100000L // $1000 in cents
+      val alerts = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[Long]) =>
+            val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._2))
+            var cum = state.getOption.getOrElse(0L)
+            val out = Seq.newBuilder[(Long, Long, Long, Long)]
+            sorted.foreach { r =>
+              val before = cum / levelCents
+              cum += r._4
+              val after = cum / levelCents
+              if (after > before) out += ((user, r._2, r._3, after))
+            }
+            state.update(cum)
+            out.result().iterator
+        }.toDF("user_id", "event_id", "ts_us", "level")
+      val out = runToMemory(s, alerts, "sta", OutputMode.Update())
+      out.orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    "stream_session_builtin" -> ((s, dir) => {
+      // The dedicated session-window state-store path (vs the batch
+      // gaps-and-islands in stream_session_30m): merging session state
+      // per user with a 30-minute gap, append emission gated by the
+      // watermark. Single AvailableNow batch -> exactly the sessions
+      // whose end precedes the final watermark are emitted; the oracle
+      // mirrors Spark's ms-granularity watermark comparison in integer
+      // micros.
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts_ts", "10 minutes")
+        .groupBy(session_window(col("ts_ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+      val out = runToMemory(s, agg, "ssb", OutputMode.Append())
+      out.select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          unix_micros(col("session_window.end")).as("sess_end_us"),
+          col("cnt"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy("user_id", "sess_start_us")
+    }),
+
     "stream_sink_foreachBatch" -> ((s, dir) => {
       // Micro-batch parquet upsert, idempotent by batchId (same batch
       // re-written to the same path on retry -> overwrite semantics).
@@ -251,6 +306,33 @@ object Streaming extends OpRegistry {
     // streaming ops: dedup keeps one row per key (nothing is late in batch
     // 1), the final stateful running count is the per-user total, and the
     // Complete-mode foreachBatch snapshot is the full aggregate.
+    "stream_threshold_alerts" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+                 FROM events),
+      r AS (SELECT *, SUM(v100) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM e)
+      SELECT user_id, event_id, ts_us, CAST(cum // 100000 AS BIGINT) AS level
+      FROM r WHERE cum // 100000 > (cum - v100) // 100000
+      ORDER BY user_id, ts_us, event_id""",
+    // Session-window append emission: a merged session is emitted iff its
+    // end (last event + 30 min gap, micros) is at or before the final
+    // watermark, which Spark tracks in MILLISECONDS (max_event_us//1000 -
+    // delay_ms) and compares against as micros (*1000).
+    "stream_session_builtin" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+      l AS (SELECT *, LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+      f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+      g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f)
+      SELECT user_id, MIN(ts_us) AS sess_start_us,
+             MAX(ts_us) + 1800000000 AS sess_end_us,
+             COUNT(1) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM g GROUP BY user_id, sess_id
+      HAVING MAX(ts_us) + 1800000000 <=
+             ((SELECT MAX(ts_us) FROM e) // 1000 - 600000) * 1000
+      ORDER BY user_id, sess_start_us""",
     "stream_dedup" -> """
       SELECT COUNT(1) AS n_rows,
              COUNT(DISTINCT event_id) AS n_distinct,
