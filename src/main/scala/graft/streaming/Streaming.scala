@@ -64,6 +64,29 @@ object Streaming extends OpRegistry {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** stream_threshold_alerts state transition, shared with StreamingSpec's
+    * cross-batch test: rows (user, event_id, ts_us, v100) sorted per group
+    * by (ts_us, event_id); state = cumulative integer cents; emit one row
+    * per crossed $1000 (= 100000 cents) boundary. */
+  private[graft] val thresholdFn:
+      (Long, Iterator[(Long, Long, Long, Long)], GroupState[Long]) =>
+        Iterator[(Long, Long, Long, Long)] = {
+    val levelCents = 100000L
+    (user, rows, state) => {
+      val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._2))
+      var cum = state.getOption.getOrElse(0L)
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      sorted.foreach { r =>
+        val before = cum / levelCents
+        cum += r._4
+        val after = cum / levelCents
+        if (after > before) out += ((user, r._2, r._3, after))
+      }
+      state.update(cum)
+      out.result().iterator
+    }
+  }
+
   /** Run an availableNow streaming query into a memory sink, return table. */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
                           mode: OutputMode): DataFrame = {
@@ -203,23 +226,10 @@ object Streaming extends OpRegistry {
         .select(col("user_id"), col("event_id"), tsDivMicros(col("ts")).as("ts_us"),
           floor(col("value") * 100 + lit(0.5)).cast("long").as("v100"))
         .as[(Long, Long, Long, Long)]
-      val levelCents = 100000L // $1000 in cents
       val alerts = typed.groupByKey(_._1)
         .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
-          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-          (user: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[Long]) =>
-            val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._2))
-            var cum = state.getOption.getOrElse(0L)
-            val out = Seq.newBuilder[(Long, Long, Long, Long)]
-            sorted.foreach { r =>
-              val before = cum / levelCents
-              cum += r._4
-              val after = cum / levelCents
-              if (after > before) out += ((user, r._2, r._3, after))
-            }
-            state.update(cum)
-            out.result().iterator
-        }.toDF("user_id", "event_id", "ts_us", "level")
+          OutputMode.Update(), GroupStateTimeout.NoTimeout())(thresholdFn)
+        .toDF("user_id", "event_id", "ts_us", "level")
       val out = runToMemory(s, alerts, "sta", OutputMode.Update())
       out.orderBy("user_id", "ts_us", "event_id")
     }),
