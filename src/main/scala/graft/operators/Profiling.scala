@@ -23,7 +23,10 @@ object Profiling extends OpRegistry {
       // count_distinct for approx_count_distinct and keep the identical
       // plan shape. Values are emitted as strings so one narrow schema
       // covers every column type.
-      val o = t(s, dir)("orders")
+      // tWide: the Expand for multi-distinct multiplies rows ~7x BEFORE
+      // the partial aggregate, and a single-file table scans as one task
+      // (measured 4.2 s at sf0.1 single-threaded; no-op at real scale).
+      val o = tWide(s, dir)("orders")
       def stat(c: String, minS: Column, maxS: Column): Seq[Column] = Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         count_distinct(col(c)).as(s"${c}__ndv"),
@@ -91,7 +94,7 @@ object Profiling extends OpRegistry {
       // O(m^1.5) on sparse 100 TB-scale graphs (never count per-node on
       // the unoriented graph: that is quadratic in max degree).
       val tt = t(s, dir) _
-      val pairs = tt("lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = tWide(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
         .join(tt("orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(tt("customer").select("c_custkey", "c_nationkey")),
