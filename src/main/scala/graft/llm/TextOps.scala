@@ -393,9 +393,76 @@ object TextOps extends OpRegistry {
         md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))).as("fp_bow"),
         size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"))
         .orderBy("doc_id")),
+
+    "sketch_cms_topk" -> ((s, dir) => {
+      // Count-min sketch heavy hitters (round 4): 4 rows × 256 buckets,
+      // PORTABLE hashing — ((a_j·x + b_j) mod (2^61−1)) mod 256 over a
+      // 31-bit rolling token hash, every constant a literal — so a second
+      // engine replays the sketch bit-for-bit (unlike the HLL ops, whose
+      // private seeds force self-verification). Bucket counts aggregate
+      // from per-token exact counts (vocab-sized, not occurrence-sized);
+      // the top-20 exact heavy hitters are then estimated from the
+      // sketch: est = min_j bucket[h_j]. CMS guarantees est ≥ exact; the
+      // overcount column shows collision noise. At 100 TB the 4×256 longs
+      // ARE the point: the sketch is the fixed-size mergeable summary a
+      // coordinator can hold for any stream cardinality.
+      val toks = tWide(s, dir)("documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val cnts = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      val x31 = expr(
+        """aggregate(
+             transform(sequence(1, length(token)), i -> ascii(substring(token, i, 1))),
+             CAST(17 AS BIGINT),
+             (acc, c) -> (acc * 31 + c) % CAST(2147483648 AS BIGINT))""")
+      val aLit = typedlit(Seq(1000000007L, 1000000021L, 1000000033L, 1000000087L))
+      val bLit = typedlit(Seq(12345L, 67891L, 24680L, 13579L))
+      val p = 2305843009213693951L // 2^61 - 1
+      val hashed = cnts.withColumn("x31", x31)
+        .withColumn("j", explode(array((0 until 4).map(lit): _*)))
+        .withColumn("bucket",
+          (element_at(aLit, col("j") + 1) * col("x31") + element_at(bLit, col("j") + 1))
+            % p % 256)
+      val buckets = hashed.groupBy("j", "bucket").agg(sum("exact_cnt").as("bcnt"))
+      val top = cnts.orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      top.join(hashed.select("token", "j", "bucket"), "token")
+        .join(broadcast(buckets), Seq("j", "bucket"))
+        .groupBy("token", "exact_cnt")
+        .agg(min("bcnt").as("cms_est"))
+        .select(col("token"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "sketch_cms_topk" -> """
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      t AS (SELECT token FROM toks WHERE length(token) > 0),
+      cnts AS (SELECT token, COUNT(1) AS exact_cnt FROM t GROUP BY token),
+      hx AS (SELECT token, exact_cnt,
+                    list_reduce(list_prepend(CAST(17 AS BIGINT),
+                      list_transform(range(1, length(token) + 1),
+                        i -> CAST(ord(substring(token, i, 1)) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % 2147483648) AS x31
+             FROM cnts),
+      params(j, a, b) AS (VALUES
+        (0, 1000000007, 12345), (1, 1000000021, 67891),
+        (2, 1000000033, 24680), (3, 1000000087, 13579)),
+      bx AS (SELECT token, exact_cnt, j,
+                    ((a * x31 + b) % 2305843009213693951) % 256 AS bucket
+             FROM hx CROSS JOIN params),
+      buckets AS (SELECT j, bucket, CAST(SUM(exact_cnt) AS BIGINT) AS bcnt
+                  FROM bx GROUP BY j, bucket),
+      top AS (SELECT token, exact_cnt FROM cnts
+              ORDER BY exact_cnt DESC, token LIMIT 20)
+      SELECT t.token, t.exact_cnt, MIN(b.bcnt) AS cms_est,
+             MIN(b.bcnt) - t.exact_cnt AS overcount
+      FROM top t
+        JOIN bx ON t.token = bx.token
+        JOIN buckets b ON bx.j = b.j AND bx.bucket = b.bucket
+      GROUP BY t.token, t.exact_cnt
+      ORDER BY t.exact_cnt DESC, t.token""",
     "dedup_exact" -> """
       SELECT sha256(lower(trim(text))) AS h, MIN(doc_id) AS doc_id, COUNT(1) AS dup_cnt
       FROM documents GROUP BY 1 ORDER BY doc_id""",

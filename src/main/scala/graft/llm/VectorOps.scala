@@ -61,6 +61,26 @@ object VectorOps extends OpRegistry {
   private val PqSubspaces = 8
   private val PqCodebook = 16
 
+  private val JlDims = 16
+  /** Rademacher ±1 projection signs for vec_jl_projection (Achlioptas-style
+    * database-friendly JL): ±1 entries keep every projected component ≤
+    * 64·1e6 in magnitude, so the 16-term projected dot product stays
+    * < 2^57 — exact 64-bit integer math end to end, NO rescaling (a scale
+    * step would hit the integer-division dialect trap on negatives).
+    * splitmix64 stride offset +128: disjoint from the IVF planes (0..23)
+    * and the near-embedding tables (+64). */
+  private def jlSigns(planeIdx: Int, dim: Int): Array[Long] = {
+    var x = 0x9E3779B97F4A7C15L * ((128 + planeIdx).toLong * dim)
+    Array.fill(dim) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      math.floorMod(z, 2L) * 2L - 1L
+    }
+  }
+
   /** Deterministic PQ codebook centroid (quantized micro-units): splitmix64
     * keyed by (subspace, code) with a different multiplier than the LSH
     * planes so the two ops share no pseudo-random structure. Components span
@@ -406,7 +426,93 @@ object VectorOps extends OpRegistry {
         .toDF("doc_id", "lang", "n_bytes", "byte_sum", "checksum31")
       decoded.orderBy("doc_id")
     }),
+
+    "vec_jl_projection" -> ((s, dir) => {
+      // Johnson-Lindenstrauss dimensionality reduction 64 -> 16 via ±1
+      // signs: project once per vector (k integer dot products, map-side,
+      // model broadcast as literals), then compare pairwise similarity in
+      // the REDUCED space against the exact original dot — the
+      // compress-then-search shape that turns a 100 TB embedding corpus
+      // into a 25 TB one before any pairwise work. Pair set bounded
+      // (queries vec_id<10 × candidates vec_id<100).
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val dim = 64
+      val projected = e.select(col("vec_id"), col("qe"),
+        array((0 until JlDims).map(j =>
+          dotQ(s, col("qe"), typedlit(jlSigns(j, dim).toSeq))): _*).as("y"))
+      val a = projected.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qe").as("qe_a"), col("y").as("y_a"))
+      val b = projected.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("vid"), col("qe").as("qe_b"), col("y").as("y_b"))
+      broadcast(a).join(b, col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"),
+          dotQ(s, col("qe_a"), col("qe_b")).as("orig_dot"),
+          dotQ(s, col("y_a"), col("y_b")).as("proj_dot"))
+        .orderBy("qid", "vid")
+    }),
+
+    "multimodal_chunks" -> ((s, dir) => {
+      // Frame/chunk sampling plumbing (audio-frame / video-frame shape):
+      // split each binary payload into 128-byte chunks with a distributed
+      // offset explode (sequence from the row's own length — never a
+      // driver loop), then per-partition batched "decode" of each chunk,
+      // exactly the batch surface a real codec UDF sees. Stub decode =
+      // byte stats (no codec libs in the container); the chunk schema,
+      // ordering column, and fold are the real contract.
+      val src = tWide(s, dir)("documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("chunk_id",
+          explode(sequence(lit(0L),
+            ceil(octet_length(col("payload")) / lit(128.0)).cast("long") - 1)))
+        .select(col("doc_id"), col("chunk_id"),
+          expr("substring(payload, cast(chunk_id * 128 + 1 as int), 128)").as("chunk"))
+      import s.implicits._
+      src.as[(Long, Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, cid, bytes) =>
+            val checksum = bytes.foldLeft(17L)((acc, b) => (acc * 31 + (b & 0xff)) % 2147483648L)
+            (id, cid, bytes.length, checksum)
+          }
+        }
+        .toDF("doc_id", "chunk_id", "n_bytes", "checksum31")
+        .orderBy("doc_id", "chunk_id")
+    }),
   )
+
+  /** Generated DuckDB twin of vec_jl_projection: the ±1 sign vectors are
+    * emitted as SQL literals; DuckDB re-derives projections, projected
+    * dots, and exact original dots — all integer math, so equality is
+    * exact. */
+  private def jlOracleSql: String = {
+    val dim = 64
+    val vals = (0 until JlDims).map(j =>
+      s"($j, [${jlSigns(j, dim).mkString(",")}])").mkString(",\n        ")
+    s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings WHERE vec_id < 100),
+      planes(j, comps) AS (VALUES
+        $vals),
+      proj AS (SELECT vec_id, j,
+                      CAST(list_sum(list_transform(range(1, ${dim + 1}),
+                        i -> qe[i] * comps[i])) AS BIGINT) AS yj
+               FROM q CROSS JOIN planes),
+      pd AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+                    CAST(SUM(a.yj * b.yj) AS BIGINT) AS proj_dot
+             FROM proj a JOIN proj b ON a.j = b.j
+             WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+             GROUP BY 1, 2),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      od AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+                    CAST(SUM(a.v * b.v) AS BIGINT) AS orig_dot
+             FROM e a JOIN e b ON a.i = b.i
+             WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+             GROUP BY 1, 2)
+      SELECT od.qid, od.vid, od.orig_dot, pd.proj_dot
+      FROM od JOIN pd ON od.qid = pd.qid AND od.vid = pd.vid
+      ORDER BY od.qid, od.vid"""
+  }
 
   /** Generated DuckDB twin of knn_ivf_topk: the splitmix64 plane vectors are
     * emitted as SQL literals (24 rows of 64 ints), and the whole index —
@@ -590,6 +696,20 @@ object VectorOps extends OpRegistry {
     "knn_ivf_topk" -> ivfOracleSql,
     "vec_pq_codes" -> pqOracleSql,
     "dedup_near_embedding" -> nearEmbOracleSql,
+    "vec_jl_projection" -> jlOracleSql,
+    "multimodal_chunks" -> """
+      WITH c AS (SELECT doc_id, text,
+                        unnest(range(0, CAST(ceil(length(text) / 128.0) AS BIGINT))) AS chunk_id
+                 FROM documents),
+      s AS (SELECT doc_id, chunk_id,
+                   substring(text, CAST(chunk_id * 128 + 1 AS INT), 128) AS chunk
+            FROM c)
+      SELECT doc_id, chunk_id, CAST(length(chunk) AS INT) AS n_bytes,
+             list_reduce(list_prepend(CAST(17 AS BIGINT),
+               list_transform(range(1, length(chunk) + 1),
+                 i -> CAST(ord(substring(chunk, i, 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483648) AS checksum31
+      FROM s ORDER BY doc_id, chunk_id""",
     // The decode itself is stubbed (no codec libs), but its byte-statistics
     // output is differential: DuckDB re-derives the same stats from the text
     // via a per-character fold (ord == byte on the all-ascii fixture, which

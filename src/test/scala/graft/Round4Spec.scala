@@ -195,6 +195,40 @@ class Round4Spec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("vec_jl_projection: projected dots track original dots (JL property)") {
+    val rows = q("vec_jl_projection").collect()
+      .map(r => (r.getAs[Long]("orig_dot").toDouble, r.getAs[Long]("proj_dot").toDouble / 16.0))
+    assert(rows.nonEmpty)
+    val (xs, ys) = rows.unzip
+    val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val corr = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    // 16 Rademacher dims preserve similarity structure well above chance
+    assert(corr > 0.5, s"JL correlation too low: $corr")
+  }
+
+  test("multimodal_chunks: chunks tile each payload exactly") {
+    val rows = q("multimodal_chunks").collect()
+    val lengths = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", length($"text").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, g) =>
+      assert(g.map(_.getAs[Int]("n_bytes").toLong).sum == lengths(id))
+      assert(g.length == math.ceil(lengths(id) / 128.0).toInt)
+      assert(g.map(_.getAs[Long]("chunk_id")).sorted.sameElements(0L until g.length))
+    }
+  }
+
+  test("sketch_cms_topk: count-min never underestimates") {
+    val rows = q("sketch_cms_topk").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"))
+      assert(r.getAs[Long]("overcount") >= 0L)
+    }
+  }
+
   test("stream_session_builtin sessions agree with the batch gaps-and-islands") {
     val builtin = q("stream_session_builtin").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_start_us")) ->
