@@ -99,4 +99,36 @@ class PlanSpec extends GraftSuite {
     assert(exchanges - reuses <= 1,
       s"sessionize should shuffle on user_id once ($exchanges exchanges, $reuses reused):\n$p")
   }
+
+  test("q_yoy_growth: both dimension joins broadcast, no merge join") {
+    val p = finalPlan("q_yoy_growth").split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"customer/nation must broadcast into the orders scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact-side merge join expected:\n$p")
+  }
+
+  test("events_gapfill: grid join is keyed — never a nested-loop expansion") {
+    val p = finalPlan("events_gapfill").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gap-fill grid must join on (user_id, hour_us):\n$p")
+  }
+
+  test("join_bloom_prefilter: bloom probe filters the probe side below the join") {
+    val p = finalPlan("join_bloom_prefilter").split("== Initial Plan ==")(0)
+    // the UDF probe must appear in a Filter above the lineitem scan, i.e.
+    // rows are dropped BEFORE the join's exchange, not after the join
+    val filterIdx = p.indexOf("Filter")
+    val joinIdx = p.indexOf("Join")
+    assert(filterIdx >= 0 && joinIdx >= 0,
+      s"expected a pre-join filter and a join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bloom path must stay keyed:\n$p")
+  }
+
+  test("sketch_cms_topk: sketch build aggregates partially before its shuffle") {
+    val p = finalPlan("sketch_cms_topk").split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bucket counts must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"estimate join must stay keyed:\n$p")
+  }
 }
