@@ -237,6 +237,18 @@ object Aggregations extends OpRegistry {
         .orderBy("o_orderpriority")
     }),
 
+    "agg_bool" -> ((s, dir) =>
+      // Boolean aggregate surface (every/any): per status, do ALL orders
+      // clear $1000, does ANY clear $400k, plus the witness count. Emitted
+      // as INT (a bool column round-trips differently through the two
+      // engines' pandas bridges).
+      t(s, dir)("orders")
+        .groupBy("o_orderstatus")
+        .agg(bool_and(col("o_totalprice") > 1000.0).cast("int").as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000.0).cast("int").as("any_over_400k"),
+          sum(when(col("o_totalprice") > 400000.0, 1L).otherwise(0L)).as("n_over_400k"))
+        .orderBy("o_orderstatus")),
+
     "agg_string_agg" -> ((s, dir) =>
       // Ordered set-valued aggregation emitted as ONE STRING (D7: the
       // comparator cannot hash arrays) — the listagg/string_agg surface.
@@ -267,6 +279,12 @@ object Aggregations extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "agg_bool" -> """
+      SELECT o_orderstatus,
+             CAST(bool_and(o_totalprice > 1000.0) AS INT) AS all_over_1k,
+             CAST(bool_or(o_totalprice > 400000.0) AS INT) AS any_over_400k,
+             CAST(SUM(CASE WHEN o_totalprice > 400000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_400k
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_string_agg" -> """
       WITH d AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders),
       a AS (SELECT o_orderstatus,

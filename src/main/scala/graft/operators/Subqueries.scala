@@ -25,7 +25,35 @@ object Subqueries extends OpRegistry {
     s.sql(q)
   }
 
+  /** sql_recursive_cte: identical text runs on Spark 4.1 (recursive CTE
+    * support) and DuckDB — BFS min-hops from nation 0 over the co-trade
+    * graph. The recursive member re-joins the frontier against a ~200-row
+    * edge list (broadcastable); the hop bound caps the unrolling depth,
+    * which is the safety rail any production recursive query needs (an
+    * unbounded recursion over a cyclic graph never terminates under
+    * UNION ALL). */
+  private val RecursiveBfsSql = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                      greatest(c_nationkey, s_nationkey) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE c_nationkey <> s_nationkey),
+    bfs(n, hop) AS (
+      SELECT CAST(0 AS INT) AS n, 0 AS hop
+      UNION ALL
+      SELECT CASE WHEN e.a = b.n THEN e.b ELSE e.a END AS n, b.hop + 1 AS hop
+      FROM bfs b JOIN edges e ON b.n = e.a OR b.n = e.b
+      WHERE b.hop < 3)
+    SELECT n, CAST(MIN(hop) AS INT) AS min_hops
+    FROM bfs GROUP BY n ORDER BY n"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_cte" -> ((s, dir) =>
+      sqlOn(s, dir, Seq("lineitem", "orders", "customer", "supplier"),
+        RecursiveBfsSql)),
+
     "sql_exists_subquery" -> ((s, dir) =>
       sqlOn(s, dir, Seq("customer", "orders"), """
         SELECT c_custkey, c_name
@@ -74,6 +102,7 @@ object Subqueries extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "sql_recursive_cte" -> RecursiveBfsSql,
     "sql_exists_subquery" -> """
       SELECT c_custkey, c_name
       FROM customer c
