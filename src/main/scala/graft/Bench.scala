@@ -25,7 +25,10 @@ object Bench {
     "dedup_near_minhash", "jaccard_pairs", "knn_cosine_topk", "knn_ivf_topk",
     "text_tfidf_top", "text_langid", "text_ngram_freq", "stream_tumbling_1h",
     "stream_stream_join", "vec_pq_codes", "sink_partitioned_pruned",
-    "dedup_components", "vec_kmeans_iter", "events_funnel", "sql_scalar_subquery")
+    "dedup_components", "vec_kmeans_iter", "events_funnel", "sql_scalar_subquery",
+    "events_gapfill", "events_ewma", "profile_table_stats", "layout_zorder",
+    "sketch_cms_topk", "vec_jl_projection", "sql_recursive_cte",
+    "stream_threshold_alerts", "join_bloom_prefilter", "graph_triangles")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

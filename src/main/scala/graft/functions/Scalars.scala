@@ -169,9 +169,39 @@ object Scalars extends OpRegistry {
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .withColumnRenamed("pos", "tok_pos").withColumnRenamed("col", "token")
         .orderBy("doc_id", "tok_pos")),
+
+    "fn_hof" -> ((s, dir) => {
+      // Higher-order-function surface (round 4): transform / filter /
+      // exists / aggregate over a per-order quantity array, emitted as
+      // SCALARS (D7). The array is array_sort'ed before any
+      // order-sensitive fold — collect_list order is shuffle-dependent on
+      // a cluster. Quantities are 1..50 integral doubles, so the sum of
+      // squares stays exact in double math.
+      val arr = array_sort(collect_list(col("l_quantity")))
+      t(s, dir)("lineitem")
+        .groupBy("l_orderkey")
+        .agg(arr.as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).as("n_lines"),
+          aggregate(col("qs"), lit(0.0), (a, x) => a + x * x).as("sumsq"),
+          size(filter(col("qs"), _ > 25.0)).as("n_big"),
+          exists(col("qs"), _ === 1.0).cast("int").as("has_unit"),
+          element_at(col("qs"), -1).as("max_q"))
+        .orderBy("l_orderkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "fn_hof" -> """
+      WITH g AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+                 FROM lineitem GROUP BY l_orderkey)
+      SELECT l_orderkey,
+             CAST(len(qs) AS INT) AS n_lines,
+             list_aggregate(list_transform(qs, x -> x * x), 'sum') AS sumsq,
+             CAST(len(list_filter(qs, x -> x > 25.0)) AS INT) AS n_big,
+             CAST(list_contains(qs, 1.0) AS INT) AS has_unit,
+             qs[-1] AS max_q
+      FROM g ORDER BY l_orderkey""",
     "fn_string" -> """
       SELECT p_partkey,
              upper(p_name) AS up, lower(p_brand) AS lo,

@@ -237,6 +237,21 @@ object Aggregations extends OpRegistry {
         .orderBy("o_orderpriority")
     }),
 
+    "agg_approx_quantile" -> ((s, dir) =>
+      // Approximate quantiles (Greenwald-Khanna style sketch): the
+      // mergeable, bounded-memory path for percentiles over 100 TB —
+      // exact percentile_disc needs a full sort per group; this holds an
+      // ε-approximate summary per partition and merges. Self-verified
+      // (sketch internals are engine-specific; Round4Spec asserts the
+      // rank-error contract against the exact quantiles).
+      t(s, dir)("orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("o_totalprice"), lit(0.25), lit(10000)).as("q25"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("q50"),
+          percentile_approx(col("o_totalprice"), lit(0.75), lit(10000)).as("q75"))
+        .orderBy("o_orderpriority")),
+
     "agg_bool" -> ((s, dir) =>
       // Boolean aggregate surface (every/any): per status, do ALL orders
       // clear $1000, does ANY clear $400k, plus the witness count. Emitted

@@ -229,6 +229,45 @@ class Round4Spec extends GraftSuite {
     }
   }
 
+  test("fn_hof scalars match a direct per-order computation") {
+    val got = q("fn_hof").collect()
+      .map(r => r.getAs[Long]("l_orderkey") -> r).toMap
+    val lines = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity").as[(Long, Double)]
+      .collect().groupBy(_._1)
+    lines.foreach { case (k, g) =>
+      val qs = g.map(_._2)
+      val r = got(k)
+      assert(r.getAs[Int]("n_lines") == qs.length)
+      assert(r.getAs[Double]("sumsq") == qs.map(x => x * x).sum)
+      assert(r.getAs[Int]("n_big") == qs.count(_ > 25.0))
+      assert(r.getAs[Int]("has_unit") == (if (qs.contains(1.0)) 1 else 0))
+      assert(r.getAs[Double]("max_q") == qs.max)
+    }
+  }
+
+  test("agg_approx_quantile honors the sketch rank-error contract") {
+    val rows = q("agg_approx_quantile").collect()
+    val exact = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderpriority", $"o_totalprice").as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val vals = exact(r.getAs[String]("o_orderpriority"))
+      val n = r.getAs[Long]("n")
+      assert(n == vals.length)
+      for ((qcol, frac) <- Seq(("q25", 0.25), ("q50", 0.5), ("q75", 0.75))) {
+        val v = r.getAs[Double](qcol)
+        // rank of the returned value must sit within epsilon*n of target
+        val rank = vals.count(_ <= v)
+        val tol = math.max(2.0, n / 1000.0)
+        assert(math.abs(rank - frac * n) <= tol,
+          s"$qcol rank $rank vs target ${frac * n} (n=$n)")
+      }
+      assert(r.getAs[Double]("q25") <= r.getAs[Double]("q50"))
+      assert(r.getAs[Double]("q50") <= r.getAs[Double]("q75"))
+    }
+  }
+
   test("stream_session_builtin sessions agree with the batch gaps-and-islands") {
     val builtin = q("stream_session_builtin").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_start_us")) ->
