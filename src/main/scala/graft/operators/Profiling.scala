@@ -84,6 +84,33 @@ object Profiling extends OpRegistry {
         .orderBy("zbucket")
     }),
 
+    "merge_upsert" -> ((s, dir) => {
+      // MERGE INTO semantics over plain parquet (no transactional table
+      // format in this environment): a changes batch (each customer's
+      // latest order total, change-captured via keepFirst) full-outer
+      // merged into the customer dimension — matched rows update acctbal,
+      // unmatched-source rows would insert (none here: FK-complete),
+      // unmatched-target rows carry over. This outer-join-then-coalesce
+      // is exactly the rewrite Delta/Iceberg MERGE performs; at 100 TB
+      // the join shuffles on the key unless the changes batch is small
+      // enough to broadcast (the common nightly case — hinted here).
+      val tt = t(s, dir) _
+      val changes = graft.Helpers.keepFirst(
+        tt("orders").select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderkey")),
+        Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_totalprice").as("new_bal"))
+      tt("customer")
+        .join(broadcast(changes), col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("c_custkey"),
+          col("c_name"),
+          coalesce(col("new_bal"), col("c_acctbal")).as("acctbal"),
+          (col("new_bal").isNotNull).cast("int").as("was_updated"))
+        .orderBy("c_custkey")
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       // Triangle count over the nation co-trade graph: undirected edge
       // (a,b) iff some order has a customer in nation a and a line
@@ -153,6 +180,20 @@ object Profiling extends OpRegistry {
              CAST(MIN(by) AS BIGINT) AS by_min, CAST(MAX(by) AS BIGINT) AS by_max
       FROM z GROUP BY 1 ORDER BY zbucket"""
     },
+
+    "merge_upsert" -> """
+      WITH changes AS (
+        SELECT o_custkey, o_totalprice AS new_bal
+        FROM (SELECT o_custkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1)
+      SELECT COALESCE(c_custkey, o_custkey) AS c_custkey, c_name,
+             COALESCE(new_bal, c_acctbal) AS acctbal,
+             CAST(new_bal IS NOT NULL AS INT) AS was_updated
+      FROM customer FULL OUTER JOIN changes ON c_custkey = o_custkey
+      ORDER BY c_custkey""",
 
     "graph_triangles" -> """
       WITH pairs AS (

@@ -5,7 +5,7 @@ import graft.Helpers._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
 
 /** §2.10 Streaming over the `events` stream.
   *
@@ -83,6 +83,31 @@ object Streaming extends OpRegistry {
         if (after > before) out += ((user, r._2, r._3, after))
       }
       state.update(cum)
+      out.result().iterator
+    }
+  }
+
+  /** stream_tws_running_max processor — the transformWithState surface
+    * (Spark 4 arbitrary-state API, successor to flatMapGroupsWithState):
+    * typed ValueState handle, explicit TimeMode, RocksDB-backed store.
+    * Emits a row whenever a user's running max value (integer cents)
+    * increases; rows sorted per group per batch (file-source iterators
+    * carry no order). */
+  private class RunningMaxProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Long), (Long, Long, Long, Long)] {
+    @transient private var mx: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mx = getHandle.getValueState[Long]("mx",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Long)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._2))
+      var cur = if (mx.exists()) mx.get() else Long.MinValue
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      sorted.foreach { r =>
+        if (r._4 > cur) { cur = r._4; out += ((key, r._2, r._3, cur)) }
+      }
+      mx.update(cur)
       out.result().iterator
     }
   }
@@ -234,6 +259,33 @@ object Streaming extends OpRegistry {
       out.orderBy("user_id", "ts_us", "event_id")
     }),
 
+    "stream_tws_running_max" -> ((s, dir) => {
+      // The transformWithState surface (Spark 4's arbitrary-state API):
+      // per-user running-max alerts from a typed ValueState handle on a
+      // RocksDB state store (TWS requires it; scoped to this query and
+      // restored after). Versus flatMapGroupsWithState this is the
+      // forward path: named state variables, TTL support, timers.
+      import s.implicits._
+      val typed = eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"), tsDivMicros(col("ts")).as("ts_us"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v100"))
+        .as[(Long, Long, Long, Long)]
+      val alerts = typed.groupByKey(_._1)
+        .transformWithState(new RunningMaxProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_id", "ts_us", "max_cents")
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out =
+        try runToMemory(s, alerts, "tws", OutputMode.Update())
+        finally prevProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      out.orderBy("user_id", "ts_us", "event_id")
+    }),
+
     "stream_session_builtin" -> ((s, dir) => {
       // The dedicated session-window state-store path (vs the batch
       // gaps-and-islands in stream_session_30m): merging session state
@@ -325,6 +377,16 @@ object Streaming extends OpRegistry {
             FROM e)
       SELECT user_id, event_id, ts_us, CAST(cum // 100000 AS BIGINT) AS level
       FROM r WHERE cum // 100000 > (cum - v100) // 100000
+      ORDER BY user_id, ts_us, event_id""",
+    "stream_tws_running_max" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+                 FROM events),
+      r AS (SELECT *, MAX(v100) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM e)
+      SELECT user_id, event_id, ts_us, v100 AS max_cents
+      FROM r WHERE prev_max IS NULL OR v100 > prev_max
       ORDER BY user_id, ts_us, event_id""",
     // Session-window append emission: a merged session is emitted iff its
     // end (last event + 30 min gap, micros) is at or before the final
