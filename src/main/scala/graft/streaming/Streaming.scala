@@ -93,7 +93,7 @@ object Streaming extends OpRegistry {
     * Emits a row whenever a user's running max value (integer cents)
     * increases; rows sorted per group per batch (file-source iterators
     * carry no order). */
-  private class RunningMaxProcessor
+  private[graft] class RunningMaxProcessor
       extends StatefulProcessor[Long, (Long, Long, Long, Long), (Long, Long, Long, Long)] {
     @transient private var mx: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =

@@ -268,6 +268,54 @@ class Round4Spec extends GraftSuite {
     }
   }
 
+  test("transformWithState running max carries across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Long, Long, Long)]
+      val alerts = ms.toDS().groupByKey(_._1)
+        .transformWithState(new streaming.Streaming.RunningMaxProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_id", "ts_us", "max_cents")
+      val qn = "tws_" + System.nanoTime()
+      val query = alerts.writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        ms.addData((1L, 10L, 100L, 500L), (1L, 11L, 200L, 300L)) // max=500 at t=100
+        query.processAllAvailable()
+        ms.addData((1L, 12L, 300L, 400L), (1L, 13L, 400L, 900L)) // only 900 beats state
+        query.processAllAvailable()
+        val out = spark.table(qn).as[(Long, Long, Long, Long)].collect().sorted
+        assert(out.sameElements(Seq((1L, 10L, 100L, 500L), (1L, 13L, 400L, 900L))),
+          s"got ${out.mkString(",")}")
+      } finally query.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("merge_upsert: every customer present once; updates match latest order") {
+    val rows = q("merge_upsert").collect()
+    val nCust = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(rows.length == nCust)
+    assert(rows.map(_.getAs[Long]("c_custkey")).distinct.length == nCust)
+    // updated rows carry the latest order's total; untouched carry acctbal
+    val latest = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_custkey", $"o_totalprice", $"o_orderdate", $"o_orderkey")
+      .as[(Long, Double, java.time.LocalDateTime, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(r => (r._3.toString, r._4))._2).toMap
+    val base = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect().toMap
+    rows.foreach { r =>
+      val k = r.getAs[Long]("c_custkey")
+      if (r.getAs[Int]("was_updated") == 1) assert(r.getAs[Double]("acctbal") == latest(k))
+      else assert(r.getAs[Double]("acctbal") == base(k))
+    }
+  }
+
   test("stream_session_builtin sessions agree with the batch gaps-and-islands") {
     val builtin = q("stream_session_builtin").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_start_us")) ->
