@@ -50,9 +50,35 @@ object Subqueries extends OpRegistry {
     FROM bfs GROUP BY n ORDER BY n"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql_recursive_cte" -> ((s, dir) =>
-      sqlOn(s, dir, Seq("lineitem", "orders", "customer", "supplier"),
-        RecursiveBfsSql)),
+    "sql_recursive_cte" -> ((s, dir) => {
+      // The full single-statement RecursiveBfsSql (= the oracle text) also
+      // runs on Spark verbatim, but Spark's UnionLoop re-executes
+      // loop-referenced CTEs each iteration — measured 3.5 s because the
+      // fact-table edge build ran once per hop. Materializing the
+      // loop-invariant edge list FIRST and recursing over the ~200-row
+      // view is the shape a 100 TB recursive query needs (the recursion
+      // then touches only frontier × edges, never the facts).
+      Seq("lineitem", "orders", "customer", "supplier")
+        .foreach(n => graft.Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                        greatest(c_nationkey, s_nationkey) AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey""")
+        .localCheckpoint()
+        .createOrReplaceTempView("cotrade_edges")
+      s.sql("""
+        WITH RECURSIVE bfs(n, hop) AS (
+          SELECT CAST(0 AS INT) AS n, 0 AS hop
+          UNION ALL
+          SELECT CASE WHEN e.a = b.n THEN e.b ELSE e.a END AS n, b.hop + 1 AS hop
+          FROM bfs b JOIN cotrade_edges e ON b.n = e.a OR b.n = e.b
+          WHERE b.hop < 3)
+        SELECT n, CAST(MIN(hop) AS INT) AS min_hops
+        FROM bfs GROUP BY n ORDER BY n""")
+    }),
 
     "sql_exists_subquery" -> ((s, dir) =>
       sqlOn(s, dir, Seq("customer", "orders"), """
