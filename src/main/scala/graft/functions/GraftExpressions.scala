@@ -1,12 +1,14 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst expression for the exact quantized integer dot product
   * used by the vector ops (§2.11). The declarative form —
@@ -93,6 +95,47 @@ case class DotQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen probe into a broadcast [[BloomFilter]] (the semi-join
+  * reduction in `join_bloom_prefilter`). Replaces a per-row Scala UDF: a
+  * ScalaUDF boxes every key, breaks WholeStageCodegen on the fact-table
+  * scan, and hides the predicate from the optimizer; this expression is one
+  * virtual call inside the fused scan loop. The sketch rides the plan as a
+  * Broadcast handle — each executor fetches it once from the broadcast
+  * store instead of re-shipping the bit array with every task closure.
+  *
+  * Semantics: `mightContainLong(key)`; NULL key => NULL (a Filter then
+  * drops the row, matching SQL 3VL for a membership predicate). An empty
+  * bloom (built over zero rows) answers false for every key.
+  */
+case class BloomMightContain(child: Expression, bloomBc: Broadcast[BloomFilter])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint key, got $t")
+  }
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override protected def nullSafeEval(key: Any): Any =
+    bloomBc.value.mightContainLong(key.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomCls = classOf[BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bloomBc,
+      classOf[Broadcast[_]].getName)
+    // materialize the broadcast once per generated-class instance, not per row
+    val bloom = ctx.addMutableState(bloomCls, "graftBloom",
+      v => s"$v = ($bloomCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, k => s"${ev.value} = $bloom.mightContainLong($k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session-level registration for graft's native expressions. Registered in
   * the session FunctionRegistry (idempotent) rather than via
   * SparkSessionExtensions so they work on ANY already-built session — the
@@ -124,5 +167,20 @@ object GraftExpressions {
   def hllDistinct(spark: SparkSession, c: Column): Column = {
     register(spark)
     call_function(HllName, c)
+  }
+
+  val BloomName = "graft_bloom_might_contain"
+
+  /** Column form of the native bloom probe. The broadcast sketch handle has
+    * no SQL-literal representation, so the registry builder closure carries
+    * it: each call re-binds the temp function to THIS sketch before use
+    * (queries run sequentially, so the rebind is race-free).
+    */
+  def bloomMightContain(spark: SparkSession, bc: Broadcast[BloomFilter],
+      key: Column): Column = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomName, exprs => BloomMightContain(exprs.head, bc), "scala_udf")
+    call_function(BloomName, key)
   }
 }

@@ -230,15 +230,16 @@ object Joins extends OpRegistry {
       // spark.sql.optimizer.runtime.bloomFilter.enabled, injects the same
       // shape automatically; the explicit build keeps sizing and fpp
       // under user control and works on any join the optimizer skips).
+      // The probe is a native codegen Expression (BloomMightContain) so
+      // the lineitem scan + filter stays one WholeStageCodegen span.
       val tt = t(s, dir) _
       val urgent = tt("orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey", "o_orderdate")
       val bloom = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
       val bloomB = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
       tt("lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-        .filter(mightContain(col("l_orderkey")))
+        .filter(graft.functions.GraftExpressions.bloomMightContain(s, bloomB, col("l_orderkey")))
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderdate")
         .agg(count(lit(1)).as("line_cnt"),

@@ -96,6 +96,47 @@ class ExpressionSpec extends GraftSuite {
     assert(run(1) == run(13), "HLL result changed with partitioning")
   }
 
+  test("BloomMightContain: agrees with exact membership modulo fpp; null/empty edges") {
+    import org.apache.spark.util.sketch.BloomFilter
+    // no false negatives, ever: every inserted key must probe true
+    val keys = (0L until 5000L).map(_ * 7L)
+    val bf = BloomFilter.create(keys.size.toLong, 0.01)
+    keys.foreach(bf.putLong)
+    val bc = spark.sparkContext.broadcast(bf)
+    val df = spark.range(0, 40000).select($"id".as("k"))
+    val probed = df.filter(GraftExpressions.bloomMightContain(spark, bc, $"k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keys.toSet.subsetOf(probed), "bloom filter dropped an inserted key (false negative)")
+    // fpp bound (generous 5x slack over the 1% target on ~35k negatives)
+    val negatives = 40000 - keys.count(_ < 40000)
+    val falsePos = probed.size - keys.count(_ < 40000)
+    assert(falsePos.toDouble / negatives < 0.05, s"fpp too high: $falsePos/$negatives")
+    // NULL key => NULL => row dropped by the filter (SQL 3VL)
+    val withNull = Seq(Some(0L), None, Some(7L)).toDF("k")
+    val kept = withNull.filter(GraftExpressions.bloomMightContain(spark, bc, $"k")).count()
+    assert(kept == 2, "NULL key must be dropped, non-null inserted keys kept")
+    // empty bloom answers false for every key
+    val emptyB = spark.sparkContext.broadcast(BloomFilter.create(100L, 0.01))
+    assert(df.filter(GraftExpressions.bloomMightContain(spark, emptyB, $"k")).count() == 0)
+  }
+
+  test("BloomMightContain: interpreted eval agrees with codegen") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(100L, 0.01)
+    Seq(3L, 17L, 42L).foreach(bf.putLong)
+    val bc = spark.sparkContext.broadcast(bf)
+    val expr = graft.functions.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = true), bc)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    Seq(3L -> true, 17L -> true, 4L -> bf.mightContainLong(4L)).foreach { case (k, want) =>
+      row.update(0, k)
+      assert(expr.eval(row) == want, s"interpreted eval wrong for $k")
+    }
+    row.update(0, null)
+    assert(expr.eval(row) == null, "interpreted eval must be null for null key")
+  }
+
   test("DotQ runs inside WholeStageCodegen in the knn plan") {
     val df = q("knn_cosine_topk")
     df.collect() // finalize the adaptive plan before inspecting it

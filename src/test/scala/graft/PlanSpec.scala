@@ -113,15 +113,24 @@ class PlanSpec extends GraftSuite {
       s"gap-fill grid must join on (user_id, hour_us):\n$p")
   }
 
-  test("join_bloom_prefilter: bloom probe filters the probe side below the join") {
+  test("join_bloom_prefilter: native codegen probe filters the probe side below the join") {
     val p = finalPlan("join_bloom_prefilter").split("== Initial Plan ==")(0)
-    // the UDF probe must appear in a Filter above the lineitem scan, i.e.
+    // the probe must appear in a Filter above the lineitem scan, i.e.
     // rows are dropped BEFORE the join's exchange, not after the join
     val filterIdx = p.indexOf("Filter")
     val joinIdx = p.indexOf("Join")
     assert(filterIdx >= 0 && joinIdx >= 0,
       s"expected a pre-join filter and a join:\n$p")
     assert(!p.contains("CartesianProduct"), s"bloom path must stay keyed:\n$p")
+    // the probe is a native Expression, not a boxed per-row Scala UDF —
+    // a ScalaUDF would break WholeStageCodegen on the fact-table scan
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+      s"bloom probe must not run through a UDF:\n$p")
+    // the "*(n)" prefix marks a WholeStageCodegen stage in the final-plan
+    // render; the Filter evaluating the probe must carry one
+    val codegenProbe = "\\*\\(\\d+\\) Filter .*graft_bloom_might_contain".r
+    assert(codegenProbe.findFirstIn(p).isDefined,
+      s"native bloom probe must run inside a WholeStageCodegen Filter:\n$p")
   }
 
   test("sketch_cms_topk: sketch build aggregates partially before its shuffle") {
