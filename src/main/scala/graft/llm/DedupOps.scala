@@ -56,6 +56,70 @@ object DedupOps extends OpRegistry {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Distributed connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): converges in O(log n) rounds where plain min-label
+    * propagation needs O(diameter) — on a 100 TB near-dup graph each round
+    * is a full shuffle of the edge set, so the round count IS the cost.
+    *
+    * large-star(u): every neighbor v > u re-links to m = min(Γ(u) ∪ {u});
+    * small-star(u): every neighbor v < u, and u itself, re-link to m.
+    * Both are one groupBy + one join over the (bidirectional) edges. At the
+    * fixpoint every component is a star centered at its minimum node, so the
+    * label of u is min(u, min Γ(u)). Convergence check is EXACT set
+    * equality (count + except): the potential Σ(a+b) over the edge set is
+    * strictly decreasing until the fixpoint, so equality after a
+    * large+small pair proves both operations are at their fixpoint.
+    * Lineage is truncated per round (localCheckpoint), or the plan would
+    * double every iteration.
+    *
+    * @param nodes single column `node` — every vertex, including isolated
+    * @param pairs canonical distinct edges, columns `a` < `b`
+    * @return (labels with columns `node`, `label`; rounds taken)
+    */
+  private[graft] def connectedComponents(nodes: DataFrame,
+      pairs: DataFrame): (DataFrame, Int) = {
+    def bidir(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+    // m(u) = min(Γ(u) ∪ {u})
+    def mOf(bd: DataFrame): DataFrame =
+      bd.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+    var edges = pairs.localCheckpoint()
+    var edgeCount = edges.count()
+    var rounds = 0
+    var converged = false
+    val MaxRounds = 50 // loud failure instead of silent non-fixpoint labels
+    while (!converged && rounds < MaxRounds) {
+      // large-star: (u,v), v > u  →  (m, v); m <= u < v so (m,v) is canonical
+      val bd1 = bidir(edges)
+      val ls = bd1.join(mOf(bd1), "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: (u,v), v < u  →  (m, v), plus (m, u); m <= v < u
+      val bd2 = bidir(ls)
+      val m2 = mOf(bd2)
+      val ss = bd2.join(m2, "u").filter(col("v") < col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(m2.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+      val n2 = ss.count()
+      converged = n2 == edgeCount && ss.except(edges).isEmpty
+      edges = ss
+      edgeCount = n2
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponents did not reach the star fixpoint in $MaxRounds rounds")
+    val nbrMin = bidir(edges).groupBy("u").agg(min(col("v")).as("mn"))
+    val labels = nodes.join(nbrMin, nodes("node") === nbrMin("u"), "left")
+      .select(col("node"),
+        least(col("node"), coalesce(col("mn"), col("node"))).as("label"))
+    (labels, rounds)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_near_minhash" -> ((s, dir) => {
       val sig = minhashSignature(shingles(tWide(s, dir)("documents")))
@@ -108,54 +172,19 @@ object DedupOps extends OpRegistry {
       // Connected components over the near-dup graph — the clustering step
       // after candidate generation: a dedup group is a COMPONENT, not a
       // pair list (A~B, B~C must put A and C in one group even when A~C was
-      // never scored). Distributed min-label propagation: every node starts
-      // labeled with itself; each round, nodes take the min label among
-      // themselves and their neighbors; fixpoint in O(diameter) rounds.
-      // This is the shape that scales — union-find does not distribute, but
-      // each propagation round is one join+aggregate over edges (the
-      // large-star/small-star variants cut the round count further at 100 TB
-      // diameters). Lineage is truncated per round (localCheckpoint), or the
-      // plan would double every iteration. Edges: capped-universe Jaccard
-      // pairs (jac > 0.1) — SQL-expressible, so DuckDB re-derives the same
-      // components with a recursive CTE and the op is fully oracle-checked.
-      // materialize=true pins the shared posting list once — the lazy form
-      // re-runs the whole shingling pipeline per consumer (see jaccardEdges)
+      // never scored). Alternating large-star/small-star (see
+      // connectedComponents below): O(log n) rounds vs O(diameter) for
+      // plain min-label propagation — the round count is what dominates at
+      // 100 TB, where each round is a full shuffle over the edge set.
+      // Edges: capped-universe Jaccard pairs (jac > 0.1) — SQL-expressible,
+      // so DuckDB re-derives the same components with a recursive CTE and
+      // the op is fully oracle-checked. materialize=true pins the shared
+      // posting list once — the lazy form re-runs the whole shingling
+      // pipeline per consumer (see jaccardEdges).
       val pairs = TextOps.jaccardEdges(s, dir, materialize = true)
-        .select("id1", "id2").localCheckpoint()
-      val bidir = pairs.select(col("id1").as("a"), col("id2").as("b"))
-        .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      val docs = t(s, dir)("documents").select(col("doc_id"))
-      var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
-        .localCheckpoint()
-      // convergence via the exact label sum (DECIMAL — id sums overflow
-      // int64 at scale): per-node labels only ever decrease, so the sum is
-      // strictly decreasing until the fixpoint — one aggregate per round
-      // instead of a join+count change detector (halves per-round jobs)
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-          .head().getDecimal(0)
-      var prevSum = labelSum(labels)
-      var iter = 0
-      var converged = false
-      // 50 rounds covers graph diameters far beyond any near-dup corpus
-      // (fixture converges in 2); the assert below turns a pathological
-      // non-convergence into a loud failure instead of silently returning
-      // non-fixpoint labels that would diverge from the exact oracle
-      val MaxRounds = 50
-      while (!converged && iter < MaxRounds) {
-        val msgs = bidir.join(labels, col("a") === col("node"))
-          .select(col("b").as("node"), col("label"))
-        val next = labels.union(msgs)
-          .groupBy("node").agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        val s2 = labelSum(next)
-        converged = s2.compareTo(prevSum) == 0
-        prevSum = s2
-        labels = next
-        iter += 1
-      }
-      require(converged,
-        s"dedup_components did not reach the label-propagation fixpoint in $MaxRounds rounds")
+        .select(col("id1").as("a"), col("id2").as("b")).localCheckpoint()
+      val docs = t(s, dir)("documents").select(col("doc_id").as("node"))
+      val (labels, _) = connectedComponents(docs, pairs)
       labels.select(col("node").as("doc_id"), col("label").as("component_id"))
         .orderBy("doc_id")
     }),

@@ -191,6 +191,28 @@ class LlmOpsSpec extends GraftSuite {
     }
   }
 
+  test("connectedComponents: star rounds beat O(diameter) on a 20-deep chain") {
+    import graft.llm.DedupOps
+    // path graph 0-1-2-...-20 (diameter 20): plain min-label propagation
+    // needs ~20 rounds to carry label 0 to node 20; large-star/small-star
+    // must converge in O(log n) — well under half the diameter
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val pairs = chain.toDF("a", "b")
+    val nodes = (0L to 20L).toDF("node")
+    val (labels, rounds) = DedupOps.connectedComponents(nodes, pairs)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == 21 && got.values.forall(_ == 0L),
+      s"chain must collapse to component 0: $got")
+    assert(rounds < 10, s"star variant took $rounds rounds on diameter 20 (propagation needs ~20)")
+    // two components + isolated node: labels are component minima
+    val pairs2 = Seq((5L, 3L), (3L, 9L), (11L, 12L)).map { case (x, y) =>
+      (math.min(x, y), math.max(x, y)) }.toDF("a", "b")
+    val nodes2 = Seq(3L, 5L, 9L, 11L, 12L, 99L).toDF("node")
+    val (labels2, _) = DedupOps.connectedComponents(nodes2, pairs2)
+    val got2 = labels2.as[(Long, Long)].collect().toMap
+    assert(got2 == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 11L -> 11L, 12L -> 11L, 99L -> 99L))
+  }
+
   test("vec_kmeans_iter: clusters partition the vectors; assignment is locally optimal") {
     val rows = q("vec_kmeans_iter").collect()
     val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
