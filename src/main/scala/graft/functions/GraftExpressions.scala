@@ -148,13 +148,17 @@ object GraftExpressions {
 
   def register(spark: SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotQName, exprs => DotQ(exprs.head, exprs(1)), "scala_udf")
+    val reg = cs.sessionState.functionRegistry
+    // skip when already bound: createOrReplaceTempFunction logs a WARN per
+    // replacement, and register() runs once per query build
+    def bind(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    bind(DotQName, exprs => DotQ(exprs.head, exprs(1)))
     // bare AggregateFunction: the analyzer wraps it in AggregateExpression
-    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
-      HllName, exprs => HllDistinct(exprs.head), "scala_udf")
-    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
-      ShingleName, exprs => ShingleHash64(exprs.head), "scala_udf")
+    bind(HllName, exprs => HllDistinct(exprs.head))
+    bind(ShingleName, exprs => ShingleHash64(exprs.head))
   }
 
   /** Column form of the fused dot product; registers on first use. */
@@ -169,18 +173,14 @@ object GraftExpressions {
     call_function(HllName, c)
   }
 
-  val BloomName = "graft_bloom_might_contain"
-
   /** Column form of the native bloom probe. The broadcast sketch handle has
-    * no SQL-literal representation, so the registry builder closure carries
-    * it: each call re-binds the temp function to THIS sketch before use
-    * (queries run sequentially, so the rebind is race-free).
+    * no SQL-literal representation, so the Column is built directly from the
+    * expression (ColumnBridge/ExpressionUtils) — no mutable FunctionRegistry
+    * state, so two probes against different sketches can coexist in one plan.
     */
   def bloomMightContain(spark: SparkSession, bc: Broadcast[BloomFilter],
       key: Column): Column = {
-    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
-      BloomName, exprs => BloomMightContain(exprs.head, bc), "scala_udf")
-    call_function(BloomName, key)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(key), bc))
   }
 }

@@ -66,10 +66,12 @@ object DedupOps extends OpRegistry {
     * small-star(u): every neighbor v < u, and u itself, re-link to m.
     * Both are one groupBy + one join over the (bidirectional) edges. At the
     * fixpoint every component is a star centered at its minimum node, so the
-    * label of u is min(u, min Γ(u)). Convergence check is EXACT set
-    * equality (count + except): the potential Σ(a+b) over the edge set is
-    * strictly decreasing until the fixpoint, so equality after a
-    * large+small pair proves both operations are at their fixpoint.
+    * label of u is min(u, min Γ(u)). Convergence check is ONE aggregate per
+    * round — (count, Σ(a+b) as DECIMAL): each relink maps an edge (u,v) to
+    * (m,v) with m <= u and dedup only removes rows, so the potential Σ(a+b)
+    * is non-increasing and strictly decreases whenever the set changed;
+    * equal count + equal potential therefore proves the fixpoint without
+    * the extra shuffle-heavy `except` job a set-equality check costs.
     * Lineage is truncated per round (localCheckpoint), or the plan would
     * double every iteration.
     *
@@ -86,8 +88,17 @@ object DedupOps extends OpRegistry {
     def mOf(bd: DataFrame): DataFrame =
       bd.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+    // (edge count, Σ(a+b)) in one job; DECIMAL(38,0) so the sum cannot
+    // overflow even with 2^63-scale node ids over a huge edge set
+    def potential(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val r = e.agg(count(lit(1)),
+        sum(col("a").cast(dec) + col("b").cast(dec))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
     var edges = pairs.localCheckpoint()
-    var edgeCount = edges.count()
+    var (edgeCount, edgePot) = potential(edges)
     var rounds = 0
     var converged = false
     val MaxRounds = 50 // loud failure instead of silent non-fixpoint labels
@@ -105,10 +116,11 @@ object DedupOps extends OpRegistry {
         .union(m2.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint()
-      val n2 = ss.count()
-      converged = n2 == edgeCount && ss.except(edges).isEmpty
+      val (n2, pot2) = potential(ss)
+      converged = n2 == edgeCount && pot2.compareTo(edgePot) == 0
       edges = ss
       edgeCount = n2
+      edgePot = pot2
       rounds += 1
     }
     require(converged,

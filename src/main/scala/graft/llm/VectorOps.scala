@@ -280,8 +280,17 @@ object VectorOps extends OpRegistry {
       val Planes = IvfPlanes
       val M = IvfPqSubspaces
       val Shortlist = IvfPqShortlist
-      val e0 = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      // localCheckpoint: e0 feeds THREE jobs (training-stats collect, cell
+      // build, exact re-rank join) — pin the scan+quantize once instead of
+      // recomputing it per consumer (same pattern as vec_kmeans_iter)
+      val e0 = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .localCheckpoint()
       val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe
+      // ivfpqOracleSql pins dim=64 in generated SQL literals — fail loudly
+      // on a fixture change instead of silently diverging from the oracle
+      require(dim == 64 && dim % M == 0,
+        s"knn_ivfpq_topk: fixture dim=$dim but the generated oracle assumes dim=64 with $M subspaces")
       val subDim = dim / M
       // argmin_k ||sub_m - c_k||²; the ||sub||² term is code-independent,
       // so cSq - 2<sub,c> preserves both the argmin and the (dist, k) ties
