@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst expression for the exact quantized integer dot product
@@ -136,6 +136,215 @@ case class BloomMightContain(child: Expression, bloomBc: Broadcast[BloomFilter])
     copy(child = newChild)
 }
 
+/** Native product-quantization encoder: argmin_k ||sub_m - c_{m,k}||² per
+  * subspace over a quantized BIGINT vector, emitting the M one-byte codes as
+  * array<int>. Replaces the declarative lowering (M × K `array_min(array(
+  * struct(cSq - 2*DotQ(sub, lit(c)), k)))` trees): at M=16, K=16 that tree's
+  * generated `doConsume` exceeds the JVM 64 KB method limit, janino fails,
+  * and the hottest IVF-PQ stages run interpreted (round-6 verdict, weak
+  * component). Here the codebook is DATA — a reference object looped over in
+  * `doGenCode` — so generated-code size is constant in M×K.
+  *
+  * Semantics match the literal tree exactly: distances are exact BIGINT
+  * Σ(c_i² - 2·c_i·q_i) (the code-independent Σq_i² dropped, preserving the
+  * argmin), ties break on smallest k (strict `<` keeps the first winner,
+  * mirroring struct ordering / the oracle's ORDER BY dist, k). NULL input,
+  * a NULL element, or a length ≠ M·subDim yields NULL (DotQ's convention).
+  */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Long]]])
+  extends UnaryExpression {
+
+  private def m = codebook.length
+  private def subDim = codebook(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val qe = input.asInstanceOf[ArrayData]
+    if (qe.numElements() != m * subDim) return null
+    var i = 0
+    while (i < m * subDim) { if (qe.isNullAt(i)) return null; i += 1 }
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = Long.MaxValue
+      var bestK = 0
+      var k = 0
+      while (k < codebook(mi).length) {
+        val c = codebook(mi)(k)
+        var s = 0L
+        var j = 0
+        while (j < subDim) {
+          val cv = c(j)
+          s += cv * cv - 2L * cv * qe.getLong(mi * subDim + j)
+          j += 1
+        }
+        if (s < best) { best = s; bestK = k }
+        k += 1
+      }
+      codes(mi) = bestK
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "long[][][]")
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    nullSafeCodeGen(ctx, ev, a => {
+      val codes = ctx.freshName("codes")
+      val mi = ctx.freshName("mi")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val cv = ctx.freshName("cv")
+      val best = ctx.freshName("best")
+      val bestK = ctx.freshName("bestK")
+      val c = ctx.freshName("c")
+      val nullScan =
+        if (child.dataType.asInstanceOf[ArrayType].containsNull)
+          s"""for (int $j = 0; $j < ${m * subDim} && !${ev.isNull}; $j++) {
+             |  if ($a.isNullAt($j)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
+      s"""
+         |if ($a.numElements() != ${m * subDim}) {
+         |  ${ev.isNull} = true;
+         |}
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  int[] $codes = new int[$m];
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    long $best = Long.MAX_VALUE;
+         |    int $bestK = 0;
+         |    for (int $k = 0; $k < $cb[$mi].length; $k++) {
+         |      long[] $c = $cb[$mi][$k];
+         |      long $s = 0L;
+         |      for (int $j = 0; $j < $subDim; $j++) {
+         |        long $cv = $c[$j];
+         |        $s += $cv * $cv - 2L * $cv * $a.getLong($mi * $subDim + $j);
+         |      }
+         |      if ($s < $best) { $best = $s; $bestK = $k; }
+         |    }
+         |    $codes[$mi] = $bestK;
+         |  }
+         |  ${ev.value} = new $gad($codes);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native ADC lookup-table builder for IVF-PQ asymmetric-distance scoring:
+  * lut[m][k] = ||q_m - c_{m,k}||² = Σ(q_i - c_i)² exact BIGINT — the same
+  * value as the declarative `subSq + cSq - 2·DotQ` form it replaces (that
+  * form was another M×K literal expression tree feeding the same oversized
+  * generated method as the PQ encoder). Output array<array<bigint>> indexed
+  * `element_at(element_at(lut, m+1), code+1)`. NULL rules as [[PqEncode]].
+  */
+case class PqAdcLut(child: Expression, codebook: Array[Array[Array[Long]]])
+  extends UnaryExpression {
+
+  private def m = codebook.length
+  private def subDim = codebook(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc_lut"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val qe = input.asInstanceOf[ArrayData]
+    if (qe.numElements() != m * subDim) return null
+    var i = 0
+    while (i < m * subDim) { if (qe.isNullAt(i)) return null; i += 1 }
+    val rows = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val row = new Array[Long](codebook(mi).length)
+      var k = 0
+      while (k < row.length) {
+        val c = codebook(mi)(k)
+        var s = 0L
+        var j = 0
+        while (j < subDim) {
+          val d = qe.getLong(mi * subDim + j) - c(j)
+          s += d * d
+          j += 1
+        }
+        row(k) = s
+        k += 1
+      }
+      rows(mi) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "long[][][]")
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    nullSafeCodeGen(ctx, ev, a => {
+      val rows = ctx.freshName("rows")
+      val row = ctx.freshName("row")
+      val mi = ctx.freshName("mi")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val nullScan =
+        if (child.dataType.asInstanceOf[ArrayType].containsNull)
+          s"""for (int $j = 0; $j < ${m * subDim} && !${ev.isNull}; $j++) {
+             |  if ($a.isNullAt($j)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
+      s"""
+         |if ($a.numElements() != ${m * subDim}) {
+         |  ${ev.isNull} = true;
+         |}
+         |$nullScan
+         |if (!${ev.isNull}) {
+         |  $ad[] $rows = new $ad[$m];
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    long[] $row = new long[$cb[$mi].length];
+         |    for (int $k = 0; $k < $row.length; $k++) {
+         |      long $s = 0L;
+         |      for (int $j = 0; $j < $subDim; $j++) {
+         |        long $d = $a.getLong($mi * $subDim + $j) - $cb[$mi][$k][$j];
+         |        $s += $d * $d;
+         |      }
+         |      $row[$k] = $s;
+         |    }
+         |    $rows[$mi] = new $gad($row);
+         |  }
+         |  ${ev.value} = new $gad($rows);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session-level registration for graft's native expressions. Registered in
   * the session FunctionRegistry (idempotent) rather than via
   * SparkSessionExtensions so they work on ANY already-built session — the
@@ -182,5 +391,21 @@ object GraftExpressions {
       key: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(key), bc))
+  }
+
+  /** Column form of the native PQ encoder. The codebook rides as a plain
+    * object on the expression (no SQL-literal form), so the Column is built
+    * via ColumnBridge like the bloom probe — two encoders with different
+    * codebooks coexist in one plan.
+    */
+  def pqEncode(qe: Column, codebook: Array[Array[Array[Long]]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(qe), codebook))
+  }
+
+  /** Column form of the native per-query ADC lookup-table builder. */
+  def pqAdcLut(qv: Column, codebook: Array[Array[Array[Long]]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(PqAdcLut(ColumnBridge.expression(qv), codebook))
   }
 }
