@@ -29,9 +29,36 @@ object Bench {
     "events_gapfill", "events_ewma", "profile_table_stats", "layout_zorder",
     "sketch_cms_topk", "vec_jl_projection", "sql_recursive_cte",
     "stream_threshold_alerts", "join_bloom_prefilter", "graph_triangles")
+  /** Fixed per-streaming-query startup floor: one minimal stateless
+    * file-source → AvailableNow → memory-sink pipeline, timed. Everything it
+    * pays — query-start planning, checkpoint dir, file listing, one batch —
+    * is the cost EVERY stream_* query pays before any real work, so
+    * `streaming_floor × 10` of the streaming cluster's total is fixed
+    * harness overhead, not operator cost (VERDICT r4 #6 / r6 #2).
+    */
+  private def streamingFloor(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val t0 = System.nanoTime()
+    val q = spark.readStream.schema(schema)
+      .option("basePath", sfDir).parquet(s"$sfDir/events.parquet*")
+      .select("event_id")
+      .writeStream.format("memory").queryName("graft_floor_probe")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // median-of-N protocol (VERDICT r4 #4 / r6 #2): BASELINE.md records
+    // 74–241 s same-code variance on this host, so a single run cannot
+    // distinguish a plan regression from scheduler contention. Each query is
+    // timed in N full passes over the registry (not back-to-back, so a
+    // transient host stall hits one PASS, not every sample of one query) and
+    // reported as the per-query MEDIAN.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,33 +71,48 @@ object Bench {
     // untimed warm-up: JIT/codegen/session init + parquet footers, so the
     // alphabetically-first query doesn't carry ~5 s of one-time cost
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val failed = scala.collection.mutable.ListBuffer[String]()
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val failed = scala.collection.mutable.SortedSet[String]()
     // optional args = query-name filter for local profiling runs; the driver
     // invokes with no args and gets the full registry
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
-    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        results(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          results(name) = -1.0
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    for (rep <- 1 to reps) {
+      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          samples(name) = samples.getOrElse(name, Nil) :+ ((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            samples(name) = samples.getOrElse(name, Nil)
+            failed += name
+            System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // a query that failed ANY rep reports -1 (failure stays distinguishable
+    // from speed — VERDICT r1 #6), never a median of the surviving reps
+    val results = samples.map { case (name, xs) =>
+      name -> (if (failed(name) || xs.isEmpty) -1.0 else median(xs))
+    }
+    val floor = streamingFloor(spark, sfDir)
     val total = results.values.filter(_ >= 0).sum
+    val streamingTotal =
+      results.collect { case (n, v) if n.startsWith("stream_") && v >= 0 => v }.sum
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qJson(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$fl,"sf":"$sfDir""""
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"stat":"median","streaming_floor":${fmt(floor)},"streaming_total":${fmt(streamingTotal)},"failed":$fl,"sf":"$sfDir""""
     val full =
-      s"""{$head,"queries":${qJson(results)}}"""
+      s"""{$head,"queries":${qJson(results)},"samples":${samples.map { case (k, xs) =>
+        "\"" + k + "\":[" + xs.map(fmt).mkString(",") + "]" }.mkString("{", ",", "}")}}"""
     // the full_map pointer is only honest on full-registry runs — filtered
     // profiling runs don't (re)write BENCH_LOCAL.json
     val mapRef = if (args.isEmpty) ""","full_map":"BENCH_LOCAL.json"""" else ""
