@@ -36,18 +36,27 @@ object Bench {
     * `streaming_floor × 10` of the streaming cluster's total is fixed
     * harness overhead, not operator cost (VERDICT r4 #6 / r6 #2).
     */
-  private def streamingFloor(spark: SparkSession, sfDir: String): Double = {
-    import org.apache.spark.sql.streaming.Trigger
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val t0 = System.nanoTime()
-    val q = spark.readStream.schema(schema)
-      .option("basePath", sfDir).parquet(s"$sfDir/events.parquet*")
-      .select("event_id")
-      .writeStream.format("memory").queryName("graft_floor_probe")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    (System.nanoTime() - t0) / 1e9
-  }
+  /** One floor sample; distinct queryName per rep so memory-sink names never
+    * collide across passes. Never throws (verdict r7 #3: a failure here after
+    * N full passes must not zero the round's bench artifact) — a failed
+    * sample returns -1 and is excluded from the median. */
+  private def streamingFloor(spark: SparkSession, sfDir: String, rep: Int): Double =
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val t0 = System.nanoTime()
+      val q = spark.readStream.schema(schema)
+        .option("basePath", sfDir).parquet(s"$sfDir/events.parquet*")
+        .select("event_id")
+        .writeStream.format("memory").queryName(s"graft_floor_probe_$rep")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming_floor FAILED (rep $rep): ${e.getMessage}")
+        -1.0
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,7 +87,12 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
+    val floorSamples = scala.collection.mutable.ListBuffer[Double]()
     for (rep <- 1 to reps) {
+      // floor sampled once per PASS under the identical reps/median protocol
+      // as every query (ADVICE r7: a single maximally-warm sample after all
+      // reps understated the per-stream startup cost it calibrates)
+      floorSamples += streamingFloor(spark, sfDir, rep)
       selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -101,7 +115,8 @@ object Bench {
     val results = samples.map { case (name, xs) =>
       name -> (if (failed(name) || xs.isEmpty) -1.0 else median(xs))
     }
-    val floor = streamingFloor(spark, sfDir)
+    val goodFloor = floorSamples.filter(_ >= 0).toList
+    val floor = if (goodFloor.isEmpty) -1.0 else median(goodFloor)
     val total = results.values.filter(_ >= 0).sum
     val streamingTotal =
       results.collect { case (n, v) if n.startsWith("stream_") && v >= 0 => v }.sum
