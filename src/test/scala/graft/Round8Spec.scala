@@ -125,6 +125,22 @@ class Round8Spec extends GraftSuite {
     assert(firsts.isEmpty, "SCD2 history does not start at the first event")
   }
 
+  // ------------------------------------------------------------- profiler plan
+
+  test("profile_table_stats: every scan is pruned to a single column") {
+    // the r8 re-plan's whole point: per-column subtrees read ONE parquet
+    // column each (total I/O = one full-table read), instead of the Expand
+    // shape's full-width rows copied (N_cols+1)x. A regression that widens
+    // a ReadSchema re-introduces the 5x cost.
+    val df = q("profile_table_stats")
+    df.collect()
+    val reads = """ReadSchema: struct<[^>]*>""".r
+      .findAllIn(df.queryExecution.executedPlan.toString).toList
+    assert(reads.nonEmpty, "no FileScan ReadSchema found in the profiler plan")
+    val wide = reads.filter(_.count(_ == ':') > 2) // >1 field = >1 ':' beyond prefix
+    assert(wide.isEmpty, s"profiler scans read more than one column: $wide")
+  }
+
   // ------------------------------------------------------------ MERGE landing
 
   test("merge_upsert lands the dimension; re-merging the same batch is a no-op") {
