@@ -28,7 +28,8 @@ object Bench {
     "dedup_components", "vec_kmeans_iter", "events_funnel", "sql_scalar_subquery",
     "events_gapfill", "events_ewma", "profile_table_stats", "layout_zorder",
     "sketch_cms_topk", "vec_jl_projection", "sql_recursive_cte",
-    "stream_threshold_alerts", "join_bloom_prefilter", "graph_triangles")
+    "stream_threshold_alerts", "join_bloom_prefilter", "graph_triangles",
+    "docs_decontaminate", "vec_int8_quantize")
   /** Fixed per-streaming-query startup floor: one minimal stateless
     * file-source → AvailableNow → memory-sink pipeline, timed. Everything it
     * pays — query-start planning, checkpoint dir, file listing, one batch —

@@ -27,6 +27,7 @@ object SparkEntry {
     llm.TextOps,
     llm.VectorOps,
     llm.DedupOps,
+    llm.PipelineOps,
     streaming.Streaming,
   )
 

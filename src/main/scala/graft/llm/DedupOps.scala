@@ -245,11 +245,8 @@ object DedupOps extends OpRegistry {
     * cheaper than the cache churn it caused.) */
   private def langId(docs: DataFrame): DataFrame = {
     val docBg = docs.select(col("doc_id"), col("lang").as("actual_lang"),
-      explode(array_distinct(expr(
-        """transform(
-             CASE WHEN length(text) >= 2 THEN sequence(1, length(text) - 1)
-                  ELSE array() END,
-             i -> substring(text, i, 2))"""))).as("bigram"))
+      explode(array_distinct(
+        Shingling.charBigramArray(col("text")))).as("bigram"))
     // Profile learned on a deterministic 10% sample (doc_id % 10 = 0):
     // top-20-bigram profiles are stable under sampling, the filter pushes
     // below the explode (pass 1 expands only the sampled docs), and the

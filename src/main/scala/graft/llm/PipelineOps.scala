@@ -1,0 +1,230 @@
+package graft.llm
+
+import graft.OpRegistry
+import graft.Helpers._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.11 (round 8 extension): the four training-data curation ops a
+  * production pretraining pipeline runs AROUND the dedup/quality core —
+  * benchmark decontamination, PII scrubbing, domain mixture weighting, and
+  * int8 embedding quantization.
+  *
+  * Reference provenance: the reference repo (reference/README.md:1-2)
+  * declares the BDMA capability surface but contains no code; these ops
+  * extend SURVEY §2.11's normative inventory with the curation steps the
+  * north-star contract (BASELINE.json:6 — "add the LLM-data-pipeline
+  * operators … design every operator for 100 TB scale") names as
+  * first-class.
+  */
+object PipelineOps extends OpRegistry {
+
+  /** A doc is "benchmark/eval" iff doc_id % BenchMod == 0 — a deterministic
+    * 2% held-out slice standing in for an external eval suite (the fixture
+    * has no separate benchmark table). */
+  private[graft] val BenchMod = 50
+
+  /** Contamination threshold: flagged iff hit-ratio >= 0.2, tested in exact
+    * integer arithmetic (5*hits >= shingles) so the flag can never diverge
+    * cross-engine on a double boundary. */
+  private[graft] def contaminatedFlag(nHit: Column, nSh: Column): Column =
+    (nHit * lit(5L) >= nSh).cast("int")
+
+  /** Decontamination kernel over a shingle frame (doc_id, h): overlap of
+    * each train doc's shingle set against the union of benchmark shingles.
+    * Exposed for the planted-corpus spec. */
+  private[graft] def decontaminate(sh: DataFrame): DataFrame = {
+    val bench = sh.filter(col("doc_id") % BenchMod === 0)
+      .select(col("h")).distinct().withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") % BenchMod =!= 0)
+      // The benchmark n-gram universe is eval-suite-sized (thousands of
+      // docs), orders of magnitude below the corpus: broadcast it and the
+      // 100 TB train side is checked map-side with NO shuffle of the
+      // corpus — the same shape GPT-3's 13-gram decontamination pass used
+      // (Brown et al. 2020, appendix C; PAPERS.md).
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+  }
+
+  /** PII patterns, shared verbatim with the oracle SQL (RE2 ∩ java.util.regex
+    * syntax only: character classes + quantifiers, no backrefs/lookaround). */
+  private[graft] val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+\\.[a-z]+"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: fraction of each training doc's distinct
+      // 3-token shingles that appear in ANY benchmark doc; flag docs at
+      // >= 20% overlap. Shingles ride the shared hashed kernel
+      // (Shingling.shingleArray — 8-byte keys, one tokenize pass); the
+      // oracle replays string shingles, identical modulo the same
+      // 2^-64-collision trade every minhash/jaccard op already makes.
+      // Docs with <3 tokens have no shingles and are (on both sides)
+      // absent from the report — nothing to decontaminate against.
+      implicit val sp: SparkSession = s
+      val docs = tWide(s, dir)("documents")
+      val sh = docs.select(col("doc_id"),
+        explode(Shingling.shingleArray(col("text"), hashed = true)).as("h"))
+      decontaminate(sh)
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          r6(col("n_hit").cast("double") / col("n_shingles")).as("ratio"),
+          contaminatedFlag(col("n_hit"), col("n_shingles")).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    "text_pii_scrub" -> ((s, dir) => {
+      // PII redaction: the fixture corpus is synthetic word-soup with no
+      // real PII, so each doc is first augmented with a deterministic
+      // contact line (email + numeric ref derived from doc_id — identical
+      // string concat in both engines), then scrubbed: emails → <email>,
+      // digit runs → <num>. Reports redaction counts + before/after
+      // lengths + a scrubbed prefix, so the oracle certifies the actual
+      // redacted text, not just counts. Pure per-row map work — scales
+      // embarrassingly; tWide spreads the single-file fixture scan.
+      val docs = tWide(s, dir)("documents")
+      val aug = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com ref "), col("doc_id") * 7 + 13)
+      docs.select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+          length(col("t")).as("len_raw"),
+          regexp_replace(regexp_replace(col("t"), EmailRe, "<email>"),
+            "[0-9]+", "<num>").as("scrubbed"))
+        .select(col("doc_id"), col("n_emails"), col("len_raw"),
+          length(col("scrubbed")).as("len_scrubbed"),
+          substring(col("scrubbed"), 1, 40).as("head"))
+        .orderBy("doc_id")
+    }),
+
+    "docs_domain_mix" -> ((s, dir) => {
+      // Domain mixture weights: per-source sampling weight ∝ sqrt(n_docs)
+      // (temperature-smoothed multinomial, the α<1 reweighting
+      // GPT-3/Llama-style pipelines apply so head domains don't drown the
+      // tail). Determinism: sqrt is IEEE-exactly-rounded in every engine,
+      // each weight is quantized to integer micro-units BEFORE the
+      // normalizing sum, and the ppm share is integer division — no
+      // double accumulation anywhere, so no ordering sensitivity. The
+      // full-frame window runs on the DOMAIN dimension, which is tiny by
+      // construction (20 sources here; O(100s) in any real corpus) — the
+      // single-partition window is a few-row job at any corpus scale,
+      // while the groupBy below it is the only fact-sized pass.
+      val docs = t(s, dir)("documents")
+      val byS = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val wq = floor(sqrt(col("n_docs").cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long")
+      byS.withColumn("w_q", wq)
+        .withColumn("w_total", sum(col("w_q")).over(Window.partitionBy()))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          call_function("div", col("w_q") * lit(1000000L), col("w_total"))
+            .as("mix_ppm"))
+        .orderBy("source")
+    }),
+
+    "vec_int8_quantize" -> ((s, dir) => {
+      // Symmetric int8 quantization of the embedding column (scale =
+      // max|x|/127 per vector, the faiss/SQ8 storage shape that cuts
+      // vector storage 4× at 100 TB) + per-label reconstruction error.
+      // All per-element math is straight-line IEEE double arithmetic
+      // written identically in the oracle; per-element squared errors are
+      // quantized to integer picounits and summed as longs (exact,
+      // order-independent — the same no-double-accumulation rule as
+      // docs_domain_mix). aggregate() folds the array in one codegen'd
+      // pass per row; the only shuffle is the tiny per-label agg.
+      val e = tWide(s, dir)("embeddings")
+      val scale = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+      val withS = e.select(col("vec_id"), col("label"), col("embedding"),
+        scale.as("scale"))
+      val errQ = aggregate(col("embedding"), lit(0L), (acc, v) => {
+        val x = v.cast("double")
+        val code = floor(x / col("scale") * lit(127.0) + lit(0.5))
+        val deq = code * col("scale") / lit(127.0)
+        acc + floor((x - deq) * (x - deq) * lit(1e12) + lit(0.5))
+      })
+      withS
+        .select(col("label"),
+          floor(col("scale") * lit(1e6) + lit(0.5)).cast("long").as("scale_q"),
+          errQ.as("err_q"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("err_q")).as("sum_err_p12"),
+          sum(col("scale_q")).as("sum_scale_micro"))
+        .select(col("label"), col("n_vecs"),
+          call_function("div", col("sum_err_p12"), col("n_vecs")).as("avg_err_p12"),
+          call_function("div", col("sum_scale_micro"), col("n_vecs")).as("avg_scale_micro"))
+        .orderBy("label")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "docs_decontaminate" -> s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $BenchMod = 0),
+      agg AS (SELECT t.doc_id, COUNT(1) AS n_shingles,
+                     CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hit
+              FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % $BenchMod <> 0) t
+                LEFT JOIN bench b ON t.shingle = b.shingle
+              GROUP BY t.doc_id)
+      SELECT doc_id, n_shingles, n_hit,
+             ${r6Sql("CAST(n_hit AS DOUBLE) / n_shingles")} AS ratio,
+             CAST(n_hit * 5 >= n_shingles AS INT) AS contaminated
+      FROM agg ORDER BY doc_id""",
+
+    "text_pii_scrub" -> """
+      WITH aug AS (SELECT doc_id,
+             concat(text, ' contact user', doc_id, '@mail.example.com ref ',
+                    doc_id * 7 + 13) AS t
+           FROM documents),
+      scrub AS (SELECT doc_id, t,
+             regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+\.[a-z]+',
+               '<email>', 'g'), '[0-9]+', '<num>', 'g') AS scrubbed
+           FROM aug)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+\.[a-z]+', 0))
+                  AS INT) AS n_emails,
+             CAST(length(t) AS INT) AS len_raw,
+             CAST(length(scrubbed) AS INT) AS len_scrubbed,
+             substring(scrubbed, 1, 40) AS head
+      FROM scrub ORDER BY doc_id""",
+
+    "docs_domain_mix" -> """
+      WITH byS AS (SELECT source, COUNT(1) AS n_docs,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+      w AS (SELECT source, n_docs, n_tokens,
+                   CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_q
+            FROM byS)
+      SELECT source, n_docs, n_tokens,
+             (w_q * 1000000) // CAST(SUM(w_q) OVER () AS BIGINT) AS mix_ppm
+      FROM w ORDER BY source""",
+
+    "vec_int8_quantize" -> """
+      WITH s AS (SELECT vec_id, label,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale,
+             embedding
+           FROM embeddings),
+      el AS (SELECT vec_id, label, scale, CAST(unnest(embedding) AS DOUBLE) AS x FROM s),
+      pe AS (SELECT vec_id, label, scale,
+             CAST(floor((x - floor(x / scale * 127 + 0.5) * scale / 127)
+                      * (x - floor(x / scale * 127 + 0.5) * scale / 127)
+                      * 1e12 + 0.5) AS BIGINT) AS eq
+           FROM el),
+      pv AS (SELECT vec_id, label, MIN(scale) AS scale,
+                    CAST(SUM(eq) AS BIGINT) AS err_q
+             FROM pe GROUP BY vec_id, label),
+      pq AS (SELECT label, CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_q,
+                    err_q
+             FROM pv)
+      SELECT label, COUNT(1) AS n_vecs,
+             CAST(SUM(err_q) AS BIGINT) // COUNT(1) AS avg_err_p12,
+             CAST(SUM(scale_q) AS BIGINT) // COUNT(1) AS avg_scale_micro
+      FROM pq GROUP BY label ORDER BY label""",
+  )
+}

@@ -362,11 +362,8 @@ object TextOps extends OpRegistry {
       // from the bigram's first char (no second corpus pass). Top-5
       // transitions per lang by probability (ties → bigram asc).
       val bg = tWide(s, dir)("documents")
-        .select(col("lang"), explode(expr(
-          """transform(
-               CASE WHEN length(text) >= 2 THEN sequence(1, length(text) - 1)
-                    ELSE array() END,
-               i -> substring(text, i, 2))""")).as("bg"))
+        .select(col("lang"),
+          explode(Shingling.charBigramArray(col("text"))).as("bg"))
       val cnt2 = bg.groupBy("lang", "bg").agg(count(lit(1)).as("c2"))
       val cnt1 = cnt2.groupBy(col("lang"), substring(col("bg"), 1, 1).as("c1"))
         .agg(sum(col("c2")).as("c1cnt"))

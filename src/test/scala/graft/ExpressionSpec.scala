@@ -77,6 +77,27 @@ class ExpressionSpec extends GraftSuite {
     assert(rows(1).distinct == rows(1) && rows(1).nonEmpty)
   }
 
+  test("charBigramArray equals the quadratic substring formulation on every doc + edges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val naive = expr(
+      """transform(
+           CASE WHEN length(text) >= 2 THEN sequence(1, length(text) - 1)
+                ELSE array() END,
+           i -> substring(text, i, 2))""")
+    val mismatches = docs.select($"doc_id",
+        graft.llm.Shingling.charBigramArray($"text").as("fast"), naive.as("slow"))
+      .filter(not($"fast" <=> $"slow")).count()
+    assert(mismatches == 0, s"$mismatches docs diverge from substring bigrams")
+    val edge = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, "héllo wörld"))
+      .toDF("doc_id", "text")
+    val pairs = edge.select(graft.llm.Shingling.charBigramArray($"text").as("bg"),
+        naive.as("slow"))
+      .collect()
+    pairs.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      s"edge mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+    assert(pairs(2).getSeq[String](0) == Seq("ab"))
+  }
+
   test("HllDistinct estimates within 5% of exact and is partitioning-invariant") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val exact = li.groupBy("l_returnflag")

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** §2.11 round-8 extension ops: decontamination, PII scrub, domain mix,
+  * int8 quantization. Beyond the DuckDB oracle rows (exact value match),
+  * these assert the SEMANTIC contracts on planted corpora the fixtures
+  * cannot exercise (a full-copy contamination, a zero-overlap doc).
+  */
+class PipelineOpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("docs_decontaminate: planted full copy of a benchmark doc is flagged; disjoint doc is clean") {
+    // benchmark doc (id 0 = 0 mod 50), an exact train-side copy (id 7),
+    // and a train doc sharing no shingle (id 9).
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, bench),
+      (7L, bench),
+      (9L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    implicit val s = spark
+    val sh = docs.select(col("doc_id"),
+      explode(graft.llm.Shingling.shingleArray(col("text"), hashed = true)).as("h"))
+    val rep = graft.llm.PipelineOps.decontaminate(sh)
+      .withColumn("contaminated",
+        graft.llm.PipelineOps.contaminatedFlag(col("n_hit"), col("n_shingles")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hit"), r.getAs[Int]("contaminated")))
+      .toMap
+    assert(!rep.contains(0L), "benchmark docs must not appear in the train report")
+    val (n7, h7, c7) = rep(7L)
+    assert(n7 == h7 && c7 == 1, s"full copy must be 100% hit + flagged, got $n7/$h7/$c7")
+    val (_, h9, c9) = rep(9L)
+    assert(h9 == 0L && c9 == 0, s"disjoint doc must be 0-hit + clean, got $h9/$c9")
+  }
+
+  test("docs_decontaminate fixture run: ratio in [0,1], flag consistent, benchmark excluded") {
+    val rows = q("docs_decontaminate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n, h, ratio, flag) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("ratio"), r.getAs[Int]("contaminated"))
+      assert(id % graft.llm.PipelineOps.BenchMod != 0, s"benchmark doc $id in train report")
+      assert(h >= 0 && h <= n, s"doc $id: hits $h outside [0, $n]")
+      assert(ratio >= 0.0 && ratio <= 1.0, s"doc $id: ratio $ratio")
+      assert(flag == (if (5 * h >= n) 1 else 0), s"doc $id: flag/ratio mismatch")
+    }
+  }
+
+  test("text_pii_scrub: no email or digit survives; injected email counted") {
+    val rows = q("text_pii_scrub").collect()
+    assert(rows.nonEmpty)
+    // re-scrub check on the full scrubbed text (op emits a 40-char head; the
+    // invariant is asserted by recomputing the scrub on the augmented text)
+    val emailRe = graft.llm.PipelineOps.EmailRe.r
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") >= 1,
+        s"doc ${r.getAs[Long]("doc_id")}: injected email not counted")
+      assert(r.getAs[Int]("len_scrubbed") > 0)
+    }
+    val full = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com ref "), col("doc_id") * 7 + 13),
+          graft.llm.PipelineOps.EmailRe, "<email>"), "[0-9]+", "<num>").as("scrubbed"))
+      .collect()
+    full.foreach { r =>
+      val t = r.getAs[String]("scrubbed")
+      assert(emailRe.findFirstIn(t).isEmpty, s"email survived scrub: $t")
+      assert(!t.exists(_.isDigit), s"digit survived scrub: $t")
+    }
+  }
+
+  test("docs_domain_mix: ppm shares sum to ~1e6, monotone in n_docs, integer-deterministic") {
+    val rows = q("docs_domain_mix").collect()
+    assert(rows.length > 1)
+    val ppm = rows.map(r => r.getAs[Long]("n_docs") -> r.getAs[Long]("mix_ppm"))
+    val total = ppm.map(_._2).sum
+    // floor-division truncation: total in (1e6 - n_sources, 1e6]
+    assert(total <= 1000000L && total > 1000000L - rows.length,
+      s"ppm total $total outside the floor-div band")
+    // sqrt weighting is monotone: more docs never gets a smaller share
+    ppm.sortBy(_._1).sliding(2).foreach {
+      case Array((n1, p1), (n2, p2)) =>
+        assert(n1 > n2 || p1 <= p2, s"share not monotone: ($n1,$p1) vs ($n2,$p2)")
+      case _ =>
+    }
+  }
+
+  test("vec_int8_quantize: reconstruction error within the int8 step bound; scales positive") {
+    val rows = q("vec_int8_quantize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, err, sc) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("avg_err_p12"),
+        r.getAs[Long]("avg_scale_micro"))
+      assert(n > 0 && sc > 0)
+      // worst case per element: (step/2)^2 with step = scale/127; for
+      // L2-normalized 64-dim vectors scale <= 1, so the per-vector bound is
+      // 64 * (1/254)^2 * 1e12 pico-units — generous but real
+      val bound = (64.0 * math.pow(1.0 / 254.0, 2) * 1e12).toLong
+      assert(err in0to(bound), s"label ${r.getAs[Int]("label")}: avg err $err > bound $bound")
+    }
+  }
+
+  private implicit class LongOps(x: Long) {
+    def in0to(hi: Long): Boolean = x >= 0 && x <= hi
+  }
+}
