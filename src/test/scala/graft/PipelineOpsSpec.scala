@@ -107,4 +107,37 @@ class PipelineOpsSpec extends GraftSuite {
   private implicit class LongOps(x: Long) {
     def in0to(hi: Long): Boolean = x >= 0 && x <= hi
   }
+
+  test("docs_decontaminate plan: benchmark side joins as broadcast, never sort-merge") {
+    // The scale contract: the benchmark n-gram universe broadcasts, so the
+    // 100 TB train side is checked map-side. A SortMergeJoin here would
+    // shuffle the full corpus' shingle set — the shape this op exists to
+    // avoid.
+    val df = q("docs_decontaminate")
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-shuffling sort-merge join in the decontaminate plan:\n$plan")
+  }
+
+  test("vec_int8_quantize plan: scan prunes to the columns the op reads") {
+    // vec_id is projected then dropped — column pruning must strip it from
+    // the parquet ReadSchema, or the scan pays for a column nobody uses
+    // (string render because AQE wraps the plan tree).
+    val df = q("vec_int8_quantize")
+    df.collect()
+    // greedy to the LAST '>' on the line — the field types themselves
+    // contain '>' (array<float>)
+    val reads = """ReadSchema: struct<(.*)>""".r
+      .findAllMatchIn(df.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toList
+    assert(reads.nonEmpty, "no FileScan ReadSchema found in the quantize plan")
+    reads.foreach { r =>
+      val cols = r.split(",").map(_.takeWhile(_ != ':').trim).toSet
+      assert(cols == Set("embedding", "label"),
+        s"embeddings scan must read exactly (embedding,label), got $cols")
+    }
+  }
 }
