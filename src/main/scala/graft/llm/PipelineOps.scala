@@ -53,6 +53,15 @@ object PipelineOps extends OpRegistry {
     * syntax only: character classes + quantifiers, no backrefs/lookaround). */
   private[graft] val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+\\.[a-z]+"
 
+  /** Portable 31-bit rolling hash over a string — the SAME char-fold +
+    * constants as sketch_cms_topk's token hash (17, ×31, mod 2^31), so a
+    * second engine replays it bit-for-bit with a list_reduce. */
+  private[graft] def rollingHash31(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast("long")),
+      lit(17L),
+      (acc, ch) => (acc * lit(31L) + ch) % lit(2147483648L))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_decontaminate" -> ((s, dir) => {
       // Benchmark decontamination: fraction of each training doc's distinct
@@ -122,6 +131,75 @@ object PipelineOps extends OpRegistry {
           call_function("div", col("w_q") * lit(1000000L), col("w_total"))
             .as("mix_ppm"))
         .orderBy("source")
+    }),
+
+    "docs_lm_quality_filter" -> ((s, dir) => {
+      // LM-based quality filtering (the CCNet shape): score every doc by
+      // its average bigram negative-log-likelihood under the corpus' own
+      // per-lang char-bigram LM, flag docs above their language's mean —
+      // high-perplexity docs are the boilerplate/garbage a pretraining
+      // pipeline drops. Trains on ALL bigram occurrences (the docs_char_lm
+      // statistic), scores every occurrence.
+      //
+      // Determinism: ln() is applied once per (lang, bigram) LM ENTRY
+      // (charset²-bounded, ~2k values — not per occurrence) and quantized
+      // to micro-unit longs immediately; per-doc totals and the per-lang
+      // mean are then pure integer sums/divisions — no double
+      // accumulation, so no ordering sensitivity. Scale: the LM is
+      // charset²×langs rows at ANY corpus size → broadcast; scoring is
+      // one map-side join + one groupBy(doc_id) shuffle.
+      // Plan shape (A/B-measured): the bigram explode runs TWICE — once
+      // for LM training, once for scoring — and that is the FASTER and
+      // more scalable plan. The tempting "explode once, groupBy
+      // (doc_id, lang, bg) counts, reuse for both" replaces a cheap
+      // map-side re-explode with a high-cardinality shuffle (per-doc
+      // bigram sets barely dedup: ~1.5M groups from 2.5M occurrences at
+      // sf0.1) and measured SLOWER in full-suite context (2.6 s vs
+      // 1.9 s); here both shuffles stay tiny — LM counts are
+      // vocab-sized, and the scoring groupBy(doc_id) partial-aggregates
+      // occurrences map-side before the exchange.
+      val bg = tWide(s, dir)("documents").select(col("doc_id"), col("lang"),
+        explode(Shingling.charBigramArray(col("text"))).as("bg"))
+      val cnt2 = bg.groupBy("lang", "bg").agg(count(lit(1)).as("c2"))
+      val cnt1 = cnt2.groupBy(col("lang"), substring(col("bg"), 1, 1).as("c1"))
+        .agg(sum(col("c2")).as("c1cnt"))
+      // cnt1 derives from cnt2 → alias both sides of the self-join lineage
+      val lm = cnt2.as("n2").join(cnt1.as("n1"),
+          col("n2.lang") === col("n1.lang")
+            && substring(col("n2.bg"), 1, 1) === col("n1.c1"))
+        .select(col("n2.lang").as("lang"), col("n2.bg").as("bg"),
+          floor(log(col("n1.c1cnt").cast("double") / col("n2.c2")) * lit(1e6)
+            + lit(0.5)).cast("long").as("nll_q"))
+      val perDoc = bg.join(broadcast(lm), Seq("lang", "bg"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q")).as("sum_nll"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          call_function("div", col("sum_nll"), col("n_bigrams")).as("avg_nll_micro"))
+      val wl = Window.partitionBy("lang")
+      perDoc
+        .withColumn("lang_mean_micro",
+          call_function("div", sum(col("avg_nll_micro")).over(wl),
+            count(lit(1)).over(wl)))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll_micro"),
+          (col("avg_nll_micro") > col("lang_mean_micro")).cast("int").as("flagged"))
+        .orderBy("doc_id")
+    }),
+
+    "docs_split_assign" -> ((s, dir) => {
+      // Deterministic train/val/test split (80/10/10) by CONTENT hash, not
+      // row order or id — the assignment every ML pipeline needs to be
+      // stable across re-ingestion, partitioning, and engine. Bucket =
+      // rollingHash31(text) mod 100: the same seedless portable char-fold
+      // sketch_cms_topk uses, replayable bit-for-bit in any engine
+      // (xxhash64 seeds and md5-hex parsing are not). Pure map work.
+      val bucket = (rollingHash31(col("text")) % 100).cast("int")
+      tWide(s, dir)("documents")
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")))
+        .orderBy("doc_id")
     }),
 
     "vec_int8_quantize" -> ((s, dir) => {
@@ -204,6 +282,44 @@ object PipelineOps extends OpRegistry {
       SELECT source, n_docs, n_tokens,
              (w_q * 1000000) // CAST(SUM(w_q) OVER () AS BIGINT) AS mix_ppm
       FROM w ORDER BY source""",
+
+    "docs_lm_quality_filter" -> """
+      WITH bg AS (SELECT doc_id, lang, substring(text, i, 2) AS bg
+                  FROM (SELECT doc_id, lang, text, unnest(range(1, length(text))) AS i
+                        FROM documents WHERE length(text) >= 2)),
+      cnt2 AS (SELECT lang, bg, COUNT(1) AS c2 FROM bg GROUP BY lang, bg),
+      cnt1 AS (SELECT lang, substring(bg, 1, 1) AS c1,
+                      CAST(SUM(c2) AS BIGINT) AS c1cnt
+               FROM cnt2 GROUP BY 1, 2),
+      lm AS (SELECT cnt2.lang, cnt2.bg,
+                    CAST(floor(ln(CAST(cnt1.c1cnt AS DOUBLE) / cnt2.c2) * 1000000
+                             + 0.5) AS BIGINT) AS nll_q
+             FROM cnt2 JOIN cnt1
+               ON cnt2.lang = cnt1.lang AND substring(cnt2.bg, 1, 1) = cnt1.c1),
+      perdoc AS (SELECT bg.doc_id, bg.lang, COUNT(1) AS n_bigrams,
+                        CAST(SUM(lm.nll_q) AS BIGINT)
+                          // COUNT(1) AS avg_nll_micro
+                 FROM bg JOIN lm ON bg.lang = lm.lang AND bg.bg = lm.bg
+                 GROUP BY bg.doc_id, bg.lang)
+      SELECT doc_id, lang, n_bigrams, avg_nll_micro,
+             CAST(avg_nll_micro >
+                  CAST(SUM(avg_nll_micro) OVER (PARTITION BY lang) AS BIGINT)
+                    // COUNT(1) OVER (PARTITION BY lang)
+               AS INT) AS flagged
+      FROM perdoc ORDER BY doc_id""",
+
+    "docs_split_assign" -> """
+      WITH h AS (SELECT doc_id, lang,
+             list_reduce(list_prepend(CAST(17 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                 i -> CAST(ord(substring(text, i, 1)) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 2147483648) % 100 AS bucket
+           FROM documents)
+      SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h ORDER BY doc_id""",
 
     "vec_int8_quantize" -> """
       WITH s AS (SELECT vec_id, label,

@@ -108,6 +108,44 @@ class PipelineOpsSpec extends GraftSuite {
     def in0to(hi: Long): Boolean = x >= 0 && x <= hi
   }
 
+  test("docs_lm_quality_filter: flags a nonempty strict subset per multi-doc lang; NLL sane") {
+    val rows = q("docs_lm_quality_filter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") > 0)
+      // avg NLL in micro-nats: > 0 (no bigram is certain) and < ln(corpus
+      // bigram count) ~ 20 nats — a generous sanity band
+      val nll = r.getAs[Long]("avg_nll_micro")
+      assert(nll > 0 && nll < 20000000L, s"doc ${r.getAs[Long]("doc_id")}: avg NLL $nll")
+    }
+    // flagged = above the lang mean → for any lang with >1 distinct score,
+    // at least one doc flagged and at least one not
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val scores = rs.map(_.getAs[Long]("avg_nll_micro")).distinct
+      if (scores.length > 1) {
+        val flags = rs.map(_.getAs[Int]("flagged")).toSet
+        assert(flags == Set(0, 1), s"lang $lang: above-mean flag must split the docs, got $flags")
+      }
+    }
+  }
+
+  test("docs_split_assign: deterministic, content-keyed, all splits populated") {
+    val a = q("docs_split_assign").collect()
+    val b = q("docs_split_assign").collect()
+    assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList,
+      "split assignment must be bit-stable across runs")
+    val bySplit = a.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"),
+      s"all three splits must be populated, got $bySplit")
+    // 80/10/10 by hash: train strictly dominates on any non-tiny corpus
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"), s"$bySplit")
+    a.foreach { r =>
+      val (bkt, sp) = (r.getAs[Int]("bucket"), r.getAs[String]("split"))
+      assert(bkt >= 0 && bkt < 100)
+      assert(sp == (if (bkt < 80) "train" else if (bkt < 90) "val" else "test"))
+    }
+  }
+
   test("docs_decontaminate plan: benchmark side joins as broadcast, never sort-merge") {
     // The scale contract: the benchmark n-gram universe broadcasts, so the
     // 100 TB train side is checked map-side. A SortMergeJoin here would
