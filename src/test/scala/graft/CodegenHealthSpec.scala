@@ -64,7 +64,10 @@ class CodegenHealthSpec extends GraftSuite {
     "dedup_components",
     "jaccard_pairs",
     "profile_table_stats", // widest Expand + 40-way multi-distinct aggregate
-    "q_revenue_by_region")
+    "q_revenue_by_region",
+    "docs_lm_quality_filter", // r8: bigram HOF explode ×2 + broadcast LM join
+    "text_fuzzy_pairs",       // r8: top bench text line after the LM filter
+    "docs_char_lm")
 
   for (name <- guarded) test(s"$name: whole-stage codegen compiles, no interpreter fallback") {
     CodegenWarnProbe.install()
