@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth probe: does per-row cost stay flat when the corpus grows?
+  *
+  * The fixture SFs only grow `documents` 5k → 5k → 5k/50k-ish, so the bench
+  * alone cannot show how the pair-generating text/dedup ops SCALE. This
+  * main generates deterministic synthetic corpora at 1× and 10× the sf0.1
+  * document count (same length/vocab profile, all-distinct texts, zero
+  * RNG — every token is a hash of (doc_id, position), so any engine/run
+  * regenerates the identical corpus), then times representative
+  * document-only registry ops on each and prints the 10×/1× cost ratio
+  * per op.
+  *
+  * What "pass" means: near-linear ratios (≈10× work for 10× rows ON THE
+  * SAME local cores ⇒ wall ratio ≈ 10 or below with fixed parallelism) for
+  * the candidate-bounded ops — the quadratic failure mode this guards
+  * against shows up as ratios ≥ 30–50 (candidate pairs ∝ df², df ∝ N
+  * without the shingle-df cap). Usage:
+  *   sbt "runMain graft.ScaleProbe [mult ...]"   (default: 1 10)
+  */
+object ScaleProbe {
+
+  /** Deterministic word-soup: doc i = 40 + (i mod 81) tokens, token j =
+    * "w" + (xxhash64(i, j) mod 997) — same shape as the fixture corpus
+    * (space-separated small-vocab soup, 47..558 chars), all docs distinct
+    * (token 0 encodes the doc id). */
+  private def synthDocs(s: SparkSession, n: Long): DataFrame =
+    s.range(n).select(
+      col("id").as("doc_id"),
+      concat(
+        concat(lit("d"), col("id")), lit(" "),
+        array_join(
+          transform(sequence(lit(1), lit(40) + (col("id") % 81).cast("int")),
+            j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(997)))),
+          " ")).as("text"),
+      concat(lit("lang"), pmod(col("id"), lit(5))).as("lang"),
+      concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  /** Documents-only registry ops that exercise the shapes at risk:
+    * candidate self-join, LSH banding, iterative CC, broadcast-LM scoring,
+    * df-broadcast tf-idf. */
+  private val Probed = Seq(
+    "jaccard_pairs", "dedup_near_minhash", "dedup_components",
+    "text_tfidf_top", "docs_lm_quality_filter")
+
+  def main(args: Array[String]): Unit = {
+    val mults = (if (args.isEmpty) Seq(1L, 10L) else args.toSeq.map(_.toLong)).sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    plans.GraftOptimizations.install(spark)
+
+    val base = 5000L // sf0.1 documents row count
+    val times = scala.collection.mutable.LinkedHashMap[(Long, String), Double]()
+    mults.foreach { m =>
+      val dir = s"/tmp/graft_scale_${m}x"
+      synthDocs(spark, base * m).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      // warm-up read (parquet footers), then timed runs
+      Tables.load(spark, dir, "documents").count()
+      Probed.foreach { op =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(op)(spark, dir).count()
+        times((m, op)) = (System.nanoTime() - t0) / 1e9
+      }
+    }
+    def fmt(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val lines = Probed.map { op =>
+      val per = mults.map(m => s""""${m}x":${fmt(times((m, op)))}""").mkString(",")
+      val ratio =
+        if (mults.size >= 2)
+          s""","ratio":${fmt(times((mults.last, op)) / times((mults.head, op)))}"""
+        else ""
+      s""""$op":{$per$ratio}"""
+    }
+    println(s"""{"probe":"scale","base_docs":$base,"mults":[${mults.mkString(",")}],"ops":{${lines.mkString(",")}}}""")
+    spark.stop()
+  }
+}
