@@ -47,6 +47,29 @@ object ScaleProbe {
     "jaccard_pairs", "dedup_near_minhash", "dedup_components",
     "text_tfidf_top", "docs_lm_quality_filter")
 
+  /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
+    * embeddings never grows past 2k rows): brute-force broadcast scan,
+    * sign-LSH multiprobe, IVF-PQ ADC, and LSH-bucketed semantic dedup. */
+  private val ProbedVec = Seq(
+    "knn_cosine_topk", "knn_ivf_topk", "knn_ivfpq_topk", "dedup_near_embedding")
+
+  /** Deterministic L2-normalized 64-dim float vectors: component j of
+    * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
+    * double, cast float — identical corpus on every run/engine. */
+  private def synthEmbeddings(s: SparkSession, n: Long): DataFrame = {
+    val raw = transform(sequence(lit(1), lit(64)),
+      j => (pmod(xxhash64(col("id"), j), lit(2000001L)) - lit(1000000L))
+        .cast("double") / lit(1e6))
+    s.range(n).select(
+      col("id").as("vec_id"),
+      raw.as("raw"),
+      pmod(col("id"), lit(10)).cast("int").as("label"))
+      .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0d), (a, x) => a + x * x)))
+      .select(col("vec_id"),
+        transform(col("raw"), x => (x / col("nrm")).cast("float")).as("embedding"),
+        col("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val mults = (if (args.isEmpty) Seq(1L, 10L) else args.toSeq.map(_.toLong)).sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -60,22 +83,35 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     plans.GraftOptimizations.install(spark)
 
-    val base = 5000L // sf0.1 documents row count
+    val baseDocs = 5000L // sf0.1 documents row count
+    val baseVecs = 2000L // sf0.1 embeddings row count
     val times = scala.collection.mutable.LinkedHashMap[(Long, String), Double]()
+    val samples = scala.collection.mutable.LinkedHashMap[(Long, String), List[Double]]()
     mults.foreach { m =>
       val dir = s"/tmp/graft_scale_${m}x"
-      synthDocs(spark, base * m).write.mode("overwrite")
+      synthDocs(spark, baseDocs * m).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
-      // warm-up read (parquet footers), then timed runs
+      synthEmbeddings(spark, baseVecs * m).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      // warm-up read (parquet footers), then timed runs — median of 3 so a
+      // first-execution JIT/codegen compile or a host stall cannot fake a
+      // ratio (single samples measured ratios BELOW 1 purely from warmup)
       Tables.load(spark, dir, "documents").count()
-      Probed.foreach { op =>
+      Tables.load(spark, dir, "embeddings").count()
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      for (_ <- 1 to reps; op <- Probed ++ ProbedVec) {
         val t0 = System.nanoTime()
         SparkEntry.queries(op)(spark, dir).count()
-        times((m, op)) = (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples((m, op)) = samples.getOrElse((m, op), Nil) :+ dt
+      }
+      (Probed ++ ProbedVec).foreach { op =>
+        val xs = samples((m, op)).sorted
+        times((m, op)) = xs(xs.size / 2)
       }
     }
     def fmt(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val lines = Probed.map { op =>
+    val lines = (Probed ++ ProbedVec).map { op =>
       val per = mults.map(m => s""""${m}x":${fmt(times((m, op)))}""").mkString(",")
       val ratio =
         if (mults.size >= 2)
@@ -83,7 +119,7 @@ object ScaleProbe {
         else ""
       s""""$op":{$per$ratio}"""
     }
-    println(s"""{"probe":"scale","base_docs":$base,"mults":[${mults.mkString(",")}],"ops":{${lines.mkString(",")}}}""")
+    println(s"""{"probe":"scale","base_docs":$baseDocs,"base_vecs":$baseVecs,"mults":[${mults.mkString(",")}],"ops":{${lines.mkString(",")}}}""")
     spark.stop()
   }
 }
