@@ -146,6 +146,46 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
+  test("docs_split_assign: assignment keys on content only — invariant to row order and partitioning") {
+    // same corpus written in two different orders/partitionings must yield
+    // the identical per-doc assignment (the property that makes the split
+    // stable across re-ingestion on a real pipeline)
+    val docs = (0L until 60L).map(i => (i, s"doc $i body word${i % 7} tail"))
+    val t1 = java.nio.file.Files.createTempDirectory("graft_split_a_").toString
+    val t2 = java.nio.file.Files.createTempDirectory("graft_split_b_").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$t1/documents.parquet")
+    scala.util.Random.shuffle(docs).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .repartition(7).write.mode("overwrite").parquet(s"$t2/documents.parquet")
+    def assign(dir: String) =
+      SparkEntry.queries("docs_split_assign")(spark, dir)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(assign(t1) == assign(t2),
+      "split assignment changed under reordering/repartitioning")
+  }
+
+  test("docs_decontaminate: growing the benchmark set never decreases any doc's hit count") {
+    implicit val s = spark
+    val mk = (rows: Seq[(Long, String)]) => {
+      val sh = rows.toDF("doc_id", "text").select(col("doc_id"),
+        explode(graft.llm.Shingling.shingleArray(col("text"), hashed = true)).as("h"))
+      graft.llm.PipelineOps.decontaminate(sh)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
+    }
+    val train = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "one two three four five six seven"))
+    val benchSmall = Seq((0L, "alpha beta gamma nine ten eleven"))
+    val benchBig = benchSmall :+ ((50L, "five six seven delta epsilon zeta"))
+    val small = mk(train ++ benchSmall)
+    val big = mk(train ++ benchBig)
+    train.map(_._1).foreach { id =>
+      assert(big(id) >= small(id),
+        s"doc $id: n_hit dropped ${small(id)} -> ${big(id)} when the benchmark grew")
+    }
+    assert(big(9L) > small(9L), "the added benchmark doc shares shingles with doc 9")
+  }
+
   test("docs_decontaminate plan: benchmark side joins as broadcast, never sort-merge") {
     // The scale contract: the benchmark n-gram universe broadcasts, so the
     // 100 TB train side is checked map-side. A SortMergeJoin here would
