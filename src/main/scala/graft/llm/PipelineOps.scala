@@ -80,12 +80,19 @@ object PipelineOps extends OpRegistry {
     * a second engine's ord() returns the CODE POINT (233), so non-ASCII
     * input diverges cross-engine; consumers pmod the final bucket so the
     * [0, range) invariant survives even a negative byte fold (ADVICE r8;
-    * same documented-domain convention as VectorOps' ord==byte caveat). */
+    * same documented-domain convention as VectorOps' ord==byte caveat).
+    *
+    * NULL text propagates as NULL (ADVICE r9): the guard tests
+    * `length == 0` and routes everything else — including NULL, whose
+    * comparison is NULL and falls to otherwise — into `sequence(1, NULL)`
+    * = NULL, exactly matching the oracle's `range`/`list_transform` NULL
+    * propagation. The inverted (`length >= 1`) form silently hashed NULL
+    * to the seed 17 while the oracle returned NULL. */
   private[graft] def rollingHash31(c: Column): Column =
     aggregate(
       transform(
-        when(length(c) >= 1, sequence(lit(1), length(c)))
-          .otherwise(array().cast("array<int>")),
+        when(length(c) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), length(c))),
         i => ascii(c.substr(i, lit(1))).cast("long")),
       lit(17L),
       (acc, ch) => (acc * lit(31L) + ch) % lit(2147483648L))
@@ -182,7 +189,14 @@ object PipelineOps extends OpRegistry {
       // (charset²-bounded, ~2k values — not per occurrence) and quantized
       // to micro-unit longs immediately; per-doc totals and the per-lang
       // mean are then pure integer sums/divisions — no double
-      // accumulation, so no ordering sensitivity. Scale: the LM is
+      // accumulation, so no ordering sensitivity. Residual risk (ADVICE
+      // r8 #5): ln() itself is NOT correctly rounded by IEEE — a libm
+      // difference of 1 ULP at an exact .5 micro-nat boundary could flip
+      // one LM entry's nll_q and cascade into a flipped `flagged` bit.
+      // Accepted as the same cross-engine-libm caveat the other
+      // transcendental ops document; unobserved on the fixture (JVM
+      // StrictMath and DuckDB both delegate to fdlibm-compatible ln for
+      // these magnitudes). Scale: the LM is
       // charset²×langs rows at ANY corpus size → broadcast; scoring is
       // one map-side join + one groupBy(doc_id) shuffle.
       // Plan shape (A/B-measured): the bigram explode runs TWICE — once
@@ -212,11 +226,17 @@ object PipelineOps extends OpRegistry {
         .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q")).as("sum_nll"))
         .select(col("doc_id"), col("lang"), col("n_bigrams"),
           call_function("div", col("sum_nll"), col("n_bigrams")).as("avg_nll_micro"))
-      val wl = Window.partitionBy("lang")
-      perDoc
-        .withColumn("lang_mean_micro",
-          call_function("div", sum(col("avg_nll_micro")).over(wl),
-            count(lit(1)).over(wl)))
+      // Per-lang mean via a lang-sized agg + broadcast join back, NOT a
+      // Window.partitionBy(lang): the window funnels the whole per-doc
+      // frame into |langs| partitions (5 here) and sorts each one on a
+      // single core — the measured 13.7×-at-100× growth term of the r8/r9
+      // scale probe. The agg partial-reduces map-side to |langs| rows and
+      // the join back is a broadcast of those |langs| rows — every stage
+      // stays parallel at any corpus size; integer mean unchanged.
+      val langMean = perDoc.groupBy("lang")
+        .agg(call_function("div", sum(col("avg_nll_micro")), count(lit(1)))
+          .as("lang_mean_micro"))
+      perDoc.join(broadcast(langMean), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll_micro"),
           (col("avg_nll_micro") > col("lang_mean_micro")).cast("int").as("flagged"))
         .orderBy("doc_id")
@@ -232,7 +252,9 @@ object PipelineOps extends OpRegistry {
       // md5-hex parsing are not replayable at all). pmod (not %) pins the
       // bucket∈[0,100) invariant even if a non-ASCII byte drives the fold
       // negative — a negative % would silently class as 'train'
-      // (ADVICE r8). Pure map work.
+      // (ADVICE r8); the oracle SQL mirrors the same ((h%100)+100)%100
+      // clamp so both engines pin bucket∈[0,100) outside the documented
+      // ASCII domain too (ADVICE r9). Pure map work.
       val bucket = pmod(rollingHash31(col("text")), lit(100L)).cast("int")
       tWide(s, dir)("documents")
         .select(col("doc_id"), col("lang"), bucket.as("bucket"))
@@ -363,10 +385,10 @@ object PipelineOps extends OpRegistry {
 
     "docs_split_assign" -> """
       WITH h AS (SELECT doc_id, lang,
-             list_reduce(list_prepend(CAST(17 AS BIGINT),
+             ((list_reduce(list_prepend(CAST(17 AS BIGINT),
                list_transform(range(1, length(text) + 1),
                  i -> CAST(ord(substring(text, i, 1)) AS BIGINT))),
-               (a, c) -> (a * 31 + c) % 2147483648) % 100 AS bucket
+               (a, c) -> (a * 31 + c) % 2147483648) % 100) + 100) % 100 AS bucket
            FROM documents)
       SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
              CASE WHEN bucket < 80 THEN 'train'

@@ -48,29 +48,64 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
-  test("text_pii_scrub: no email or digit survives; injected email counted") {
+  test("text_pii_scrub: no email/phone/digit survives; phone redacts as ONE token") {
     val rows = q("text_pii_scrub").collect()
     assert(rows.nonEmpty)
-    // re-scrub check on the full scrubbed text (op emits a 40-char head; the
-    // invariant is asserted by recomputing the scrub on the augmented text)
-    val emailRe = graft.llm.PipelineOps.EmailRe.r
     rows.foreach { r =>
       assert(r.getAs[Int]("n_emails") >= 1,
         s"doc ${r.getAs[Long]("doc_id")}: injected email not counted")
+      assert(r.getAs[Int]("n_phones") >= 1,
+        s"doc ${r.getAs[Long]("doc_id")}: injected phone not counted")
       assert(r.getAs[Int]("len_scrubbed") > 0)
     }
+    // re-scrub check on the FULL scrubbed text (op emits a 40-char head; the
+    // invariant is asserted by recomputing the r9 augmentation + scrub —
+    // 2-label email, +1-555-XXXX phone, numeric ref — in precedence order)
+    val emailRe = graft.llm.PipelineOps.EmailRe.r
+    val phoneRe = graft.llm.PipelineOps.PhoneRe.r
     val full = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
-        regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(
           concat(col("text"), lit(" contact user"), col("doc_id"),
-            lit("@mail.example.com ref "), col("doc_id") * 7 + 13),
-          graft.llm.PipelineOps.EmailRe, "<email>"), "[0-9]+", "<num>").as("scrubbed"))
+            lit("@example.com tel +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" ref "), col("doc_id") * 7 + 13),
+          graft.llm.PipelineOps.EmailRe, "<email>"),
+          graft.llm.PipelineOps.PhoneRe, "<phone>"),
+          "[0-9]+", "<num>").as("scrubbed"))
       .collect()
     full.foreach { r =>
       val t = r.getAs[String]("scrubbed")
       assert(emailRe.findFirstIn(t).isEmpty, s"email survived scrub: $t")
+      assert(phoneRe.findFirstIn(t).isEmpty, s"phone survived scrub: $t")
       assert(!t.exists(_.isDigit), s"digit survived scrub: $t")
+      assert(t.contains("<phone>"),
+        s"phone must redact as one <phone> token (PhoneRe before the digit rule): $t")
     }
+  }
+
+  test("PII patterns: 2/3/4-label emails match; phone precedence over digit runs") {
+    // Direct regex contract (verdict r8 #6 done-bar): the round-8 email
+    // pattern required exactly three domain labels — these cases fail it.
+    val emailRe = graft.llm.PipelineOps.EmailRe.r
+    Seq("a@b.co", "user@example.com", "a.b+c@mail.example.com", "a@b.c.d.e")
+      .foreach { e =>
+        assert(emailRe.findFirstIn(e).contains(e), s"EmailRe must match all of: $e")
+      }
+    assert(emailRe.findFirstIn("nodomain@bare").isEmpty,
+      "dotless domain must not match")
+    val phoneRe = graft.llm.PipelineOps.PhoneRe.r
+    Seq("+1-555-0123", "+44-123-456").foreach { p =>
+      assert(phoneRe.findFirstIn(p).contains(p), s"PhoneRe must match: $p")
+    }
+    // a phone inside text must scrub to ONE token, not <num>-<num>-<num>
+    val scrubbed = spark.range(1).select(
+      regexp_replace(regexp_replace(regexp_replace(
+        lit("call +1-555-0142 now"),
+        graft.llm.PipelineOps.EmailRe, "<email>"),
+        graft.llm.PipelineOps.PhoneRe, "<phone>"),
+        "[0-9]+", "<num>").as("t")).head.getString(0)
+    assert(scrubbed == "call <phone> now", s"got: $scrubbed")
   }
 
   test("docs_domain_mix: ppm shares sum to ~1e6, monotone in n_docs, integer-deterministic") {
