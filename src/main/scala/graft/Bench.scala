@@ -45,14 +45,20 @@ object Bench {
     try {
       import org.apache.spark.sql.streaming.Trigger
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      // same RAM-scratch checkpoint the real stream_* queries use — the
+      // floor must price the path they actually pay, not a slower one
+      val ckpt = streaming.Streaming.scratchCkpt(s"floor_$rep")
       val t0 = System.nanoTime()
-      val q = spark.readStream.schema(schema)
-        .option("basePath", sfDir).parquet(s"$sfDir/events.parquet*")
-        .select("event_id")
-        .writeStream.format("memory").queryName(s"graft_floor_probe_$rep")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        val q = spark.readStream.schema(schema)
+          .option("basePath", sfDir).parquet(s"$sfDir/events.parquet*")
+          .select("event_id")
+          .writeStream.format("memory").queryName(s"graft_floor_probe_$rep")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      } finally streaming.Streaming.cleanupCkpt(ckpt)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming_floor FAILED (rep $rep): ${e.getMessage}")
@@ -132,8 +138,12 @@ object Bench {
     // the full_map pointer is only honest on full-registry runs — filtered
     // profiling runs don't (re)write BENCH_LOCAL.json
     val mapRef = if (args.isEmpty) ""","full_map":"BENCH_LOCAL.json"""" else ""
+    // filtered profiling runs are small: print the full per-query map (the
+    // headline subset would hide exactly the queries being profiled)
     val short =
-      s"""{$head,"queries":${qJson(Headline.flatMap(h => results.get(h).map(h -> _)))}$mapRef}"""
+      if (args.isEmpty)
+        s"""{$head,"queries":${qJson(Headline.flatMap(h => results.get(h).map(h -> _)))}$mapRef}"""
+      else full
     println(short)
     // full-registry runs only: a filtered profiling run must not clobber the
     // committed full-bench evidence

@@ -112,14 +112,37 @@ object Streaming extends OpRegistry {
     }
   }
 
+  /** Scratch checkpoint dir for the run-once AvailableNow → memory-sink
+    * queries, on RAM-backed /dev/shm when present (this host's /tmp is
+    * disk-backed ext4; every state-store commit is a write+rename+fsync per
+    * store per batch, so a disk checkpoint taxes each query ~100s of ms of
+    * pure harness I/O). Safe here ONLY because these checkpoints are
+    * deliberately discarded per run — the memory sink is driver-local, so
+    * the query is a single-node diagnostic by construction. A production
+    * streaming deployment puts its checkpoint on SHARED storage (S3/HDFS)
+    * for resumability; that choice is per-query `checkpointLocation`, not
+    * engine code. Deleted in `cleanupCkpt` after termination. */
+  private[graft] def scratchCkpt(name: String): String = {
+    val root =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
+      else sys.props("java.io.tmpdir") + "/graft_ckpt"
+    s"$root/${name}_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+  }
+  private[graft] def cleanupCkpt(path: String): Unit =
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(path))
+
   /** Run an availableNow streaming query into a memory sink, return table. */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
                           mode: OutputMode): DataFrame = {
     val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val ckpt = scratchCkpt(qn)
     withStreamPartitions(s) {
-      val q = df.writeStream.format("memory").queryName(qn)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      try {
+        val q = df.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ckpt)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally cleanupCkpt(ckpt)
     }
     s.table(qn)
   }
@@ -315,18 +338,24 @@ object Streaming extends OpRegistry {
       // (ADVICE r2 pattern).
       val base = "/tmp/graft_febatch"
       org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(base))
+      // checkpoint on the RAM scratch (UUID'd fresh per run, which is also
+      // what the fixed path needed the up-front delete for); the parquet
+      // OUTPUT stays on /tmp — it is the sink artifact, not harness state
+      val ckpt = scratchCkpt("febatch")
       val agg = eventsStream(s, dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
       withStreamPartitions(s) {
-        val q = agg.writeStream
-          .outputMode(OutputMode.Complete())
-          .option("checkpointLocation", s"$base/ckpt")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.write.mode("overwrite").parquet(s"$base/out_$batchId")
-          }
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        try {
+          val q = agg.writeStream
+            .outputMode(OutputMode.Complete())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              batch.write.mode("overwrite").parquet(s"$base/out_$batchId")
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally cleanupCkpt(ckpt)
       }
       // final batch by NUMERIC batchId — lexicographic sort would pick
       // out_9 over out_10 once >=10 micro-batches exist (ADVICE r1)
