@@ -350,6 +350,104 @@ case class PqAdcLut(child: Expression, codebook: Array[Array[Array[Long]]])
   * SparkSessionExtensions so they work on ANY already-built session — the
   * driver harness constructs its own SparkSession and passes it in.
   */
+/** Map-side char-bigram LM scorer for `docs_lm_quality_filter`: given a
+  * doc's lang and its bigram array, returns `array(matched, sum_nll)` — the
+  * count of bigrams found in the language model and the exact integer sum of
+  * their quantized NLLs. The LM rides the expression as a driver-built
+  * nested HashMap (lang → bigram → nll_q): it is charset²×langs-bounded
+  * MODEL state at any corpus size — the same legitimate driver-state
+  * pattern as the k-means centroids — so a lookup here replaces what was a
+  * 198M-row broadcast-hash-join + groupBy(doc_id) shuffle at the 100× probe
+  * scale (the measured 21.7×-at-100× growth term: the join stage
+  * materializes an occurrence-sized row stream just to sum it back down to
+  * one row per doc; this expression folds the whole sum into the scan).
+  *
+  * Semantics match the inner join + groupBy they replace: a bigram missing
+  * from the LM (impossible when the LM is trained on the same corpus, but
+  * kept faithful) contributes to neither count nor sum; an unknown lang
+  * yields (0, 0) — the caller's `n_bigrams >= 1` filter then drops the doc
+  * exactly as the inner join produced no group. NULL lang, NULL array, or a
+  * NULL element propagate NULL (the join's Filter(isnotnull) dropped those
+  * rows; the caller's filter drops NULL the same way). Raw java.util.HashMap
+  * (janino has no generics) keyed by UTF8String: the inner map resolves once
+  * per row, per-element lookups allocate nothing.
+  */
+case class LmNllSum(left: Expression, right: Expression,
+    lm: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]])
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType, ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, array<string>), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lm_nll_sum"
+
+  override protected def nullSafeEval(langV: Any, arrV: Any): Any = {
+    val arr = arrV.asInstanceOf[ArrayData]
+    val inner = lm.get(langV.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    var n = 0L
+    var s = 0L
+    if (inner != null) {
+      var i = 0
+      val len = arr.numElements()
+      while (i < len) {
+        if (arr.isNullAt(i)) return null
+        val v = inner.get(arr.getUTF8String(i))
+        if (v != null) { n += 1L; s += v.longValue() }
+        i += 1
+      }
+    } else {
+      var i = 0
+      val len = arr.numElements()
+      while (i < len) { if (arr.isNullAt(i)) return null; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(n, s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lmRef = ctx.addReferenceObj("graftLmMap", lm, "java.util.HashMap")
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    nullSafeCodeGen(ctx, ev, (langV, arrV) => {
+      val inner = ctx.freshName("inner")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val len = ctx.freshName("len")
+      val v = ctx.freshName("v")
+      val nullGuard =
+        if (right.dataType.asInstanceOf[ArrayType].containsNull)
+          s"if ($arrV.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |java.util.HashMap $inner = (java.util.HashMap) $lmRef.get($langV);
+         |long $n = 0L;
+         |long $s = 0L;
+         |int $len = $arrV.numElements();
+         |for (int $i = 0; $i < $len; $i++) {
+         |  $nullGuard
+         |  if ($inner != null) {
+         |    Object $v = $inner.get($arrV.getUTF8String($i));
+         |    if ($v != null) { $n += 1L; $s += ((java.lang.Long) $v).longValue(); }
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new $gad(new long[]{$n, $s});
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   val DotQName = "graft_dot_q"
   val HllName = "graft_hll_distinct"
@@ -407,5 +505,15 @@ object GraftExpressions {
   def pqAdcLut(qv: Column, codebook: Array[Array[Array[Long]]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(PqAdcLut(ColumnBridge.expression(qv), codebook))
+  }
+
+  /** Column form of the map-side LM scorer; the LM map rides the expression
+    * as a plain object (no SQL-literal form), so the Column is built via
+    * ColumnBridge like the PQ codebooks. */
+  def lmNllSum(lang: Column, bigrams: Column,
+      lm: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(LmNllSum(
+      ColumnBridge.expression(lang), ColumnBridge.expression(bigrams), lm))
   }
 }

@@ -197,18 +197,18 @@ object PipelineOps extends OpRegistry {
       // transcendental ops document; unobserved on the fixture (JVM
       // StrictMath and DuckDB both delegate to fdlibm-compatible ln for
       // these magnitudes). Scale: the LM is
-      // charset²×langs rows at ANY corpus size → broadcast; scoring is
-      // one map-side join + one groupBy(doc_id) shuffle.
-      // Plan shape (A/B-measured): the bigram explode runs TWICE — once
-      // for LM training, once for scoring — and that is the FASTER and
-      // more scalable plan. The tempting "explode once, groupBy
-      // (doc_id, lang, bg) counts, reuse for both" replaces a cheap
-      // map-side re-explode with a high-cardinality shuffle (per-doc
-      // bigram sets barely dedup: ~1.5M groups from 2.5M occurrences at
-      // sf0.1) and measured SLOWER in full-suite context (2.6 s vs
-      // 1.9 s); here both shuffles stay tiny — LM counts are
-      // vocab-sized, and the scoring groupBy(doc_id) partial-aggregates
-      // occurrences map-side before the exchange.
+      // charset²×langs rows at ANY corpus size → MODEL state: it collects
+      // to the driver (like the k-means centroids) and scoring is pure
+      // map-side — the native LmNllSum expression folds each doc's NLL sum
+      // into the scan against the in-memory LM, so no occurrence-sized row
+      // stream ever exists. The previous shape (explode → broadcast-hash-
+      // join → groupBy(doc_id)) was the measured 21.7×-at-100× growth
+      // term of the r10 scale probe: profiling showed the join stage
+      // materializing 198M (doc_id, lang, bg, nll_q) rows cost ~25 s
+      // (codegen on or off) just to sum them back down to one row per doc,
+      // while the LM-training aggregation over the same explode cost 6 s.
+      // Training still explodes once — its shuffles are vocab-sized and
+      // partial-aggregated.
       val bg = tWide(s, dir)("documents").select(col("doc_id"), col("lang"),
         explode(Shingling.charBigramArray(col("text"))).as("bg"))
       val cnt2 = bg.groupBy("lang", "bg").agg(count(lit(1)).as("c2"))
@@ -221,9 +221,32 @@ object PipelineOps extends OpRegistry {
         .select(col("n2.lang").as("lang"), col("n2.bg").as("bg"),
           floor(log(col("n1.c1cnt").cast("double") / col("n2.c2")) * lit(1e6)
             + lit(0.5)).cast("long").as("nll_q"))
-      val perDoc = bg.join(broadcast(lm), Seq("lang", "bg"))
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q")).as("sum_nll"))
+      // bounded model-state collect: charset²×langs rows (651 on the 100×
+      // probe corpus), never data-sized
+      val lmMap = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]]()
+      lm.collect().foreach { r =>
+        val langK = org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))
+        var inner = lmMap.get(langK)
+        if (inner == null) {
+          inner = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+          lmMap.put(langK, inner)
+        }
+        inner.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+          java.lang.Long.valueOf(r.getLong(2)))
+      }
+      // n_bigrams counts LM-MATCHED bigrams (== all of them when the LM is
+      // trained on the same corpus) and the n_bigrams >= 1 filter drops
+      // docs the old inner join produced no group for (empty/NULL text,
+      // unknown lang) — row-for-row the join+groupBy semantics.
+      val perDoc = tWide(s, dir)("documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.GraftExpressions.lmNllSum(col("lang"),
+            Shingling.charBigramArray(col("text")), lmMap).as("ns"))
+        .select(col("doc_id"), col("lang"),
+          element_at(col("ns"), 1).as("n_bigrams"),
+          element_at(col("ns"), 2).as("sum_nll"))
+        .filter(col("n_bigrams") >= 1)
         .select(col("doc_id"), col("lang"), col("n_bigrams"),
           call_function("div", col("sum_nll"), col("n_bigrams")).as("avg_nll_micro"))
       // Per-lang mean via a lang-sized agg + broadcast join back, NOT a
