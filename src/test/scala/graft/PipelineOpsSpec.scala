@@ -253,4 +253,41 @@ class PipelineOpsSpec extends GraftSuite {
         s"embeddings scan must read exactly (embedding,label), got $cols")
     }
   }
+
+  test("LmNllSum edges: unknown lang, missing bigram, null element, empty array") {
+    // The interpreted eval path must mirror the inner-join-plus-groupBy
+    // semantics it replaced: missing LM entries contribute to neither
+    // count nor sum; unknown lang yields (0,0) — the caller's
+    // n_bigrams >= 1 filter then drops the doc; a NULL element nulls the
+    // result (the join's isnotnull Filter dropped those rows upstream).
+    // The codegen path is exercised end-to-end by the oracle row.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val lm = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]()
+    val en = new java.util.HashMap[UTF8String, java.lang.Long]()
+    en.put(UTF8String.fromString("ab"), 3L)
+    en.put(UTF8String.fromString("bc"), 5L)
+    lm.put(UTF8String.fromString("en"), en)
+    def arrLit(xs: Seq[String]): Literal =
+      Literal.create(xs, ArrayType(StringType, containsNull = true))
+    def run(lang: String, xs: Seq[String]): Any =
+      graft.functions.LmNllSum(Literal(lang), arrLit(xs), lm).eval(null)
+    def pair(a: Any): (Long, Long) = {
+      val ad = a.asInstanceOf[ArrayData]
+      (ad.getLong(0), ad.getLong(1))
+    }
+    assert(pair(run("en", Seq("ab", "bc", "ab"))) == (3L, 11L))
+    assert(pair(run("en", Seq("ab", "zz", "bc"))) == (2L, 8L),
+      "missing bigram must be skipped, not nulled or zero-scored")
+    assert(pair(run("fr", Seq("ab", "bc"))) == (0L, 0L),
+      "unknown lang must yield (0,0) so the n>=1 filter drops the doc")
+    assert(pair(run("en", Seq.empty)) == (0L, 0L))
+    assert(run("en", Seq("ab", null)) == null,
+      "a NULL element must null the whole result")
+    val nullLang = graft.functions.LmNllSum(
+      Literal.create(null, StringType), arrLit(Seq("ab")), lm).eval(null)
+    assert(nullLang == null, "NULL lang must propagate NULL")
+  }
 }
