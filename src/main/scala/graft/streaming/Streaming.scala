@@ -46,13 +46,16 @@ object Streaming extends OpRegistry {
 
   /** State-store partition count for the real streaming queries. Stateful
     * operators create one state store (plus its checkpoint dir) PER shuffle
-    * partition per stateful op, so a CPU-sized 32 means 64+ store inits for
-    * a stream-stream join — measured 12.5 s vs 3.3 s at 8 partitions on the
-    * fixture. State partitioning should track STATE VOLUME, not core count:
-    * 8 comfortably bounds the fixture's state; a 100 TB deployment raises
-    * it (the count is pinned by the first checkpoint, so it is a deploy-time
-    * choice either way). */
-  private val StreamStatePartitions = "8"
+    * partition per stateful op, so store COUNT, not data volume, prices the
+    * fixture's run-once queries: CPU-sized 32 measured 12.5 s on
+    * stream_stream_join vs 3.3 s at 8 (r3); 8→4 a further −0.5 s there
+    * (3.04→2.50 s same-window A/B — the join holds 4 stores per partition,
+    * so halving partitions halves 32 store inits+commits to 16) and −0.8 s
+    * across the 11-query cluster (r10). State partitioning should track
+    * STATE VOLUME, not core count: 4 comfortably bounds the fixture's
+    * state; a 100 TB deployment raises it (the count is pinned by the first
+    * checkpoint, so it is a deploy-time choice either way). */
+  private val StreamStatePartitions = "4"
 
   /** Scope `spark.sql.shuffle.partitions` to a streaming query's lifetime:
     * set before start (the value is captured into the query's checkpoint at
