@@ -101,13 +101,23 @@ object ScaleProbe {
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       for (_ <- 1 to reps; op <- Probed ++ ProbedVec) {
         val t0 = System.nanoTime()
-        SparkEntry.queries(op)(spark, dir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        samples((m, op)) = samples.getOrElse((m, op), Nil) :+ dt
+        // name the failing op instead of dying mid-sweep: the first 200×
+        // attempt OOMed anonymously ~8 ops in and cost the whole run's
+        // evidence; a failed op reports -1 and the sweep continues
+        try {
+          SparkEntry.queries(op)(spark, dir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          samples((m, op)) = samples.getOrElse((m, op), Nil) :+ dt
+        } catch {
+          case e: Throwable =>
+            samples((m, op)) = samples.getOrElse((m, op), Nil)
+            System.err.println(
+              s"[probe] $op FAILED at ${m}x: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
       (Probed ++ ProbedVec).foreach { op =>
         val xs = samples((m, op)).sorted
-        times((m, op)) = xs(xs.size / 2)
+        times((m, op)) = if (xs.isEmpty) -1.0 else xs(xs.size / 2)
       }
     }
     def fmt(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
@@ -133,16 +143,29 @@ object ScaleProbe {
         .select(col("qid").cast("long"), col("vid").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
-    val exact = top5("knn_cosine_topk")
-    val recalls = Seq("knn_ivf_topk", "knn_ivfpq_topk").map { op =>
-      val approx = top5(op)
-      val r = exact.map { case (q, truth) =>
-        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
-      }.sum / exact.size
-      s""""$op":${fmt(r)}"""
-    }
-    val recallJson =
+    // a recall failure (e.g. OOM at an untested scale) reports -1 rather
+    // than discarding the whole sweep's timing evidence
+    val recallJson = try {
+      val exact = top5("knn_cosine_topk")
+      val recalls = Seq("knn_ivf_topk", "knn_ivfpq_topk").map { op =>
+        val r = try {
+          val approx = top5(op)
+          exact.map { case (q, truth) =>
+            approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+          }.sum / exact.size
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[probe] recall($op) FAILED: ${e.getMessage}")
+            -1.0
+        }
+        s""""$op":${fmt(r)}"""
+      }
       s""","recall_at_5":{"mult":${mults.last},${recalls.mkString(",")}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[probe] recall ground truth FAILED: ${e.getMessage}")
+        s""","recall_at_5":{"mult":${mults.last},"error":-1}"""
+    }
 
     println(s"""{"probe":"scale","base_docs":$baseDocs,"base_vecs":$baseVecs,"mults":[${mults.mkString(",")}],"ops":{${lines.mkString(",")}}$recallJson}""")
     spark.stop()

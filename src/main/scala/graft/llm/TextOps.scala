@@ -80,9 +80,14 @@ object TextOps extends OpRegistry {
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("inter"))
+    // NO broadcast hint on sizes: it is DOC-COUNT-sized (1M rows at the
+    // 200× probe), not a bounded dim — a forced broadcast of a growing
+    // build side is exactly the 100 TB scale bug this codebase bans. AQE
+    // broadcasts it while it is small (every fixture SF) and switches to a
+    // shuffle join past the threshold, which is the right plan both times.
     inter
-      .join(broadcast(sizes.select(col("doc_id"), col("n").as("n1"))), col("id1") === col("doc_id")).drop("doc_id")
-      .join(broadcast(sizes.select(col("doc_id"), col("n").as("n2"))), col("id2") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("n1")), col("id1") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("n2")), col("id2") === col("doc_id")).drop("doc_id")
       .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .filter(col("inter").cast("double") / col("uni") > 0.1)
       .select(col("id1"), col("id2"), col("inter"), col("uni"))
@@ -117,7 +122,13 @@ object TextOps extends OpRegistry {
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("score_raw").desc, col("term"))
-      tf.join(broadcast(dfreq), "term")
+      // NO broadcast hint on dfreq: document frequency is VOCAB-sized,
+      // which grows with the corpus (Heaps' law; corpus-sized on the
+      // synthetic probe, where it measured as the superlinear term at
+      // 200× — a 1M-row broadcast built per consumer). AQE broadcasts
+      // while small, shuffle-joins on term beyond the threshold. nDocs
+      // stays hinted — one row at any scale.
+      tf.join(dfreq, "term")
         .crossJoin(broadcast(nDocs))
         .withColumn("score_raw", col("tf") * log(col("n_docs").cast("double") / col("df")))
         .withColumn("rn", row_number().over(w))
