@@ -36,7 +36,9 @@ object Analytics extends OpRegistry {
       val o = tt("orders")
         .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
         .select("o_orderkey", "o_custkey")
-      val dims = broadcast(
+      // unhinted: dims is CUSTOMER-sized (grows with SF), not a bounded
+      // dim — AQE broadcasts while small, shuffle-joins at scale
+      val dims = (
         tt("customer").select("c_custkey", "c_nationkey")
           .join(tt("nation"), col("c_nationkey") === col("n_nationkey"))
           .join(tt("region"), col("n_regionkey") === col("r_regionkey"))
@@ -58,7 +60,8 @@ object Analytics extends OpRegistry {
       val l = tt("lineitem").filter(col("l_shipdate") > lit("1996-03-15"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // unhinted: c is customer-sized; AQE decides by measured size
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(decSumOut(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -68,7 +71,8 @@ object Analytics extends OpRegistry {
       val tt = t(s, dir) _
       val rev = dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       tt("lineitem").select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
-        .join(broadcast(tt("part").select("p_partkey", "p_type")),
+        // unhinted: part scales with SF; AQE decides by measured size
+        .join(tt("part").select("p_partkey", "p_type"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(trunc(col("l_shipdate").cast("date"), "month").as("ship_month"))
         .agg(
@@ -102,7 +106,9 @@ object Analytics extends OpRegistry {
       // per-nation sort is over a tiny aggregate, never the fact table.
       val tt = t(s, dir) _
       val yearly = tt("orders")
-        .join(broadcast(tt("customer").select("c_custkey", "c_nationkey")),
+        // customer unhinted (scales with SF; AQE decides); nation stays
+        // hinted — 25 rows at any scale
+        .join(tt("customer").select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(tt("nation").select("n_nationkey", "n_name")),
           col("c_nationkey") === col("n_nationkey"))

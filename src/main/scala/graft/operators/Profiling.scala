@@ -155,9 +155,10 @@ object Profiling extends OpRegistry {
       val pairs = tWide(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
         .join(tt("orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(tt("customer").select("c_custkey", "c_nationkey")),
+        // customer/supplier unhinted: both scale with SF; AQE decides
+        .join(tt("customer").select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(tt("supplier").select("s_suppkey", "s_nationkey")),
+        .join(tt("supplier").select("s_suppkey", "s_nationkey"),
           col("l_suppkey") === col("s_suppkey"))
         // long, not int: DuckDB's least() promotes to BIGINT and the
         // comparator is dtype-exact
@@ -190,7 +191,9 @@ object Profiling extends OpRegistry {
     * target(c_custkey, c_name, c_acctbal) ⟕⟖ changes(o_custkey, new_bal). */
   private[graft] def mergeInto(target: DataFrame, changes: DataFrame): DataFrame =
     target
-      .join(broadcast(changes), col("c_custkey") === col("o_custkey"), "full_outer")
+      // unhinted: changes is per-customer (grows with the corpus); AQE
+      // decides by measured size
+      .join(changes, col("c_custkey") === col("o_custkey"), "full_outer")
       .select(
         coalesce(col("c_custkey"), col("o_custkey")).as("c_custkey"),
         col("c_name"),

@@ -146,7 +146,8 @@ object Windows extends OpRegistry {
           call_function("div", tsDivMicros(col("ts")), lit(usPerDay)).as("day"))
       val act = e.distinct()
       val cohort = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-      act.join(broadcast(cohort), "user_id")
+      // unhinted: cohort is USER-sized; AQE decides by measured size
+      act.join(cohort, "user_id")
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_day", "day_offset")
@@ -155,18 +156,19 @@ object Windows extends OpRegistry {
       // Ordered conversion funnel view → click → purchase: each stage's
       // timestamp is the user's FIRST event of that type strictly after the
       // previous stage. Three (filter → join → min-agg) steps, all keyed on
-      // user_id — the dimension side is the per-user stage table (tiny,
-      // broadcast), so the event stream is scanned three times but never
+      // user_id — the build side is the per-user stage table (USER-sized,
+      // so unhinted: AQE broadcasts it while small and shuffle-joins at
+      // scale); the event stream is scanned three times but never
       // reshuffled more than once per stage. Exact integer micros (D4b).
       val e = t(s, dir)("events")
         .select(col("user_id"), col("event_type"), tsDivMicros(col("ts")).as("ts_us"))
       val v = e.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts_us")).as("v_us"))
       val c = e.filter(col("event_type") === "click")
-        .join(broadcast(v), "user_id").filter(col("ts_us") > col("v_us"))
+        .join(v, "user_id").filter(col("ts_us") > col("v_us"))
         .groupBy("user_id").agg(min(col("ts_us")).as("c_us"))
       val p = e.filter(col("event_type") === "purchase")
-        .join(broadcast(c), "user_id").filter(col("ts_us") > col("c_us"))
+        .join(c, "user_id").filter(col("ts_us") > col("c_us"))
         .groupBy("user_id").agg(min(col("ts_us")).as("p_us"))
       v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
         .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),

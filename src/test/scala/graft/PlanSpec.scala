@@ -140,4 +140,36 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"estimate join must stay keyed:\n$p")
   }
+
+  test("broadcast hints only on schema-bounded sides (200x-probe audit)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // These queries carried customer/supplier/part/user-sized broadcast
+    // hints until the 200x probe showed such sides growing with the corpus
+    // (jaccard's doc-size table and tf-idf's vocab-sized df table OOM'd the
+    // build side at 200x). The audit removed every data-sized hint so AQE
+    // decides by MEASURED size; a hint may remain only on a side whose row
+    // count is bounded by the schema itself (nation: 25, region: 5).
+    // Inspect the ANALYZED plan: hints are erased into join nodes by the
+    // optimizer, so the executed plan can't distinguish hint vs AQE choice.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit}
+    val audited = Seq("q_revenue_by_region", "q_top_unshipped", "q_parts_share",
+      "q_yoy_growth", "events_retention_cohorts", "events_funnel",
+      "graph_triangles", "merge_upsert", "jaccard_pairs", "text_tfidf_top")
+    for (name <- audited) {
+      val hints = q(name).queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      for (h <- hints) {
+        val leaves = h.child.collectLeaves().map(_.toString)
+        val schemaBounded =
+          leaves.forall(l => l.contains("n_nationkey") || l.contains("r_regionkey"))
+        // a global (no-grouping) aggregate is 1 row; an explicit LIMIT is
+        // K rows — both bounded regardless of corpus size
+        val constructionBounded = h.child.collect {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+          case l: GlobalLimit => l
+        }.nonEmpty
+        assert(leaves.nonEmpty && (schemaBounded || constructionBounded),
+          s"$name: broadcast hint on a data-sized side — leaves:\n${leaves.mkString("\n")}")
+      }
+    }
+  }
 }
