@@ -54,7 +54,11 @@ object Streaming extends OpRegistry {
     * across the 11-query cluster (r10). State partitioning should track
     * STATE VOLUME, not core count: 4 comfortably bounds the fixture's
     * state; a 100 TB deployment raises it (the count is pinned by the first
-    * checkpoint, so it is a deploy-time choice either way). */
+    * checkpoint, so it is a deploy-time choice either way). 4→2 re-measured
+    * FLAT (12.8 vs 13.1 s same-window filtered A/B, r10 — inside the host
+    * noise band, with per-query regressions on tws/stateful_count), so 4
+    * stands: below it, store-init savings no longer pay for the lost
+    * state-work parallelism. */
   private val StreamStatePartitions = "4"
 
   /** Scope `spark.sql.shuffle.partitions` to a streaming query's lifetime:
@@ -324,7 +328,23 @@ object Streaming extends OpRegistry {
         .withWatermark("ts_ts", "10 minutes")
         .groupBy(session_window(col("ts_ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
-      val out = runToMemory(s, agg, "ssb", OutputMode.Append())
+      // Pre-merge sessions within each input partition before the state
+      // shuffle: rows-per-(user,session) collapse map-side, so the state
+      // store ingests merged spans instead of raw events — the same
+      // partial-aggregation discipline every batch agg here follows. At
+      // 100 TB this is the difference between shuffling events and
+      // shuffling sessions. Scoped to this query; restored after.
+      val prevMerge =
+        s.conf.getOption("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition")
+      s.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
+      val out =
+        try runToMemory(s, agg, "ssb", OutputMode.Append())
+        finally prevMerge match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition")
+        }
       out.select(col("user_id"),
           unix_micros(col("session_window.start")).as("sess_start_us"),
           unix_micros(col("session_window.end")).as("sess_end_us"),
