@@ -172,4 +172,45 @@ class PlanSpec extends GraftSuite {
       }
     }
   }
+
+  test("unhinted queries degrade gracefully: identical results with broadcast disabled") {
+    // The audit's scale claim has two halves: AQE broadcasts the small
+    // side at fixture scale (timings prove it), and the plan falls back to
+    // a SHUFFLE join with unchanged results once the side outgrows the
+    // threshold. Simulate outgrowing by disabling broadcast outright
+    // (threshold -1 kills both the static planner's and AQE's conversion)
+    // and compare full result sets row-for-row against the default plan.
+    val audited = Seq("q_revenue_by_region", "q_top_unshipped", "q_parts_share",
+      "q_yoy_growth", "events_retention_cohorts", "events_funnel",
+      "graph_triangles", "merge_upsert")
+    def rows(name: String): Seq[String] =
+      q(name).collect().map(_.toString).toSeq.sorted
+    val expected = audited.map(n => n -> rows(n)).toMap
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (name <- audited) {
+        val df = q(name)
+        val got = df.collect().map(_.toString).toSeq.sorted
+        assert(got == expected(name), s"$name: result drift under shuffle-join fallback")
+        // explicit hints override the threshold, so schema-bounded hinted
+        // sides (q_yoy_growth's 25-row nation) may still broadcast; any
+        // broadcast BEYOND the hinted count means a data-sized hint is back
+        import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+        val hinted = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+        val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+        val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+        assert(bhj <= hinted,
+          s"$name: $bhj broadcast joins survived threshold=-1 with only $hinted hints:\n$p")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
