@@ -365,6 +365,50 @@ object TextOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "text_repetition_signals" -> ((s, dir) => {
+      // Repetition-CONCENTRATION signals, the other half of the Gopher
+      // repetition family next to text_dup_ngram_rate's trigram
+      // uniqueness: the most frequent word and word-bigram per document
+      // and the fraction of occurrences each claims — the top-n-gram
+      // boilerplate/spam thresholds a pretraining pipeline filters on.
+      // Both counts groupBy (doc_id, token), so partial aggregation
+      // collapses occurrences map-side and the shuffle carries per-doc
+      // DISTINCT tokens, not occurrences. Ties break lexicographically
+      // (row_number over cnt DESC, token ASC — identical in the oracle).
+      val docs = tWide(s, dir)("documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val wc = docs
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+          explode(col("ws")).as("word"))
+        .groupBy("doc_id", "n_words", "word").agg(count(lit(1)).as("cnt"))
+      val wWin = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("word"))
+      val topW = wc.withColumn("rk", row_number().over(wWin)).filter(col("rk") === 1)
+        .select(col("doc_id"), col("n_words"), col("word").as("top_word"),
+          col("cnt").as("top_word_cnt"))
+      // sequence(1, size-1) DESCENDS for single-word docs (the standing
+      // sequence footgun) — guard to an empty array instead
+      val bgArr = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val bc = docs.select(col("doc_id"), explode(bgArr).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      val bWin = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bigram"))
+      val topB = bc.withColumn("rk", row_number().over(bWin)).filter(col("rk") === 1)
+        .select(col("doc_id"), col("bigram").as("top_bigram"),
+          col("cnt").as("top_bigram_cnt"))
+      topW.join(topB, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("top_word"), col("top_word_cnt"),
+          r6(col("top_word_cnt").cast("double") / col("n_words")).as("top_word_frac6"),
+          coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+          coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+          when(col("n_words") > 1,
+            r6(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double")
+              / (col("n_words") - 1)))
+            .otherwise(lit(0.0)).as("top_bigram_frac6"))
+        .orderBy("doc_id")
+    }),
+
     "docs_char_lm" -> ((s, dir) => {
       // Count-based character bigram LM per language: transition
       // probability P(c2|c1) = count(c1c2) / count(c1·) — the statistic a
@@ -664,6 +708,34 @@ object TextOps extends OpRegistry {
                   ELSE 0.0 END AS rep6
       FROM base b LEFT JOIN u ON b.doc_id = u.doc_id
       ORDER BY b.doc_id""",
+    "text_repetition_signals" -> s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      w AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, unnest(ws) AS word
+            FROM tok),
+      wc AS (SELECT doc_id, n_words, word, COUNT(1) AS cnt FROM w GROUP BY 1, 2, 3),
+      wtop AS (SELECT doc_id, n_words, word, cnt,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY cnt DESC, word) AS rk
+               FROM wc),
+      bg AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bigram
+             FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                   FROM tok WHERE len(ws) >= 2)),
+      bc AS (SELECT doc_id, bigram, COUNT(1) AS cnt FROM bg GROUP BY 1, 2),
+      btop AS (SELECT doc_id, bigram, cnt,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY cnt DESC, bigram) AS rk
+               FROM bc)
+      SELECT w.doc_id, w.n_words, w.word AS top_word,
+             CAST(w.cnt AS BIGINT) AS top_word_cnt,
+             ${r6Sql("CAST(w.cnt AS DOUBLE) / w.n_words")} AS top_word_frac6,
+             COALESCE(b.bigram, '') AS top_bigram,
+             CAST(COALESCE(b.cnt, 0) AS BIGINT) AS top_bigram_cnt,
+             CASE WHEN w.n_words > 1
+                  THEN ${r6Sql("CAST(COALESCE(b.cnt, 0) AS DOUBLE) / (w.n_words - 1)")}
+                  ELSE 0.0 END AS top_bigram_frac6
+      FROM (SELECT * FROM wtop WHERE rk = 1) w
+      LEFT JOIN (SELECT * FROM btop WHERE rk = 1) b ON w.doc_id = b.doc_id
+      ORDER BY w.doc_id""",
     "docs_char_lm" -> s"""
       WITH bg AS (SELECT lang, substring(text, i, 2) AS bg
                   FROM (SELECT lang, text, unnest(range(1, length(text))) AS i

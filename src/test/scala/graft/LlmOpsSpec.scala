@@ -261,6 +261,30 @@ class LlmOpsSpec extends GraftSuite {
     }
   }
 
+  test("text_repetition_signals: hand-computed tops, tie-break, single-word edge") {
+    import graft.llm.TextOps
+    val docs = Seq(
+      (1L, "a a a b"),     // top word a (3/4); bigrams: "a a"x2, "a b" -> top "a a" 2/3
+      (2L, "x"),           // single word: no bigrams -> "" / 0 / 0.0
+      (3L, "b a b a"))     // word tie a=2,b=2 -> lex "a"; bigrams "b a"x2,"a b" -> "b a"
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_repsig_").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.queries("text_repetition_signals")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = rows(1L)
+    assert(d1.getAs[String]("top_word") == "a" && d1.getAs[Long]("top_word_cnt") == 3L)
+    assert(d1.getAs[Double]("top_word_frac6") == 0.75)
+    assert(d1.getAs[String]("top_bigram") == "a a" && d1.getAs[Long]("top_bigram_cnt") == 2L)
+    assert(d1.getAs[Double]("top_bigram_frac6") == 0.666667)
+    val d2 = rows(2L)
+    assert(d2.getAs[Long]("n_words") == 1L && d2.getAs[String]("top_bigram") == "")
+    assert(d2.getAs[Long]("top_bigram_cnt") == 0L && d2.getAs[Double]("top_bigram_frac6") == 0.0)
+    val d3 = rows(3L)
+    assert(d3.getAs[String]("top_word") == "a", "tie must break lexicographically")
+    assert(d3.getAs[String]("top_bigram") == "b a" && d3.getAs[Long]("top_bigram_cnt") == 2L)
+  }
+
   test("text_dup_ngram_rate: rates in [0,1]; uniq bounded by total") {
     q("text_dup_ngram_rate").collect().foreach { r =>
       val (t, u) = (r.getAs[Long]("total_tri"), r.getAs[Long]("uniq_tri"))
