@@ -45,7 +45,8 @@ object ScaleProbe {
     * df-broadcast tf-idf. */
   private val Probed = Seq(
     "jaccard_pairs", "dedup_near_minhash", "dedup_components",
-    "text_tfidf_top", "docs_lm_quality_filter")
+    "text_tfidf_top", "docs_lm_quality_filter", "text_repetition_signals",
+    "text_entropy")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,

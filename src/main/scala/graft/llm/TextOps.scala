@@ -409,6 +409,36 @@ object TextOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "text_entropy" -> ((s, dir) => {
+      // Shannon entropy of the per-doc WORD distribution (nats) — the
+      // low-entropy side of the quality family (repetitive/spam text
+      // scores near 0, diverse text near ln(n_words)). Identity used:
+      // H = ln N − (Σ c_w·ln c_w)/N, so ln touches only per-(doc,word)
+      // COUNTS. Determinism is the D-rule recipe: each ln is floor-
+      // quantized to integer micro-nats immediately, the accumulation is
+      // a pure integer sum, and the single double division + r6 at the
+      // end is bit-stable cross-engine. Residual (same acknowledged one
+      // as docs_lm_quality_filter): ln itself is not correctly rounded —
+      // a 1-ULP libm divergence at an exact quantization boundary could
+      // shift one micro-nat. Plan: occurrence explode collapses map-side
+      // in the (doc_id, word) partial agg; shuffles carry per-doc
+      // distinct words, then one row per doc.
+      val docs = tWide(s, dir)("documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      def lnq(x: Column): Column =
+        floor(log(x.cast("double")) * lit(1000000d)).cast("long")
+      docs
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+          explode(col("ws")).as("word"))
+        .groupBy("doc_id", "n_words", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_words")
+        .agg(sum(col("c") * lnq(col("c"))).as("sum_c_lnc_u"))
+        .select(col("doc_id"), col("n_words"), col("sum_c_lnc_u"),
+          r6((lnq(col("n_words")) * col("n_words") - col("sum_c_lnc_u")).cast("double")
+            / (col("n_words").cast("double") * lit(1000000d))).as("entropy6"))
+        .orderBy("doc_id")
+    }),
+
     "docs_char_lm" -> ((s, dir) => {
       // Count-based character bigram LM per language: transition
       // probability P(c2|c1) = count(c1c2) / count(c1·) — the statistic a
@@ -736,6 +766,20 @@ object TextOps extends OpRegistry {
       FROM (SELECT * FROM wtop WHERE rk = 1) w
       LEFT JOIN (SELECT * FROM btop WHERE rk = 1) b ON w.doc_id = b.doc_id
       ORDER BY w.doc_id""",
+    "text_entropy" -> s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      w AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, unnest(ws) AS word
+            FROM tok),
+      wc AS (SELECT doc_id, n_words, word, COUNT(1) AS c FROM w GROUP BY 1, 2, 3),
+      agg AS (SELECT doc_id, n_words,
+                     CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+                                       AS BIGINT)) AS BIGINT) AS sum_c_lnc_u
+              FROM wc GROUP BY 1, 2)
+      SELECT doc_id, n_words, sum_c_lnc_u,
+             ${r6Sql("(CAST(floor(ln(CAST(n_words AS DOUBLE)) * 1000000) AS BIGINT)" +
+               " * n_words - sum_c_lnc_u) / (CAST(n_words AS DOUBLE) * 1000000)")}
+               AS entropy6
+      FROM agg ORDER BY doc_id""",
     "docs_char_lm" -> s"""
       WITH bg AS (SELECT lang, substring(text, i, 2) AS bg
                   FROM (SELECT lang, text, unnest(range(1, length(text))) AS i

@@ -285,6 +285,24 @@ class LlmOpsSpec extends GraftSuite {
     assert(d3.getAs[String]("top_bigram") == "b a" && d3.getAs[Long]("top_bigram_cnt") == 2L)
   }
 
+  test("text_entropy: hand-computed values; 0 for constant doc, ln(n) for uniform") {
+    import graft.llm.TextOps
+    val docs = Seq(
+      (1L, "a a b"),       // H = ln3 - (2 ln2)/3: micro (1098612*3 - 2*693147)/3e6
+      (2L, "x x x x"),     // constant doc -> 0
+      (3L, "a b c d"))     // uniform -> ln4 = 1.386294
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_entropy_").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.queries("text_entropy")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Double]("entropy6") == 0.636514)
+    assert(rows(1L).getAs[Long]("sum_c_lnc_u") == 2L * 693147L)
+    assert(rows(2L).getAs[Double]("entropy6") == 0.0)
+    assert(rows(2L).getAs[Long]("n_words") == 4L)
+    assert(rows(3L).getAs[Double]("entropy6") == 1.386294)
+  }
+
   test("text_dup_ngram_rate: rates in [0,1]; uniq bounded by total") {
     q("text_dup_ngram_rate").collect().foreach { r =>
       val (t, u) = (r.getAs[Long]("total_tri"), r.getAs[Long]("uniq_tri"))
