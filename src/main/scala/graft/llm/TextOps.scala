@@ -373,18 +373,22 @@ object TextOps extends OpRegistry {
       // boilerplate/spam thresholds a pretraining pipeline filters on.
       // Both counts groupBy (doc_id, token), so partial aggregation
       // collapses occurrences map-side and the shuffle carries per-doc
-      // DISTINCT tokens, not occurrences. Ties break lexicographically
-      // (row_number over cnt DESC, token ASC — identical in the oracle).
+      // DISTINCT tokens, not occurrences. The top-1 is min(struct(-cnt,
+      // token)) — (cnt DESC, token ASC) by struct ordering — which stays
+      // a partial-aggregable AGGREGATE (no per-doc window sort, the shape
+      // that matters when one doc has millions of distinct tokens). The
+      // oracle states the same semantics as row_number rk=1; only the
+      // physical shape differs.
       val docs = tWide(s, dir)("documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
       val wc = docs
         .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
           explode(col("ws")).as("word"))
         .groupBy("doc_id", "n_words", "word").agg(count(lit(1)).as("cnt"))
-      val wWin = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("word"))
-      val topW = wc.withColumn("rk", row_number().over(wWin)).filter(col("rk") === 1)
-        .select(col("doc_id"), col("n_words"), col("word").as("top_word"),
-          col("cnt").as("top_word_cnt"))
+      val topW = wc.groupBy("doc_id", "n_words")
+        .agg(min(struct((-col("cnt")).as("nc"), col("word").as("w"))).as("m"))
+        .select(col("doc_id"), col("n_words"),
+          col("m.w").as("top_word"), (-col("m.nc")).as("top_word_cnt"))
       // sequence(1, size-1) DESCENDS for single-word docs (the standing
       // sequence footgun) — guard to an empty array instead
       val bgArr = when(size(col("ws")) >= 2,
@@ -393,10 +397,10 @@ object TextOps extends OpRegistry {
         .otherwise(array().cast("array<string>"))
       val bc = docs.select(col("doc_id"), explode(bgArr).as("bigram"))
         .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
-      val bWin = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bigram"))
-      val topB = bc.withColumn("rk", row_number().over(bWin)).filter(col("rk") === 1)
-        .select(col("doc_id"), col("bigram").as("top_bigram"),
-          col("cnt").as("top_bigram_cnt"))
+      val topB = bc.groupBy("doc_id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("bigram").as("b"))).as("m"))
+        .select(col("doc_id"), col("m.b").as("top_bigram"),
+          (-col("m.nc")).as("top_bigram_cnt"))
       topW.join(topB, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_words"), col("top_word"), col("top_word_cnt"),
           r6(col("top_word_cnt").cast("double") / col("n_words")).as("top_word_frac6"),
