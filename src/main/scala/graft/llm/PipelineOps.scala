@@ -288,6 +288,92 @@ object PipelineOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "docs_quality_percentile_gate" -> ((s, dir) => {
+      // Per-language quality gate at a PERCENTILE, not a fixed threshold
+      // (the CCNet head/middle/tail shape): drop each language's bottom
+      // quartile by stopword-ppm score. The threshold comes from a
+      // HISTOGRAM cumulative sum — groupBy(lang, score) partial-aggregates
+      // map-side to at most |distinct scores| rows per language, and the
+      // per-lang window sort runs over that histogram, never over docs.
+      // A Window.partitionBy(lang) over the doc frame would funnel the
+      // whole corpus into |langs| single-core sorts — the measured
+      // 13.7×-at-100× antipattern docs_lm_quality_filter documents — while
+      // this plan's only doc-sized stages are one scan and one broadcast
+      // join against the |langs|-row threshold table. Score and threshold
+      // are integer ppm; the cut cum*4 >= n is exact integer arithmetic
+      // (threshold = smallest score whose cumulative count reaches
+      // ceil(n/4)), so no float-percentile interpolation dialect risk.
+      val toks = split(col("text"), " ")
+      val scorePpm = call_function("div",
+        size(filter(toks, x => x.isin(TextOps.StopWords: _*))).cast("long")
+          * lit(1000000L),
+        size(toks).cast("long"))
+      val scored = tWide(s, dir)("documents")
+        .select(col("doc_id"), col("lang"), scorePpm.as("score_ppm"))
+      val hist = scored.groupBy("lang", "score_ppm").agg(count(lit(1)).as("c"))
+      val cumW = Window.partitionBy("lang").orderBy("score_ppm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = hist
+        .withColumn("cum", sum("c").over(cumW))
+        .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+        .filter(col("cum") * 4 >= col("n"))
+        .groupBy("lang").agg(min("score_ppm").as("thr_ppm"))
+      scored.join(broadcast(thr), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("score_ppm"), col("thr_ppm"),
+          (col("score_ppm") >= col("thr_ppm")).cast("int").as("kept"))
+        .orderBy("doc_id")
+    }),
+
+    "docs_temperature_resample" -> ((s, dir) => {
+      // Temperature resampling — the operational counterpart of
+      // docs_domain_mix's weights: allocate a token budget (half the
+      // corpus) across sources ∝ sqrt(source tokens) (α=0.5 smoothing;
+      // sqrt because it is IEEE-exactly-rounded in every engine, unlike
+      // pow), convert each source's allocation to an integer keep-rate in
+      // ppm, then gate individual docs on their CONTENT hash so the sample
+      // is stable across re-ingestion, partitioning, and engine — the same
+      // rollingHash31 determinism contract as docs_split_assign (ASCII
+      // domain; pmod pins h∈[0,1e6) regardless). Output is the per-source
+      // audit row: rates plus kept doc/token counts and a doc_id checksum
+      // certifying the exact kept set. Scale: one doc-sized scan +
+      // groupBy(source) with map-side partials; the window normalization
+      // runs on the |sources|-row frame (same tiny-dimension justification
+      // as docs_domain_mix) and joins back as a broadcast. All rate math
+      // is integer (overflow domain: corpora under ~9e12 tokens keep
+      // tgt*1e6 inside int64 — beyond that the ppm scaling moves to
+      // DECIMAL(38,0), same documented-domain convention as the ASCII
+      // hash fold).
+      val perDoc = tWide(s, dir)("documents").select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        pmod(rollingHash31(col("text")), lit(1000000L)).as("h_ppm"))
+      val byS = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val wq = floor(sqrt(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long")
+      val tgt = call_function("div",
+        call_function("div", col("tok_total"), lit(2L)) * col("w_q"),
+        col("w_total"))
+      val rates = byS.withColumn("w_q", wq)
+        .withColumn("w_total", sum("w_q").over(Window.partitionBy()))
+        .withColumn("tok_total", sum("n_tokens").over(Window.partitionBy()))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          least(lit(1000000L),
+            call_function("div", tgt * lit(1000000L), col("n_tokens")))
+            .as("keep_ppm"))
+      val gated = perDoc
+        .join(broadcast(rates.select("source", "keep_ppm")), Seq("source"))
+        .withColumn("k", (col("h_ppm") < col("keep_ppm")).cast("long"))
+        .groupBy("source").agg(
+          sum("k").as("n_kept"),
+          sum(col("k") * col("n_tok")).as("kept_tokens"),
+          sum(col("k") * col("doc_id")).as("kept_id_sum"))
+      rates.join(gated, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("keep_ppm"),
+          col("n_kept"), col("kept_tokens"), col("kept_id_sum"))
+        .orderBy("source")
+    }),
+
     "vec_int8_quantize" -> ((s, dir) => {
       // Symmetric int8 quantization of the embedding column (scale =
       // max|x|/127 per vector, the faiss/SQ8 storage shape that cuts
@@ -418,6 +504,65 @@ object PipelineOps extends OpRegistry {
                   WHEN bucket < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM h ORDER BY doc_id""",
+
+    "docs_quality_percentile_gate" -> """
+      WITH scored AS (
+        SELECT doc_id, lang,
+               (CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the','of','and','a','to','in','is','data')))
+                 AS BIGINT) * 1000000)
+                 // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_ppm
+        FROM documents),
+      hist AS (SELECT lang, score_ppm, COUNT(1) AS c
+               FROM scored GROUP BY 1, 2),
+      cum AS (SELECT lang, score_ppm,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY score_ppm
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                     SUM(c) OVER (PARTITION BY lang) AS n
+              FROM hist),
+      thr AS (SELECT lang, MIN(score_ppm) AS thr_ppm
+              FROM cum WHERE cum * 4 >= n GROUP BY 1)
+      SELECT s.doc_id, s.lang, s.score_ppm, t.thr_ppm,
+             CAST(s.score_ppm >= t.thr_ppm AS INT) AS kept
+      FROM scored s JOIN thr t ON s.lang = t.lang
+      ORDER BY s.doc_id""",
+
+    "docs_temperature_resample" -> """
+      WITH perdoc AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               ((list_reduce(list_prepend(CAST(17 AS BIGINT),
+                   list_transform(range(1, length(text) + 1),
+                     i -> CAST(ord(substring(text, i, 1)) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 2147483648) % 1000000)
+                 + 1000000) % 1000000 AS h_ppm
+        FROM documents),
+      byS AS (SELECT source, COUNT(1) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+              FROM perdoc GROUP BY 1),
+      w AS (SELECT source, n_docs, n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                     AS BIGINT) AS w_q
+            FROM byS),
+      r AS (SELECT source, n_docs, n_tokens,
+                   least(CAST(1000000 AS BIGINT),
+                     (((CAST(SUM(n_tokens) OVER () AS BIGINT) // 2) * w_q
+                        // CAST(SUM(w_q) OVER () AS BIGINT)) * 1000000)
+                       // n_tokens) AS keep_ppm
+            FROM w),
+      g AS (SELECT p.source,
+                   CAST(SUM(CASE WHEN p.h_ppm < r.keep_ppm THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN p.h_ppm < r.keep_ppm THEN p.n_tok
+                            ELSE 0 END) AS BIGINT) AS kept_tokens,
+                   CAST(SUM(CASE WHEN p.h_ppm < r.keep_ppm THEN p.doc_id
+                            ELSE 0 END) AS BIGINT) AS kept_id_sum
+            FROM perdoc p JOIN r ON p.source = r.source GROUP BY 1)
+      SELECT r.source, r.n_docs, r.n_tokens, r.keep_ppm,
+             g.n_kept, g.kept_tokens, g.kept_id_sum
+      FROM r JOIN g ON r.source = g.source
+      ORDER BY r.source""",
 
     "vec_int8_quantize" -> """
       WITH s AS (SELECT vec_id, label,

@@ -26,7 +26,7 @@ object TextOps extends OpRegistry {
     * pipeline — one copy so the composed pipeline cannot drift from the
     * unit ops it claims to compose (their oracle twins list the same words
     * literally). */
-  private val StopWords = Seq("the", "of", "and", "a", "to", "in", "is", "data")
+  private[llm] val StopWords = Seq("the", "of", "and", "a", "to", "in", "is", "data")
 
   /** Shared scrub/normalize kernel: digit runs → `<num>`, whitespace
     * collapsed — used by text_scrub and pipeline_clean_corpus. */

@@ -106,6 +106,60 @@ object Timeseries extends OpRegistry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    "events_markov_transitions" -> ((s, dir) => {
+      // First-order Markov transition matrix over event types: lag() pairs
+      // each event with its per-user predecessor in time order, transitions
+      // aggregate globally, and each row normalizes by its source-state
+      // total to an integer ppm probability (no double accumulation).
+      // Scale: one shuffle on user_id for the lag window (per-user streams,
+      // state O(1) per row), then a partially-aggregated groupBy that
+      // collapses to |types|² rows and a broadcast of the |types|-row
+      // totals — every stage after the window is vocabulary-sized. The
+      // per-state total intentionally comes from a tiny re-agg of the
+      // transition matrix (not a second pass over events).
+      val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tr = eventsUs(s, dir)
+        .withColumn("prev_type", lag("event_type", 1).over(ord))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n_trans"))
+      val tot = tr.groupBy("prev_type").agg(sum("n_trans").as("n_from"))
+      tr.join(broadcast(tot), Seq("prev_type"))
+        .select(col("prev_type"), col("event_type"), col("n_trans"), col("n_from"),
+          call_function("div", col("n_trans") * lit(1000000L), col("n_from"))
+            .as("p_ppm"))
+        .orderBy("prev_type", "event_type")
+    }),
+
+    "events_attribution_last_touch" -> ((s, dir) => {
+      // Last-touch attribution: each purchase is credited to the user's
+      // most recent click no older than 24h. A single running window per
+      // user carries the latest click (event_id, ts) forward via
+      // last(ignoreNulls) over an explicit ROWS frame — no self-join, no
+      // as-of shuffle beyond the one user_id exchange, and the running
+      // last is O(1) state per row at any history length. The age guard
+      // then nulls out stale credits. Orders by (ts, event_id) so a click
+      // at the same instant with a smaller id attributes deterministically.
+      val attrUs = 86400000000L // 24h lookback
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fresh = col("click_ts").isNotNull &&
+        col("ts_us") - col("click_ts") <= attrUs
+      eventsUs(s, dir)
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts_us")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(fresh, col("click_id")).as("click_event_id"),
+          when(fresh, col("ts_us") - col("click_ts")).as("gap_us"),
+          fresh.cast("int").as("attributed"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     "scd2_type_history" -> ((s, dir) => {
       // Changelog → SCD2: collapse consecutive same-type runs per user
       // (gaps-and-islands change capture), then build [valid_from,
@@ -181,6 +235,48 @@ object Timeseries extends OpRegistry {
         ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
       GROUP BY a.user_id, a.event_id, a.ts_us
       ORDER BY a.user_id, a.ts_us, a.event_id""",
+
+    "events_markov_transitions" -> """
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        epoch_ns(ts)//1000 AS ts_us FROM events),
+      p AS (SELECT user_id, event_type,
+              LAG(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS prev_type
+            FROM e),
+      tr AS (SELECT prev_type, event_type, COUNT(1) AS n_trans
+             FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+              FROM tr GROUP BY 1)
+      SELECT tr.prev_type, tr.event_type, tr.n_trans, tot.n_from,
+             (tr.n_trans * 1000000) // tot.n_from AS p_ppm
+      FROM tr JOIN tot ON tr.prev_type = tot.prev_type
+      ORDER BY tr.prev_type, tr.event_type""",
+
+    "events_attribution_last_touch" -> """
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        epoch_ns(ts)//1000 AS ts_us FROM events),
+      c AS (SELECT event_id, user_id, event_type, ts_us,
+              LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS click_id,
+              LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS click_ts
+            FROM e)
+      SELECT event_id, user_id, ts_us,
+             CASE WHEN click_ts IS NOT NULL AND ts_us - click_ts <= 86400000000
+                  THEN click_id END AS click_event_id,
+             CASE WHEN click_ts IS NOT NULL AND ts_us - click_ts <= 86400000000
+                  THEN ts_us - click_ts END AS gap_us,
+             CAST(COALESCE(click_ts IS NOT NULL
+                           AND ts_us - click_ts <= 86400000000, FALSE) AS INT)
+               AS attributed
+      FROM c WHERE event_type = 'purchase'
+      ORDER BY user_id, ts_us, event_id""",
 
     "scd2_type_history" -> """
       WITH e AS (

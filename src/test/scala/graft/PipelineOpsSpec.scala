@@ -10,6 +10,64 @@ import org.apache.spark.sql.functions._
 class PipelineOpsSpec extends GraftSuite {
   import spark.implicits._
 
+  test("docs_quality_percentile_gate: hand fixture — threshold at ceil(n/4), ties kept, per-lang isolation") {
+    import graft.llm.PipelineOps
+    // lang a: 8 docs with stopword-ppm scores 0,125000,250000,...,875000
+    // (i stopwords padded to 8 tokens) -> ceil(8/4)=2 -> thr = 2nd-smallest
+    // = 125000; exactly the score-0 doc is dropped. lang b: all-identical
+    // scores -> everyone is the threshold row -> all kept.
+    def text(nStop: Int, nTot: Int) =
+      (Seq.fill(nStop)("the") ++ Seq.fill(nTot - nStop)("zzz")).mkString(" ")
+    val docs =
+      (0 until 8).map(i => (i.toLong, text(i, 8), "a", "s", 1L)) ++
+        (10 until 14).map(i => (i.toLong, text(2, 8), "b", "s", 1L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pgate_").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = PipelineOps.queries("docs_quality_percentile_gate")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Long]("thr_ppm") == 125000L)
+    assert(got(0L).getAs[Int]("kept") == 0, "bottom-quartile doc must drop")
+    (1 until 8).foreach(i => assert(got(i.toLong).getAs[Int]("kept") == 1))
+    (10 until 14).foreach { i =>
+      assert(got(i.toLong).getAs[Int]("kept") == 1,
+        "all-tied language must keep every doc")
+      assert(got(i.toLong).getAs[Long]("thr_ppm") == 250000L)
+    }
+  }
+
+  test("docs_temperature_resample: smaller source keeps a higher fraction; audit sums reconcile; deterministic") {
+    import graft.llm.PipelineOps
+    // source big: 64 docs x 16 tokens; source small: 4 docs x 16 tokens.
+    // alpha=0.5 smoothing -> keep rate ∝ 1/sqrt(source tokens), so the
+    // small source's keep_ppm must be strictly higher (temperature
+    // flattening), and rates stay in (0, 1e6].
+    def doc(id: Long, src: String) =
+      (id, (0 until 16).map(j => s"w${(id * 31 + j * 7) % 97}").mkString(" "),
+        "en", src, 1L)
+    val docs = (0L until 64L).map(doc(_, "big")) ++
+      (100L until 104L).map(doc(_, "small"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_resample_").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val run1 = PipelineOps.queries("docs_temperature_resample")(spark, tmp)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val (big, small) = (run1("big"), run1("small"))
+    assert(small.getAs[Long]("keep_ppm") > big.getAs[Long]("keep_ppm"),
+      "temperature flattening must favor the tail source")
+    run1.values.foreach { r =>
+      assert(r.getAs[Long]("keep_ppm") > 0L && r.getAs[Long]("keep_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // content-hash gate -> bit-identical on a second run
+    val run2 = PipelineOps.queries("docs_temperature_resample")(spark, tmp)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("kept_id_sum")).toMap
+    run1.foreach { case (s, r) =>
+      assert(run2(s) == r.getAs[Long]("kept_id_sum"), s"source $s not deterministic")
+    }
+  }
+
   test("docs_decontaminate: planted full copy of a benchmark doc is flagged; disjoint doc is clean") {
     // benchmark doc (id 0 = 0 mod 50), an exact train-side copy (id 7),
     // and a train doc sharing no shingle (id 9).

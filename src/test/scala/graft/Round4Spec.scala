@@ -30,6 +30,59 @@ class Round4Spec extends GraftSuite {
     }
   }
 
+  test("events_markov_transitions: totals reconcile, ppm rows sum to ~1e6 per state") {
+    val rows = q("events_markov_transitions").collect()
+    val nUsers = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    // every event except each user's first contributes exactly one transition
+    assert(rows.map(_.getAs[Long]("n_trans")).sum == nEvents - nUsers)
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (p, g) =>
+      val nFrom = g.head.getAs[Long]("n_from")
+      assert(g.map(_.getAs[Long]("n_trans")).sum == nFrom,
+        s"state $p: transition counts don't sum to its total")
+      val ppmSum = g.map(_.getAs[Long]("p_ppm")).sum
+      // integer division truncates at most 1 ppm per destination row
+      assert(ppmSum > 1000000L - g.length && ppmSum <= 1000000L,
+        s"state $p: ppm sum $ppmSum out of range")
+    }
+  }
+
+  test("events_attribution_last_touch: hand fixture — last click wins, stale/absent clicks don't attribute") {
+    val us = 1000000L // 1s in micros; ts column is epoch NANOS
+    def ns(sec: Long) = sec * us * 1000L
+    val h = 3600L
+    val events = Seq(
+      // user 1: click, click, purchase 1h later -> latest click (id 11) wins
+      (10L, ns(0), 1L, "click"),
+      (11L, ns(10), 1L, "click"),
+      (12L, ns(10 + h), 1L, "purchase"),
+      // ...and a second purchase 25h after the last click -> stale, unattributed
+      (13L, ns(10 + 25 * h), 1L, "purchase"),
+      // user 2: purchase before its only click -> unattributed (no lookahead)
+      (20L, ns(100), 2L, "purchase"),
+      (21L, ns(200), 2L, "click"),
+      // user 3: view/error noise never attributes
+      (30L, ns(0), 3L, "view"),
+      (31L, ns(5), 3L, "error"),
+      (32L, ns(50), 3L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_attr_").toString
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = operators.Timeseries.queries("events_attribution_last_touch")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(got.keySet == Set(12L, 13L, 20L, 32L), "one row per purchase")
+    val a = got(12L)
+    assert(a.getAs[Long]("click_event_id") == 11L, "latest click must win")
+    assert(a.getAs[Long]("gap_us") == h * us)
+    assert(a.getAs[Int]("attributed") == 1)
+    Seq(13L, 20L, 32L).foreach { id =>
+      assert(got(id).getAs[Int]("attributed") == 0, s"purchase $id must be unattributed")
+      assert(got(id).isNullAt(got(id).fieldIndex("click_event_id")))
+      assert(got(id).isNullAt(got(id).fieldIndex("gap_us")))
+    }
+  }
+
   test("events_concurrency matches a brute-force sweep in Scala") {
     val got = q("events_concurrency").collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("max_concurrent")).toMap
