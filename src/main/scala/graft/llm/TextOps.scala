@@ -443,6 +443,39 @@ object TextOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "text_hashed_features" -> ((s, dir) => {
+      // Feature hashing (the hashing trick): every token maps to one of
+      // k=16 buckets by the portable rollingHash31 content hash, giving
+      // each doc a fixed-width count vector regardless of vocabulary size
+      // — the fixed-dimension featurization a streaming classifier needs
+      // when the vocab is unbounded. Emits the compact per-doc summary
+      // (nnz buckets, argmax bucket with lowest-bucket tie-break) rather
+      // than the raw array so the oracle hash-compares scalar columns.
+      // Pure per-row map work: one char fold per token, then k bounded
+      // array passes over the 16-element bucket list — embarrassingly
+      // parallel, no shuffle at all before the output sort. Same
+      // documented ASCII hash domain as docs_split_assign.
+      val k = 16
+      val toks = split(col("text"), " ")
+      val buckets = transform(toks,
+        t => pmod(PipelineOps.rollingHash31(t), lit(k.toLong)).cast("int"))
+      val counts = transform(sequence(lit(0), lit(k - 1)),
+        b => size(filter(col("bks"), x => x === b)))
+      // fold (count, bucket) pairs ascending: strict > keeps the lowest
+      // bucket on count ties, matching the oracle's ORDER BY c DESC, b
+      val top = aggregate(
+        zip_with(counts, sequence(lit(0), lit(k - 1)),
+          (c, b) => struct(c.as("c"), b.as("b"))),
+        struct(lit(-1).as("c"), lit(-1).as("b")),
+        (acc, x) => when(x("c") > acc("c"), x).otherwise(acc))
+      tWide(s, dir)("documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"), buckets.as("bks"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(array_distinct(col("bks"))).as("nnz_buckets"),
+          top("b").as("top_bucket"), top("c").as("top_bucket_cnt"))
+        .orderBy("doc_id")
+    }),
+
     "docs_char_lm" -> ((s, dir) => {
       // Count-based character bigram LM per language: transition
       // probability P(c2|c1) = count(c1c2) / count(c1·) — the statistic a
@@ -784,6 +817,32 @@ object TextOps extends OpRegistry {
                " * n_words - sum_c_lnc_u) / (CAST(n_words AS DOUBLE) * 1000000)")}
                AS entropy6
       FROM agg ORDER BY doc_id""",
+    "text_hashed_features" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      bk AS (SELECT doc_id,
+               ((list_reduce(list_prepend(CAST(17 AS BIGINT),
+                   list_transform(range(1, length(t) + 1),
+                     i -> CAST(ord(substring(t, i, 1)) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 2147483648) % 16) + 16) % 16 AS b
+             FROM tok),
+      cnt AS (SELECT doc_id, b, COUNT(1) AS c FROM bk GROUP BY 1, 2),
+      top AS (SELECT doc_id, b, c,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, b) AS rn
+              FROM cnt),
+      nz AS (SELECT doc_id, CAST(COUNT(1) AS INT) AS nnz_buckets
+             FROM cnt GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+             nz.nnz_buckets,
+             CAST(t.b AS INT) AS top_bucket,
+             CAST(t.c AS INT) AS top_bucket_cnt
+      FROM documents d
+        JOIN nz ON d.doc_id = nz.doc_id
+        JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
+      ORDER BY d.doc_id""",
+
     "docs_char_lm" -> s"""
       WITH bg AS (SELECT lang, substring(text, i, 2) AS bg
                   FROM (SELECT lang, text, unnest(range(1, length(text))) AS i

@@ -285,6 +285,30 @@ class LlmOpsSpec extends GraftSuite {
     assert(d3.getAs[String]("top_bigram") == "b a" && d3.getAs[Long]("top_bigram_cnt") == 2L)
   }
 
+  test("text_hashed_features: hand-computed buckets, lowest-bucket tie-break") {
+    import graft.llm.TextOps
+    // rollingHash31("a") = 17*31+97 = 624 ≡ 0 (mod 16); 'b'→1, 'c'→2 —
+    // single-char tokens land in consecutive buckets, so counts are exact.
+    val docs = Seq(
+      (1L, "a a b"),   // buckets [0,0,1] -> nnz 2, top (0, cnt 2)
+      (2L, "a b c c"), // top bucket 2 with cnt 2
+      (3L, "a b"))     // 1-1 tie -> lowest bucket 0 wins
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hashfeat_").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.queries("text_hashed_features")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = rows(1L)
+    assert(d1.getAs[Int]("n_tokens") == 3 && d1.getAs[Int]("nnz_buckets") == 2)
+    assert(d1.getAs[Int]("top_bucket") == 0 && d1.getAs[Int]("top_bucket_cnt") == 2)
+    val d2 = rows(2L)
+    assert(d2.getAs[Int]("top_bucket") == 2 && d2.getAs[Int]("top_bucket_cnt") == 2)
+    assert(d2.getAs[Int]("nnz_buckets") == 3)
+    val d3 = rows(3L)
+    assert(d3.getAs[Int]("top_bucket") == 0, "count tie must break to the lowest bucket")
+    assert(d3.getAs[Int]("top_bucket_cnt") == 1)
+  }
+
   test("text_entropy: hand-computed values; 0 for constant doc, ln(n) for uniform") {
     import graft.llm.TextOps
     val docs = Seq(
