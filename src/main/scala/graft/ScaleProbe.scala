@@ -71,6 +71,34 @@ object ScaleProbe {
         col("label"))
   }
 
+  /** Events-family reps (round 10): the per-user RANGE-frame burst scan,
+    * the DAU/WAU band join, sessionization, and the per-user lag/agg
+    * shapes. The fixture events table is pinned at 100k rows, so like the
+    * docs/vecs above these need a synthetic corpus to show growth. */
+  private val ProbedEvents = Seq(
+    "events_burst_detect", "events_dau_wau", "events_sessionize",
+    "events_interarrival_hist", "events_rfm_scores", "events_markov_transitions")
+
+  /** Deterministic synthetic events at the fixture shape: ~67 events/user
+    * (users scale WITH the corpus — the per-user partition stays bounded,
+    * which is the property the window ops rely on), epoch-nanos ts spread
+    * uniformly over 30 days, 5 event types, centi-precision values. Every
+    * field is a hash of the row id — zero RNG, identical on every run. */
+  private def synthEvents(s: SparkSession, n: Long): DataFrame = {
+    val epoch0 = 1704067200000000000L // 2024-01-01T00:00Z nanos
+    val spanNs = 30L * 86400L * 1000000000L
+    val types = array(Seq("view", "click", "purchase", "signup", "error").map(lit): _*)
+    s.range(n).select(
+      col("id").as("event_id"),
+      (lit(epoch0) + pmod(xxhash64(col("id")), lit(spanNs))).as("ts"),
+      pmod(xxhash64(col("id"), lit(1)), lit(math.max(1L, n / 67L))).as("user_id"),
+      element_at(types, (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(10000L)).cast("double") / 100.0)
+        .as("value"),
+      lit("{}").as("props"))
+  }
+
   def main(args: Array[String]): Unit = {
     val mults = (if (args.isEmpty) Seq(1L, 10L) else args.toSeq.map(_.toLong)).sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -86,6 +114,7 @@ object ScaleProbe {
 
     val baseDocs = 5000L // sf0.1 documents row count
     val baseVecs = 2000L // sf0.1 embeddings row count
+    val baseEvents = 100000L // sf0.1 events row count
     val times = scala.collection.mutable.LinkedHashMap[(Long, String), Double]()
     val samples = scala.collection.mutable.LinkedHashMap[(Long, String), List[Double]]()
     mults.foreach { m =>
@@ -94,13 +123,16 @@ object ScaleProbe {
         .parquet(s"$dir/documents.parquet")
       synthEmbeddings(spark, baseVecs * m).write.mode("overwrite")
         .parquet(s"$dir/embeddings.parquet")
+      synthEvents(spark, baseEvents * m).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
       // warm-up read (parquet footers), then timed runs — median of 3 so a
       // first-execution JIT/codegen compile or a host stall cannot fake a
       // ratio (single samples measured ratios BELOW 1 purely from warmup)
       Tables.load(spark, dir, "documents").count()
       Tables.load(spark, dir, "embeddings").count()
+      Tables.load(spark, dir, "events").count()
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-      for (_ <- 1 to reps; op <- Probed ++ ProbedVec) {
+      for (_ <- 1 to reps; op <- Probed ++ ProbedVec ++ ProbedEvents) {
         val t0 = System.nanoTime()
         // name the failing op instead of dying mid-sweep: the first 200×
         // attempt OOMed anonymously ~8 ops in and cost the whole run's
@@ -116,13 +148,13 @@ object ScaleProbe {
               s"[probe] $op FAILED at ${m}x: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }
-      (Probed ++ ProbedVec).foreach { op =>
+      (Probed ++ ProbedVec ++ ProbedEvents).foreach { op =>
         val xs = samples((m, op)).sorted
         times((m, op)) = if (xs.isEmpty) -1.0 else xs(xs.size / 2)
       }
     }
     def fmt(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val lines = (Probed ++ ProbedVec).map { op =>
+    val lines = (Probed ++ ProbedVec ++ ProbedEvents).map { op =>
       val per = mults.map(m => s""""${m}x":${fmt(times((m, op)))}""").mkString(",")
       val ratio =
         if (mults.size >= 2)
@@ -168,7 +200,7 @@ object ScaleProbe {
         s""","recall_at_5":{"mult":${mults.last},"error":-1}"""
     }
 
-    println(s"""{"probe":"scale","base_docs":$baseDocs,"base_vecs":$baseVecs,"mults":[${mults.mkString(",")}],"ops":{${lines.mkString(",")}}$recallJson}""")
+    println(s"""{"probe":"scale","base_docs":$baseDocs,"base_vecs":$baseVecs,"base_events":$baseEvents,"mults":[${mults.mkString(",")}],"ops":{${lines.mkString(",")}}$recallJson}""")
     spark.stop()
   }
 }

@@ -476,6 +476,72 @@ object TextOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "text_zipf_slope" -> ((s, dir) => {
+      // Zipf fit over the corpus: least-squares slope of ln(freq) vs
+      // ln(rank) for the top-100 words — the sanity statistic a corpus
+      // curator checks before training (natural text slopes ≈ −1;
+      // generated/spam corpora drift). Determinism: both lns are floor-
+      // quantized to integer micro-nats immediately, all four regression
+      // moments (Σx, Σy, Σxy, Σx²) accumulate as exact 64-bit integers
+      // (bounds: x ≤ ln(100)·1e6 ≈ 4.6e6, y ≤ ln(cnt)·1e6; n=100 keeps
+      // every moment ≤ ~5e17 < 2^63), and the single double division +
+      // r6 at the end is bit-stable cross-engine. Same acknowledged ln
+      // 1-ULP residual as text_entropy. Plan: word count is a partial+
+      // final agg; the top-100 cut is a global limit over the tiny
+      // aggregate; the regression is a 1-row reduction — nothing
+      // corpus-sized crosses the wire after the first agg.
+      val docs = tWide(s, dir)("documents")
+      def lnq(x: Column): Column =
+        floor(log(x.cast("double")) * lit(1000000d)).cast("long")
+      val top = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(100)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+      top
+        .select(lnq(col("rnk")).as("x"), lnq(col("cnt")).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").as("n_top"),
+          r6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope6"))
+    }),
+
+    "text_ngram_novelty" -> ((s, dir) => {
+      // Per-document bigram novelty: what fraction of a doc's distinct
+      // word-bigrams appear in NO lower-numbered document — the marginal-
+      // contribution statistic an incremental corpus builder uses to
+      // decide whether a new crawl slice adds anything. First-occurrence
+      // attribution is a min(doc_id) per bigram; novelty is then counted
+      // per doc with the ratio in exact integer ppm (novel·1e6 div
+      // total), never float. Plan: distinct (doc, bigram) pairs shuffle
+      // by bigram for the min, join back bigram-keyed (same partitioning,
+      // reused exchange), then one per-doc agg — no pairwise doc×doc
+      // work anywhere; everything is linear in distinct pairs.
+      val toks = tWide(s, dir)("documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val bg = toks.select(col("doc_id"), explode(expr(
+        """transform(
+             CASE WHEN size(ts) >= 2 THEN sequence(1, size(ts) - 1)
+                  ELSE array() END,
+             i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"""))
+          .as("bg"))
+        .distinct()
+      val firstDoc = bg.groupBy("bg").agg(min(col("doc_id")).as("first_doc"))
+      bg.join(firstDoc, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm",
+          expr("CAST(n_novel * 1000000 DIV n_bigrams AS BIGINT)"))
+        .orderBy("doc_id")
+    }),
+
     "docs_char_lm" -> ((s, dir) => {
       // Count-based character bigram LM per language: transition
       // probability P(c2|c1) = count(c1c2) / count(c1·) — the statistic a
@@ -842,6 +908,34 @@ object TextOps extends OpRegistry {
         JOIN nz ON d.doc_id = nz.doc_id
         JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
       ORDER BY d.doc_id""",
+    "text_zipf_slope" -> s"""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      c AS (SELECT word, COUNT(1) AS cnt FROM w WHERE word <> ''
+            GROUP BY word ORDER BY cnt DESC, word LIMIT 100),
+      r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+            FROM c),
+      q AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+            FROM r),
+      s AS (SELECT COUNT(1) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM q)
+      SELECT n AS n_top,
+             ${r6Sql("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")} AS slope6
+      FROM s""",
+    "text_ngram_novelty" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      bg0 AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS bg
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok)),
+      bg AS (SELECT DISTINCT doc_id, bg FROM bg0),
+      fd AS (SELECT bg, MIN(doc_id) AS first_doc FROM bg GROUP BY bg)
+      SELECT b.doc_id, COUNT(1) AS n_bigrams,
+             CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) * 1000000
+                  // COUNT(1) AS BIGINT) AS novelty_ppm
+      FROM bg b JOIN fd f ON b.bg = f.bg
+      GROUP BY b.doc_id ORDER BY b.doc_id""",
 
     "docs_char_lm" -> s"""
       WITH bg AS (SELECT lang, substring(text, i, 2) AS bg

@@ -40,6 +40,46 @@ object Aggregations extends OpRegistry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    "agg_weighted_avg" -> ((s, dir) => {
+      // Quantity-weighted average price per return flag: both moments
+      // accumulate as exact DECIMAL(38,6) (order-independent), the ratio
+      // is ONE double division at the output boundary under the safe
+      // rounding formula (D3) — never avg(double) and never a per-row
+      // division, so partial/final aggregation and any merge order give
+      // the identical result.
+      val l = t(s, dir)("lineitem")
+      l.groupBy("l_returnflag")
+        .agg(
+          sum(dec(col("l_extendedprice") * col("l_quantity"))).as("wsum_dec"),
+          sum(dec(col("l_quantity"))).as("qty_dec"),
+          count(lit(1)).as("n_lines"))
+        .select(col("l_returnflag"),
+          col("wsum_dec").cast("double").as("weighted_sum"),
+          col("qty_dec").cast("double").as("qty_sum"),
+          r6(col("wsum_dec").cast("double") / col("qty_dec").cast("double"))
+            .as("wavg_price"),
+          col("n_lines"))
+        .orderBy("l_returnflag")
+    }),
+    "agg_geometric_mean" -> ((s, dir) => {
+      // Geometric mean of order totals per priority, in the project's
+      // log-domain integer recipe: each ln(price) floor-quantizes to
+      // integer micro-nats IMMEDIATELY (the D-rule the LM ops use), the
+      // per-group accumulation is an exact long sum (order-independent
+      // under partial/final merge), and ONE exp + safe round happens at
+      // the output boundary. Residual: ln/exp are libm (not correctly
+      // rounded) — same acknowledged 1-ULP-at-the-.5-boundary caveat as
+      // docs_lm_quality_filter; r6 absorbs anything smaller.
+      t(s, dir)("orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(floor(log(col("o_totalprice")) * lit(1e6)).cast("long")).as("lnsum_micro"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          r6(exp(col("lnsum_micro").cast("double") / lit(1e6) / col("n_orders")))
+            .as("geo_mean"))
+        .orderBy("o_orderpriority")
+    }),
     "agg_groupby_multi" -> ((s, dir) => {
       t(s, dir)("orders")
         .groupBy("o_orderpriority", "o_orderstatus")
@@ -347,6 +387,22 @@ object Aggregations extends OpRegistry {
       WHERE l_shipdate <= TIMESTAMP '2000-12-01'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+    "agg_weighted_avg" -> s"""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS weighted_sum,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty_sum,
+             ${r6Sql("CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)")} AS wavg_price,
+             COUNT(1) AS n_lines
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_geometric_mean" -> s"""
+      WITH g AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(floor(ln(o_totalprice) * 1000000) AS BIGINT)) AS BIGINT) AS lnsum_micro,
+               COUNT(1) AS n_orders
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, n_orders,
+             ${r6Sql("exp(CAST(lnsum_micro AS DOUBLE) / 1000000 / n_orders)")} AS geo_mean
+      FROM g ORDER BY o_orderpriority""",
     "agg_groupby_multi" -> """
       SELECT o_orderpriority, o_orderstatus, COUNT(1) AS cnt,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total

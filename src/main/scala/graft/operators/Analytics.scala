@@ -99,6 +99,212 @@ object Analytics extends OpRegistry {
         .orderBy("c_custkey")
     }),
 
+    "q_returned_by_customer" -> ((s, dir) => {
+      // Q10 shape: revenue lost to returns per customer over one quarter.
+      // Both fact-side filters sit on the scans (pushdown); the
+      // customer/nation joins run after the lineitem-side filter has
+      // already shrunk the probe side. nation (25 rows, SF-invariant)
+      // stays hinted; customer scales with SF so AQE decides.
+      val tt = t(s, dir) _
+      val o = tt("orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01") && col("o_orderdate") < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      tt("lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(tt("customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tt("nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(decSumOut(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("lost_revenue"),
+          count(lit(1)).as("return_lines"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "q_top_supplier" -> ((s, dir) => {
+      // Q15 shape: supplier(s) with the maximum quarterly revenue. The
+      // global max is a 1-row aggregate broadcast back against the
+      // per-supplier rollup — no single-partition window over the supplier
+      // frame (the unpartitioned-window equivalent funnels every supplier
+      // row through one task at scale). The equality compare happens in
+      // DECIMAL(38,6) (exact), so the winner set is engine-independent;
+      // double only at the output boundary.
+      val tt = t(s, dir) _
+      val rev = tt("lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_dec"))
+      val mx = rev.agg(max(col("rev_dec")).as("mx_dec"))
+      rev.join(broadcast(mx), col("rev_dec") === col("mx_dec"))
+        // supplier scales with SF: unhinted, AQE decides build side
+        .join(tt("supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+    "q_supplier_part_breadth" -> ((s, dir) => {
+      // Q16 shape: how many distinct suppliers stock each (brand, type,
+      // size) bucket — sourced from observed lineitem part↔supplier pairs
+      // (no partsupp table in the fixtures). distinct-before-count is
+      // explicit: the (partkey, suppkey) projection dedups map-side first,
+      // so the expensive countDistinct shuffle carries unique pairs, not
+      // raw lineitem rows.
+      val tt = t(s, dir) _
+      val pairs = tt("lineitem").select("l_partkey", "l_suppkey").distinct()
+      pairs
+        // part scales with SF: unhinted, AQE decides
+        .join(tt("part").filter(col("p_brand") =!= "Brand#1")
+            .select("p_partkey", "p_brand", "p_type", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    "q_idle_rich_customers" -> ((s, dir) => {
+      // Q22 shape: customers with above-average account balance and no
+      // recent orders, rolled up by nation. The "above average" compare is
+      // rearranged to multiplication-only exact decimal (acctbal · n >
+      // Σ acctbal) — same trick as sql_scalar_subquery — so boundary
+      // membership can't flip on a libm division difference. The recency
+      // check is a left-anti join against date-filtered orders (pushdown on
+      // the orders scan; no correlated per-row subquery).
+      val tt = t(s, dir) _
+      val pos = tt("customer").filter(col("c_acctbal") > 0)
+        .agg(sum(dec(col("c_acctbal"))).as("bal_sum"), count(lit(1)).as("bal_n"))
+      val recent = tt("orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01"))
+        .select("o_custkey").distinct()
+      tt("customer").select("c_custkey", "c_nationkey", "c_acctbal")
+        .join(broadcast(pos))
+        .filter(dec(col("c_acctbal")) * col("bal_n") > col("bal_sum"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(tt("nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_custs"),
+          decSumOut(col("c_acctbal")).as("total_bal"))
+        .orderBy("n_name")
+    }),
+
+    "q_order_priority_late" -> ((s, dir) => {
+      // Q4 shape: orders per priority with at least one LATE line (shipped
+      // >60 days after the order date; the fixture has no commit/receipt
+      // dates, so ship-lag is the lateness predicate). The correlated
+      // EXISTS compiles to one LEFT SEMI join — the probe side is the
+      // quarter-filtered orders scan (pushdown), and the semi join keeps
+      // at most one match per order, so nothing downstream sees lineitem
+      // multiplicity. Interval math stays on timestamps (midnight-aligned
+      // fixture dates — no DST/zone arithmetic involved on either engine).
+      val tt = t(s, dir) _
+      tt("orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01") && col("o_orderdate") < lit("1996-10-01"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(tt("lineitem").select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_customer_distribution" -> ((s, dir) => {
+      // Q13 shape: the distribution of orders-per-customer (how many
+      // customers placed exactly k orders, including k=0 via the left
+      // outer join). Two-level aggregate: the first groupBy shrinks to
+      // |customer| rows, the second to |distinct k| rows — the histogram
+      // never sees fact-table multiplicity. count(o_orderkey) counts only
+      // matched rows (NULL-skipping), which is exactly the outer-join
+      // zero-order semantics.
+      val tt = t(s, dir) _
+      tt("customer").select("c_custkey")
+        .join(tt("orders").select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q_large_volume_customers" -> ((s, dir) => {
+      // Q18 shape: customers whose single orders exceed 300 units total.
+      // The HAVING pre-aggregate runs on lineitem alone (partial+final on
+      // l_orderkey) and the >300 gate compares in exact decimal, so the
+      // qualifying-order set is engine-independent; only the tiny winner
+      // set (~0.3% of orders) joins back to orders/customer.
+      val tt = t(s, dir) _
+      val big = tt("lineitem").select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+        .filter(col("qty_dec") > dec(lit(300)))
+      // orders/customer scale with SF: unhinted, AQE picks the build side
+      // (the filtered `big` side is tiny and broadcasts in practice)
+      tt("orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(tt("customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("qty_dec").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    "q_nation_trade_flows" -> ((s, dir) => {
+      // Q7 shape: cross-nation trade volume — revenue shipped from a
+      // supplier nation to a (different) customer nation, by ship year,
+      // over a two-year window. The ship-date filter is pushed to the
+      // lineitem scan; both nation lookups broadcast (25 rows each,
+      // SF-invariant); customer/supplier stay unhinted for AQE. Output is
+      // ≤ |nation|²×2 rows, aggregated partial+final before the sort.
+      val tt = t(s, dir) _
+      tt("lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(tt("orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tt("customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(tt("supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tt("nation").select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(tt("nation").select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(decSumOut(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("line_cnt"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    "q_nation_share_in_region" -> ((s, dir) => {
+      // Percent-of-total: each nation's share of its region's revenue.
+      // The share window runs over the ǀnationǀ-row AGGREGATE (partition
+      // by region), never the fact table; both numerator and denominator
+      // are exact decimal sums cast to double once, so the single IEEE
+      // division + safe rounding is bit-stable cross-engine. Dimension
+      // chain broadcasts (region/nation bounded); customer stays unhinted.
+      val tt = t(s, dir) _
+      val dims = tt("customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(tt("nation").select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tt("region").select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+      val agg = tt("orders").select("o_custkey", "o_totalprice")
+        .join(dims, col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      val w = Window.partitionBy("r_name")
+      agg.select(col("r_name"), col("n_name"),
+          col("rev_dec").cast("double").as("revenue"),
+          r6(col("rev_dec").cast("double") /
+            sum(col("rev_dec")).over(w).cast("double")).as("region_share"))
+        .orderBy("r_name", "n_name")
+    }),
+
     "q_yoy_growth" -> ((s, dir) => {
       // Year-over-year growth per customer nation: yearly decimal revenue,
       // lag window for delta and ratio. The yearly rollup shrinks the data
@@ -126,6 +332,113 @@ object Analytics extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_order_priority_late" -> """
+      SELECT o_orderpriority, COUNT(1) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate < TIMESTAMP '1996-10-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    "q_customer_distribution" -> """
+      WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      SELECT c_count, COUNT(1) AS custdist
+      FROM per_cust
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+    "q_large_volume_customers" -> """
+      WITH big AS (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_dec
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > CAST(300 AS DECIMAL(38,6)))
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CAST(qty_dec AS DOUBLE) AS total_qty
+      FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100""",
+    "q_nation_trade_flows" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             COUNT(1) AS line_cnt
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND n1.n_name <> n2.n_name
+      GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+      ORDER BY supp_nation, cust_nation, l_year""",
+    "q_nation_share_in_region" -> s"""
+      WITH agg AS (
+        SELECT r_name, n_name,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec
+        FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+             ${r6Sql("CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)")} AS region_share
+      FROM agg ORDER BY r_name, n_name""",
+    "q_returned_by_customer" -> """
+      SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS lost_revenue,
+             COUNT(1) AS return_lines
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) DESC, c_custkey
+      LIMIT 20""",
+    "q_top_supplier" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS rev_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+      ORDER BY s_suppkey""",
+    "q_supplier_part_breadth" -> """
+      WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      SELECT p_brand, p_type, p_size,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM pairs JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1'
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_idle_rich_customers" -> """
+      WITH pos AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS bal_sum, COUNT(1) AS bal_n
+        FROM customer WHERE c_acctbal > 0),
+      recent AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+      SELECT n_name, COUNT(1) AS n_custs,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+      FROM customer CROSS JOIN pos
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE CAST(c_acctbal AS DECIMAL(38,6)) * bal_n > bal_sum
+        AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+      GROUP BY n_name ORDER BY n_name""",
     "q_yoy_growth" -> s"""
       WITH yearly AS (
         SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,

@@ -151,21 +151,7 @@ object Profiling extends OpRegistry {
       // degree-oriented wedge join that keeps triangle counting at
       // O(m^1.5) on sparse 100 TB-scale graphs (never count per-node on
       // the unoriented graph: that is quadratic in max degree).
-      val tt = t(s, dir) _
-      val pairs = tWide(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
-        .join(tt("orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        // customer/supplier unhinted: both scale with SF; AQE decides
-        .join(tt("customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(tt("supplier").select("s_suppkey", "s_nationkey"),
-          col("l_suppkey") === col("s_suppkey"))
-        // long, not int: DuckDB's least() promotes to BIGINT and the
-        // comparator is dtype-exact
-        .select(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
-          greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
-        .filter(col("a") < col("b"))
-        .distinct()
+      val pairs = coTradeEdges(s, dir)
       val e1 = pairs.select(col("a"), col("b"))
       val e2 = pairs.select(col("a").as("b2"), col("b").as("c"))
       val e3 = pairs.select(col("a").as("a3"), col("b").as("c3"))
@@ -175,7 +161,91 @@ object Profiling extends OpRegistry {
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy("a")
     }),
+
+    "graph_degree_stats" -> ((s, dir) => {
+      // Degree + average-neighbor-degree per node over the co-trade graph —
+      // the assortativity table (do high-degree nations trade with other
+      // high-degree nations?). Degrees come from one aggregate over the
+      // directed expansion; the neighbor-degree sum is a second join of the
+      // edge list against that (node-sized) degree table. Everything after
+      // the fact-sized edge build is ≤|nation|² rows. The avg is the exact
+      // integer sum with a safe-rounded double ratio at the boundary (D3).
+      val dir2 = directedCoTrade(s, dir)
+      val deg = dir2.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val nbr = dir2
+        .join(deg.select(col("node").as("dst_n"), col("degree").as("dst_deg")),
+          col("dst") === col("dst_n"))
+        .groupBy(col("src"))
+        .agg(sum(col("dst_deg")).as("nbr_deg_sum"))
+      deg.join(nbr, col("node") === col("src"))
+        .select(col("node"), col("degree"), col("nbr_deg_sum"),
+          r4(col("nbr_deg_sum").cast("double") / col("degree")).as("avg_nbr_deg"))
+        .orderBy("node")
+    }),
+
+    "graph_pagerank_iter" -> ((s, dir) => {
+      // Two unrolled PageRank iterations over the co-trade graph, ALL in
+      // integer ppm arithmetic: rank' = 150000 + (850000 · Σ contrib) div 1e6
+      // with contrib(u) = rank(u) div deg(u) (64-bit IntegralDivide on both
+      // engines — no float division anywhere, so ranks are bit-identical
+      // cross-engine by construction, the same D-rule as the LM ops).
+      // Each iteration is one node-sized join + aggregate over the edge
+      // list; the fact-sized work happens once in the edge build. At
+      // 100 TB the same loop runs with the rank table staying keyed and
+      // the edge list reused across rounds (localCheckpoint, as
+      // dedup_components does for its iterations).
+      val dir2 = directedCoTrade(s, dir)
+      val deg = dir2.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val edgesD = dir2.join(deg, col("src") === col("node"))
+        .select(col("src"), col("dst"), col("deg"))
+      var rank = deg.select(col("node"), lit(1000000L).as("rank_ppm"))
+      for (_ <- 1 to 2) {
+        val contribs = edgesD
+          .join(rank, col("src") === rank("node"))
+          .select(col("dst"),
+            call_function("div", col("rank_ppm"), col("deg")).as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("in_sum"))
+        rank = deg.select(col("node"))
+          .join(contribs, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            (lit(150000L) + call_function("div",
+              lit(850000L) * coalesce(col("in_sum"), lit(0L)), lit(1000000L)))
+              .as("rank_ppm"))
+      }
+      rank.orderBy("node")
+    }),
   )
+
+  /** Undirected co-trade edge list (a<b, distinct): nations a and b traded
+    * iff some order had a customer in one and a supplying supplier in the
+    * other. Fact-table-sized build that collapses to ≤|nation|² rows. */
+  private def coTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir) _
+    tWide(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
+      .join(tt("orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      // customer/supplier unhinted: both scale with SF; AQE decides
+      .join(tt("customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(tt("supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      // long, not int: DuckDB's least() promotes to BIGINT and the
+      // comparator is dtype-exact
+      .select(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+
+  /** Directed expansion of the undirected co-trade graph (both arcs). */
+  private def directedCoTrade(s: SparkSession, dir: String): DataFrame = {
+    val e = coTradeEdges(s, dir)
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+  }
 
   /** Change capture for the MERGE batch: each customer's latest order total
     * (deterministic via the full keepFirst tiebreak). */
@@ -301,5 +371,61 @@ object Profiling extends OpRegistry {
         JOIN pairs e2 ON e1.b = e2.a
         JOIN pairs e3 ON e1.a = e3.a AND e2.b = e3.b
       GROUP BY e1.a ORDER BY e1.a""",
+
+    "graph_degree_stats" -> s"""
+      WITH pairs AS (
+        SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                        greatest(c_nationkey, s_nationkey) AS b
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey),
+      dir2 AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      deg AS (SELECT src AS node, COUNT(1) AS degree FROM dir2 GROUP BY src),
+      nbr AS (
+        SELECT dir2.src, CAST(SUM(d.degree) AS BIGINT) AS nbr_deg_sum
+        FROM dir2 JOIN deg d ON dir2.dst = d.node
+        GROUP BY dir2.src)
+      SELECT node, degree, nbr_deg_sum,
+             ${rNSql("CAST(nbr_deg_sum AS DOUBLE) / degree", 4)} AS avg_nbr_deg
+      FROM deg JOIN nbr ON node = src
+      ORDER BY node""",
+
+    "graph_pagerank_iter" -> """
+      WITH pairs AS (
+        SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                        greatest(c_nationkey, s_nationkey) AS b
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey),
+      dir2 AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      deg AS (SELECT src AS node, COUNT(1) AS deg FROM dir2 GROUP BY src),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM deg),
+      c1 AS (
+        SELECT dst, CAST(SUM(rank_ppm // deg) AS BIGINT) AS in_sum
+        FROM dir2 JOIN deg ON src = node JOIN r0 USING (node)
+        GROUP BY dst),
+      r1 AS (
+        SELECT deg.node,
+               150000 + (850000 * COALESCE(in_sum, 0)) // 1000000 AS rank_ppm
+        FROM deg LEFT OUTER JOIN c1 ON deg.node = c1.dst),
+      c2 AS (
+        SELECT dst, CAST(SUM(rank_ppm // deg) AS BIGINT) AS in_sum
+        FROM dir2 JOIN deg ON src = node JOIN r1 USING (node)
+        GROUP BY dst),
+      r2 AS (
+        SELECT deg.node,
+               150000 + (850000 * COALESCE(in_sum, 0)) // 1000000 AS rank_ppm
+        FROM deg LEFT OUTER JOIN c2 ON deg.node = c2.dst)
+      SELECT node, rank_ppm FROM r2 ORDER BY node""",
   )
 }

@@ -100,6 +100,24 @@ object Scans extends OpRegistry {
         .select(col("event_id"),
           from_json(col("props"), lit("k INT")).getField("k").as("k"))
         .orderBy("event_id")),
+
+    "source_text_raw" -> ((s, dir) => {
+      // Raw-text source round-trip (`spark.read.text` — the line-per-row
+      // format a crawl dump lands in): write the document texts out as
+      // .txt part files, read them back as untyped lines, and aggregate
+      // line/char/token totals. Valid because the corpus is single-line
+      // text (no embedded newlines — the write would split them); the
+      // 1-row aggregate is order-independent so the roundtrip's partition
+      // scrambling can't affect the result. Fixed path + overwrite, same
+      // single-process contract as the other sinks (ADVICE r2).
+      val out = "/tmp/graft_source_text"
+      t(s, dir)("documents").select("text").write.mode("overwrite").text(out)
+      val back = s.read.text(out)
+      back.agg(
+        count(lit(1)).as("n_lines"),
+        sum(length(col("value")).cast("long")).as("sum_chars"),
+        sum(size(split(col("value"), " ")).cast("long")).as("sum_tokens"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -115,6 +133,11 @@ object Scans extends OpRegistry {
     "source_jsonlines" -> """
       SELECT event_id, CAST(props->>'$.k' AS INT) AS k
       FROM events ORDER BY event_id""",
+    "source_text_raw" -> """
+      SELECT COUNT(1) AS n_lines,
+             CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+      FROM documents""",
     "sink_partitioned_pruned" -> """
       SELECT o_orderstatus, COUNT(1) AS cnt,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total

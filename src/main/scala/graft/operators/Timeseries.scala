@@ -27,6 +27,7 @@ import org.apache.spark.sql.expressions.Window
 object Timeseries extends OpRegistry {
 
   private val usPerHour = 3600000000L
+  private val usPerDay = 86400000000L
   /** Synthetic session length for the concurrency sweep: 30 minutes. */
   private val sessionUs = 1800000000L
 
@@ -160,6 +161,153 @@ object Timeseries extends OpRegistry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    "events_rfm_scores" -> ((s, dir) => {
+      // RFM segmentation: per-user recency (last purchase), frequency
+      // (purchase count) and monetary (exact decimal spend), each scored
+      // into quartiles with ntile(4) and concatenated to the classic
+      // "111".."444" segment label. The windows run over the PER-USER
+      // aggregate (|users| rows), never the event stream; order keys
+      // carry a user_id tiebreak so bucket assignment is total-ordered.
+      // Scale note: an unpartitioned ntile sorts the user aggregate on
+      // one task — fine while |users| is an aggregate-sized frame; a
+      // 1e9-user deployment would swap ntile for approx-quantile
+      // boundaries (computed once, broadcast) at identical semantics
+      // minus exact bucket-size balancing.
+      val p = eventsUs(s, dir).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(col("ts_us")).as("last_purchase_us"),
+          count(lit(1)).as("frequency"),
+          sum(dec(col("value"))).as("mon_dec"))
+      val wR = Window.orderBy(col("last_purchase_us").desc, col("user_id"))
+      val wF = Window.orderBy(col("frequency").desc, col("user_id"))
+      val wM = Window.orderBy(col("mon_dec").desc, col("user_id"))
+      p.select(col("user_id"), col("last_purchase_us"), col("frequency"),
+          col("mon_dec").cast("double").as("monetary"),
+          ntile(4).over(wR).as("r_score"),
+          ntile(4).over(wF).as("f_score"),
+          ntile(4).over(wM).as("m_score"))
+        .withColumn("rfm", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
+        .orderBy("user_id")
+    }),
+
+    "events_hourly_profile" -> ((s, dir) => {
+      // Seasonality profile: event volume and value by UTC hour-of-day ×
+      // event type — the load-shape table behind capacity planning and
+      // bot-traffic screens. Hour-of-day is pure integer math on epoch
+      // micros (div 3600e6 mod 24), so both engines bucket identically
+      // with no timezone/calendar library in the path. One partial+final
+      // aggregate straight off the scan; output is a fixed 24×|types| —
+      // SF-invariant, so the plan is scan-bound at any scale.
+      val e = eventsUs(s, dir)
+      e.groupBy(col("event_type"),
+          (call_function("div", col("ts_us"), lit(usPerHour)) % 24).as("hour_of_day"))
+        .agg(count(lit(1)).as("n_events"), decSumOut(col("value")).as("sum_value"))
+        .orderBy("event_type", "hour_of_day")
+    }),
+    "events_interarrival_hist" -> ((s, dir) => {
+      // Inter-arrival-time histogram: per-user consecutive event gaps,
+      // bucketed by decimal digit count of the gap in micros (an
+      // order-of-magnitude histogram with NO floating log — length of the
+      // integer's string form is exact and engine-portable, where
+      // floor(log10(x)) could flip at powers of ten on a libm ULP). The
+      // lag window partitions by user (one user_id exchange, the same
+      // exchange the other per-user ops reuse); the histogram then
+      // aggregates |gaps| rows down to ≤20 buckets, partial+final.
+      val e = eventsUs(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      e.select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(length(col("gap_us").cast("string")).as("gap_digits"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy("gap_digits")
+    }),
+
+    "events_burst_detect" -> ((s, dir) => {
+      // Burst screening: each user's maximum event count inside ANY
+      // sliding 60-second window — the rate-limit / bot-burst primitive.
+      // The RANGE frame on integer epoch-micros counts every event whose
+      // timestamp falls in (t−60s, t], evaluated per event with one
+      // sorted pass per user partition (Spark keeps a sliding frame
+      // pointer — O(n) per partition, not O(n·window)); the per-user max
+      // then collapses to ǀusersǀ rows. All-integer: no timestamp-type
+      // frame arithmetic, identical bucketing on both engines.
+      val e = eventsUs(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-59999999L, Window.currentRow)
+      e.select(col("user_id"), col("ts_us"))
+        .withColumn("in_burst", count(lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(max(col("in_burst")).as("max_burst_1m"), count(lit(1)).as("n_events"))
+        .withColumn("is_bursty", col("max_burst_1m") >= 5)
+        .orderBy("user_id")
+    }),
+    "events_conversion_lag" -> ((s, dir) => {
+      // Signup→purchase conversion latency per user: first signup and
+      // first purchase from ONE conditional aggregate over the filtered
+      // scan (no self-join of the events table against itself), exact
+      // integer lag in micros, plus the converted-after-signup flag.
+      // NULL lag for never-converted users flows through both engines
+      // identically (subtraction with a NULL side is NULL on each).
+      val e = eventsUs(s, dir)
+      e.filter(col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts_us"))).as("signup_us"),
+          min(when(col("event_type") === "purchase", col("ts_us"))).as("first_purchase_us"))
+        .filter(col("signup_us").isNotNull)
+        .select(col("user_id"), col("signup_us"), col("first_purchase_us"),
+          (col("first_purchase_us") - col("signup_us")).as("lag_us"),
+          (col("first_purchase_us").isNotNull &&
+            col("first_purchase_us") >= col("signup_us")).as("converted_after"))
+        .orderBy("user_id")
+    }),
+    "events_dau_wau" -> ((s, dir) => {
+      // DAU + trailing-7-day WAU per day. The stream first collapses to
+      // DISTINCT (user, day) pairs — the only fact-sized pass; DAU is a
+      // plain count over that, and WAU joins the (bounded, ǀdaysǀ-row)
+      // day grid against the pairs with a 7-day band predicate, then
+      // exact countDistinct. At 100 TB the pair table is the state that
+      // scales (users×days), the grid stays broadcastable, and the band
+      // join fans each pair to ≤7 grid days — linear, never day².
+      val e = eventsUs(s, dir)
+      val ud = e.select(col("user_id"),
+        call_function("div", col("ts_us"), lit(usPerDay)).as("day")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val grid = dau.select(col("day").as("g_day"))
+      val wau = ud.join(broadcast(grid),
+          col("day") >= col("g_day") - 6 && col("day") <= col("g_day"))
+        .groupBy(col("g_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, col("day") === col("g_day"))
+        .select(col("day"), col("dau"), col("wau"))
+        .orderBy("day")
+    }),
+
+    "events_pareto_share" -> ((s, dir) => {
+      // Activity-concentration (Pareto) table: users ranked into deciles
+      // by event count, each decile's share of all events in exact integer
+      // ppm. Every window runs over the PER-USER aggregate (ǀusersǀ rows,
+      // then 10 rows) — the event stream is touched once by the first
+      // groupBy. ntile carries a user_id tiebreak (total order); the share
+      // is events·1e6 div total in 64-bit integers — no float division,
+      // bit-identical cross-engine.
+      val e = eventsUs(s, dir)
+      val perUser = e.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val d = perUser.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("cnt").desc, col("user_id"))))
+      val agg = d.groupBy("decile")
+        .agg(count(lit(1)).as("users"), sum(col("cnt")).as("events"))
+      val w = Window.partitionBy()
+      agg.select(col("decile"), col("users"), col("events"),
+          call_function("div", col("events") * lit(1000000L),
+            sum(col("events")).over(w)).as("share_ppm"))
+        .orderBy("decile")
+    }),
+
     "scd2_type_history" -> ((s, dir) => {
       // Changelog → SCD2: collapse consecutive same-type runs per user
       // (gaps-and-islands change capture), then build [valid_from,
@@ -277,6 +425,96 @@ object Timeseries extends OpRegistry {
                AS attributed
       FROM c WHERE event_type = 'purchase'
       ORDER BY user_id, ts_us, event_id""",
+
+    "events_rfm_scores" -> """
+      WITH p AS (
+        SELECT user_id,
+               CAST(MAX(epoch_ns(ts)//1000) AS BIGINT) AS last_purchase_us,
+               COUNT(1) AS frequency,
+               SUM(CAST(value AS DECIMAL(38,6))) AS mon_dec
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      SELECT user_id, last_purchase_us, frequency,
+             CAST(mon_dec AS DOUBLE) AS monetary,
+             CAST(NTILE(4) OVER (ORDER BY last_purchase_us DESC, user_id) AS INT) AS r_score,
+             CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_score,
+             CAST(NTILE(4) OVER (ORDER BY mon_dec DESC, user_id) AS INT) AS m_score,
+             CAST(NTILE(4) OVER (ORDER BY last_purchase_us DESC, user_id) AS VARCHAR)
+               || CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR)
+               || CAST(NTILE(4) OVER (ORDER BY mon_dec DESC, user_id) AS VARCHAR) AS rfm
+      FROM p ORDER BY user_id""",
+
+    "events_hourly_profile" -> """
+      SELECT event_type,
+             (epoch_ns(ts)//1000 // 3600000000) % 24 AS hour_of_day,
+             COUNT(1) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY event_type, (epoch_ns(ts)//1000 // 3600000000) % 24
+      ORDER BY event_type, hour_of_day""",
+
+    "events_interarrival_hist" -> """
+      WITH g AS (
+        SELECT epoch_ns(ts)//1000
+                 - LAG(epoch_ns(ts)//1000) OVER (
+                     PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id)
+               AS gap_us
+        FROM events)
+      SELECT CAST(LENGTH(CAST(gap_us AS VARCHAR)) AS INT) AS gap_digits,
+             COUNT(1) AS n_gaps,
+             MIN(gap_us) AS min_gap_us,
+             MAX(gap_us) AS max_gap_us
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY 1 ORDER BY gap_digits""",
+
+    "events_burst_detect" -> """
+      WITH b AS (
+        SELECT user_id,
+               COUNT(1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000
+                 RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW) AS in_burst
+        FROM events)
+      SELECT user_id, MAX(in_burst) AS max_burst_1m, COUNT(1) AS n_events,
+             MAX(in_burst) >= 5 AS is_bursty
+      FROM b GROUP BY user_id ORDER BY user_id""",
+
+    "events_conversion_lag" -> """
+      WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts)//1000 END) AS signup_us,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts)//1000 END) AS first_purchase_us
+        FROM events
+        WHERE event_type IN ('signup', 'purchase')
+        GROUP BY user_id)
+      SELECT user_id, signup_us, first_purchase_us,
+             first_purchase_us - signup_us AS lag_us,
+             first_purchase_us IS NOT NULL AND first_purchase_us >= signup_us AS converted_after
+      FROM f WHERE signup_us IS NOT NULL
+      ORDER BY user_id""",
+
+    "events_dau_wau" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id, (epoch_ns(ts)//1000) // 86400000000 AS day
+        FROM events),
+      dau AS (SELECT day, COUNT(1) AS dau FROM ud GROUP BY day),
+      wau AS (
+        SELECT g.day AS g_day, COUNT(DISTINCT u.user_id) AS wau
+        FROM dau g JOIN ud u ON u.day >= g.day - 6 AND u.day <= g.day
+        GROUP BY g.day)
+      SELECT day, dau, wau
+      FROM dau JOIN wau ON day = g_day
+      ORDER BY day""",
+
+    "events_pareto_share" -> """
+      WITH pu AS (SELECT user_id, COUNT(1) AS cnt FROM events GROUP BY user_id),
+      d AS (
+        SELECT cnt,
+               CAST(NTILE(10) OVER (ORDER BY cnt DESC, user_id) AS INT) AS decile
+        FROM pu),
+      a AS (
+        SELECT decile, COUNT(1) AS users, CAST(SUM(cnt) AS BIGINT) AS events
+        FROM d GROUP BY decile)
+      SELECT decile, users, events,
+             events * 1000000 // (SELECT CAST(SUM(cnt) AS BIGINT) FROM pu) AS share_ppm
+      FROM a ORDER BY decile""",
 
     "scd2_type_history" -> """
       WITH e AS (
