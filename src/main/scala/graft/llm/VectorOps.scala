@@ -615,6 +615,48 @@ object VectorOps extends OpRegistry {
         .toDF("doc_id", "chunk_id", "n_bytes", "checksum31")
         .orderBy("doc_id", "chunk_id")
     }),
+
+    "vec_dim_stats" -> ((s, dir) => {
+      // Per-dimension calibration stats over the whole embedding table —
+      // the first pass any quantizer (int8 ranges, PQ codebooks, JL
+      // scaling) runs. posexplode streams row×dim tuples but the
+      // aggregate combines map-side, so the shuffle carries only |dim|
+      // groups × partial states; micro-unit long sums keep the per-dim
+      // mean exact and order-independent (D2 recipe on vectors).
+      val e = tWide(s, dir)("embeddings")
+        .select(posexplode(quantize(col("embedding"))).as(Seq("i0", "v")))
+        .select((col("i0") + 1).cast("int").as("dim"), col("v").cast("long").as("vq"))
+      e.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("vq").as("sum_q"),
+          min("vq").as("min_q"), max("vq").as("max_q"))
+        .select(col("dim"), col("n"), col("sum_q"), col("min_q"), col("max_q"),
+          r6(col("sum_q").cast("double") / col("n") / lit(1e6)).as("mean6"))
+        .orderBy("dim")
+    }),
+
+    "vec_knn_graph" -> ((s, dir) => {
+      // Mutual-kNN graph over a bounded node set: an edge survives only
+      // if each endpoint ranks the other inside its top-5 — the symmetric
+      // pruning that turns raw ANN lists into a navigable graph (NN-Descent
+      // / HNSW ground truth). The node set is id-bounded so the candidate
+      // square stays broadcastable; at corpus scale the identical shape
+      // runs per LSH cell (see knn_ivf_topk) instead of globally.
+      val e = tWide(s, dir)("embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val pairs = e.select(col("vec_id").as("qid"), col("qe").as("qv"))
+        .join(broadcast(e.select(col("vec_id").as("vid"), col("qe").as("ev"))),
+          col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"), dotQ(s, col("qv"), col("ev")).as("dot_q"))
+      val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
+      val ranked = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      val fwd = ranked.select(col("qid").as("id1"), col("vid").as("id2"), col("dot_q"))
+      val rev = ranked.select(col("vid").as("r1"), col("qid").as("r2"))
+      fwd.join(rev, col("id1") === col("r1") && col("id2") === col("r2"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("dot_q"),
+          r4(col("dot_q").cast("double") / lit(1e12)).as("cos4"))
+        .orderBy("id1", "id2")
+    }),
   )
 
   /** Generated DuckDB twin of vec_jl_projection: the ±1 sign vectors are
@@ -1025,5 +1067,32 @@ object VectorOps extends OpRegistry {
              dom.dom_lang
       FROM per_label p JOIN dom ON p.label = dom.label
       ORDER BY p.label""",
+    "vec_dim_stats" -> s"""
+      WITH q AS (SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT CAST(generate_subscripts(qe, 1) AS INT) AS dim, unnest(qe) AS vq FROM q)
+      SELECT dim, COUNT(1) AS n, CAST(SUM(vq) AS BIGINT) AS sum_q,
+             CAST(MIN(vq) AS BIGINT) AS min_q, CAST(MAX(vq) AS BIGINT) AS max_q,
+             ${r6Sql("CAST(SUM(vq) AS DOUBLE) / COUNT(1) / 1000000")} AS mean6
+      FROM e GROUP BY dim ORDER BY dim""",
+    "vec_knn_graph" -> s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings WHERE vec_id < 60),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      d AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
+            FROM e a JOIN e b ON a.i = b.i
+            WHERE a.vec_id <> b.vec_id
+            GROUP BY 1, 2),
+      r AS (SELECT qid, vid, dot_q,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vid) AS rn
+            FROM d),
+      k AS (SELECT qid, vid, dot_q FROM r WHERE rn <= 5)
+      SELECT a.qid AS id1, a.vid AS id2, a.dot_q,
+             ${r4Sql("CAST(a.dot_q AS DOUBLE) / 1000000000000")} AS cos4
+      FROM k a JOIN k b ON a.qid = b.vid AND a.vid = b.qid
+      WHERE a.qid < a.vid ORDER BY id1, id2""",
   )
 }

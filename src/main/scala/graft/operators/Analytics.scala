@@ -329,6 +329,194 @@ object Analytics extends OpRegistry {
             .as("yoy_growth"))
         .orderBy("n_name", "yr")
     }),
+
+    "q_local_supplier_volume" -> ((s, dir) => {
+      // TPC-H Q5 shape: revenue per nation within one region and year
+      // where the supplier and the ordering customer share a nation
+      // (local fulfilment). The date filter sits on the orders scan
+      // (row-group pruning); nation⋈region is SF-invariant and broadcast;
+      // customer/supplier scale with SF so AQE picks their join strategy.
+      val tt = t(s, dir) _
+      val nr = broadcast(tt("nation")
+        .join(tt("region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+      val o = tt("orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      tt("lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(tt("customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(tt("supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(nr, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(decSumOut(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("line_cnt"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_forecast_revenue" -> ((s, dir) => {
+      // TPC-H Q6 shape: the what-if discount-elimination forecast — a pure
+      // scan-side conjunctive filter (all three predicates push to
+      // parquet) feeding one global aggregate; no join, no shuffle beyond
+      // the single-row final combine.
+      t(s, dir)("lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(decSumOut(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("line_cnt"))
+    }),
+
+    "q_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: of the ECONOMY-part revenue bought by customers in
+      // one region, the share supplied from one nation, per order year.
+      // The numerator is a conditional decimal sum inside the same
+      // aggregate as the denominator — one pass, no second join.
+      val tt = t(s, dir) _
+      val custRegion = tt("customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(tt("nation")
+          .join(tt("region").filter(col("r_name") === "AMERICA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val suppNation = tt("supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(tt("nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val rev = dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      tt("lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(tt("part").filter(col("p_type") === "ECONOMY").select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .join(tt("orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custRegion, col("o_custkey") === col("c_custkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", rev).otherwise(dec(lit(0)))).as("nat_dec"),
+          sum(rev).as("tot_dec"))
+        .select(col("yr"),
+          col("nat_dec").cast("double").as("nation_rev"),
+          col("tot_dec").cast("double").as("total_rev"),
+          r6(col("nat_dec").cast("double") / col("tot_dec").cast("double")).as("mkt_share"))
+        .orderBy("yr")
+    }),
+
+    "q_product_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape adapted: the fixture has no partsupp, so supply
+      // cost is proxied as 60% of p_retailprice. Profit per line =
+      // revenue − cost×quantity, both sides DECIMAL(38,6) before the
+      // subtraction so the sum is exact and order-independent (D2).
+      val tt = t(s, dir) _
+      val profit = dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+        dec(col("p_retailprice") * lit(0.6) * col("l_quantity"))
+      tt("lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(tt("part").filter(col("p_type") === "STANDARD")
+          .select("p_partkey", "p_retailprice"),
+          col("l_partkey") === col("p_partkey"))
+        .join(tt("orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tt("supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tt("nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(profit).cast("double").as("profit"), count(lit(1)).as("line_cnt"))
+        .orderBy(col("n_name"), col("yr").desc)
+    }),
+
+    "q_priority_class_late" -> ((s, dir) => {
+      // TPC-H Q12 shape adapted (fixture has no l_shipmode): critical
+      // (1-URGENT/2-HIGH) vs other priorities among lines that shipped
+      // >30 days after the order date, grouped by line status. Both
+      // counters come from the same conditional aggregate pass.
+      val tt = t(s, dir) _
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      tt("lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+        .join(tt("orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    "q_small_qty_revenue" -> ((s, dir) => {
+      // TPC-H Q17 shape: revenue locked in micro-quantity lines of one
+      // brand, "micro" = below half the part's own average quantity. The
+      // correlated per-part average becomes a pre-aggregation joined back
+      // — two passes over the brand-filtered slice (already part-pruned),
+      // never a window over the raw fact table. The average is the D3
+      // formula (decimal sum ÷ count in double) in both engines.
+      val tt = t(s, dir) _
+      val l = tt("lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(tt("part").filter(col("p_brand") === "Brand#3").select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+      val avgq = l.groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+      l.join(avgq, col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(decSumOut(col("l_extendedprice")).as("small_rev"),
+          count(lit(1)).as("line_cnt"))
+    }),
+
+    "q_special_promo_revenue" -> ((s, dir) => {
+      // TPC-H Q19 shape: a disjunction of brand/size/quantity envelopes.
+      // The part-side conjuncts (brand, size) prune the build side before
+      // the join; the mixed OR runs as one predicate after it — no
+      // three-way union of separate scans.
+      val tt = t(s, dir) _
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(5, 20) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#21" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(20, 35))
+      tt("lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(tt("part").select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(decSumOut(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("line_cnt"))
+    }),
+
+    "q_waiting_suppliers" -> ((s, dir) => {
+      // TPC-H Q21 shape adapted (no receipt/commit dates): a supplier
+      // "kept an order waiting" when it is the ONLY supplier in a
+      // multi-supplier finished order whose lines shipped >60 days after
+      // the order date. The textbook EXISTS / NOT-EXISTS pair is
+      // re-expressed as two keyed aggregations over (order, supplier) —
+      // same semantics, two hash shuffles, no correlated per-row probes.
+      val tt = t(s, dir) _
+      val per = tt("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(tt("orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), 1L)
+          .otherwise(0L)).as("late_i"))
+      val ord = per.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late_i")).as("n_late"))
+      per.filter(col("late_i") === 1L)
+        .join(ord, col("l_orderkey") === col("ok") &&
+          col("n_supp") > 1 && col("n_late") === 1L)
+        .join(tt("supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -456,6 +644,111 @@ object Analytics extends OpRegistry {
              CAST(rev_dec - prev_dec AS DOUBLE) AS yoy_delta,
              ${r6Sql("CAST(rev_dec AS DOUBLE) / CAST(prev_dec AS DOUBLE) - 1.0")} AS yoy_growth
       FROM l ORDER BY n_name, yr""",
+    "q_local_supplier_volume" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             COUNT(1) AS line_cnt
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) DESC, n_name""",
+    "q_forecast_revenue" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             COUNT(1) AS line_cnt
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+        AND l_quantity < 24""",
+    "q_market_share" -> s"""
+      WITH base AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) AS rev,
+               sn.n_name AS supp_nation
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'),
+      agg AS (
+        SELECT yr,
+               SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE CAST(0 AS DECIMAL(38,6)) END) AS nat_dec,
+               SUM(rev) AS tot_dec
+        FROM base GROUP BY yr)
+      SELECT yr, CAST(nat_dec AS DOUBLE) AS nation_rev, CAST(tot_dec AS DOUBLE) AS total_rev,
+             ${r6Sql("CAST(nat_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)")} AS mkt_share
+      FROM agg ORDER BY yr""",
+    "q_product_profit" -> """
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))
+                    - CAST(p_retailprice * 0.6 * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS profit,
+             COUNT(1) AS line_cnt
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type = 'STANDARD'
+      GROUP BY n_name, year(o_orderdate)
+      ORDER BY n_name, yr DESC""",
+    "q_priority_class_late" -> """
+      SELECT l_linestatus,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""",
+    "q_small_qty_revenue" -> """
+      WITH l AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#3'),
+      avgq AS (
+        SELECT l_partkey AS ap_key,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(1) AS avg_qty
+        FROM l GROUP BY l_partkey)
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS small_rev,
+             COUNT(1) AS line_cnt
+      FROM l JOIN avgq ON l_partkey = ap_key
+      WHERE l_quantity < 0.5 * avg_qty""",
+    "q_special_promo_revenue" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             COUNT(1) AS line_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+         OR (p_brand = 'Brand#12' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 25)
+         OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 35)""",
+    "q_waiting_suppliers" -> """
+      WITH per AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late_i
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey),
+      ord AS (
+        SELECT l_orderkey AS ok, COUNT(1) AS n_supp, SUM(late_i) AS n_late
+        FROM per GROUP BY l_orderkey)
+      SELECT s_name, COUNT(1) AS numwait
+      FROM per
+        JOIN ord ON l_orderkey = ok AND n_supp > 1 AND n_late = 1
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE late_i = 1
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name""",
     "q_monthly_trend" -> """
       WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec,
