@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType, TimestampType}
 
 /** Fixture table loaders + shared determinism helpers.
   *
@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.DecimalType
   * Determinism rules (SURVEY.md §2 D1-D5) are centralized here:
   *  - D2: money math on DECIMAL(38,6), never bare sum(double)
   *  - D3: averages as round(sum_dec/count, 4), never bare avg(double)
-  *  - D4: events.ts is epoch-nanos LongType (nanosAsLong=true); convert with
+  *  - D4: events.ts is epoch-nanos LongType after `normalizeTs` (the fixture
+  *    has shipped both TIMESTAMP(NANOS) and TIMESTAMP micros); convert with
   *    integer division `ts div 1000` -> micros (double round-trip would lose
   *    precision: 1.7e18 exceeds the 53-bit double mantissa)
   */
@@ -25,7 +26,29 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTs(rawLoad(spark, sfDir, name))
+
+  /** The parquet files exactly as stored — streaming readers need the FILE
+    * schema (a projected schema would mismatch the footer). */
+  def rawLoad(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Fixture-representation shim for `events.ts`. The generator has shipped
+    * the column two ways across rounds: TIMESTAMP(NANOS) (readable only as
+    * epoch-nanos LongType under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * plain TIMESTAMP micros. All engine code + every DuckDB oracle twin is
+    * written against the epoch-nanos-long contract (D4, SURVEY §1.2) — and
+    * DuckDB's `epoch_ns(ts)` yields the same nanos for either storage unit —
+    * so here the micros representation is converted once at load:
+    * unix_micros × 1000 in 64-bit integers (exact; micros ≈ 1.7e15 · 1000
+    * fits long). TIMESTAMP_NTZ casts to TIMESTAMP under the session's pinned
+    * UTC zone, which is instant-preserving. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
 
   /** Register every table as a temp view so ops can also run as Spark SQL. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =

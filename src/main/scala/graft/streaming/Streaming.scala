@@ -37,10 +37,13 @@ object Streaming extends OpRegistry {
     * the path stays on shared storage, so executors on a real cluster can
     * see it (VERDICT r1 portability note). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = t(s, dir)("events").schema
-    s.readStream.schema(schema)
+    // FILE schema, not Tables.load's normalized one: the ts shim is a
+    // projection, and a streaming source schema must match the footer.
+    val schema = graft.Tables.rawLoad(s, dir, "events").schema
+    val raw = s.readStream.schema(schema)
       .option("basePath", dir)
       .parquet(s"$dir/events.parquet*")
+    graft.Tables.normalizeTs(raw)
       .withColumn("ts_ts", tsMicros(col("ts")))
   }
 

@@ -150,7 +150,7 @@ class CoreOperatorSpec extends GraftSuite {
 
   test("events_sessionize: sessions partition events; durations bound gaps") {
     val rows = q("events_sessionize").collect()
-    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val total = Tables.load(spark, sfDir, "events").count()
     assert(rows.map(_.getAs[Long]("n_events")).sum == total,
       "every event must land in exactly one session")
     rows.foreach { r =>

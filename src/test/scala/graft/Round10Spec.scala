@@ -81,7 +81,7 @@ class Round10Spec extends GraftSuite {
       assert(r.getAs[String]("rfm") ==
         s"${r.getAs[Int]("r_score")}${r.getAs[Int]("f_score")}${r.getAs[Int]("m_score")}")
     }
-    val purchases = spark.read.parquet(s"$sfDir/events.parquet")
+    val purchases = Tables.load(spark, sfDir, "events")
       .filter($"event_type" === "purchase").count()
     assert(rows.map(_.getAs[Long]("frequency")).sum == purchases)
   }

@@ -12,7 +12,7 @@ class Round10bSpec extends GraftSuite {
   private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
   private def orders = spark.read.parquet(s"$sfDir/orders.parquet")
   private def customer = spark.read.parquet(s"$sfDir/customer.parquet")
-  private def events = spark.read.parquet(s"$sfDir/events.parquet")
+  private def events = Tables.load(spark, sfDir, "events")
 
   test("q_order_priority_late: counts sum to the directly-computed late-order set") {
     val rows = q("q_order_priority_late").collect()

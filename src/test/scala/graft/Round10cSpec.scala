@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class Round10cSpec extends GraftSuite {
   import spark.implicits._
 
-  private def events = spark.read.parquet(s"$sfDir/events.parquet")
+  private def events = Tables.load(spark, sfDir, "events")
   private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
 
   test("events_burst_detect: max burst via a direct per-user sliding scan") {

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class Round10dSpec extends GraftSuite {
   import spark.implicits._
 
-  private def events = spark.read.parquet(s"$sfDir/events.parquet")
+  private def events = Tables.load(spark, sfDir, "events")
   private def orders = spark.read.parquet(s"$sfDir/orders.parquet")
   private def documents = spark.read.parquet(s"$sfDir/documents.parquet")
 

@@ -15,7 +15,7 @@ class Round4Spec extends GraftSuite {
   test("events_gapfill: grid is hole-free per user and counts reconcile") {
     val rows = q("events_gapfill").collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = Tables.load(spark, sfDir, "events")
       .select($"user_id", Helpers.tsDivMicros($"ts").as("us"))
       .collect().groupBy(_.getLong(0))
     val hour = 3600000000L
@@ -32,9 +32,9 @@ class Round4Spec extends GraftSuite {
 
   test("events_markov_transitions: totals reconcile, ppm rows sum to ~1e6 per state") {
     val rows = q("events_markov_transitions").collect()
-    val nUsers = spark.read.parquet(s"$sfDir/events.parquet")
+    val nUsers = Tables.load(spark, sfDir, "events")
       .select("user_id").distinct().count()
-    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val nEvents = Tables.load(spark, sfDir, "events").count()
     // every event except each user's first contributes exactly one transition
     assert(rows.map(_.getAs[Long]("n_trans")).sum == nEvents - nUsers)
     rows.groupBy(_.getAs[String]("prev_type")).foreach { case (p, g) =>
@@ -86,7 +86,7 @@ class Round4Spec extends GraftSuite {
   test("events_concurrency matches a brute-force sweep in Scala") {
     val got = q("events_concurrency").collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("max_concurrent")).toMap
-    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+    val evs = Tables.load(spark, sfDir, "events")
       .select($"user_id", Helpers.tsDivMicros($"ts").as("us"))
       .as[(Long, Long)].collect()
     val expected = evs.groupBy(_._1).map { case (u, g) =>
@@ -102,7 +102,7 @@ class Round4Spec extends GraftSuite {
   test("events_ewma matches a per-user Scala oracle (exact dyadic math)") {
     val got = q("events_ewma").collect()
       .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
-    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+    val evs = Tables.load(spark, sfDir, "events")
       .select($"user_id", $"event_id", Helpers.tsDivMicros($"ts").as("us"), $"value")
       .as[(Long, Long, Long, Double)].collect()
     evs.groupBy(_._1).foreach { case (_, g) =>
@@ -213,7 +213,7 @@ class Round4Spec extends GraftSuite {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val want = spark.read.parquet(s"$sfDir/events.parquet")
+    val want = Tables.load(spark, sfDir, "events")
       .select($"user_id", $"event_id", Helpers.tsDivMicros($"ts").as("ts_us"),
         floor($"value" * 100 + lit(0.5)).cast("long").as("v100"))
       .withColumn("cum", sum($"v100").over(w))

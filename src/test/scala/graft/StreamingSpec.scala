@@ -66,14 +66,14 @@ class StreamingSpec extends GraftSuite {
     // the availableNow op over the fixture must equal the batch count
     val streaming = q("stream_stateful_count")
       .as[(Long, Long)].collect().toMap
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = Tables.load(spark, sfDir, "events")
       .groupBy("user_id").count().as[(Long, Long)].collect().toMap
     assert(streaming == batch)
   }
 
   test("tumbling window batch twin: counts sum to table size") {
     val total = q("stream_tumbling_1h").agg(sum("cnt")).head().getLong(0)
-    assert(total == spark.read.parquet(s"$sfDir/events.parquet").count())
+    assert(total == Tables.load(spark, sfDir, "events").count())
     // sliding: each event in exactly 4 windows
     val sliding = q("stream_sliding_1h_15m").agg(sum("cnt")).head().getLong(0)
     assert(sliding == 4 * total)
@@ -81,7 +81,7 @@ class StreamingSpec extends GraftSuite {
 
   test("stream_stream_join equals the batch interval join on the fixture") {
     val streaming = q("stream_stream_join")
-    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val e = Tables.load(spark, sfDir, "events")
       .withColumn("ts_us", Helpers.tsDivMicros($"ts"))
     val c = e.filter($"event_type" === "click")
       .select($"user_id", $"event_id".as("click_id"), $"ts_us".as("click_us"))
@@ -133,7 +133,7 @@ class StreamingSpec extends GraftSuite {
     assert(s30.filter($"sess_start_us" > $"sess_end_us").count() == 0)
     // events per user sum to user's event count
     val perUser = s30.groupBy("user_id").agg(sum("cnt").as("n"))
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = Tables.load(spark, sfDir, "events")
       .groupBy("user_id").count()
     val bad = perUser.join(batch, "user_id").filter($"n" =!= $"count").count()
     assert(bad == 0)
