@@ -517,6 +517,97 @@ object Analytics extends OpRegistry {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
     }),
+
+    "q_min_cost_supplier" -> ((s, dir) => {
+      // Q2 shape (min-cost supplier per part): the fixture has no partsupp
+      // table, so the supply relationship derives from lineitem — per
+      // (part, supplier) unit cost = Σprice/Σqty in exact decimal with ONE
+      // IEEE divide at the boundary (both engines correctly round the same
+      // two decimal→double casts and the divide, so the rank key is
+      // bit-identical). The per-part winner is a row_number over the
+      // (part, supplier) AGGREGATE — never the fact table; the part filter
+      // prunes before the join; nation (25 rows, SF-invariant) broadcasts,
+      // supplier scales with SF so AQE decides.
+      val tt = t(s, dir) _
+      val cand = tt("lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(tt("part").filter(col("p_type") === "STANDARD" && col("p_size") < 10)
+          .select("p_partkey", "p_name"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(sum(dec(col("l_extendedprice"))).as("price_dec"),
+          sum(dec(col("l_quantity"))).as("qty_dec"))
+        .withColumn("cost",
+          col("price_dec").cast("double") / col("qty_dec").cast("double"))
+      val w = Window.partitionBy("p_partkey").orderBy(col("cost"), col("l_suppkey"))
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(tt("supplier").select("s_suppkey", "s_name", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tt("nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          r6(col("cost")).as("unit_cost"))
+        .orderBy("p_partkey")
+    }),
+
+    "q_important_parts" -> ((s, dir) => {
+      // Q11 shape (important stock): per-part revenue-weighted value vs a
+      // global scalar — only parts above 0.05% of the grand total survive.
+      // The total re-aggregates the per-part AGGREGATE (a partial+final
+      // pair onto one row, no second fact pass) and joins back as a
+      // broadcast single-row cross join — NOT an empty-partition window,
+      // which would drag the |part|-sized frame (~20M rows at SF100)
+      // through one task. The threshold compare and the share are one
+      // IEEE multiply/divide each on identically-rounded doubles. (A
+      // value landing bit-exactly on total×0.0005 would be a tie on both
+      // engines equally — same compare on the same bits.)
+      val tt = t(s, dir) _
+      val perPart = tt("lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("val_dec"))
+      perPart
+        .crossJoin(broadcast(perPart.agg(sum("val_dec").as("total_dec"))))
+        .filter(col("val_dec").cast("double") >
+          col("total_dec").cast("double") * lit(0.0005))
+        .join(tt("part").select("p_partkey", "p_name", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("val_dec").cast("double").as("stock_value"),
+          r6(col("val_dec").cast("double") / col("total_dec").cast("double"))
+            .as("share"))
+        .orderBy(col("stock_value").desc, col("p_partkey"))
+    }),
+
+    "q_promo_part_suppliers" -> ((s, dir) => {
+      // Q20 shape (promotion-candidate suppliers): suppliers who shipped a
+      // dominant share (>20%) of some PROMO part's 1996 volume. Two nested
+      // aggregates over ONE lineitem pass — per (part, supplier), then the
+      // per-part total as a window over that aggregate — a threshold
+      // filter, and a per-supplier roll-up. The (part, supplier) grain is
+      // unique post-agg, so the strong-part count is a plain count.
+      val tt = t(s, dir) _
+      val qty = tt("lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(tt("part").filter(col("p_type") === "PROMO").select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      qty
+        .withColumn("part_qty_dec",
+          sum("qty_dec").over(Window.partitionBy("l_partkey")))
+        .filter(col("qty_dec").cast("double") >
+          col("part_qty_dec").cast("double") * lit(0.2))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_strong_parts"))
+        .join(tt("supplier").select("s_suppkey", "s_name", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tt("nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"), col("n_strong_parts"))
+        .orderBy("s_name")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -799,5 +890,58 @@ object Analytics extends OpRegistry {
                                ORDER BY spend DESC, c_custkey) AS INT) AS seg_rank
       FROM customer JOIN spend ON c_custkey = o_custkey
       ORDER BY c_custkey""",
+    "q_min_cost_supplier" -> s"""
+      WITH cand AS (
+        SELECT p_partkey, p_name, l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS price_dec,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_dec
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'STANDARD' AND p_size < 10
+        GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT *, CAST(price_dec AS DOUBLE) / CAST(qty_dec AS DOUBLE) AS cost,
+               ROW_NUMBER() OVER (PARTITION BY p_partkey
+                 ORDER BY CAST(price_dec AS DOUBLE) / CAST(qty_dec AS DOUBLE),
+                          l_suppkey) AS rn
+        FROM cand)
+      SELECT p_partkey, p_name, s_name, n_name,
+             ${r6Sql("cost")} AS unit_cost
+      FROM ranked
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE rn = 1
+      ORDER BY p_partkey""",
+    "q_important_parts" -> s"""
+      WITH per AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS val_dec
+        FROM lineitem GROUP BY 1),
+      shared AS (SELECT *, SUM(val_dec) OVER () AS total_dec FROM per)
+      SELECT p_partkey, p_name, p_brand,
+             CAST(val_dec AS DOUBLE) AS stock_value,
+             ${r6Sql("CAST(val_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)")} AS share
+      FROM shared JOIN part ON l_partkey = p_partkey
+      WHERE CAST(val_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.0005
+      ORDER BY stock_value DESC, p_partkey""",
+    "q_promo_part_suppliers" -> """
+      WITH qty AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_dec
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2),
+      strong AS (
+        SELECT l_suppkey, COUNT(1) AS n_strong_parts
+        FROM (SELECT *, SUM(qty_dec) OVER (PARTITION BY l_partkey) AS part_qty_dec
+              FROM qty)
+        WHERE CAST(qty_dec AS DOUBLE) > CAST(part_qty_dec AS DOUBLE) * 0.2
+        GROUP BY 1)
+      SELECT s_name, n_name, n_strong_parts
+      FROM strong
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY s_name""",
   )
 }

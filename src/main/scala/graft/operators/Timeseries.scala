@@ -326,6 +326,55 @@ object Timeseries extends OpRegistry {
         .withColumn("is_current", col("valid_to_us").isNull.cast("int"))
         .orderBy("user_id", "valid_from_us", "event_id")
     }),
+
+    "events_top_paths" -> ((s, dir) => {
+      // 3-step sequence mining: every event starts an (e1 > e2 > e3) path
+      // via two leads over ONE per-user time-ordered window (same sort,
+      // one user_id exchange); the path aggregate partially combines
+      // map-side onto |types|³-bounded rows, and the global top-20 is a
+      // TakeOrdered under a total (count desc, path) order — no full sort.
+      // lead(2) non-null implies lead(1) non-null within the partition, so
+      // the single e3 guard keeps only complete paths.
+      val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      eventsUs(s, dir)
+        .withColumn("e2", lead("event_type", 1).over(ord))
+        .withColumn("e3", lead("event_type", 2).over(ord))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
+    "events_user_overlap" -> ((s, dir) => {
+      // Audience overlap: Jaccard of the user sets behind every event-type
+      // pair. One groupBy(user_id) collapses each user to their distinct
+      // type set (≤ |types| elements); the pair expansion runs on that
+      // vocabulary-bounded array — ≤ |types|² rows per user, never a
+      // fact-table self-join — and the per-type user counts reuse the same
+      // collapsed frame. Jaccard is exact integer ppm (D-rule: inter·1e6
+      // div union, no float division). Both count frames are
+      // |types|-bounded, hence the broadcast hints are schema-bounded.
+      val sets = t(s, dir)("events").groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      val pairs = sets
+        .select(explode(col("types")).as("type_a"), col("types"))
+        .select(col("type_a"), explode(col("types")).as("type_b"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      val perType = sets.select(explode(col("types")).as("etype"))
+        .groupBy("etype").agg(count(lit(1)).as("n_users"))
+      pairs
+        .join(broadcast(perType.select(col("etype").as("type_a"),
+          col("n_users").as("users_a"))), Seq("type_a"))
+        .join(broadcast(perType.select(col("etype").as("type_b"),
+          col("n_users").as("users_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+          col("n_both"),
+          call_function("div", col("n_both") * lit(1000000L),
+            col("users_a") + col("users_b") - col("n_both")).as("jaccard_ppm"))
+        .orderBy("type_a", "type_b")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -531,5 +580,34 @@ object Timeseries extends OpRegistry {
              CAST(LEAD(valid_from_us) OVER (PARTITION BY user_id
                    ORDER BY valid_from_us, event_id) IS NULL AS INT) AS is_current
       FROM c ORDER BY user_id, valid_from_us, event_id""",
+
+    "events_top_paths" -> """
+      WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts)//1000 AS ts_us
+        FROM events),
+      p AS (
+        SELECT event_type || '>' || LEAD(event_type, 1) OVER w
+                 || '>' || LEAD(event_type, 2) OVER w AS path,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      SELECT path, COUNT(1) AS n
+      FROM p WHERE e3 IS NOT NULL
+      GROUP BY path ORDER BY n DESC, path LIMIT 20""",
+
+    "events_user_overlap" -> """
+      WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+      cnt AS (SELECT event_type, COUNT(1) AS n_users FROM d GROUP BY 1),
+      p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(1) AS n_both
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+      SELECT type_a, type_b, ca.n_users AS users_a, cb.n_users AS users_b,
+             n_both,
+             n_both * 1000000 // (ca.n_users + cb.n_users - n_both) AS jaccard_ppm
+      FROM p
+        JOIN cnt ca ON type_a = ca.event_type
+        JOIN cnt cb ON type_b = cb.event_type
+      ORDER BY type_a, type_b""",
   )
 }

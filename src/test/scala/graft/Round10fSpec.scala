@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-10 batch 6: the last three TPC-H shapes (Q2/Q11/Q20 adaptations —
+  * with these all 22 shapes have analogs) plus two event-sequence ops
+  * (3-step path mining, audience-overlap Jaccard).
+  */
+class Round10fSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+  private def part = spark.read.parquet(s"$sfDir/part.parquet")
+  private def events = Tables.load(spark, sfDir, "events")
+
+  test("q_min_cost_supplier: one winner per part; winner is the true min cost") {
+    val rows = q("q_min_cost_supplier").collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(_.getAs[Long]("p_partkey"))
+    assert(keys.distinct.length == keys.length, "one row per part")
+    // replay the cheapest supplier for the first part directly
+    val pk = keys.head
+    val direct = lineitem.join(
+        part.filter($"p_partkey" === pk && $"p_type" === "STANDARD" && $"p_size" < 10),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey")
+      .agg((sum($"l_extendedprice".cast("decimal(38,6)")).cast("double") /
+        sum($"l_quantity".cast("decimal(38,6)")).cast("double")).as("cost"))
+      .orderBy($"cost", $"l_suppkey").head
+    val winnerCost = rows.head.getAs[Double]("unit_cost")
+    assert(math.abs(winnerCost - direct.getAs[Double]("cost")) < 1e-6)
+  }
+
+  test("q_important_parts: every survivor clears the 0.05% global threshold") {
+    val rows = q("q_important_parts").collect()
+    assert(rows.nonEmpty)
+    val total = lineitem
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(38,6)")).cast("double")).head.getDouble(0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("stock_value") > total * 0.0005,
+        s"part ${r.getAs[Long]("p_partkey")} below threshold")
+    }
+    // ordered by value desc
+    val vals = rows.map(_.getAs[Double]("stock_value"))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_promo_part_suppliers: strong-part counts match a direct replay") {
+    val rows = q("q_promo_part_suppliers").collect()
+    val qty = lineitem
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
+      .join(part.filter($"p_type" === "PROMO").select("p_partkey"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity".cast("decimal(38,6)")).as("q"))
+    val strong = qty
+      .withColumn("pq", sum($"q").over(Window.partitionBy("l_partkey")))
+      .filter($"q".cast("double") > $"pq".cast("double") * 0.2)
+      .groupBy($"l_suppkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[Long]("n_strong_parts")).sum == strong.values.sum)
+    assert(rows.length == strong.size, "one row per strong supplier")
+  }
+
+  test("events_top_paths: counts ordered, paths complete, total reconciles") {
+    val rows = q("events_top_paths").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getAs[String]("path").split(">").length == 3))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // every user with k >= 3 events contributes exactly k-2 paths; if the
+    // top-20 captured all distinct paths the sum must equal that total
+    val perUser = events.groupBy($"user_id").count().collect().map(_.getLong(1))
+    val totalPaths = perUser.filter(_ >= 3).map(_ - 2).sum
+    assert(ns.sum <= totalPaths)
+    if (rows.length < 20) assert(ns.sum == totalPaths, "top-20 not full => exhaustive")
+  }
+
+  test("events_user_overlap: jaccard bounded and one pair replays exactly") {
+    val rows = q("events_user_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, i) = (r.getAs[Long]("users_a"), r.getAs[Long]("users_b"),
+        r.getAs[Long]("n_both"))
+      assert(i <= math.min(a, b))
+      assert(r.getAs[Long]("jaccard_ppm") <= 1000000L)
+      assert(r.getAs[Long]("jaccard_ppm") == i * 1000000L / (a + b - i))
+    }
+    val r0 = rows.head
+    val (ta, tb) = (r0.getAs[String]("type_a"), r0.getAs[String]("type_b"))
+    val ua = events.filter($"event_type" === ta).select("user_id").distinct()
+    val ub = events.filter($"event_type" === tb).select("user_id").distinct()
+    assert(r0.getAs[Long]("n_both") == ua.intersect(ub).count())
+    assert(r0.getAs[Long]("users_a") == ua.count())
+  }
+}
