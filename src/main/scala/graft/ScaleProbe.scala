@@ -77,7 +77,8 @@ object ScaleProbe {
     * docs/vecs above these need a synthetic corpus to show growth. */
   private val ProbedEvents = Seq(
     "events_burst_detect", "events_dau_wau", "events_sessionize",
-    "events_interarrival_hist", "events_rfm_scores", "events_markov_transitions")
+    "events_interarrival_hist", "events_rfm_scores", "events_markov_transitions",
+    "events_top_paths", "events_user_overlap")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,

@@ -616,6 +616,31 @@ object VectorOps extends OpRegistry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    "multimodal_resample" -> ((s, dir) => {
+      // Resize/resample plumbing (image-downscale / audio-decimate shape):
+      // stride-4 nearest-neighbor decimation of each binary payload inside
+      // the same per-partition batched "decode" pass a real resize UDF
+      // runs in. Stub kernel = byte decimation (no codec libs in the
+      // container); the batch surface, the stride arithmetic, and the
+      // decimated-payload fold are the real contract — and the 4× size
+      // drop is the storage story a 100 TB image corpus needs before
+      // feature extraction. Pure map work, no shuffle.
+      val src = tWide(s, dir)("documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      import s.implicits._
+      src.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val sampled = Iterator.range(0, bytes.length, 4).map(bytes).toArray
+            val checksum =
+              sampled.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 2147483648L)
+            (id, bytes.length, sampled.length, checksum)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "n_sampled", "checksum31")
+        .orderBy("doc_id")
+    }),
+
     "vec_dim_stats" -> ((s, dir) => {
       // Per-dimension calibration stats over the whole embedding table —
       // the first pass any quantizer (int8 ranges, PQ codebooks, JL
@@ -996,6 +1021,15 @@ object VectorOps extends OpRegistry {
                  i -> CAST(ord(substring(text, i, 1)) AS BIGINT))),
                (a, b) -> (a * 31 + b) % 2147483648) AS checksum31
       FROM documents ORDER BY doc_id""",
+    "multimodal_resample" -> """
+      WITH s AS (SELECT doc_id, length(text) AS n, text FROM documents)
+      SELECT doc_id, CAST(n AS INT) AS n_bytes,
+             CAST((n + 3) // 4 AS INT) AS n_sampled,
+             list_reduce(list_prepend(CAST(17 AS BIGINT),
+               list_transform(range(0, (n + 3) // 4),
+                 k -> CAST(ord(substring(text, CAST(k * 4 + 1 AS INT), 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483648) AS checksum31
+      FROM s ORDER BY doc_id""",
     "knn_cosine_topk" -> s"""
       WITH q AS (SELECT vec_id, list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe

@@ -95,4 +95,22 @@ class Round10fSpec extends GraftSuite {
     assert(r0.getAs[Long]("n_both") == ua.intersect(ub).count())
     assert(r0.getAs[Long]("users_a") == ua.count())
   }
+
+  test("multimodal_resample: stride-4 sizes and a JVM replay of one checksum") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("multimodal_resample").collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_bytes")
+      assert(r.getAs[Int]("n_sampled") == (n + 3) / 4)
+    }
+    val r0 = rows.head
+    val bytes = docs(r0.getAs[Long]("doc_id")).getBytes("UTF-8")
+    val sampled = Iterator.range(0, bytes.length, 4).map(bytes).toArray
+    val expect = sampled.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 2147483648L)
+    assert(r0.getAs[Int]("n_bytes") == bytes.length)
+    assert(r0.getAs[Long]("checksum31") == expect)
+  }
 }
