@@ -277,6 +277,33 @@ object Aggregations extends OpRegistry {
         .orderBy("o_orderpriority")
     }),
 
+    "agg_percentiles_exact" -> ((s, dir) => {
+      // Exact p50/p90/p99 per group by the rank recipe (percentile_disc
+      // semantics): the value at row ceil(p·n/100) of the per-group sort.
+      // The boundary rank is ALL-INTEGER — (n·p + 99) div 100 — because
+      // ceil(n * 0.9) in doubles flips at e.g. n=15000 (13500.000…02 →
+      // 13501) on a rounding difference; integer math cannot. ONE window
+      // sort per group feeds all three quantiles, and the final agg
+      // collapses to |priorities| rows — same single-exchange shape as
+      // agg_median. Boundary-peer ties are harmless: equal values at the
+      // boundary rank select the same VALUE regardless of peer order.
+      def rk(n: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column =
+        call_function("div", n * lit(p.toLong) + lit(99L), lit(100L))
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+      val n = Window.partitionBy("o_orderpriority")
+      t(s, dir)("orders")
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .groupBy("o_orderpriority")
+        .agg(
+          max(col("n")).as("n_rows"),
+          max(when(col("rn") === rk(col("n"), 50), col("o_totalprice"))).as("p50"),
+          max(when(col("rn") === rk(col("n"), 90), col("o_totalprice"))).as("p90"),
+          max(when(col("rn") === rk(col("n"), 99), col("o_totalprice"))).as("p99"))
+        .orderBy("o_orderpriority")
+    }),
+
     "agg_approx_quantile" -> ((s, dir) =>
       // Approximate quantiles (Greenwald-Khanna style sketch): the
       // mergeable, bounded-memory path for percentiles over 100 TB —
@@ -473,6 +500,18 @@ object Aggregations extends OpRegistry {
       SELECT o_orderpriority, MAX(n) AS cnt,
              MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS mid_lo,
              MAX(CASE WHEN rn = n // 2 + 1 THEN o_totalprice END) AS mid_hi
+      FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "agg_percentiles_exact" -> """
+      WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+               COUNT(1) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+      SELECT o_orderpriority, MAX(n) AS n_rows,
+             MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN o_totalprice END) AS p50,
+             MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN o_totalprice END) AS p90,
+             MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN o_totalprice END) AS p99
       FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }

@@ -96,6 +96,25 @@ class Round10fSpec extends GraftSuite {
     assert(r0.getAs[Long]("users_a") == ua.count())
   }
 
+  test("agg_percentiles_exact: boundary ranks replay against an in-memory sort") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderpriority", $"o_totalprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val rows = q("agg_percentiles_exact").collect()
+    assert(rows.length == orders.size)
+    rows.foreach { r =>
+      val vs = orders(r.getAs[String]("o_orderpriority"))
+      val n = vs.length.toLong
+      assert(r.getAs[Long]("n_rows") == n)
+      def at(p: Int) = vs(((n * p + 99) / 100).toInt - 1)
+      assert(r.getAs[Double]("p50") == at(50))
+      assert(r.getAs[Double]("p90") == at(90))
+      assert(r.getAs[Double]("p99") == at(99))
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+      assert(r.getAs[Double]("p90") <= r.getAs[Double]("p99"))
+    }
+  }
+
   test("multimodal_resample: stride-4 sizes and a JVM replay of one checksum") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").collect()
