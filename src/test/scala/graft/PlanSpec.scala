@@ -213,4 +213,33 @@ class PlanSpec extends GraftSuite {
       }
     }
   }
+
+  test("q_min_cost_supplier: winner rank runs over the aggregate, no cartesian") {
+    val p = finalPlan("q_min_cost_supplier")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // part-filter join + two dim joins; the rank window must sit ABOVE the
+    // (part,supplier) HashAggregate pair, never on the raw lineitem scan
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial+final agg:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"no rank window:\n$p")
+  }
+
+  test("q_important_parts: global total is a broadcast single-row join, not a window") {
+    val p = finalPlan("q_important_parts")
+    // the scalar total must arrive via a broadcast nested-loop over ONE
+    // row — an empty-partition Window here would single-task |part| rows
+    assert(p.contains("BroadcastNestedLoopJoin"), s"scalar not broadcast-joined:\n$p")
+    assert(!p.contains("Window"), s"empty-partition window resurfaced:\n$p")
+  }
+
+  test("events_user_overlap: pair expansion stays on the collapsed per-user frame") {
+    val p = finalPlan("events_user_overlap")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"type-pair joins must broadcast (type-bounded sides), not merge:\n$p")
+    // two generate (explode) nodes over the per-user set, never a
+    // fact-table self-join: the only aggregates allowed upstream of the
+    // explodes are the user collapse
+    assert("Generate".r.findAllIn(p).size >= 2, s"pair explode missing:\n$p")
+  }
 }
