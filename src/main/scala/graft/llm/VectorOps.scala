@@ -155,6 +155,38 @@ object VectorOps extends OpRegistry {
         .orderBy("qid", "rn")
     }),
 
+    "vec_matryoshka_recall" -> ((s, dir) => {
+      // Matryoshka/MRL truncation eval: does the 16-dim PREFIX of each
+      // embedding preserve the full 64-dim top-5 neighbor set? Per query:
+      // |top5_full ∩ top5_prefix| and whether the top-1 survives — the
+      // measured evidence behind serving truncated vectors (4× cheaper
+      // storage/ANN) at corpus scale. ONE scored pass computes both dots
+      // (the prefix dot is a slice of the same quantized array — exact
+      // integers, identical in any engine); both rank windows share the
+      // qid exchange; the verdict agg collapses to |queries| rows.
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qe").as("qv"))
+      val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          dotQ(s, col("qv"), col("qe")).as("dot_full"),
+          dotQ(s, slice(col("qv"), 1, 16), slice(col("qe"), 1, 16))
+            .as("dot_pref"))
+      val wf = Window.partitionBy("qid").orderBy(col("dot_full").desc, col("vid"))
+      val wp = Window.partitionBy("qid").orderBy(col("dot_pref").desc, col("vid"))
+      scored
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rp", row_number().over(wp))
+        .groupBy("qid")
+        .agg(
+          sum(when(col("rf") <= 5 && col("rp") <= 5, 1L).otherwise(0L))
+            .as("n_overlap"),
+          max(when(col("rf") === 1 && col("rp") === 1, 1).otherwise(0))
+            .as("top1_same"))
+        .orderBy("qid")
+    }),
+
     "sim_threshold_pairs" -> ((s, dir) => {
       val e = tWide(s, dir)("embeddings").filter(col("vec_id") < 100)
         .select(col("vec_id"), quantize(col("embedding")).as("qe"))
@@ -1046,6 +1078,25 @@ object VectorOps extends OpRegistry {
       SELECT qid, vid, dot_q, ${r4Sql("CAST(dot_q AS DOUBLE) / 1000000000000")} AS cos4,
              CAST(rn AS INT) AS rn
       FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "vec_matryoshka_recall" -> """
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      d AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS dot_full,
+                   CAST(SUM(CASE WHEN a.i <= 16 THEN a.v * b.v ELSE 0 END) AS BIGINT) AS dot_pref
+            FROM e a JOIN e b ON a.i = b.i
+            WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      r AS (SELECT qid, vid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_full DESC, vid) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_pref DESC, vid) AS rp
+            FROM d)
+      SELECT qid,
+             CAST(SUM(CASE WHEN rf <= 5 AND rp <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+             CAST(MAX(CASE WHEN rf = 1 AND rp = 1 THEN 1 ELSE 0 END) AS INT) AS top1_same
+      FROM r GROUP BY qid ORDER BY qid""",
     "sim_threshold_pairs" -> s"""
       WITH q AS (SELECT vec_id, list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe

@@ -13,6 +13,7 @@ class Round10fSpec extends GraftSuite {
   private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
   private def part = spark.read.parquet(s"$sfDir/part.parquet")
   private def events = Tables.load(spark, sfDir, "events")
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
   test("q_min_cost_supplier: one winner per part; winner is the true min cost") {
     val rows = q("q_min_cost_supplier").collect()
@@ -113,6 +114,30 @@ class Round10fSpec extends GraftSuite {
       assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
       assert(r.getAs[Double]("p90") <= r.getAs[Double]("p99"))
     }
+  }
+
+  test("vec_matryoshka_recall: bounded overlap and a JVM replay of one query") {
+    val rows = q("vec_matryoshka_recall").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val o = r.getAs[Long]("n_overlap")
+      assert(o >= 0 && o <= 5)
+      assert(Set(0, 1)(r.getAs[Int]("top1_same")))
+    }
+    // in-JVM replay of query 0: quantize, both dots, both top-5 sets
+    val vecs = embeddings.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(x =>
+          math.floor(x.toDouble * 1000000 + 0.5).toLong).toArray).toMap
+    val qid = rows.head.getAs[Long]("qid")
+    val qv = vecs(qid)
+    def dots(pref: Int) = vecs.toSeq.filter(_._1 != qid).map { case (vid, ev) =>
+      vid -> (0 until pref).map(i => qv(i) * ev(i)).sum
+    }
+    def top5(ds: Seq[(Long, Long)]) =
+      ds.sortBy { case (vid, d) => (-d, vid) }.take(5).map(_._1).toSet
+    val (full, prefix) = (top5(dots(qv.length)), top5(dots(16)))
+    assert(rows.head.getAs[Long]("n_overlap") == (full intersect prefix).size)
   }
 
   test("multimodal_resample: stride-4 sizes and a JVM replay of one checksum") {
