@@ -412,6 +412,34 @@ object PipelineOps extends OpRegistry {
           call_function("div", col("sum_scale_micro"), col("n_vecs")).as("avg_scale_micro"))
         .orderBy("label")
     }),
+
+    "docs_split_leakage" -> ((s, dir) => {
+      // Split-leakage QA gate: near-duplicate pairs (exact Jaccard > 0.1
+      // on the df-capped shingle universe — the SAME kernel jaccard_pairs
+      // oracles) that cross the content-hash train/val/test boundary. A
+      // cross-split near-dup is evaluation leakage: the test doc's twin
+      // was trained on. The split rule is docs_split_assign's verbatim
+      // (rollingHash31 pmod 100 → 80/10/10), so the two ops stay
+      // consistent by construction. Output is the ≤ 3×3 (split_a ≤
+      // split_b) cell matrix with a leak flag — the only data-sized work
+      // is the shared candidate pass itself; everything after the edge
+      // join is pair-count-sized.
+      val bucket = pmod(rollingHash31(col("text")), lit(100L))
+      val splits = tWide(s, dir)("documents").select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      TextOps.jaccardEdges(s, dir, materialize = false)
+        .join(splits.select(col("doc_id").as("id1"), col("split").as("s1")),
+          Seq("id1"))
+        .join(splits.select(col("doc_id").as("id2"), col("split").as("s2")),
+          Seq("id2"))
+        .select(least(col("s1"), col("s2")).as("split_a"),
+          greatest(col("s1"), col("s2")).as("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak", (col("split_a") =!= col("split_b")).cast("int"))
+        .orderBy("split_a", "split_b")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -587,5 +615,38 @@ object PipelineOps extends OpRegistry {
              CAST(SUM(err_q) AS BIGINT) // COUNT(1) AS avg_err_p12,
              CAST(SUM(scale_q) AS BIGINT) // COUNT(1) AS avg_scale_micro
       FROM pq GROUP BY label ORDER BY label""",
+
+    "docs_split_leakage" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      shc AS (SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
+              WHERE df <= 100),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM shc GROUP BY doc_id),
+      ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      edges AS (
+        SELECT id1, id2
+        FROM ix JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+        WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.1),
+      sp AS (SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (SELECT doc_id,
+                     ((list_reduce(list_prepend(CAST(17 AS BIGINT),
+                       list_transform(range(1, length(text) + 1),
+                         i -> CAST(ord(substring(text, i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483648) % 100) + 100) % 100 AS b
+                   FROM documents))
+      SELECT least(p1.split, p2.split) AS split_a,
+             greatest(p1.split, p2.split) AS split_b,
+             COUNT(1) AS n_pairs,
+             CAST(least(p1.split, p2.split) <> greatest(p1.split, p2.split) AS INT) AS is_leak
+      FROM edges JOIN sp p1 ON id1 = p1.doc_id JOIN sp p2 ON id2 = p2.doc_id
+      GROUP BY 1, 2 ORDER BY split_a, split_b""",
   )
 }

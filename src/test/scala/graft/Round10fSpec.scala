@@ -116,6 +116,19 @@ class Round10fSpec extends GraftSuite {
     }
   }
 
+  test("docs_split_leakage: cells partition the jaccard pairs; leak flag exact") {
+    val rows = q("docs_split_leakage").collect()
+    assert(rows.length <= 6, "at most 3x3/2 canonical split cells")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(a <= b, "cells must be canonical (split_a <= split_b)")
+      assert(r.getAs[Int]("is_leak") == (if (a != b) 1 else 0))
+    }
+    val totalPairs = q("jaccard_pairs").count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == totalPairs,
+      "every near-dup pair lands in exactly one split cell")
+  }
+
   test("vec_matryoshka_recall: bounded overlap and a JVM replay of one query") {
     val rows = q("vec_matryoshka_recall").collect()
     assert(rows.nonEmpty && rows.length <= 10)
