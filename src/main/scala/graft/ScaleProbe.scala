@@ -46,7 +46,8 @@ object ScaleProbe {
   private val Probed = Seq(
     "jaccard_pairs", "dedup_near_minhash", "dedup_components",
     "text_tfidf_top", "docs_lm_quality_filter", "text_repetition_signals",
-    "text_entropy", "docs_quality_percentile_gate", "docs_temperature_resample")
+    "text_entropy", "docs_quality_percentile_gate", "docs_temperature_resample",
+    "docs_split_leakage")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,

@@ -219,6 +219,26 @@ object Joins extends OpRegistry {
         .orderBy("event_id")
     }),
 
+    "join_asof_forward" -> ((s, dir) => {
+      // Forward as-of: for each 'click', the EARLIEST following
+      // 'purchase' of the same user — the forward twin of join_asof's
+      // backward carry, as a min-carry over (currentRow,
+      // unboundedFollowing). Same single user_id shuffle, no per-key
+      // join, O(1) state per row; frame-peer semantics at equal ts are
+      // identical ROWS-frame inclusion on both engines.
+      val e = t(s, dir)("events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          tsDivMicros(col("ts")).as("ts_us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.withColumn("next_purchase_ts",
+          min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us", "next_purchase_ts")
+        .orderBy("event_id")
+    }),
+
     "join_bloom_prefilter" -> ((s, dir) => {
       // Semi-join reduction via Bloom filter (round 4): build a ~1%-fpp
       // Bloom over the urgent orders' keys, prune lineitem BEFORE the
@@ -356,6 +376,19 @@ object Joins extends OpRegistry {
         FROM e)
       SELECT event_id, user_id, ts_us, last_click_ts
       FROM w WHERE event_type = 'purchase'
+      ORDER BY event_id""",
+
+    "join_asof_forward" -> """
+      WITH e AS (
+        SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+        FROM e)
+      SELECT event_id, user_id, ts_us, next_purchase_ts
+      FROM w WHERE event_type = 'click'
       ORDER BY event_id""",
   )
 }

@@ -327,6 +327,29 @@ object Timeseries extends OpRegistry {
         .orderBy("user_id", "valid_from_us", "event_id")
     }),
 
+    "events_attribution_first_touch" -> ((s, dir) => {
+      // First-touch attribution: each purchase credited to the EARLIEST
+      // click inside its trailing 24h window — the campaign-origin twin
+      // of last-touch (which wants the freshest click, so a running
+      // carry suffices there; first-touch genuinely needs the bounded
+      // frame, or a stale first-ever click would mask a fresh one). ONE
+      // integer RANGE frame per user — Spark's sliding frame pointer
+      // keeps it O(n) per partition — with exact micros bounds, so frame
+      // inclusion is bit-identical cross-engine. No self-join.
+      val lookbackUs = 86400000000L // 24h
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-lookbackUs, 0)
+      eventsUs(s, dir)
+        .withColumn("first_click_ts",
+          min(when(col("event_type") === "click", col("ts_us"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("first_click_ts"),
+          (col("ts_us") - col("first_click_ts")).as("gap_us"),
+          col("first_click_ts").isNotNull.cast("int").as("attributed"))
+        .orderBy("event_id")
+    }),
+
     "events_top_paths" -> ((s, dir) => {
       // 3-step sequence mining: every event starts an (e1 > e2 > e3) path
       // via two leads over ONE per-user time-ordered window (same sort,
@@ -580,6 +603,22 @@ object Timeseries extends OpRegistry {
              CAST(LEAD(valid_from_us) OVER (PARTITION BY user_id
                    ORDER BY valid_from_us, event_id) IS NULL AS INT) AS is_current
       FROM c ORDER BY user_id, valid_from_us, event_id""",
+
+    "events_attribution_first_touch" -> """
+      WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS ts_us
+        FROM events),
+      w AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' THEN ts_us END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us
+                       RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+                 AS first_click_ts
+        FROM e)
+      SELECT event_id, user_id, ts_us, first_click_ts,
+             ts_us - first_click_ts AS gap_us,
+             CAST(first_click_ts IS NOT NULL AS INT) AS attributed
+      FROM w WHERE event_type = 'purchase'
+      ORDER BY event_id""",
 
     "events_top_paths" -> """
       WITH e AS (

@@ -116,6 +116,42 @@ class Round10fSpec extends GraftSuite {
     }
   }
 
+  test("join_asof_forward: per-click next purchase replays for one user") {
+    val rows = q("join_asof_forward").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("next_purchase_ts")))
+        assert(r.getAs[Long]("next_purchase_ts") >= r.getAs[Long]("ts_us"))
+    }
+    // direct replay for the user of the first row
+    val uid = rows.head.getAs[Long]("user_id")
+    val evs = events.filter($"user_id" === uid)
+      .select($"event_id", Helpers.tsDivMicros($"ts").as("us"), $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._2, t._1))
+    rows.filter(_.getAs[Long]("user_id") == uid).foreach { r =>
+      val t0 = r.getAs[Long]("ts_us")
+      val expect = evs.filter(e => e._3 == "purchase" && e._2 >= t0)
+        .map(_._2).minOption
+      val got = if (r.isNullAt(r.fieldIndex("next_purchase_ts"))) None
+        else Some(r.getAs[Long]("next_purchase_ts"))
+      assert(got == expect, s"user $uid click at $t0")
+    }
+  }
+
+  test("events_attribution_first_touch: gaps bounded by the 24h lookback") {
+    val rows = q("events_attribution_first_touch").collect()
+    assert(rows.nonEmpty)
+    val purchases = events.filter($"event_type" === "purchase").count()
+    assert(rows.length == purchases, "one row per purchase")
+    rows.foreach { r =>
+      if (r.getAs[Int]("attributed") == 1) {
+        val gap = r.getAs[Long]("gap_us")
+        assert(gap >= 0 && gap <= 86400000000L, s"gap $gap outside lookback")
+      } else assert(r.isNullAt(r.fieldIndex("first_click_ts")))
+    }
+  }
+
   test("docs_split_leakage: cells partition the jaccard pairs; leak flag exact") {
     val rows = q("docs_split_leakage").collect()
     assert(rows.length <= 6, "at most 3x3/2 canonical split cells")
