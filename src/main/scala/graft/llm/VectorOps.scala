@@ -586,10 +586,16 @@ object VectorOps extends OpRegistry {
             // stubbed "decode": byte stats stand in for pixel stats. The
             // rolling checksum folds mod 2^31 so a SQL engine can recompute
             // it without 64-bit wraparound (DuckDB errors on overflow).
-            val n = bytes.length
-            val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-            val checksum = bytes.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 2147483648L)
-            (id, lang, n, sum, checksum)
+            // NULL payloads propagate NULL stats (rollingHash31 convention)
+            // instead of NPE-ing the whole partition.
+            if (bytes == null)
+              (id, lang, None: Option[Int], None: Option[Long], None: Option[Long])
+            else {
+              val n = bytes.length
+              val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+              val checksum = bytes.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 2147483648L)
+              (id, lang, Some(n), Some(sum), Some(checksum))
+            }
           }
         }
         .toDF("doc_id", "lang", "n_bytes", "byte_sum", "checksum31")
@@ -650,23 +656,32 @@ object VectorOps extends OpRegistry {
 
     "multimodal_resample" -> ((s, dir) => {
       // Resize/resample plumbing (image-downscale / audio-decimate shape):
-      // stride-4 nearest-neighbor decimation of each binary payload inside
-      // the same per-partition batched "decode" pass a real resize UDF
-      // runs in. Stub kernel = byte decimation (no codec libs in the
+      // stride-4 nearest-neighbor decimation of each payload inside the
+      // same per-partition batched "decode" pass a real resize UDF runs
+      // in. Stub kernel = codepoint decimation (no codec libs in the
       // container); the batch surface, the stride arithmetic, and the
       // decimated-payload fold are the real contract — and the 4× size
       // drop is the storage story a 100 TB image corpus needs before
-      // feature extraction. Pure map work, no shuffle.
-      val src = tWide(s, dir)("documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // feature extraction. The kernel strides Unicode CODEPOINTS, not
+      // UTF-8 bytes, so it agrees with the DuckDB twin (char-positional
+      // ord/substring/length) on any text, not just ASCII (ADVICE r10);
+      // NULL payloads propagate NULL stats instead of NPE-ing, matching
+      // the oracle's range/list_transform NULL fold (the rollingHash31
+      // convention). Pure map work, no shuffle.
+      val src = tWide(s, dir)("documents").select(col("doc_id"), col("text"))
       import s.implicits._
-      src.as[(Long, Array[Byte])]
+      src.as[(Long, String)]
         .mapPartitions { it =>
-          it.map { case (id, bytes) =>
-            val sampled = Iterator.range(0, bytes.length, 4).map(bytes).toArray
-            val checksum =
-              sampled.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 2147483648L)
-            (id, bytes.length, sampled.length, checksum)
+          it.map { case (id, text) =>
+            if (text == null)
+              (id, None: Option[Int], None: Option[Int], None: Option[Long])
+            else {
+              val cps = text.codePoints().toArray
+              val sampled = Iterator.range(0, cps.length, 4).map(cps).toArray
+              val checksum =
+                sampled.foldLeft(17L)((a, c) => (a * 31 + c) % 2147483648L)
+              (id, Some(cps.length), Some(sampled.length), Some(checksum))
+            }
           }
         }
         .toDF("doc_id", "n_bytes", "n_sampled", "checksum31")

@@ -556,15 +556,20 @@ object Analytics extends OpRegistry {
       // pair onto one row, no second fact pass) and joins back as a
       // broadcast single-row cross join — NOT an empty-partition window,
       // which would drag the |part|-sized frame (~20M rows at SF100)
-      // through one task. The threshold compare and the share are one
-      // IEEE multiply/divide each on identically-rounded doubles. (A
-      // value landing bit-exactly on total×0.0005 would be a tie on both
+      // through one task. perPart feeds BOTH the probe side and its own
+      // grand total; localCheckpoint pins the lineitem scan+aggregate once
+      // so "no second fact pass" holds by construction, not only when AQE
+      // exchange reuse happens to fire (ADVICE r10; jaccardEdges
+      // precedent). The threshold compare and the share are one IEEE
+      // multiply/divide each on identically-rounded doubles. (A value
+      // landing bit-exactly on total×0.0005 would be a tie on both
       // engines equally — same compare on the same bits.)
       val tt = t(s, dir) _
       val perPart = tt("lineitem")
         .groupBy("l_partkey")
         .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .as("val_dec"))
+        .localCheckpoint()
       perPart
         .crossJoin(broadcast(perPart.agg(sum("val_dec").as("total_dec"))))
         .filter(col("val_dec").cast("double") >

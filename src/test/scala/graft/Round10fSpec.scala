@@ -131,7 +131,13 @@ class Round10fSpec extends GraftSuite {
       .sortBy(t => (t._2, t._1))
     rows.filter(_.getAs[Long]("user_id") == uid).foreach { r =>
       val t0 = r.getAs[Long]("ts_us")
-      val expect = evs.filter(e => e._3 == "purchase" && e._2 >= t0)
+      val cid = r.getAs[Long]("event_id")
+      // the op's ROWS frame orders by (ts_us, event_id) from currentRow,
+      // so a same-micros purchase with a SMALLER event_id than the click
+      // sits before the frame — replay with the same lexicographic bound
+      // (ADVICE r10: the plain ts_us >= t0 form was a latent tie flake)
+      val expect = evs.filter(e => e._3 == "purchase" &&
+          (e._2 > t0 || (e._2 == t0 && e._1 >= cid)))
         .map(_._2).minOption
       val got = if (r.isNullAt(r.fieldIndex("next_purchase_ts"))) None
         else Some(r.getAs[Long]("next_purchase_ts"))
@@ -199,11 +205,13 @@ class Round10fSpec extends GraftSuite {
       val n = r.getAs[Int]("n_bytes")
       assert(r.getAs[Int]("n_sampled") == (n + 3) / 4)
     }
+    // replay in CODEPOINTS — the op's kernel and its DuckDB twin both
+    // stride characters, so the replay must too (ADVICE r10)
     val r0 = rows.head
-    val bytes = docs(r0.getAs[Long]("doc_id")).getBytes("UTF-8")
-    val sampled = Iterator.range(0, bytes.length, 4).map(bytes).toArray
-    val expect = sampled.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 2147483648L)
-    assert(r0.getAs[Int]("n_bytes") == bytes.length)
+    val cps = docs(r0.getAs[Long]("doc_id")).codePoints().toArray
+    val sampled = Iterator.range(0, cps.length, 4).map(cps).toArray
+    val expect = sampled.foldLeft(17L)((a, c) => (a * 31 + c) % 2147483648L)
+    assert(r0.getAs[Int]("n_bytes") == cps.length)
     assert(r0.getAs[Long]("checksum31") == expect)
   }
 }
