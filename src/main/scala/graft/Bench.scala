@@ -100,6 +100,10 @@ object Bench {
       // as every query (ADVICE r7: a single maximally-warm sample after all
       // reps understated the per-stream startup cost it calibrates)
       floorSamples += streamingFloor(spark, sfDir, rep)
+      // drop the landed candidate-pair artifact each PASS so its build cost
+      // stays visible in the medians (first consumer of the pass pays it)
+      // instead of being amortized into rep 1 only
+      llm.TextOps.clearCandidateArtifacts()
       selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {

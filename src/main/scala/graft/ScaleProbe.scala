@@ -134,7 +134,12 @@ object ScaleProbe {
       Tables.load(spark, dir, "embeddings").count()
       Tables.load(spark, dir, "events").count()
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-      for (_ <- 1 to reps; op <- Probed ++ ProbedVec ++ ProbedEvents) {
+      for (rep <- 1 to reps; op <- Probed ++ ProbedVec ++ ProbedEvents) {
+        // per-pass artifact reset (same protocol as Bench): the first
+        // candidate-pair consumer of each pass pays the build, the rest
+        // read — the pipeline shape being measured, honestly attributed
+        if (op == (Probed ++ ProbedVec ++ ProbedEvents).head)
+          llm.TextOps.clearCandidateArtifacts()
         val t0 = System.nanoTime()
         // name the failing op instead of dying mid-sweep: the first 200×
         // attempt OOMed anonymously ~8 ops in and cost the whole run's

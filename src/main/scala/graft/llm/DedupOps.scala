@@ -190,10 +190,13 @@ object DedupOps extends OpRegistry {
       // 100 TB, where each round is a full shuffle over the edge set.
       // Edges: capped-universe Jaccard pairs (jac > 0.1) — SQL-expressible,
       // so DuckDB re-derives the same components with a recursive CTE and
-      // the op is fully oracle-checked. materialize=true pins the shared
-      // posting list once — the lazy form re-runs the whole shingling
-      // pipeline per consumer (see jaccardEdges).
-      val pairs = TextOps.jaccardEdges(s, dir, materialize = true)
+      // the op is fully oracle-checked. Consumes the session-landed
+      // candidate-pair artifact (TextOps.candidatePairs) shared with
+      // jaccard_pairs / docs_split_leakage / text_fuzzy_pairs, so the
+      // fact-sized candidate pass runs once per corpus, not per consumer;
+      // localCheckpoint then pins the pair-count-sized edges in memory for
+      // the CC iterations.
+      val pairs = TextOps.candidatePairs(s, dir)
         .select(col("id1").as("a"), col("id2").as("b")).localCheckpoint()
       val docs = t(s, dir)("documents").select(col("doc_id").as("node"))
       val (labels, _) = connectedComponents(docs, pairs)

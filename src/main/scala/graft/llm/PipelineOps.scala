@@ -421,14 +421,15 @@ object PipelineOps extends OpRegistry {
       // was trained on. The split rule is docs_split_assign's verbatim
       // (rollingHash31 pmod 100 → 80/10/10), so the two ops stay
       // consistent by construction. Output is the ≤ 3×3 (split_a ≤
-      // split_b) cell matrix with a leak flag — the only data-sized work
-      // is the shared candidate pass itself; everything after the edge
+      // split_b) cell matrix with a leak flag — the candidate pass comes
+      // from the session-landed artifact (TextOps.candidatePairs, VERDICT
+      // r10 #2) instead of a private re-run; everything after the edge
       // join is pair-count-sized.
       val bucket = pmod(rollingHash31(col("text")), lit(100L))
       val splits = tWide(s, dir)("documents").select(col("doc_id"),
         when(bucket < 80, "train").when(bucket < 90, "val")
           .otherwise("test").as("split"))
-      TextOps.jaccardEdges(s, dir, materialize = false)
+      TextOps.candidatePairs(s, dir)
         .join(splits.select(col("doc_id").as("id1"), col("split").as("s1")),
           Seq("id1"))
         .join(splits.select(col("doc_id").as("id2"), col("split").as("s2")),

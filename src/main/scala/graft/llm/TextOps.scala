@@ -64,8 +64,44 @@ object TextOps extends OpRegistry {
     * (dedup_components) pass true to pin the posting list once via
     * localCheckpoint; the oracle-compared op keeps the lazy form — same
     * result either way. */
-  private[llm] def jaccardEdges(s: SparkSession, dir: String,
-                                materialize: Boolean): DataFrame = {
+  /** Landed candidate-pair artifact (VERDICT r10 #2): the df-capped
+    * exact-Jaccard edge list `(id1, id2, inter, uni)` written ONCE per
+    * (session, corpus dir) as parquet and re-read by every consumer —
+    * `jaccard_pairs`, `text_fuzzy_pairs`, `dedup_components`, and
+    * `docs_split_leakage` previously each re-ran the whole shingle →
+    * df-cap → self-join candidate pass (the single most expensive text
+    * kernel; 10.9× growth at the 100× probe for split_leakage alone). A
+    * real pipeline lands this table once per corpus snapshot and fans it
+    * out to the dedup graph, the leakage QA gate, and the fuzzy verifier;
+    * at 100 TB it would be bucketed by id1 so those consumers join
+    * shuffle-free. The first consumer in a session pays the build (timed
+    * honestly — Bench/ScaleProbe clear the memo each pass via
+    * [[clearCandidateArtifacts]]); the rest pay a parquet read of a
+    * pair-count-sized table. The lazy derivation stays in
+    * [[jaccardEdges]] as the oracle-checkable twin — DuckDB re-derives
+    * the same edges independently, so the artifact never self-certifies. */
+  private val edgeArtifacts =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private[graft] def clearCandidateArtifacts(): Unit = edgeArtifacts.clear()
+
+  private[graft] def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val path = edgeArtifacts.getOrElseUpdate(key, {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_artifacts_${s.sparkContext.applicationId}")
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = new java.io.File(base,
+        s"edges_${safe}_${Integer.toHexString(dir.hashCode)}").getPath
+      jaccardEdges(s, dir, materialize = true)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  private[graft] def jaccardEdges(s: SparkSession, dir: String,
+                                  materialize: Boolean): DataFrame = {
     val docsArr = tWide(s, dir)("documents").select(col("doc_id"),
       Shingling.shingleArray(col("text"), hashed = true)(s).as("shs"))
     val sh = docsArr.select(col("doc_id"), explode(col("shs")).as("sh_h"))
@@ -101,8 +137,14 @@ object TextOps extends OpRegistry {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
         .orderBy("doc_id")),
 
+    // NOTE (100 TB guidance, SURVEY §4.2.6): exact-pair semantics are
+    // inherently df²-below-cap — on a saturating-vocab corpus the
+    // candidate set grows superlinearly no matter the plan (16.1× at the
+    // 200× sweep). The scale-safe near-dup default is dedup_near_minhash
+    // (4.6× at 200×); this op is its oracle-checkable exact twin, fed from
+    // the shared landed artifact.
     "jaccard_pairs" -> ((s, dir) =>
-      jaccardEdges(s, dir, materialize = false)
+      candidatePairs(s, dir)
         .select(col("id1"), col("id2"), col("inter"), col("uni"),
           r6(col("inter").cast("double") / col("uni")).as("jac"))
         .orderBy("id1", "id2")),
@@ -297,7 +339,7 @@ object TextOps extends OpRegistry {
       // cheap-filter-then-expensive-verify shape every fuzzy-match pipeline
       // uses at scale. sim6 = 1 - dist/max(len) in safe-rounded double.
       val docs = tWide(s, dir)("documents").select(col("doc_id"), col("text"))
-      val pairs = jaccardEdges(s, dir, materialize = false).select("id1", "id2")
+      val pairs = candidatePairs(s, dir).select("id1", "id2")
       pairs
         .join(docs.select(col("doc_id"), col("text").as("t1")), col("id1") === col("doc_id")).drop("doc_id")
         .join(docs.select(col("doc_id"), col("text").as("t2")), col("id2") === col("doc_id")).drop("doc_id")

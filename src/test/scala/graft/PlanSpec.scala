@@ -27,8 +27,15 @@ class PlanSpec extends GraftSuite {
   }
 
   test("candidate-bounded pipeline: jaccard and minhash plans contain no cartesian join") {
-    for (name <- Seq("jaccard_pairs", "dedup_near_minhash")) {
-      val p = finalPlan(name)
+    // jaccard_pairs now reads the landed candidate artifact, so the guard
+    // must inspect the BUILD kernel (the lazy oracle twin) — the registry
+    // plan would be a vacuous parquet scan
+    val kernel = llm.TextOps.jaccardEdges(spark, sfDir, materialize = false)
+    kernel.collect()
+    val plans = Seq(
+      "jaccardEdges(kernel)" -> kernel.queryExecution.executedPlan.toString,
+      "dedup_near_minhash" -> finalPlan("dedup_near_minhash"))
+    for ((name, p) <- plans) {
       assert(!p.contains("CartesianProduct"), s"$name degenerated to a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name uses a nested-loop join:\n$p")
     }
@@ -154,9 +161,16 @@ class PlanSpec extends GraftSuite {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit}
     val audited = Seq("q_revenue_by_region", "q_top_unshipped", "q_parts_share",
       "q_yoy_growth", "events_retention_cohorts", "events_funnel",
-      "graph_triangles", "merge_upsert", "jaccard_pairs", "text_tfidf_top")
-    for (name <- audited) {
-      val hints = q(name).queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      "graph_triangles", "merge_upsert", "text_tfidf_top")
+    // jaccard_pairs reads the landed artifact; audit its BUILD kernel
+    // (where the 200x OOM hint lived) instead of the vacuous scan plan
+    val analyzedPlans =
+      audited.map(n => n -> q(n).queryExecution.analyzed) :+
+        ("jaccardEdges(kernel)" ->
+          llm.TextOps.jaccardEdges(spark, sfDir, materialize = false)
+            .queryExecution.analyzed)
+    for ((name, analyzed) <- analyzedPlans) {
+      val hints = analyzed.collect { case h: ResolvedHint => h }
       for (h <- hints) {
         val leaves = h.child.collectLeaves().map(_.toString)
         val schemaBounded =

@@ -163,9 +163,24 @@ class SpillPathSpec extends GraftSuite {
     // shuffle bounds spill files PER TASK (each open spill reader costs a
     // fixed 1 MB buffer at merge — the at-scale sizing rule this suite
     // exists to evidence); the op's output is partitioning-invariant.
-    assertSpillsAndMatches("dedup_components",
-      "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "16, 64",
-      "spark.sql.shuffle.partitions" -> "32")
+    // the candidate-pair artifact memo would otherwise serve the forced run
+    // from parquet and move the spill-heavy build OUT of the measured block
+    // — clear it so the full build + CC iterations run under eviction
+    val expected = rendered("dedup_components")
+    llm.TextOps.clearCandidateArtifacts()
+    var got: Seq[String] = null
+    val (memB, diskB) = spilledDuring {
+      withConfs(
+        "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "16, 64",
+        "spark.sql.shuffle.partitions" -> "32") {
+        got = rendered("dedup_components")
+      }
+    }
+    assert(got == expected,
+      s"dedup_components: spill path changed the result (${got.size} vs ${expected.size} rows)")
+    assert(memB + diskB > 0,
+      s"dedup_components: no spill recorded (mem=$memB disk=$diskB) — thresholds did not engage")
+    info(s"dedup_components: spilled mem=$memB disk=$diskB bytes, ${expected.size} rows identical")
   }
 
   test("global top-k under agg fallback: limit_topk_global identical") {
