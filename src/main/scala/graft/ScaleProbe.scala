@@ -101,6 +101,103 @@ object ScaleProbe {
       lit("{}").as("props"))
   }
 
+  /** Join-heavy relational (TPC-H-shape) reps (VERDICT r10 #3): the fixture
+    * SFs cap lineitem at 600k rows, so the five most join-heavy Q-shapes
+    * need a synthetic star schema to show growth. Facts AND
+    * SF-proportional dims (customer/supplier/part) scale with the mult,
+    * exactly as TPC-H SF does; nation/region are schema-bounded and copied
+    * from the fixture. */
+  private val ProbedRel = Seq(
+    "q_waiting_suppliers", "q_min_cost_supplier", "q_local_supplier_volume",
+    "q_market_share", "q_product_profit")
+
+  /** o_orderdate(k): deterministic day in 1995-01-01..2001-07-second, the
+    * fixture's span — shared by synthOrders and synthLineitem so each
+    * line's shipdate is its own order's date + 1..120 days (what
+    * q_waiting_suppliers' >60-day lateness predicate needs). */
+  private def orderDate(k: org.apache.spark.sql.Column) =
+    date_add(to_date(lit("1995-01-01")), pmod(xxhash64(k), lit(2400)).cast("int"))
+
+  private def synthOrders(s: SparkSession, n: Long, nCust: Long): DataFrame = {
+    val prios = array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW").map(lit): _*)
+    s.range(n).select(
+      col("id").as("o_orderkey"),
+      pmod(xxhash64(col("id"), lit(1)), lit(nCust)).as("o_custkey"),
+      element_at(array(lit("F"), lit("O"), lit("P")),
+        (pmod(xxhash64(col("id"), lit(2)), lit(3)) + 1).cast("int")).as("o_orderstatus"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(45000000L)).cast("double") / 100.0 + 900.0)
+        .as("o_totalprice"),
+      orderDate(col("id")).cast("timestamp_ntz").as("o_orderdate"),
+      element_at(prios, (pmod(xxhash64(col("id"), lit(4)), lit(5)) + 1).cast("int"))
+        .as("o_orderpriority"))
+  }
+
+  /** 4 lines per order (the fixture's ~4:1 ratio is exact here: lineitem
+    * row i belongs to order i div 4). */
+  private def synthLineitem(s: SparkSession, n: Long, nPart: Long,
+                            nSupp: Long): DataFrame =
+    s.range(n).select(
+      shiftright(col("id"), 2).as("l_orderkey"),
+      pmod(xxhash64(col("id"), lit(1)), lit(nPart)).as("l_partkey"),
+      pmod(xxhash64(col("id"), lit(2)), lit(nSupp)).as("l_suppkey"),
+      (pmod(col("id"), lit(4)) + 1).cast("int").as("l_linenumber"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(50)) + 1).cast("double").as("l_quantity"),
+      (pmod(xxhash64(col("id"), lit(4)), lit(10000000L)).cast("double") / 100.0 + 1.0)
+        .as("l_extendedprice"),
+      (pmod(xxhash64(col("id"), lit(5)), lit(11)).cast("double") / 100.0).as("l_discount"),
+      (pmod(xxhash64(col("id"), lit(6)), lit(9)).cast("double") / 100.0).as("l_tax"),
+      element_at(array(lit("A"), lit("N"), lit("R")),
+        (pmod(xxhash64(col("id"), lit(7)), lit(3)) + 1).cast("int")).as("l_returnflag"),
+      element_at(array(lit("F"), lit("O")),
+        (pmod(xxhash64(col("id"), lit(8)), lit(2)) + 1).cast("int")).as("l_linestatus"),
+      date_add(orderDate(shiftright(col("id"), 2)),
+        (pmod(xxhash64(col("id"), lit(9)), lit(120)) + 1).cast("int"))
+        .cast("timestamp_ntz").as("l_shipdate"))
+
+  private def synthCustomer(s: SparkSession, n: Long): DataFrame = {
+    val segs = array(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY").map(lit): _*)
+    s.range(n).select(
+      col("id").as("c_custkey"),
+      concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0")).as("c_name"),
+      pmod(xxhash64(col("id"), lit(1)), lit(25)).cast("int").as("c_nationkey"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(500000L)).cast("double") / 100.0)
+        .as("c_acctbal"),
+      element_at(segs, (pmod(xxhash64(col("id"), lit(3)), lit(5)) + 1).cast("int"))
+        .as("c_mktsegment"))
+  }
+
+  private def synthSupplier(s: SparkSession, n: Long): DataFrame =
+    s.range(n).select(
+      col("id").as("s_suppkey"),
+      concat(lit("Supplier#"), lpad(col("id").cast("string"), 9, "0")).as("s_name"),
+      pmod(xxhash64(col("id"), lit(1)), lit(25)).cast("int").as("s_nationkey"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(500000L)).cast("double") / 100.0)
+        .as("s_acctbal"))
+
+  private def synthPart(s: SparkSession, n: Long): DataFrame = {
+    val adjs = array(Seq("cold", "small", "large", "dim", "fast", "quiet",
+      "warm", "heavy").map(lit): _*)
+    val nouns = array(Seq("widget", "gadget", "sprocket", "flange", "gear",
+      "bolt").map(lit): _*)
+    val types = array(Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+      "STANDARD").map(lit): _*)
+    s.range(n).select(
+      col("id").as("p_partkey"),
+      concat(element_at(adjs, (pmod(xxhash64(col("id"), lit(1)), lit(8)) + 1).cast("int")),
+        lit(" "),
+        element_at(nouns, (pmod(xxhash64(col("id"), lit(2)), lit(6)) + 1).cast("int")))
+        .as("p_name"),
+      concat(lit("Brand#"), (pmod(xxhash64(col("id"), lit(3)), lit(25)) + 1).cast("string"))
+        .as("p_brand"),
+      element_at(types, (pmod(xxhash64(col("id"), lit(4)), lit(6)) + 1).cast("int"))
+        .as("p_type"),
+      (pmod(xxhash64(col("id"), lit(5)), lit(50)) + 1).cast("int").as("p_size"),
+      (pmod(xxhash64(col("id"), lit(6)), lit(20000L)).cast("double") / 100.0 + 900.0)
+        .as("p_retailprice"))
+  }
+
   def main(args: Array[String]): Unit = {
     val mults = (if (args.isEmpty) Seq(1L, 10L) else args.toSeq.map(_.toLong)).sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -117,6 +214,9 @@ object ScaleProbe {
     val baseDocs = 5000L // sf0.1 documents row count
     val baseVecs = 2000L // sf0.1 embeddings row count
     val baseEvents = 100000L // sf0.1 events row count
+    val baseLines = 600000L // sf0.1 lineitem row count (orders = /4)
+    val baseCust = 15000L; val baseSupp = 1000L; val basePart = 20000L
+    val allOps = Probed ++ ProbedVec ++ ProbedEvents ++ ProbedRel
     val times = scala.collection.mutable.LinkedHashMap[(Long, String), Double]()
     val samples = scala.collection.mutable.LinkedHashMap[(Long, String), List[Double]]()
     mults.foreach { m =>
@@ -127,18 +227,33 @@ object ScaleProbe {
         .parquet(s"$dir/embeddings.parquet")
       synthEvents(spark, baseEvents * m).write.mode("overwrite")
         .parquet(s"$dir/events.parquet")
+      // star schema: facts and SF-proportional dims scale with m;
+      // nation/region are schema-bounded — copied verbatim from the fixture
+      synthLineitem(spark, baseLines * m, basePart * m, baseSupp * m)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      synthOrders(spark, baseLines * m / 4, baseCust * m)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      synthCustomer(spark, baseCust * m)
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      synthSupplier(spark, baseSupp * m)
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      synthPart(spark, basePart * m)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      Seq("nation", "region").foreach(tn =>
+        Tables.load(spark, "/root/testdata/sf0.1", tn)
+          .write.mode("overwrite").parquet(s"$dir/$tn.parquet"))
       // warm-up read (parquet footers), then timed runs — median of 3 so a
       // first-execution JIT/codegen compile or a host stall cannot fake a
       // ratio (single samples measured ratios BELOW 1 purely from warmup)
-      Tables.load(spark, dir, "documents").count()
-      Tables.load(spark, dir, "embeddings").count()
-      Tables.load(spark, dir, "events").count()
+      Seq("documents", "embeddings", "events", "lineitem", "orders",
+        "customer", "supplier", "part").foreach(tn =>
+        Tables.load(spark, dir, tn).count())
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-      for (rep <- 1 to reps; op <- Probed ++ ProbedVec ++ ProbedEvents) {
+      for (rep <- 1 to reps; op <- allOps) {
         // per-pass artifact reset (same protocol as Bench): the first
         // candidate-pair consumer of each pass pays the build, the rest
         // read — the pipeline shape being measured, honestly attributed
-        if (op == (Probed ++ ProbedVec ++ ProbedEvents).head)
+        if (op == allOps.head)
           llm.TextOps.clearCandidateArtifacts()
         val t0 = System.nanoTime()
         // name the failing op instead of dying mid-sweep: the first 200×
@@ -155,13 +270,13 @@ object ScaleProbe {
               s"[probe] $op FAILED at ${m}x: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }
-      (Probed ++ ProbedVec ++ ProbedEvents).foreach { op =>
+      allOps.foreach { op =>
         val xs = samples((m, op)).sorted
         times((m, op)) = if (xs.isEmpty) -1.0 else xs(xs.size / 2)
       }
     }
     def fmt(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val lines = (Probed ++ ProbedVec ++ ProbedEvents).map { op =>
+    val lines = allOps.map { op =>
       val per = mults.map(m => s""""${m}x":${fmt(times((m, op)))}""").mkString(",")
       val ratio =
         if (mults.size >= 2)
@@ -207,7 +322,24 @@ object ScaleProbe {
         s""","recall_at_5":{"mult":${mults.last},"error":-1}"""
     }
 
-    println(s"""{"probe":"scale","base_docs":$baseDocs,"base_vecs":$baseVecs,"base_events":$baseEvents,"mults":[${mults.mkString(",")}],"ops":{${lines.mkString(",")}}$recallJson}""")
+    // VERDICT r10 #7: the scale-safe near-dup default is dedup_near_minhash;
+    // the probe ASSERTS its growth stays under 1/4 of exact jaccard's at the
+    // sweep's largest mult (the 200x criterion — enforced from 100x up,
+    // where the df² term dominates jaccard; below that both are
+    // overhead-dominated and the ratio is noise).
+    val mjJson = if (mults.size >= 2) {
+      def ratio(op: String) = {
+        val a = times((mults.head, op)); val b = times((mults.last, op))
+        if (a > 0 && b > 0) b / a else -1.0
+      }
+      val jr = ratio("jaccard_pairs"); val mr = ratio("dedup_near_minhash")
+      val applies = mults.last >= 100
+      val ok = !applies || (jr > 0 && mr > 0 && mr < jr / 4)
+      if (!ok) System.err.println(
+        f"[probe] ASSERT FAILED: minhash ratio $mr%.2f !< jaccard ratio $jr%.2f / 4 at ${mults.last}x")
+      s""","minhash_vs_jaccard":{"jaccard_ratio":${fmt(jr)},"minhash_ratio":${fmt(mr)},"asserted":$applies,"ok":$ok}"""
+    } else ""
+    println(s"""{"probe":"scale","base_docs":$baseDocs,"base_vecs":$baseVecs,"base_events":$baseEvents,"base_lines":$baseLines,"mults":[${mults.mkString(",")}],"ops":{${lines.mkString(",")}}$recallJson$mjJson}""")
     spark.stop()
   }
 }

@@ -256,4 +256,57 @@ class PlanSpec extends GraftSuite {
     // explodes are the user collapse
     assert("Generate".r.findAllIn(p).size >= 2, s"pair explode missing:\n$p")
   }
+
+  test("r10 families: every window is partitioned (no data-sized single-task frame)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // Documented global-window exceptions, each over a BOUNDED frame:
+    // q_monthly_trend (≤84 month rows), events_rfm_scores /
+    // events_pareto_share (global user ranking is the op's semantics —
+    // runs over the per-user AGGREGATE, the collapsed frame, and is the
+    // single-sort shape any global decile/Pareto ranking needs),
+    // events_dau_wau (day-grain frame, ≤31 rows at any corpus size).
+    val globalByDesign = Set("q_monthly_trend", "events_rfm_scores",
+      "events_pareto_share", "events_dau_wau")
+    val swept = SparkEntry.queries.keys
+      .filter(k => (k.startsWith("events_") || k.startsWith("q_") ||
+        k.startsWith("win_")) && !globalByDesign(k)).toSeq.sorted
+    for (name <- swept) {
+      val wins = q(name).queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(wins.isEmpty,
+        s"$name: unpartitioned window (single-task data-sized frame):\n${wins.mkString("\n")}")
+    }
+  }
+
+  test("q_local_supplier_volume: date filter reaches the orders scan; dims broadcast") {
+    val p = finalPlan("q_local_supplier_volume")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"o_orderdate filter not pushed to the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation/region join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("q_market_share: part filter pushed; numerator+denominator in one aggregate pass") {
+    val p = finalPlan("q_market_share")
+    assert(p.contains("p_type"), s"p_type filter missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"share must come from one conditional-sum aggregate, not a scalar join:\n$p")
+  }
+
+  test("q_waiting_suppliers: exists/not-exists as keyed aggs, never per-row probes") {
+    val p = finalPlan("q_waiting_suppliers")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated-probe shape crept in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"the two keyed aggregations (order,supplier)/(order) are missing:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_orderstatus"),
+      s"o_orderstatus filter not pushed to the orders scan:\n$p")
+  }
+
+  test("q_product_profit: part filter pushed; no cartesian") {
+    val p = finalPlan("q_product_profit")
+    assert(p.contains("PushedFilters"), s"no scan-level filters:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
 }
