@@ -129,13 +129,19 @@ object Bench {
     val goodFloor = floorSamples.filter(_ >= 0).toList
     val floor = if (goodFloor.isEmpty) -1.0 else median(goodFloor)
     val total = results.values.filter(_ >= 0).sum
-    val streamingTotal =
-      results.collect { case (n, v) if n.startsWith("stream_") && v >= 0 => v }.sum
+    val streamingQs =
+      results.collect { case (n, v) if n.startsWith("stream_") && v >= 0 => v }
+    val streamingTotal = streamingQs.sum
+    // floor-subtracted state-work number (VERDICT r10 #6): streaming_total ≈
+    // n_streams × floor + real state work; regressions in the state work must
+    // not hide inside (or be blamed on) harness-floor noise
+    val streamingNet =
+      if (floor < 0) -1.0 else math.max(0.0, streamingTotal - streamingQs.size * floor)
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qJson(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"stat":"median","streaming_floor":${fmt(floor)},"streaming_total":${fmt(streamingTotal)},"failed":$fl,"sf":"$sfDir""""
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"stat":"median","streaming_floor":${fmt(floor)},"streaming_total":${fmt(streamingTotal)},"streaming_net":${fmt(streamingNet)},"failed":$fl,"sf":"$sfDir""""
     val full =
       s"""{$head,"queries":${qJson(results)},"samples":${samples.map { case (k, xs) =>
         "\"" + k + "\":[" + xs.map(fmt).mkString(",") + "]" }.mkString("{", ",", "}")}}"""

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst expression for the exact quantized integer dot product
@@ -448,6 +448,73 @@ case class LmNllSum(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd portable rolling content hash — the seedless char fold
+  * `acc = (acc·31 + codepoint) mod 2³¹, acc₀ = 17` that docs_split_assign /
+  * docs_temperature_resample / docs_split_leakage / text_hashed_features
+  * replay in DuckDB as `list_reduce(..., (a,c) -> (a*31+c) % 2147483648)`.
+  *
+  * The declarative form (`aggregate(transform(sequence(1, length), i =>
+  * ascii(substr(i, 1))), 17, fold)`) routes every CHARACTER through a
+  * per-position substr (UTF8String locates char i by scanning from byte 0),
+  * an ascii() call, an array materialization, and two interpreted lambda
+  * invocations — measured as the dominant term of docs_split_leakage's
+  * 100× probe wall (~22 s of split-side work at 500k docs). This
+  * expression is one fused loop over the string's codepoints inside
+  * whole-stage codegen. Kept bit-identical to the HOF twin on the
+  * documented ASCII domain (PropertySpec asserts it); on multibyte text it
+  * follows the ORACLE's semantics (DuckDB `ord` = codepoint), which is the
+  * contract that matters.
+  *
+  * NULL text => NULL (same 3VL propagation the HOF form was fixed to in
+  * ADVICE r9); empty string => 17 (the seed), matching
+  * `list_reduce(list_prepend(17, []))`.
+  */
+case class RollingHash31(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_rolling_hash31"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var acc = 17L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 2147483648L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 17L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + (long) $cp) % 2147483648L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   val DotQName = "graft_dot_q"
   val HllName = "graft_hll_distinct"
@@ -499,6 +566,15 @@ object GraftExpressions {
   def pqEncode(qe: Column, codebook: Array[Array[Array[Long]]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(PqEncode(ColumnBridge.expression(qe), codebook))
+  }
+
+  /** Column form of the native rolling content hash. Built via
+    * ColumnBridge (no registry state, no session parameter), so it drops
+    * into any call site — including transform() lambdas, where the child
+    * is a lambda variable. */
+  def rollingHash31(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(RollingHash31(ColumnBridge.expression(c)))
   }
 
   /** Column form of the native per-query ADC lookup-table builder. */

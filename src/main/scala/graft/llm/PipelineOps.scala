@@ -89,6 +89,15 @@ object PipelineOps extends OpRegistry {
     * propagation. The inverted (`length >= 1`) form silently hashed NULL
     * to the seed 17 while the oracle returned NULL. */
   private[graft] def rollingHash31(c: Column): Column =
+    graft.functions.GraftExpressions.rollingHash31(c)
+
+  /** The declarative HOF twin of [[RollingHash31]] — kept as the
+    * bit-identity reference (PropertySpec compares the two on the
+    * documented ASCII domain). Routing production call sites through it
+    * was the dominant term of docs_split_leakage's 100× probe wall: every
+    * char pays a substr position scan + ascii() + two interpreted lambda
+    * calls, where the native expression is one codegen'd codepoint loop. */
+  private[graft] def rollingHash31Hof(c: Column): Column =
     aggregate(
       transform(
         when(length(c) === 0, array().cast("array<int>"))
@@ -441,6 +450,50 @@ object PipelineOps extends OpRegistry {
         .withColumn("is_leak", (col("split_a") =!= col("split_b")).cast("int"))
         .orderBy("split_a", "split_b")
     }),
+
+    "docs_token_budget_fill" -> ((s, dir) => {
+      // Token-budget mix construction (round 11): greedily fill each
+      // language's training budget (20k tokens) with its highest-quality
+      // documents — the "give me the best N-billion tokens per domain"
+      // step that sits between quality scoring and docs_pack_greedy.
+      // Quality is the engine's shared integer score
+      // (docs_topk_quality_per_lang's, dialect-proof by construction).
+      // The exact greedy prefix needs a per-lang ordered cumsum, and a
+      // doc-sized Window.partitionBy(lang) is the measured antipattern
+      // the percentile gate documents — so a HISTOGRAM pre-cut runs
+      // first: per (lang, quality) token masses, cumulated over the
+      // vocabulary-sized histogram, find the lowest quality level that
+      // can still contribute to the budget; only docs at or above that
+      // level (≈ budget-sized token mass, one level of slack) enter the
+      // exact window. Docs below the cut are provably outside the prefix
+      // (they sort after every candidate), so the result is identical to
+      // the naive full-corpus cumsum the oracle runs.
+      val budget = 20000L
+      val toks = split(col("text"), " ")
+      val scored = tWide(s, dir)("documents").select(
+        col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks).cast("long") * 10
+          - size(filter(toks, x => x.isin(TextOps.StopWords: _*))).cast("long") * 5
+          - length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
+          .as("quality"))
+      val hist = scored.groupBy("lang", "quality")
+        .agg(sum("n_tokens").as("tok"))
+      val cumW = Window.partitionBy("lang").orderBy(col("quality").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cut = hist
+        .withColumn("above", sum("tok").over(cumW) - col("tok"))
+        .filter(col("above") < budget)
+        .groupBy("lang").agg(min("quality").as("q_min"))
+      val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      scored.join(broadcast(cut), Seq("lang"))
+        .filter(col("quality") >= col("q_min"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("lang"), col("doc_id"), col("quality"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("lang", "cum_tokens", "doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -649,5 +702,24 @@ object PipelineOps extends OpRegistry {
              CAST(least(p1.split, p2.split) <> greatest(p1.split, p2.split) AS INT) AS is_leak
       FROM edges JOIN sp p1 ON id1 = p1.doc_id JOIN sp p2 ON id2 = p2.doc_id
       GROUP BY 1, 2 ORDER BY split_a, split_b""",
+
+    "docs_token_budget_fill" -> """
+      WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) * 10
+                 - CAST(len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','of','and','a','to','in','is','data'))) AS BIGINT) * 5
+                 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT)
+                 AS quality
+        FROM documents),
+      c AS (SELECT lang, doc_id, quality, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY quality DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS cum_tokens
+            FROM scored)
+      SELECT lang, doc_id, quality, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 20000 ORDER BY lang, cum_tokens, doc_id""",
   )
 }

@@ -613,6 +613,33 @@ object TextOps extends OpRegistry {
         .orderBy("lang", "rk")
     }),
 
+    "text_bpe_pair_stats" -> ((s, dir) => {
+      // BPE merge-candidate statistics (round 11): the tokenizer-training
+      // primitive — per language, the 10 most frequent WORD-INTERNAL
+      // adjacent character pairs with corpus counts and share of all
+      // word-internal pairs in exact integer ppm. The word-boundary rule
+      // (pairs never span whitespace) is what real BPE training enforces,
+      // and what separates this from docs_char_lm's whole-text transition
+      // model. One occurrence-sized explode partially aggregates onto
+      // (lang, pair) — charset²-vocab-bounded — and both windows run over
+      // that bounded frame, so the plan is scan-bound at any corpus size.
+      val words = tWide(s, dir)("documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val cnt = words
+        .select(col("lang"), explode(Shingling.charBigramArray(col("w"))).as("pair"))
+        .groupBy("lang", "pair").agg(count(lit(1)).as("n"))
+      val wl = Window.partitionBy("lang")
+      val wr = Window.partitionBy("lang").orderBy(col("n").desc, col("pair"))
+      cnt.withColumn("lang_total", sum("n").over(wl))
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk").cast("int").as("rk"), col("pair"), col("n"),
+          call_function("div", col("n") * lit(1000000L), col("lang_total"))
+            .as("share_ppm"))
+        .orderBy("lang", "rk")
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       // Content-defined fingerprint: hash of the sorted distinct token bag.
       tWide(s, dir)("documents").select(
@@ -1001,5 +1028,18 @@ object TextOps extends OpRegistry {
              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow,
              CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
       FROM documents ORDER BY doc_id""",
+    "text_bpe_pair_stats" -> """
+      WITH wrd AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      p AS (SELECT lang, substring(w, i, 2) AS pair
+            FROM (SELECT lang, w, unnest(range(1, length(w))) AS i
+                  FROM wrd WHERE length(w) >= 2)),
+      cnt AS (SELECT lang, pair, COUNT(1) AS n FROM p GROUP BY 1, 2),
+      rk AS (SELECT lang, pair, n,
+                    CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+                    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, pair) AS rk
+             FROM cnt)
+      SELECT lang, CAST(rk AS INT) AS rk, pair, n,
+             CAST(n * 1000000 // lang_total AS BIGINT) AS share_ppm
+      FROM rk WHERE rk <= 10 ORDER BY lang, rk""",
   )
 }

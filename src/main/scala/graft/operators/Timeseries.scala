@@ -308,6 +308,47 @@ object Timeseries extends OpRegistry {
         .orderBy("decile")
     }),
 
+    "events_anomaly_mad" -> ((s, dir) => {
+      // Robust anomaly screen (round 11): per event type, the exact
+      // median and median-absolute-deviation of value, plus the count of
+      // events beyond 3 MADs — the heavy-tail-proof twin of
+      // events_anomaly_zscore (one outlier inflates a stddev enough to
+      // mask its siblings; it moves a median by at most one rank). Both
+      // medians use agg_median's (lo+hi) recipe kept at 2× scale in
+      // centi-integers, so the entire op — including the 3-MAD cut
+      // 2·dev > 3·mad4 — is 64-bit integer arithmetic with no float
+      // division anywhere. Exact medians partition only by event_type
+      // (|types| parallelism), the honest cost of rank-exactness: at
+      // 100 TB the screen runs on agg_approx_quantile's sketch instead,
+      // and this op is its oracle-exact twin at validation scale.
+      val e = t(s, dir)("events").select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+      def med2(df: DataFrame, c: String): DataFrame = {
+        val wv = Window.partitionBy("event_type").orderBy(c)
+        val wn = Window.partitionBy("event_type")
+        df.withColumn("rn", row_number().over(wv))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("event_type")
+          .agg((max(when(col("rn") === call_function("div", col("n") + 1, lit(2L)),
+            col(c))) +
+            max(when(col("rn") === call_function("div", col("n"), lit(2L)) + 1,
+              col(c)))).as("m2"))
+      }
+      val med = med2(e, "v").withColumnRenamed("m2", "med2")
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med2"),
+          abs(col("v") * 2 - col("med2")).as("dev"))
+      val mad = med2(dev, "dev").withColumnRenamed("m2", "mad4")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          max(col("med2")).as("med2x_centi"),
+          max(col("mad4")).as("mad4x_centi"),
+          sum(when(col("dev") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+            .as("n_anomalies"))
+        .orderBy("event_type")
+    }),
+
     "scd2_type_history" -> ((s, dir) => {
       // Changelog → SCD2: collapse consecutive same-type runs per user
       // (gaps-and-islands change capture), then build [valid_from,
@@ -648,5 +689,31 @@ object Timeseries extends OpRegistry {
         JOIN cnt ca ON type_a = ca.event_type
         JOIN cnt cb ON type_b = cb.event_type
       ORDER BY type_a, type_b""",
+
+    "events_anomaly_mad" -> """
+      WITH e AS (SELECT event_type,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+      r1 AS (SELECT event_type, v,
+                    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                    COUNT(1) OVER (PARTITION BY event_type) AS n FROM e),
+      med AS (SELECT event_type,
+                     MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                       + MAX(CASE WHEN rn = n // 2 + 1 THEN v END) AS med2
+              FROM r1 GROUP BY event_type),
+      d AS (SELECT e.event_type, med.med2, abs(e.v * 2 - med.med2) AS dev
+            FROM e JOIN med ON e.event_type = med.event_type),
+      r2 AS (SELECT event_type, med2, dev,
+                    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+                    COUNT(1) OVER (PARTITION BY event_type) AS n FROM d),
+      mad AS (SELECT event_type,
+                     MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+                       + MAX(CASE WHEN rn = n // 2 + 1 THEN dev END) AS mad4
+              FROM r2 GROUP BY event_type)
+      SELECT d.event_type, COUNT(1) AS n_events,
+             MAX(d.med2) AS med2x_centi, MAX(mad.mad4) AS mad4x_centi,
+             CAST(SUM(CASE WHEN d.dev * 2 > mad.mad4 * 3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_anomalies
+      FROM d JOIN mad ON d.event_type = mad.event_type
+      GROUP BY d.event_type ORDER BY d.event_type""",
   )
 }

@@ -158,6 +158,34 @@ class ExpressionSpec extends GraftSuite {
     assert(expr.eval(row) == null, "interpreted eval must be null for null key")
   }
 
+  test("RollingHash31 equals the declarative HOF fold on every fixture doc + edges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select($"text")
+      .unionAll(Seq("", "a", "abc 123 <num>", " leading", "trailing ").toDF("text"))
+    val mismatches = docs.select(
+        llm.PipelineOps.rollingHash31($"text").as("n"),
+        llm.PipelineOps.rollingHash31Hof($"text").as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(mismatches == 0)
+    // NULL text propagates NULL in both forms (the ADVICE r9 convention)
+    val nulls = Seq[Option[String]](None).toDF("text").select(
+      llm.PipelineOps.rollingHash31($"text").as("n"),
+      llm.PipelineOps.rollingHash31Hof($"text").as("h")).collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // hand-computed anchor: "ab" -> ((17*31+97) % 2^31)*31 + 98 = 19442
+    val ab = Seq("ab").toDF("text")
+      .select(llm.PipelineOps.rollingHash31($"text")).collect()(0).getLong(0)
+    assert(ab === ((17L * 31 + 'a') * 31 + 'b') % 2147483648L)
+  }
+
+  test("RollingHash31 runs inside WholeStageCodegen in the split_assign plan") {
+    val df = q("docs_split_assign")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val codegen = "\\*\\(\\d+\\) Project .*graft_rolling_hash31".r
+    assert(codegen.findFirstIn(plan).isDefined,
+      s"graft_rolling_hash31 not inside a WholeStageCodegen Project:\n$plan")
+  }
+
   test("DotQ runs inside WholeStageCodegen in the knn plan") {
     val df = q("knn_cosine_topk")
     df.collect() // finalize the adaptive plan before inspecting it
