@@ -323,10 +323,14 @@ object ScaleProbe {
     }
 
     // VERDICT r10 #7: the scale-safe near-dup default is dedup_near_minhash;
-    // the probe ASSERTS its growth stays under 1/4 of exact jaccard's at the
-    // sweep's largest mult (the 200x criterion — enforced from 100x up,
-    // where the df² term dominates jaccard; below that both are
-    // overhead-dominated and the ratio is noise).
+    // the probe ASSERTS its growth stays strictly below exact jaccard's at
+    // 100×, and below 1/4 of it at 200×+ (where the df²-below-cap candidate
+    // term dominates jaccard — the criterion the r10 200× sweep measured:
+    // 4.6× vs 16.1×). The original flat-1/4-from-100× form was
+    // mis-calibrated: at 100× even the best pre-artifact windows measured
+    // ~2.7× apart (jaccard 6.3 / minhash 2.3), and jaccard now also carries
+    // the shared candidate-artifact build as the pass's first consumer.
+    // Below 100× both ops are overhead-dominated and the ratio is noise.
     val mjJson = if (mults.size >= 2) {
       def ratio(op: String) = {
         val a = times((mults.head, op)); val b = times((mults.last, op))
@@ -334,9 +338,10 @@ object ScaleProbe {
       }
       val jr = ratio("jaccard_pairs"); val mr = ratio("dedup_near_minhash")
       val applies = mults.last >= 100
-      val ok = !applies || (jr > 0 && mr > 0 && mr < jr / 4)
+      val bound = if (mults.last >= 200) 4.0 else 1.0
+      val ok = !applies || (jr > 0 && mr > 0 && mr < jr / bound)
       if (!ok) System.err.println(
-        f"[probe] ASSERT FAILED: minhash ratio $mr%.2f !< jaccard ratio $jr%.2f / 4 at ${mults.last}x")
+        f"[probe] ASSERT FAILED: minhash ratio $mr%.2f !< jaccard ratio $jr%.2f / $bound%.0f at ${mults.last}x")
       s""","minhash_vs_jaccard":{"jaccard_ratio":${fmt(jr)},"minhash_ratio":${fmt(mr)},"asserted":$applies,"ok":$ok}"""
     } else ""
     println(s"""{"probe":"scale","base_docs":$baseDocs,"base_vecs":$baseVecs,"base_events":$baseEvents,"base_lines":$baseLines,"mults":[${mults.mkString(",")}],"ops":{${lines.mkString(",")}}$recallJson$mjJson}""")
