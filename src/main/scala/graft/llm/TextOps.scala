@@ -80,25 +80,15 @@ object TextOps extends OpRegistry {
     * pair-count-sized table. The lazy derivation stays in
     * [[jaccardEdges]] as the oracle-checkable twin — DuckDB re-derives
     * the same edges independently, so the artifact never self-certifies. */
-  private val edgeArtifacts =
-    scala.collection.concurrent.TrieMap[String, String]()
+  /** Clears ALL landed artifacts (candidate edges + the graph family's
+    * co-trade edges) — the per-pass honest-measurement hook Bench and
+    * ScaleProbe call; see [[graft.CorpusArtifacts]]. */
+  private[graft] def clearCandidateArtifacts(): Unit =
+    graft.CorpusArtifacts.clear()
 
-  private[graft] def clearCandidateArtifacts(): Unit = edgeArtifacts.clear()
-
-  private[graft] def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val key = s.sparkContext.applicationId + "|" + dir
-    val path = edgeArtifacts.getOrElseUpdate(key, {
-      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_artifacts_${s.sparkContext.applicationId}")
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val p = new java.io.File(base,
-        s"edges_${safe}_${Integer.toHexString(dir.hashCode)}").getPath
-      jaccardEdges(s, dir, materialize = true)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+  private[graft] def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusArtifacts.parquet(s, "edges", dir)(
+      jaccardEdges(s, dir, materialize = true))
 
   private[graft] def jaccardEdges(s: SparkSession, dir: String,
                                   materialize: Boolean): DataFrame = {

@@ -221,8 +221,20 @@ object Profiling extends OpRegistry {
 
   /** Undirected co-trade edge list (a<b, distinct): nations a and b traded
     * iff some order had a customer in one and a supplying supplier in the
-    * other. Fact-table-sized build that collapses to ≤|nation|² rows. */
-  private def coTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    * other. Fact-table-sized build that collapses to ≤|nation|² rows —
+    * landed once per corpus via [[graft.CorpusArtifacts]] (r11): the three
+    * graph consumers (triangles, degree stats, PageRank) each re-ran this
+    * lineitem⋈orders⋈customer⋈supplier pass, ~3 fact scans per bench pass
+    * for one ≤300-row result. The first consumer of a pass pays the build
+    * (Bench/ScaleProbe clear the memo per pass); each oracle re-derives
+    * the edges from the raw tables, so the artifact never self-certifies. */
+  private def coTradeEdges(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusArtifacts.parquet(s, "cotrade", dir)(coTradeBuild(s, dir))
+
+  /** The build kernel behind the co-trade artifact — PlanSpec audits THIS
+    * for data-sized broadcast hints (the artifact consumer's plan is a
+    * vacuous parquet scan, same split as jaccardEdges vs candidatePairs). */
+  private[graft] def coTradeBuild(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir) _
     tWide(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
       .join(tt("orders").select("o_orderkey", "o_custkey"),

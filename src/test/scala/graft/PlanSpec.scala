@@ -162,12 +162,16 @@ class PlanSpec extends GraftSuite {
     val audited = Seq("q_revenue_by_region", "q_top_unshipped", "q_parts_share",
       "q_yoy_growth", "events_retention_cohorts", "events_funnel",
       "graph_triangles", "merge_upsert", "text_tfidf_top")
-    // jaccard_pairs reads the landed artifact; audit its BUILD kernel
-    // (where the 200x OOM hint lived) instead of the vacuous scan plan
+    // jaccard_pairs and the graph family read landed artifacts; audit the
+    // BUILD kernels (where the data-sized hints could live) instead of the
+    // vacuous artifact-scan plans
     val analyzedPlans =
-      audited.map(n => n -> q(n).queryExecution.analyzed) :+
-        ("jaccardEdges(kernel)" ->
+      audited.map(n => n -> q(n).queryExecution.analyzed) ++ Seq(
+        "jaccardEdges(kernel)" ->
           llm.TextOps.jaccardEdges(spark, sfDir, materialize = false)
+            .queryExecution.analyzed,
+        "coTradeBuild(kernel)" ->
+          operators.Profiling.coTradeBuild(spark, sfDir)
             .queryExecution.analyzed)
     for ((name, analyzed) <- analyzedPlans) {
       val hints = analyzed.collect { case h: ResolvedHint => h }
