@@ -307,4 +307,98 @@ class PropertySpec extends GraftSuite {
       assert(missed.isEmpty, s"seed $s: LSH missed ${missed.size} of ${high.size} high-Jaccard pairs")
     }
   }
+
+  // r11 budget-fill docs: long enough that the 20k-token budget actually
+  // binds per lang (~70 docs x ~300 tokens per lang), with stopwords in
+  // the vocabulary so the quality score is not just a token count
+  private val budgetGen: Gen[List[(Long, String)]] =
+    Gen.chooseNum(150, 250).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(200, 600).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(
+          "alpha", "beta", "gamma", "delta", "the", "of", "data"))
+          .map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    }
+
+  private val StopSet = Set("the", "of", "and", "a", "to", "in", "is", "data")
+
+  test("property: docs_token_budget_fill matches a Scala greedy-prefix oracle") {
+    for (s <- seeds) {
+      val docs = sample(budgetGen, s).map { case (id, t) => (id, t, "l" + (id % 3)) }
+      val dir = writeDir("documents" -> docs.toDF("doc_id", "text", "lang"))
+      val got = SparkEntry.queries("docs_token_budget_fill")(spark, dir)
+        .select("lang", "doc_id", "quality", "n_tokens", "cum_tokens")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val expect = docs.groupBy(_._3).flatMap { case (lang, ds) =>
+        val scored = ds.map { case (id, t, _) =>
+          val toks = t.split(" ")
+          val q = toks.length.toLong * 10 - toks.count(StopSet).toLong * 5
+          (id, q, toks.length.toLong)
+        }.sortBy { case (id, q, _) => (-q, id) }
+        var cum = 0L
+        scored.flatMap { case (id, q, n) =>
+          cum += n
+          if (cum <= 20000L) Some((lang, id, q, n, cum)) else None
+        }
+      }.toSet
+      assert(got == expect, s"seed $s: op=${got.size} oracle=${expect.size}")
+      // the budget must actually bind for at least one lang, or the
+      // property degenerates to "emit everything"
+      assert(got.size < docs.size, s"seed $s: budget never bound")
+    }
+  }
+
+  test("property: text_bpe_pair_stats matches a Scala pair-count oracle") {
+    for (s <- seeds) {
+      val docs = sample(docsGen, s).map { case (id, t) => (id, t, "l" + (id % 2)) }
+      val dir = writeDir("documents" -> docs.toDF("doc_id", "text", "lang"))
+      val got = SparkEntry.queries("text_bpe_pair_stats")(spark, dir)
+        .select("lang", "rk", "pair", "n", "share_ppm")
+        .as[(String, Int, String, Long, Long)].collect().toSet
+      val expect = docs.groupBy(_._3).flatMap { case (lang, ds) =>
+        val cnt = ds.flatMap(_._2.split(" ")).filter(_.length >= 2)
+          .flatMap(w => w.sliding(2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val total = cnt.values.sum
+        cnt.toSeq.sortBy { case (p, n) => (-n, p) }.take(10).zipWithIndex.map {
+          case ((p, n), i) => (lang, i + 1, p, n, n * 1000000L / total)
+        }
+      }.toSet
+      assert(got == expect, s"seed $s: op=${got.size} oracle=${expect.size}")
+    }
+  }
+
+  private val madGen: Gen[List[(String, Double)]] =
+    Gen.chooseNum(30, 80).flatMap { n =>
+      Gen.listOfN(n, for {
+        t <- Gen.oneOf("view", "click", "purchase")
+        v <- Gen.chooseNum(0, 9999).map(_ / 100.0) // centi-precision doubles
+      } yield (t, v))
+    }
+
+  test("property: events_anomaly_mad matches a Scala (lo+hi)-median oracle") {
+    for (s <- seeds) {
+      val evs = sample(madGen, s).zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, i.toLong * 1000000L, i.toLong % 7, t, v)
+      }
+      val dir = writeDir("events" -> evs
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}")))
+      val got = SparkEntry.queries("events_anomaly_mad")(spark, dir)
+        .select("event_type", "n_events", "med2x_centi", "mad4x_centi", "n_anomalies")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      def med2(xs: Seq[Long]): Long = {
+        val v = xs.sorted; val n = v.size
+        v((n + 1) / 2 - 1) + v(n / 2)
+      }
+      val expect = evs.groupBy(_._4).map { case (t, rows) =>
+        val vs = rows.map(r => math.floor(r._5 * 100 + 0.5).toLong)
+        val m2 = med2(vs)
+        val devs = vs.map(v => math.abs(v * 2 - m2))
+        val m4 = med2(devs)
+        (t, vs.size.toLong, m2, m4, devs.count(d => d * 2 > m4 * 3).toLong)
+      }.toSet
+      assert(got == expect, s"seed $s: op=$got oracle=$expect")
+    }
+  }
 }
