@@ -196,12 +196,38 @@ object DedupOps extends OpRegistry {
       // fact-sized candidate pass runs once per corpus, not per consumer;
       // localCheckpoint then pins the pair-count-sized edges in memory for
       // the CC iterations.
-      val pairs = TextOps.candidatePairs(s, dir)
-        .select(col("id1").as("a"), col("id2").as("b")).localCheckpoint()
-      val docs = t(s, dir)("documents").select(col("doc_id").as("node"))
-      val (labels, _) = connectedComponents(docs, pairs)
-      labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+      componentLabels(s, dir).orderBy("doc_id")
+    }),
+
+    "docs_dedup_weight" -> ((s, dir) => {
+      // Soft-dedup training weights (round 11): instead of DROPPING
+      // near-duplicates, weight each document by 1/|its near-dup cluster|
+      // in exact integer ppm, so every distinct content unit contributes
+      // equal total loss mass — the downweight-don't-delete curation
+      // policy. After the shared CC artifact nothing fact-sized runs:
+      // one component-sized agg plus a label-keyed join back to labels.
+      val labels = componentLabels(s, dir)
+      val sizes = labels.groupBy("component_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "component_id")
+        .select(col("doc_id"), col("component_id"), col("cluster_size"),
+          call_function("div", lit(1000000L), col("cluster_size"))
+            .as("weight_ppm"))
         .orderBy("doc_id")
+    }),
+
+    "dedup_cluster_stats" -> ((s, dir) => {
+      // Dup-cluster size histogram (round 11): n_clusters and doc mass per
+      // cluster size — the one-screen answer to "how duplicated is this
+      // corpus" (singleton share, largest clique, redundant doc mass =
+      // n_docs − n_clusters). Two bounded aggs over the landed labels;
+      // output is at most |distinct sizes| rows.
+      val sizes = componentLabels(s, dir).groupBy("component_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      sizes.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy("cluster_size")
     }),
 
     "text_langid" -> ((s, dir) =>
@@ -234,6 +260,22 @@ object DedupOps extends OpRegistry {
         .orderBy("doc_id")
     }),
   )
+
+  /** Component labels over the near-dup graph, landed once per corpus
+    * ([[graft.CorpusArtifacts]]): dedup_components, docs_dedup_weight and
+    * dedup_cluster_stats all consume the same label table, so the
+    * O(log n)-round CC iteration runs once per corpus snapshot instead of
+    * per consumer — the land-once shape of the candidate-pair artifact
+    * extended one derivation deeper (edges → labels). Bench/ScaleProbe
+    * clear the memo per pass, so the first consumer pays the full build. */
+  private[llm] def componentLabels(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusArtifacts.parquet(s, "components", dir) {
+      val pairs = TextOps.candidatePairs(s, dir)
+        .select(col("id1").as("a"), col("id2").as("b")).localCheckpoint()
+      val docs = t(s, dir)("documents").select(col("doc_id").as("node"))
+      val (labels, _) = connectedComponents(docs, pairs)
+      labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+    }
 
   /** text_langid implementation (separate for readability).
     *
@@ -271,6 +313,37 @@ object DedupOps extends OpRegistry {
       .orderBy("doc_id")
   }
 
+  /** Differential components check, shared by the three CC-consuming
+    * oracles: DuckDB re-derives the same edge set (capped-universe Jaccard
+    * pairs, mirroring the jaccard_pairs oracle) and computes components by
+    * transitive closure in a recursive CTE — reach(node, label) accumulates
+    * every label reachable from node, and MIN over it is exactly the
+    * min-label-propagation fixpoint. Splice after WITH RECURSIVE. */
+  private val CcCteSql = """
+      tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      shc AS (SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
+              WHERE df <= 100),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM shc GROUP BY doc_id),
+      ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pairs AS (SELECT id1, id2
+                FROM ix JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+                WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.1),
+      bidir AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION ALL SELECT id2, id1 FROM pairs),
+      reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT b.b, r.label FROM reach r JOIN bidir b ON r.node = b.a),
+      comp AS (SELECT node AS doc_id, MIN(label) AS component_id
+               FROM reach GROUP BY node)"""
+
   // minhash/simhash stay self-verified (xxhash64 is Spark-private), but
   // text_langid is pure deterministic SQL logic since the r2 rewrite — the
   // doc-frequency profile and argmax scoring mirror exactly in DuckDB.
@@ -293,31 +366,24 @@ object DedupOps extends OpRegistry {
     // and computes components by transitive closure in a recursive CTE —
     // reach(node, label) accumulates every label reachable from node, and
     // MIN over it is exactly the min-label-propagation fixpoint.
-    "dedup_components" -> """
-      WITH RECURSIVE
-      tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
-              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
-      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-      shc AS (SELECT doc_id, shingle FROM (
-                SELECT doc_id, shingle,
-                       COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
-              WHERE df <= 100),
-      sz AS (SELECT doc_id, COUNT(1) AS n FROM shc GROUP BY doc_id),
-      ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
-             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             GROUP BY 1, 2),
-      pairs AS (SELECT id1, id2
-                FROM ix JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
-                WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.1),
-      bidir AS (SELECT id1 AS a, id2 AS b FROM pairs
-                UNION ALL SELECT id2, id1 FROM pairs),
-      reach(node, label) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT b.b, r.label FROM reach r JOIN bidir b ON r.node = b.a)
-      SELECT node AS doc_id, MIN(label) AS component_id
-      FROM reach GROUP BY node ORDER BY doc_id""",
+    "dedup_components" -> s"""
+      WITH RECURSIVE $CcCteSql
+      SELECT doc_id, component_id FROM comp ORDER BY doc_id""",
+    "docs_dedup_weight" -> s"""
+      WITH RECURSIVE $CcCteSql,
+      csz AS (SELECT component_id, COUNT(1) AS cluster_size
+              FROM comp GROUP BY 1)
+      SELECT c.doc_id, c.component_id, s.cluster_size,
+             1000000 // s.cluster_size AS weight_ppm
+      FROM comp c JOIN csz s USING (component_id)
+      ORDER BY c.doc_id""",
+    "dedup_cluster_stats" -> s"""
+      WITH RECURSIVE $CcCteSql,
+      csz AS (SELECT component_id, COUNT(1) AS cluster_size
+              FROM comp GROUP BY 1)
+      SELECT cluster_size, CAST(COUNT(1) AS BIGINT) AS n_clusters,
+             CAST(cluster_size * COUNT(1) AS BIGINT) AS n_docs
+      FROM csz GROUP BY cluster_size ORDER BY cluster_size""",
     "text_langid" -> """
       WITH bg AS (
         SELECT DISTINCT doc_id, lang AS actual_lang, substring(text, i, 2) AS bigram

@@ -677,9 +677,137 @@ object TextOps extends OpRegistry {
           (col("cms_est") - col("exact_cnt")).as("overcount"))
         .orderBy(col("exact_cnt").desc, col("token"))
     }),
+
+    "text_collocations" -> ((s, dir) => {
+      // Collocation mining (round 11): adjacent word-pair LIFT — the
+      // statistic behind multi-word-expression detection and tokenizer
+      // merge decisions beyond raw counts (text_bpe_pair_stats ranks char
+      // pairs by frequency; lift normalizes away unigram popularity,
+      // separating "of the" from a genuine collocation). Row membership
+      // and rank stay in exact integers (support filter c12 >= 3, order
+      // c12 desc then pair) — lift is emitted as a safe-rounded display
+      // ratio only, so the row set is dialect-proof. Both aggregates are
+      // occurrence-sized explodes collapsing onto vocab-bounded frames
+      // (scan-bound at any corpus size); the unigram sides join against a
+      // provably-50-row top list and a 1-row totals frame, both broadcast.
+      val d = tWide(s, dir)("documents").select(split(col("text"), " ").as("ts"))
+      val uni = d.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val pairs = d.select(explode(expr(
+          """transform(
+               CASE WHEN size(ts) >= 2 THEN sequence(0, size(ts) - 2)
+                    ELSE array() END,
+               i -> struct(ts[i] AS w1, ts[i + 1] AS w2))""")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val totals = uni.agg(sum("c").as("n_tok"))
+        .crossJoin(pairs.agg(sum("c12").as("n_pair")))
+      val top = pairs.filter(col("c12") >= 3)
+        .orderBy(col("c12").desc, col("w1"), col("w2")).limit(50)
+      val c1 = uni.select(col("w").as("w1"), col("c").as("c1"))
+      val c2 = uni.select(col("w").as("w2"), col("c").as("c2"))
+      broadcast(top).join(c1, "w1").join(c2, "w2")
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          r6(col("c12").cast("double") * col("n_tok") * col("n_tok")
+            / col("n_pair") / col("c1") / col("c2")).as("lift6"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+    }),
+
+    "text_vocab_coverage" -> ((s, dir) => {
+      // Vocabulary coverage curve (round 11): what fraction of corpus
+      // token mass do the top-K words cover (K = 10/100/1000) — the
+      // statistic that sizes a tokenizer vocab or stopword list. The naive
+      // form ranks the whole vocab in one global window; here a
+      // COUNT-LEVEL histogram cumulates instead: every word at one count
+      // level carries identical mass, so exact top-K mass = full levels
+      // above the boundary + (K − words_above) × boundary count —
+      // alphabetic tie order inside a level provably cannot change the
+      // answer. The cumulating window therefore runs over DISTINCT COUNT
+      // VALUES (≤ O(√tokens) levels — Σ distinct counts ≤ total), not the
+      // vocab, so the single-partition frame stays bounded at any corpus
+      // size (same histogram pre-cut idea as docs_token_budget_fill).
+      import s.implicits._
+      val uni = tWide(s, dir)("documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val levels = uni.groupBy("c").agg(count(lit(1)).as("nw"))
+      val wl = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = levels
+        .withColumn("cum_words", sum("nw").over(wl))
+        .withColumn("cum_mass", sum(col("c") * col("nw")).over(wl))
+      val totals = uni.agg(sum("c").as("total_tokens"),
+        count(lit(1)).as("vocab_size"))
+      val ks = Seq(10L, 100L, 1000L).toDF("k")
+      // boundary level = the unique row with the smallest cum_words >= k
+      // (cum_words is strictly increasing in the level order)
+      val hit = ks.join(cum, col("cum_words") >= col("k"), "left")
+        .groupBy("k")
+        .agg(min(struct(col("cum_words"), col("c"), col("cum_mass"))).as("b"))
+      hit.crossJoin(broadcast(totals))
+        .select(col("k"),
+          least(col("k"), col("vocab_size")).as("top_words"),
+          // k > vocab ⇒ no boundary level matched; min(struct) then yields
+          // a STRUCT OF NULLS (never a null struct), so test the field
+          when(col("b.cum_words").isNull, col("total_tokens"))
+            .otherwise(col("b.cum_mass") - (col("b.cum_words") - col("k")) * col("b.c"))
+            .as("covered_tokens"),
+          col("total_tokens"))
+        .withColumn("coverage_ppm",
+          call_function("div", col("covered_tokens") * lit(1000000L),
+            col("total_tokens")))
+        .orderBy("k")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_collocations" -> s"""
+      WITH d AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      uni AS (SELECT unnest(ts) AS w FROM d),
+      uc AS (SELECT w, COUNT(1) AS c FROM uni GROUP BY w),
+      pr AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+             FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM d
+                   WHERE len(ts) >= 2)),
+      pc AS (SELECT w1, w2, COUNT(1) AS c12 FROM pr GROUP BY 1, 2),
+      tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uc) AS n_tok,
+                     (SELECT CAST(SUM(c12) AS BIGINT) FROM pc) AS n_pair),
+      top AS (SELECT w1, w2, c12 FROM pc WHERE c12 >= 3
+              ORDER BY c12 DESC, w1, w2 LIMIT 50)
+      SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+             ${r6Sql("CAST(c12 AS DOUBLE) * n_tok * n_tok / n_pair / u1.c / u2.c")} AS lift6
+      FROM top JOIN uc u1 ON u1.w = top.w1 JOIN uc u2 ON u2.w = top.w2
+        CROSS JOIN tot
+      ORDER BY c12 DESC, w1, w2""",
+
+    "text_vocab_coverage" -> """
+      WITH uni AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      uc AS (SELECT w, COUNT(1) AS c FROM uni GROUP BY w),
+      lv AS (SELECT c, COUNT(1) AS nw FROM uc GROUP BY c),
+      cum AS (SELECT c, nw,
+               CAST(SUM(nw) OVER (ORDER BY c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_words,
+               CAST(SUM(c * nw) OVER (ORDER BY c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_mass
+              FROM lv),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+                     CAST(COUNT(1) AS BIGINT) AS vocab_size FROM uc),
+      ks(k) AS (VALUES (CAST(10 AS BIGINT)), (100), (1000)),
+      b AS (SELECT k, MIN(cum_words) AS bw
+            FROM ks JOIN cum ON cum_words >= k GROUP BY k),
+      hb AS (SELECT b.k, c.c, c.cum_words, c.cum_mass
+             FROM b JOIN cum c ON c.cum_words = b.bw)
+      SELECT k.k, least(k.k, t.vocab_size) AS top_words,
+             COALESCE(h.cum_mass - (h.cum_words - k.k) * h.c,
+                      t.total_tokens) AS covered_tokens,
+             t.total_tokens,
+             COALESCE(h.cum_mass - (h.cum_words - k.k) * h.c,
+                      t.total_tokens) * 1000000 // t.total_tokens
+               AS coverage_ppm
+      FROM ks k LEFT JOIN hb h ON h.k = k.k CROSS JOIN tot t
+      ORDER BY k.k""",
     "sketch_cms_topk" -> """
       WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
       t AS (SELECT token FROM toks WHERE length(token) > 0),

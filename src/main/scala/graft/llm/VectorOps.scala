@@ -155,6 +155,46 @@ object VectorOps extends OpRegistry {
         .orderBy("qid", "rn")
     }),
 
+    "vec_hamming_recall" -> ((s, dir) => {
+      // 1-bit binary-quantization eval (round 11): pack each embedding's
+      // 64 coordinate signs into ONE 64-bit word and measure what
+      // Hamming-top-10 retrieval keeps of the exact cosine top-10. The
+      // storage story is 64 floats → 8 bytes (32×), and XOR+popcount is
+      // the cheapest distance any hardware computes — the binary-sketch
+      // first pass a 100 TB vector store runs before exact re-rank. One
+      // scored pass joins the bounded query set against the corpus
+      // computing BOTH orders (the packed word rides the same row); the
+      // two rank windows share the qid exchange; the verdict agg
+      // collapses to |queries| rows. Bit i set ⇔ qe[i] ≥ 0 — an exact
+      // integer comparison on the shared ×1e6 quantization, so the
+      // signature is engine-portable (bit 63's power is the Long.MinValue
+      // literal: non-overlapping bit terms add without carries, the same
+      // construction dedup_simhash uses).
+      val sigBits = (0 until 64).map(i =>
+        when(element_at(col("qe"), i + 1) >= 0,
+          lit(if (i == 63) Long.MinValue else 1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .withColumn("sig", sigBits)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qe").as("qv"), col("sig").as("qsig"))
+      val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          dotQ(s, col("qv"), col("qe")).as("dot_q"),
+          call_function("bit_count", col("qsig").bitwiseXOR(col("sig"))).as("ham"))
+      val wf = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
+      val wh = Window.partitionBy("qid").orderBy(col("ham").asc, col("vid"))
+      scored
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rh", row_number().over(wh))
+        .groupBy("qid")
+        .agg(sum(when(col("rf") <= 10 && col("rh") <= 10, 1L).otherwise(0L))
+          .cast("int").as("n_hit"))
+        .withColumn("recall_ppm", col("n_hit").cast("long") * lit(100000L))
+        .orderBy("qid")
+    }),
+
     "vec_matryoshka_recall" -> ((s, dir) => {
       // Matryoshka/MRL truncation eval: does the 16-dim PREFIX of each
       // embedding preserve the full 64-dim top-5 neighbor set? Per query:
@@ -1093,6 +1133,35 @@ object VectorOps extends OpRegistry {
       SELECT qid, vid, dot_q, ${r4Sql("CAST(dot_q AS DOUBLE) / 1000000000000")} AS cos4,
              CAST(rn AS INT) AS rn
       FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "vec_hamming_recall" -> """
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      sig AS (SELECT vec_id,
+                     CAST(SUM(CASE WHEN v >= 0 THEN
+                       CASE WHEN i = 64 THEN -9223372036854775808
+                            ELSE CAST(1 AS BIGINT) << (i - 1) END
+                       ELSE 0 END) AS BIGINT) AS sig
+              FROM e GROUP BY 1),
+      d AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
+            FROM e a JOIN e b ON a.i = b.i
+            WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      h AS (SELECT d.qid, d.vid, d.dot_q,
+                   bit_count(xor(sa.sig, sb.sig)) AS ham
+            FROM d JOIN sig sa ON sa.vec_id = d.qid
+                   JOIN sig sb ON sb.vec_id = d.vid),
+      r AS (SELECT qid, vid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vid) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham ASC, vid) AS rh
+            FROM h)
+      SELECT qid,
+             CAST(SUM(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS INT) AS n_hit,
+             CAST(SUM(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               * 100000 AS recall_ppm
+      FROM r GROUP BY qid ORDER BY qid""",
     "vec_matryoshka_recall" -> """
       WITH q AS (SELECT vec_id, list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
