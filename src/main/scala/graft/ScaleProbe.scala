@@ -47,13 +47,22 @@ object ScaleProbe {
     "jaccard_pairs", "dedup_near_minhash", "dedup_components",
     "text_tfidf_top", "docs_lm_quality_filter", "text_repetition_signals",
     "text_entropy", "docs_quality_percentile_gate", "docs_temperature_resample",
-    "docs_split_leakage")
+    "docs_split_leakage",
+    // round-11 additions: the two vocab-histogram text ops, and the two
+    // candidate-artifact consumers added after the artifact landed
+    // (docs_dedup_weight also pays the CC-label derivation when it runs
+    // before dedup_components has; here dedup_components precedes it in
+    // the pass, so the probe measures the marginal consumer cost —
+    // the pipeline shape), plus the 9-moment corr agg
+    "text_collocations", "text_vocab_coverage", "docs_dedup_weight",
+    "docs_cross_lang_dups", "docs_signal_corr")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
     * sign-LSH multiprobe, IVF-PQ ADC, and LSH-bucketed semantic dedup. */
   private val ProbedVec = Seq(
-    "knn_cosine_topk", "knn_ivf_topk", "knn_ivfpq_topk", "dedup_near_embedding")
+    "knn_cosine_topk", "knn_ivf_topk", "knn_ivfpq_topk", "dedup_near_embedding",
+    "vec_hamming_recall")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
@@ -79,7 +88,8 @@ object ScaleProbe {
   private val ProbedEvents = Seq(
     "events_burst_detect", "events_dau_wau", "events_sessionize",
     "events_interarrival_hist", "events_rfm_scores", "events_markov_transitions",
-    "events_top_paths", "events_user_overlap")
+    "events_top_paths", "events_user_overlap", "events_streaks",
+    "join_asof_nearest")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,

@@ -230,6 +230,29 @@ object DedupOps extends OpRegistry {
         .orderBy("cluster_size")
     }),
 
+    "docs_cross_lang_dups" -> ((s, dir) => {
+      // Cross-language near-dup QA (round 11): near-duplicate pairs whose
+      // two docs carry DIFFERENT lang labels — in a crawled corpus these
+      // are machine-translation boilerplate, mislabeled langid, or
+      // copy-paste contamination, and they silently leak content across
+      // per-language training mixes. Same landed candidate artifact as
+      // docs_split_leakage (the lang boundary instead of the split
+      // boundary); everything after the edge join is pair-count-sized,
+      // output is the ≤ ǀlangsǀ² cell matrix with a cross flag.
+      val langs = t(s, dir)("documents").select(col("doc_id"), col("lang"))
+      TextOps.candidatePairs(s, dir)
+        .join(langs.select(col("doc_id").as("id1"), col("lang").as("l1")),
+          Seq("id1"))
+        .join(langs.select(col("doc_id").as("id2"), col("lang").as("l2")),
+          Seq("id2"))
+        .select(least(col("l1"), col("l2")).as("lang_a"),
+          greatest(col("l1"), col("l2")).as("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_cross", (col("lang_a") =!= col("lang_b")).cast("int"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     "text_langid" -> ((s, dir) =>
       // Two-pass n-gram language ID: learn top-20 character bigrams per
       // lang from the corpus, score each doc by profile overlap, predict
@@ -384,6 +407,18 @@ object DedupOps extends OpRegistry {
       SELECT cluster_size, CAST(COUNT(1) AS BIGINT) AS n_clusters,
              CAST(cluster_size * COUNT(1) AS BIGINT) AS n_docs
       FROM csz GROUP BY cluster_size ORDER BY cluster_size""",
+    // cross-lang QA re-derives the same capped-universe edge set (shared
+    // CTE prefix; `pairs` is the edge list) and joins the lang labels
+    "docs_cross_lang_dups" -> s"""
+      WITH RECURSIVE $CcCteSql
+      SELECT least(d1.lang, d2.lang) AS lang_a,
+             greatest(d1.lang, d2.lang) AS lang_b,
+             COUNT(1) AS n_pairs,
+             CAST(least(d1.lang, d2.lang) <> greatest(d1.lang, d2.lang) AS INT)
+               AS is_cross
+      FROM pairs JOIN documents d1 ON id1 = d1.doc_id
+                 JOIN documents d2 ON id2 = d2.doc_id
+      GROUP BY 1, 2 ORDER BY lang_a, lang_b""",
     "text_langid" -> """
       WITH bg AS (
         SELECT DISTINCT doc_id, lang AS actual_lang, substring(text, i, 2) AS bigram

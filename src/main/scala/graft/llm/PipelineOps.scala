@@ -494,9 +494,70 @@ object PipelineOps extends OpRegistry {
           col("cum_tokens"))
         .orderBy("lang", "cum_tokens", "doc_id")
     }),
+
+    "docs_signal_corr" -> ((s, dir) => {
+      // Signal-redundancy QA (round 11): per-lang Pearson correlations
+      // between the three cheap per-doc signals every curation gate
+      // filters on (token count, distinct-token count, char length) —
+      // near-1 correlation means a gate on one signal silently subsumes
+      // the other, the thing to know before stacking filters. Same
+      // distributed-stats shape as agg_corr_covar: exact integer moment
+      // sums (BIGINT products, DECIMAL(38,0) sums — overflow-proof at any
+      // corpus size), double arithmetic once per group on the exact
+      // scalars; one partial+final hash agg, no extra shuffle.
+      import org.apache.spark.sql.types.DecimalType
+      val d = DecimalType(38, 0)
+      val toks = split(col("text"), " ")
+      val sig = tWide(s, dir)("documents").select(col("lang"),
+        size(toks).cast("long").as("x"),
+        size(array_distinct(toks)).cast("long").as("y"),
+        col("n_chars").as("z"))
+      val g = sig.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d)).cast("double").as("sx"),
+        sum(col("y").cast(d)).cast("double").as("sy"),
+        sum(col("z").cast(d)).cast("double").as("sz"),
+        sum((col("x") * col("x")).cast(d)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(d)).cast("double").as("syy"),
+        sum((col("z") * col("z")).cast(d)).cast("double").as("szz"),
+        sum((col("x") * col("y")).cast(d)).cast("double").as("sxy"),
+        sum((col("x") * col("z")).cast(d)).cast("double").as("sxz"),
+        sum((col("y") * col("z")).cast(d)).cast("double").as("syz"))
+      val nD = col("n").cast("double")
+      def corr6(sa: Column, sb: Column, saa: Column, sbb: Column,
+                sab: Column): Column =
+        r6((nD * sab - sa * sb) /
+          sqrt((nD * saa - sa * sa) * (nD * sbb - sb * sb)))
+      g.select(col("lang"), col("n"),
+          corr6(col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+            .as("corr_tok_distinct6"),
+          corr6(col("sx"), col("sz"), col("sxx"), col("szz"), col("sxz"))
+            .as("corr_tok_chars6"),
+          corr6(col("sy"), col("sz"), col("syy"), col("szz"), col("syz"))
+            .as("corr_distinct_chars6"))
+        .orderBy("lang")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "docs_signal_corr" -> s"""
+      WITH m AS (SELECT lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y,
+                   n_chars AS z
+                 FROM documents),
+      g AS (SELECT lang, COUNT(1) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(z) AS DOUBLE) AS sz,
+                   CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+                   CAST(SUM(z*z) AS DOUBLE) AS szz,
+                   CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*z) AS DOUBLE) AS sxz,
+                   CAST(SUM(y*z) AS DOUBLE) AS syz
+            FROM m GROUP BY lang)
+      SELECT lang, n,
+             ${r6Sql("(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))")} AS corr_tok_distinct6,
+             ${r6Sql("(n*sxz - sx*sz) / sqrt((n*sxx - sx*sx) * (n*szz - sz*sz))")} AS corr_tok_chars6,
+             ${r6Sql("(n*syz - sy*sz) / sqrt((n*syy - sy*sy) * (n*szz - sz*sz))")} AS corr_distinct_chars6
+      FROM g ORDER BY lang""",
     "docs_decontaminate" -> s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle

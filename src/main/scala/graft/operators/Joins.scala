@@ -239,6 +239,44 @@ object Joins extends OpRegistry {
         .orderBy("event_id")
     }),
 
+    "join_asof_nearest" -> ((s, dir) => {
+      // Nearest as-of (round 11): for each 'click', the purchase of the
+      // same user CLOSEST in time in either direction — the third
+      // standard as-of mode (backward = join_asof, forward =
+      // join_asof_forward), what sensor/trade alignment means by "the
+      // matching reading". Composes the two carries over the SAME
+      // user_id exchange and order key (Catalyst reuses the sort; still
+      // one shuffle, O(1) state per row, no per-key join), then picks
+      // the smaller gap with ties to the EARLIER side. ROWS-frame
+      // semantics at equal timestamps are identical on both engines
+      // because the order key includes event_id.
+      val e = t(s, dir)("events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          tsDivMicros(col("ts")).as("ts_us"), col("event_type"))
+      val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val isP = col("event_type") === "purchase"
+      val nearest =
+        when(col("prev_p").isNull, col("next_p"))
+          .when(col("next_p").isNull, col("prev_p"))
+          .when(col("ts_us") - col("prev_p") <= col("next_p") - col("ts_us"),
+            col("prev_p"))
+          .otherwise(col("next_p"))
+      e.withColumn("prev_p", max(when(isP, col("ts_us"))).over(wb))
+        .withColumn("next_p", min(when(isP, col("ts_us"))).over(wf))
+        .filter(col("event_type") === "click")
+        .withColumn("nearest_purchase_ts", nearest)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("nearest_purchase_ts"),
+          abs(col("ts_us") - col("nearest_purchase_ts")).as("gap_us"),
+          when(col("nearest_purchase_ts").isNull, "none")
+            .when(col("nearest_purchase_ts") <= col("ts_us"), "back")
+            .otherwise("fwd").as("direction"))
+        .orderBy("event_id")
+    }),
+
     "join_bloom_prefilter" -> ((s, dir) => {
       // Semi-join reduction via Bloom filter (round 4): build a ~1%-fpp
       // Bloom over the urgent orders' keys, prune lineitem BEFORE the
@@ -390,5 +428,32 @@ object Joins extends OpRegistry {
       SELECT event_id, user_id, ts_us, next_purchase_ts
       FROM w WHERE event_type = 'click'
       ORDER BY event_id""",
+
+    "join_asof_nearest" -> """
+      WITH e AS (
+        SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (
+        SELECT *,
+          MAX(CASE WHEN event_type = 'purchase' THEN ts_us END)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+          MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+        FROM e),
+      n AS (
+        SELECT event_id, user_id, ts_us,
+          CASE WHEN prev_p IS NULL THEN next_p
+               WHEN next_p IS NULL THEN prev_p
+               WHEN ts_us - prev_p <= next_p - ts_us THEN prev_p
+               ELSE next_p END AS nearest_purchase_ts
+        FROM w WHERE event_type = 'click')
+      SELECT event_id, user_id, ts_us, nearest_purchase_ts,
+             abs(ts_us - nearest_purchase_ts) AS gap_us,
+             CASE WHEN nearest_purchase_ts IS NULL THEN 'none'
+                  WHEN nearest_purchase_ts <= ts_us THEN 'back'
+                  ELSE 'fwd' END AS direction
+      FROM n ORDER BY event_id""",
   )
 }

@@ -439,9 +439,56 @@ object Timeseries extends OpRegistry {
             col("users_a") + col("users_b") - col("n_both")).as("jaccard_ppm"))
         .orderBy("type_a", "type_b")
     }),
+
+    "events_streaks" -> ((s, dir) => {
+      // Longest same-type run per user (round 11): the gaps-and-islands
+      // primitive as a STATISTIC — "this user clicked 9 times in a row" —
+      // behind bot screens and engagement features (scd2_type_history
+      // uses the same island trick for interval HISTORY; this op reduces
+      // islands to each user's maximum). island id = rn_overall −
+      // rn_within_type: constant exactly while one type repeats
+      // consecutively. Both rank windows share the user_id exchange (the
+      // second adds event_type to the partition key — same shuffle, local
+      // re-sort); everything after is island-count-sized. Tie on equal
+      // max length → earliest start, then type asc: a total, replayable
+      // order.
+      val ord = Seq(col("ts_us"), col("event_id"))
+      val wAll = Window.partitionBy("user_id").orderBy(ord: _*)
+      val wTyp = Window.partitionBy("user_id", "event_type").orderBy(ord: _*)
+      eventsUs(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        .withColumn("island",
+          row_number().over(wAll) - row_number().over(wTyp))
+        .groupBy("user_id", "event_type", "island")
+        .agg(count(lit(1)).as("streak_len"), min("ts_us").as("start_us"))
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("streak_len").desc, col("start_us"), col("event_type"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("streak_len"),
+          col("start_us"))
+        .orderBy("user_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "events_streaks" -> """
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        epoch_ns(ts)//1000 AS ts_us FROM events),
+      i AS (SELECT user_id, event_type, ts_us,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id)
+            - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts_us, event_id) AS island
+            FROM e),
+      r AS (SELECT user_id, event_type, island,
+                   COUNT(1) AS streak_len, MIN(ts_us) AS start_us
+            FROM i GROUP BY 1, 2, 3),
+      b AS (SELECT user_id, event_type, streak_len, start_us,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY streak_len DESC, start_us, event_type) AS rn
+            FROM r)
+      SELECT user_id, event_type, streak_len, start_us
+      FROM b WHERE rn = 1 ORDER BY user_id""",
     "events_gapfill" -> """
       WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, value FROM events),
       hourly AS (
