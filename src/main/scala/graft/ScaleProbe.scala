@@ -62,7 +62,7 @@ object ScaleProbe {
     * sign-LSH multiprobe, IVF-PQ ADC, and LSH-bucketed semantic dedup. */
   private val ProbedVec = Seq(
     "knn_cosine_topk", "knn_ivf_topk", "knn_ivfpq_topk", "dedup_near_embedding",
-    "vec_hamming_recall")
+    "vec_hamming_recall", "vec_pca_deflate")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
@@ -89,7 +89,7 @@ object ScaleProbe {
     "events_burst_detect", "events_dau_wau", "events_sessionize",
     "events_interarrival_hist", "events_rfm_scores", "events_markov_transitions",
     "events_top_paths", "events_user_overlap", "events_streaks",
-    "join_asof_nearest")
+    "join_asof_nearest", "events_cusum_drift")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,

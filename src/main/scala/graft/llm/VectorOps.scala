@@ -547,6 +547,56 @@ object VectorOps extends OpRegistry {
         .toDF("i", "v1_comp", "v2_comp").orderBy("i")
     }),
 
+    "vec_pca_deflate" -> ((s, dir) => {
+      // Top-2 PCA directions by DEFLATION (round 11) — the step after
+      // vec_power_iter's dominant direction: remove v's span from every
+      // row and power-iterate the residuals for the second direction.
+      // The residual is kept EXACT-INTEGER by scaling instead of
+      // projecting: r_ij = x_ij·(v·v) − (x_i·v)·v_j (|r| ≤ 1.3e14, fits
+      // int64), which satisfies r_i·v = 0 identically — so the second
+      // direction is orthogonal to the first up to the ±0.5 rounding of
+      // the ±1000 normalization (unit-asserted). The residual power step
+      // needs NO second explode for its start: with u₀ = 1s,
+      // r_i·u₀ = (v·v)·Σx_ij − (x_i·v)·Σv_j — two map-side DotQ scalars.
+      // Per-row products r·(r·u₀) reach ~1e30, summed as DECIMAL(38,0)
+      // (exact to ~9e7 rows per aggregate — beyond that rescale u₀; the
+      // declared-bounds class of note). Driver state is 2×dim ints.
+      import org.apache.spark.sql.types.DecimalType
+      val d380 = DecimalType(38, 0)
+      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .localCheckpoint()
+      def normalize(w: Map[Int, Double]): Array[Long] = {
+        val m = (0 until dim).map(i => math.abs(w(i))).max
+        (0 until dim).map(i => math.floor(w(i) / m * 1000 + 0.5).toLong).toArray
+      }
+      val v0 = Array.fill(dim)(1000L)
+      val w1 = e.select(dotQ(s, col("qe"), lit(v0)).as("dot"),
+          posexplode(col("qe")).as(Seq("i", "x")))
+        .groupBy("i")
+        .agg(sum((col("x") * col("dot")).cast(d380)).cast("double").as("w"))
+        .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("w")).toMap
+      val v = normalize(w1)
+      val vv = v.map(x => x * x).sum
+      val sv = v.sum
+      val w2 = e.select(dotQ(s, col("qe"), lit(v)).as("dot"),
+          dotQ(s, col("qe"), lit(Array.fill(dim)(1L))).as("sx"),
+          col("qe"))
+        .withColumn("dot2", lit(vv) * col("sx") - col("dot") * lit(sv))
+        .select(col("dot"), col("dot2"), posexplode(col("qe")).as(Seq("i", "x")))
+        .withColumn("r",
+          col("x") * lit(vv) - col("dot") * element_at(lit(v), col("i") + 1))
+        .groupBy("i")
+        .agg(sum(col("r").cast(d380) * col("dot2").cast(d380))
+          .cast("double").as("w"))
+        .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("w")).toMap
+      val u2 = normalize(w2)
+      import s.implicits._
+      (0 until dim).map(i => (i, v(i), u2(i)))
+        .toDF("i", "v_comp", "u2_comp").orderBy("i")
+    }),
+
     "dedup_near_embedding" -> ((s, dir) => {
       // Embedding-cosine near-dup — the semantic-dedup primitive: candidate
       // pairs from sign-LSH buckets (8 tables × 3 planes; plane indices
@@ -1038,6 +1088,41 @@ object VectorOps extends OpRegistry {
              FROM w2)
       SELECT CAST(v1.i - 1 AS INT) AS i, v1.c AS v1_comp, v2.c AS v2_comp
       FROM v1 JOIN v2 ON v1.i = v2.i
+      ORDER BY i""",
+    // Deflation twin: round 1 is vec_power_iter's d1/w1/v1 verbatim; the
+    // residual r = x·(v·v) − dot·v_j stays BIGINT, per-row products go
+    // through HUGEINT, and both normalizations replay the same
+    // floor(w/max·1000+0.5).
+    "vec_pca_deflate" -> """
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT vec_id, unnest(qe) AS x, generate_subscripts(qe, 1) AS i FROM q),
+      d1 AS (SELECT vec_id, CAST(SUM(x * 1000) AS BIGINT) AS dot FROM e GROUP BY vec_id),
+      w1 AS (SELECT e.i, CAST(SUM(e.x * d1.dot) AS DOUBLE) AS w
+             FROM e JOIN d1 ON e.vec_id = d1.vec_id GROUP BY e.i),
+      m1 AS (SELECT MAX(abs(w)) AS m FROM w1),
+      v1 AS (SELECT i, CAST(floor(w / (SELECT m FROM m1) * 1000 + 0.5) AS BIGINT) AS c
+             FROM w1),
+      vs AS (SELECT CAST(SUM(c * c) AS BIGINT) AS vv, CAST(SUM(c) AS BIGINT) AS sv
+             FROM v1),
+      d2 AS (SELECT e.vec_id, CAST(SUM(e.x * v1.c) AS BIGINT) AS dot,
+                    CAST(SUM(e.x) AS BIGINT) AS sx
+             FROM e JOIN v1 ON e.i = v1.i GROUP BY e.vec_id),
+      dd AS (SELECT vec_id, dot,
+                    (SELECT vv FROM vs) * sx - dot * (SELECT sv FROM vs) AS dot2
+             FROM d2),
+      w2 AS (SELECT e.i,
+                    CAST(SUM(CAST(e.x * (SELECT vv FROM vs)
+                                  - dd.dot * v1.c AS HUGEINT) * dd.dot2)
+                         AS DOUBLE) AS w
+             FROM e JOIN dd ON e.vec_id = dd.vec_id JOIN v1 ON e.i = v1.i
+             GROUP BY e.i),
+      m2 AS (SELECT MAX(abs(w)) AS m FROM w2),
+      u2 AS (SELECT i, CAST(floor(w / (SELECT m FROM m2) * 1000 + 0.5) AS BIGINT) AS c
+             FROM w2)
+      SELECT CAST(v1.i - 1 AS INT) AS i, v1.c AS v_comp, u2.c AS u2_comp
+      FROM v1 JOIN u2 ON v1.i = u2.i
       ORDER BY i""",
     // Differential k-means: DuckDB replays both Lloyd rounds — integer
     // argmin assignment (rank on Σc²-2Σvc, tie → smallest cluster),

@@ -34,6 +34,21 @@ object Timeseries extends OpRegistry {
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("events").withColumn("ts_us", tsDivMicros(col("ts")))
 
+  /** Exact per-type (lo+hi)-median of column `c` at 2× scale — agg_median's
+    * all-integer recipe, shared by events_anomaly_mad (median + MAD) and
+    * events_cusum_drift (deviation baseline). */
+  private def med2ByType(df: DataFrame, c: String): DataFrame = {
+    val wv = Window.partitionBy("event_type").orderBy(c)
+    val wn = Window.partitionBy("event_type")
+    df.withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("event_type")
+      .agg((max(when(col("rn") === call_function("div", col("n") + 1, lit(2L)),
+        col(c))) +
+        max(when(col("rn") === call_function("div", col("n"), lit(2L)) + 1,
+          col(c)))).as("m2"))
+  }
+
   private def hourFloor(c: Column): Column =
     call_function("div", c, lit(usPerHour)) * usPerHour
 
@@ -323,22 +338,11 @@ object Timeseries extends OpRegistry {
       // and this op is its oracle-exact twin at validation scale.
       val e = t(s, dir)("events").select(col("event_type"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
-      def med2(df: DataFrame, c: String): DataFrame = {
-        val wv = Window.partitionBy("event_type").orderBy(c)
-        val wn = Window.partitionBy("event_type")
-        df.withColumn("rn", row_number().over(wv))
-          .withColumn("n", count(lit(1)).over(wn))
-          .groupBy("event_type")
-          .agg((max(when(col("rn") === call_function("div", col("n") + 1, lit(2L)),
-            col(c))) +
-            max(when(col("rn") === call_function("div", col("n"), lit(2L)) + 1,
-              col(c)))).as("m2"))
-      }
-      val med = med2(e, "v").withColumnRenamed("m2", "med2")
+      val med = med2ByType(e, "v").withColumnRenamed("m2", "med2")
       val dev = e.join(broadcast(med), Seq("event_type"))
         .select(col("event_type"), col("med2"),
           abs(col("v") * 2 - col("med2")).as("dev"))
-      val mad = med2(dev, "dev").withColumnRenamed("m2", "mad4")
+      val mad = med2ByType(dev, "dev").withColumnRenamed("m2", "mad4")
       dev.join(broadcast(mad), Seq("event_type"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -468,6 +472,37 @@ object Timeseries extends OpRegistry {
           col("start_us"))
         .orderBy("user_id")
     }),
+
+    "events_cusum_drift" -> ((s, dir) => {
+      // CUSUM drift screen (round 11): per event type, the cumulative sum
+      // of integer deviations from the type's exact median, and the
+      // moment that sum peaks — a sustained level shift accumulates
+      // linearly in the CUSUM long before any single point trips a
+      // z-score/MAD outlier cut (the changepoint-vs-outlier distinction;
+      // Page's classic sequential statistic). All integer: deviations are
+      // 2·v − med2 in centi-units (the shared (lo+hi)-median recipe), the
+      // running sum is a ROWS cum-window over (ts, event_id), the peak is
+      // a rank window with an earliest-ts tie-break. Both windows
+      // partition by type — the same honest rank-exactness cost as the
+      // median family; at 100 TB the screen runs per (type, day) shard.
+      val e = eventsUs(s, dir).select(col("event_type"), col("ts_us"),
+        col("event_id"), floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+      val med = med2ByType(e.select(col("event_type"), col("v")), "v")
+        .withColumnRenamed("m2", "med2")
+      val wc = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("cum", sum(col("v") * 2 - col("med2")).over(wc))
+      val wp = Window.partitionBy("event_type")
+        .orderBy(abs(col("cum")).desc, col("ts_us"), col("event_id"))
+      c.withColumn("rk", row_number().over(wp))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_events"), col("med2")
+          .as("med2x_centi"), abs(col("cum")).as("max_abs_cusum"),
+          col("ts_us").as("peak_us"))
+        .orderBy("event_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -489,6 +524,31 @@ object Timeseries extends OpRegistry {
             FROM r)
       SELECT user_id, event_type, streak_len, start_us
       FROM b WHERE rn = 1 ORDER BY user_id""",
+    "events_cusum_drift" -> """
+      WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS ts_us, event_id,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                 FROM events),
+      r1 AS (SELECT event_type, v,
+                    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                    COUNT(1) OVER (PARTITION BY event_type) AS n FROM e),
+      med AS (SELECT event_type,
+                     MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                       + MAX(CASE WHEN rn = n // 2 + 1 THEN v END) AS med2
+              FROM r1 GROUP BY event_type),
+      c AS (SELECT e.event_type, e.ts_us, e.event_id, med.med2,
+                   CAST(SUM(e.v * 2 - med.med2) OVER (
+                     PARTITION BY e.event_type ORDER BY e.ts_us, e.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+            FROM e JOIN med ON e.event_type = med.event_type),
+      p AS (SELECT event_type, med2, cum, ts_us,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY abs(cum) DESC, ts_us, event_id) AS rk,
+                   COUNT(1) OVER (PARTITION BY event_type) AS n
+            FROM c)
+      SELECT event_type, n AS n_events, med2 AS med2x_centi,
+             abs(cum) AS max_abs_cusum, ts_us AS peak_us
+      FROM p WHERE rk = 1 ORDER BY event_type""",
     "events_gapfill" -> """
       WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, value FROM events),
       hourly AS (
