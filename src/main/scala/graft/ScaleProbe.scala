@@ -55,7 +55,7 @@ object ScaleProbe {
     // the pass, so the probe measures the marginal consumer cost —
     // the pipeline shape), plus the 9-moment corr agg
     "text_collocations", "text_vocab_coverage", "docs_dedup_weight",
-    "docs_cross_lang_dups", "docs_signal_corr")
+    "docs_cross_lang_dups", "docs_signal_corr", "text_js_divergence")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,

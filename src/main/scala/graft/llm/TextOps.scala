@@ -714,6 +714,60 @@ object TextOps extends OpRegistry {
         .orderBy(col("c12").desc, col("w1"), col("w2"))
     }),
 
+    "text_js_divergence" -> ((s, dir) => {
+      // Pairwise per-language Jensen-Shannon divergence of the unigram
+      // distributions (round 11) — the domain-shift metric a curator
+      // checks between corpus slices (0 = identical mix, ln 2 = disjoint
+      // vocabularies). Determinism is the text_entropy recipe taken one
+      // step further: with p = c_a/t_a, q = c_b/t_b, every ln argument is
+      // rewritten to an INTEGER — 2p/(p+q) = 2A/(A+B) where A = c_a·t_b,
+      // B = c_b·t_a — so each word contributes the exact integer
+      // c_a·(lnq(2A) − lnq(A+B)) to S_a (ditto S_b), the accumulations
+      // are pure integer sums (order-independent), and the only doubles
+      // are the two final divisions + r6. One-sided words need no special
+      // case beyond the 0·ln guard: c_b = 0 makes the term c_a·lnq-diff
+      // of 2A vs A — exactly ln 2. A words×langs dense grid (vocab ×
+      // ǀlangsǀ, both bounded) gives the pair join full-outer coverage
+      // declaratively. A = c·t products assume c·t < 2^63 — a declared
+      // bound (rescale counts at ~1e12-token corpora).
+      val lnq = (x: Column) =>
+        floor(log(x.cast("double")) * lit(1000000d)).cast("long")
+      val cnts = tWide(s, dir)("documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      val tot = cnts.groupBy("lang").agg(sum("c").as("t"))
+      val grid = cnts.select("word").distinct()
+        .crossJoin(broadcast(tot.select("lang")))
+        .join(cnts, Seq("lang", "word"), "left")
+        .na.fill(0L, Seq("c"))
+      val a = grid.select(col("word"), col("lang").as("lang_a"), col("c").as("c_a"))
+      val b = grid.select(col("word"), col("lang").as("lang_b"), col("c").as("c_b"))
+      val bigA = col("c_a") * col("t_b")
+      val bigB = col("c_b") * col("t_a")
+      a.join(b, Seq("word")).filter(col("lang_a") < col("lang_b"))
+        .join(broadcast(tot.select(col("lang").as("lang_a"), col("t").as("t_a"))),
+          Seq("lang_a"))
+        .join(broadcast(tot.select(col("lang").as("lang_b"), col("t").as("t_b"))),
+          Seq("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+          max(col("t_a")).as("t_a"), max(col("t_b")).as("t_b"),
+          sum(when(col("c_a") > 0 || col("c_b") > 0, 1L).otherwise(0L))
+            .as("n_words_union"),
+          sum(when(col("c_a") > 0,
+            col("c_a") * (lnq(bigA * 2) - lnq(bigA + bigB))).otherwise(0L))
+            .as("s_a"),
+          sum(when(col("c_b") > 0,
+            col("c_b") * (lnq(bigB * 2) - lnq(bigA + bigB))).otherwise(0L))
+            .as("s_b"))
+        .select(col("lang_a"), col("lang_b"), col("n_words_union"),
+          col("s_a"), col("s_b"),
+          r6((col("s_a").cast("double") / col("t_a")
+            + col("s_b").cast("double") / col("t_b")) / lit(2000000d))
+            .as("js6"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     "text_vocab_coverage" -> ((s, dir) => {
       // Vocabulary coverage curve (round 11): what fraction of corpus
       // token mass do the top-K words cover (K = 10/100/1000) — the
@@ -779,6 +833,39 @@ object TextOps extends OpRegistry {
       FROM top JOIN uc u1 ON u1.w = top.w1 JOIN uc u2 ON u2.w = top.w2
         CROSS JOIN tot
       ORDER BY c12 DESC, w1, w2""",
+
+    "text_js_divergence" -> """
+      WITH cnts AS (SELECT lang, w AS word, COUNT(1) AS c
+                    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                          FROM documents)
+                    GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cnts GROUP BY lang),
+      grid AS (SELECT w.word, l.lang, COALESCE(c.c, 0) AS c
+               FROM (SELECT DISTINCT word FROM cnts) w
+                 CROSS JOIN (SELECT lang FROM tot) l
+                 LEFT JOIN cnts c ON c.word = w.word AND c.lang = l.lang),
+      p AS (SELECT a.word, a.lang AS lang_a, b.lang AS lang_b,
+                   a.c AS c_a, b.c AS c_b, ta.t AS t_a, tb.t AS t_b,
+                   a.c * tb.t AS biga, b.c * ta.t AS bigb
+            FROM grid a JOIN grid b ON a.word = b.word AND a.lang < b.lang
+              JOIN tot ta ON ta.lang = a.lang
+              JOIN tot tb ON tb.lang = b.lang),
+      g AS (SELECT lang_a, lang_b, MAX(t_a) AS t_a, MAX(t_b) AS t_b,
+             CAST(SUM(CASE WHEN c_a > 0 OR c_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_words_union,
+             CAST(SUM(CASE WHEN c_a > 0 THEN c_a *
+                 (CAST(floor(ln(CAST(biga * 2 AS DOUBLE)) * 1000000) AS BIGINT)
+                  - CAST(floor(ln(CAST(biga + bigb AS DOUBLE)) * 1000000) AS BIGINT))
+               ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(SUM(CASE WHEN c_b > 0 THEN c_b *
+                 (CAST(floor(ln(CAST(bigb * 2 AS DOUBLE)) * 1000000) AS BIGINT)
+                  - CAST(floor(ln(CAST(biga + bigb AS DOUBLE)) * 1000000) AS BIGINT))
+               ELSE 0 END) AS BIGINT) AS s_b
+            FROM p GROUP BY lang_a, lang_b)
+      SELECT lang_a, lang_b, n_words_union, s_a, s_b,
+             floor((CAST(s_a AS DOUBLE) / t_a + CAST(s_b AS DOUBLE) / t_b)
+               / 2000000 * 1000000 + 0.5) / 1000000 AS js6
+      FROM g ORDER BY lang_a, lang_b""",
 
     "text_vocab_coverage" -> """
       WITH uni AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

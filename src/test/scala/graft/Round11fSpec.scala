@@ -62,6 +62,39 @@ class Round11fSpec extends GraftSuite {
     assert(out.map(_._1.abs).max == 1000L && out.map(_._2.abs).max == 1000L)
   }
 
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11f_doc_").toString
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("text_js_divergence: identical mixes diverge exactly 0, disjoint vocabularies ln 2") {
+    // en and fr share the identical text -> every word has p = q, the
+    // integer lnq difference is identically 0. de and zh are disjoint ->
+    // every term contributes lnq(2A) - lnq(A) ~ ln 2 micro-nats.
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta beta gamma", "en"),
+      (2L, "alpha beta beta gamma", "fr"),
+      (3L, "delta delta epsilon", "de"),
+      (4L, "zeta eta eta theta", "zh")))
+    val rows = SparkEntry.queries("text_js_divergence")(spark, dir)
+      .collect().map(r => ((r.getAs[String]("lang_a"), r.getAs[String]("lang_b")),
+        (r.getAs[Long]("s_a"), r.getAs[Long]("s_b"), r.getAs[Double]("js6"))))
+      .toMap
+    assert(rows.size == 6) // 4 langs -> C(4,2) pairs
+    val (sa, sb, js) = rows(("en", "fr"))
+    assert(sa == 0L && sb == 0L && js == 0.0)
+    val (_, _, jsDisjoint) = rows(("de", "zh"))
+    assert(math.abs(jsDisjoint - math.log(2.0)) < 1e-5,
+      s"disjoint JS $jsDisjoint != ln2")
+    // JS is bounded by ln 2 everywhere
+    rows.values.foreach { case (_, _, j) =>
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-5) }
+  }
+
   test("events_cusum_drift: median baseline, peak position, and the earliest-ts tie rule") {
     val dir = writeEvents(Seq(
       // click: values 10,10,30 -> med2=2000 centi; devs 0,0,+4000;
