@@ -109,6 +109,35 @@ object Scalars extends OpRegistry {
         .orderBy("event_id")
     }),
 
+    "fn_url" -> ((s, dir) => {
+      // URL parsing surface (round 11) — the crawl-record primitive every
+      // web-corpus pipeline runs before host-level filtering: synthesize a
+      // deterministic URL per doc (source → host, lang/doc_id → path,
+      // modulus → query param), parse it back with Spark's native
+      // parse_url (codegen'd ParseUrl), and aggregate per host — doc
+      // count, distinct langs, char mass — the "domain reputation table"
+      // shape. DuckDB has no parse_url; the twin extracts the identical
+      // parts with anchored regexes over the same synthesized strings, so
+      // the comparison exercises real parser-vs-regex agreement on every
+      // row.
+      val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+        col("lang"), lit("/doc-"), col("doc_id"),
+        lit("?shard="), col("doc_id") % 7)
+      tWide(s, dir)("documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), url.as("url"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("shard")).cast("long").as("shard"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("path")).as("first_path"),
+          sum(col("shard")).as("shard_sum"))
+        .orderBy("host")
+    }),
+
     "fn_conditional" -> ((s, dir) =>
       t(s, dir)("orders").select(
         col("o_orderkey"),
@@ -263,6 +292,23 @@ object Scalars extends OpRegistry {
              (CAST(to_json({'k': CAST(props->>'$.k' AS INT)})->>'$.k' AS INT)
                IS NOT DISTINCT FROM CAST(props->>'$.k' AS INT)) AS roundtrip_ok
       FROM events ORDER BY event_id""",
+    "fn_url" -> """
+      WITH u AS (SELECT doc_id, lang, n_chars,
+                   'https://' || source || '.example.com/' || lang ||
+                   '/doc-' || doc_id || '?shard=' || (doc_id % 7) AS url
+                 FROM documents),
+      p AS (SELECT doc_id, lang, n_chars,
+                   regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                   regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+                   CAST(regexp_extract(url, 'shard=([0-9]+)', 1) AS BIGINT)
+                     AS shard
+            FROM u)
+      SELECT host, COUNT(1) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             MIN(path) AS first_path,
+             CAST(SUM(shard) AS BIGINT) AS shard_sum
+      FROM p GROUP BY host ORDER BY host""",
     "fn_conditional" -> """
       SELECT o_orderkey,
              CASE WHEN o_totalprice > 300000 THEN 'high'

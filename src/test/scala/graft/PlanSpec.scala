@@ -283,6 +283,27 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("r11 text ops: dense grid broadcasts, top-k never a global sort, no cartesian") {
+    // text_js_divergence's words x langs grid must be a broadcast
+    // nested-loop over the BOUNDED langs frame — a CartesianProduct here
+    // would be vocab x vocab; text_collocations' top-50 must be
+    // TakeOrderedAndProject (never a full sort before the limit), with
+    // its unigram joins hash joins.
+    val js = finalPlan("text_js_divergence")
+    assert(!js.contains("CartesianProduct"),
+      s"text_js_divergence grid degenerated to a cartesian:\n$js")
+    assert(js.contains("BroadcastNestedLoopJoin") || js.contains("BroadcastHashJoin"),
+      s"text_js_divergence langs frame not broadcast:\n$js")
+    val coll = finalPlan("text_collocations")
+    assert(coll.contains("TakeOrderedAndProject"),
+      s"text_collocations top-50 is not a streaming top-k:\n$coll")
+    assert(!coll.contains("CartesianProduct"),
+      s"text_collocations degenerated to a cartesian:\n$coll")
+    val w = finalPlan("docs_dedup_weight")
+    assert(!w.contains("CartesianProduct") && !w.contains("BroadcastNestedLoopJoin"),
+      s"docs_dedup_weight label join must be a hash join:\n$w")
+  }
+
   test("q_local_supplier_volume: date filter reaches the orders scan; dims broadcast") {
     val p = finalPlan("q_local_supplier_volume")
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"),

@@ -95,6 +95,16 @@ class Round11fSpec extends GraftSuite {
       assert(j >= 0.0 && j <= math.log(2.0) + 1e-5) }
   }
 
+  test("fn_url: hosts partition the corpus by source; parse agrees with construction") {
+    val rows = q("fn_url").collect()
+    assert(rows.length == 20) // src0..src19 -> 20 hosts
+    assert(rows.forall(_.getAs[String]("host").endsWith(".example.com")))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 500L) // sf0.001 corpus
+    assert(rows.forall { r =>
+      val l = r.getAs[Long]("n_langs"); l >= 1 && l <= 5 })
+    assert(rows.forall(_.getAs[String]("first_path").startsWith("/")))
+  }
+
   test("events_cusum_drift: median baseline, peak position, and the earliest-ts tie rule") {
     val dir = writeEvents(Seq(
       // click: values 10,10,30 -> med2=2000 centi; devs 0,0,+4000;
