@@ -55,7 +55,8 @@ object ScaleProbe {
     // the pass, so the probe measures the marginal consumer cost —
     // the pipeline shape), plus the 9-moment corr agg
     "text_collocations", "text_vocab_coverage", "docs_dedup_weight",
-    "docs_cross_lang_dups", "docs_signal_corr", "text_js_divergence")
+    "docs_cross_lang_dups", "docs_signal_corr", "text_js_divergence",
+    "docs_nll_histogram")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -89,7 +90,7 @@ object ScaleProbe {
     "events_burst_detect", "events_dau_wau", "events_sessionize",
     "events_interarrival_hist", "events_rfm_scores", "events_markov_transitions",
     "events_top_paths", "events_user_overlap", "events_streaks",
-    "join_asof_nearest", "events_cusum_drift")
+    "join_asof_nearest", "events_cusum_drift", "join_interval_overlap")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -119,7 +120,7 @@ object ScaleProbe {
     * from the fixture. */
   private val ProbedRel = Seq(
     "q_waiting_suppliers", "q_min_cost_supplier", "q_local_supplier_volume",
-    "q_market_share", "q_product_profit")
+    "q_market_share", "q_product_profit", "agg_histogram")
 
   /** o_orderdate(k): deterministic day in 1995-01-01..2001-07-second, the
     * fixture's span — shared by synthOrders and synthLineitem so each

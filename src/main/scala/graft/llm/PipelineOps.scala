@@ -218,46 +218,7 @@ object PipelineOps extends OpRegistry {
       // while the LM-training aggregation over the same explode cost 6 s.
       // Training still explodes once — its shuffles are vocab-sized and
       // partial-aggregated.
-      val bg = tWide(s, dir)("documents").select(col("doc_id"), col("lang"),
-        explode(Shingling.charBigramArray(col("text"))).as("bg"))
-      val cnt2 = bg.groupBy("lang", "bg").agg(count(lit(1)).as("c2"))
-      val cnt1 = cnt2.groupBy(col("lang"), substring(col("bg"), 1, 1).as("c1"))
-        .agg(sum(col("c2")).as("c1cnt"))
-      // cnt1 derives from cnt2 → alias both sides of the self-join lineage
-      val lm = cnt2.as("n2").join(cnt1.as("n1"),
-          col("n2.lang") === col("n1.lang")
-            && substring(col("n2.bg"), 1, 1) === col("n1.c1"))
-        .select(col("n2.lang").as("lang"), col("n2.bg").as("bg"),
-          floor(log(col("n1.c1cnt").cast("double") / col("n2.c2")) * lit(1e6)
-            + lit(0.5)).cast("long").as("nll_q"))
-      // bounded model-state collect: charset²×langs rows (651 on the 100×
-      // probe corpus), never data-sized
-      val lmMap = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
-        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]]()
-      lm.collect().foreach { r =>
-        val langK = org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))
-        var inner = lmMap.get(langK)
-        if (inner == null) {
-          inner = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
-          lmMap.put(langK, inner)
-        }
-        inner.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
-          java.lang.Long.valueOf(r.getLong(2)))
-      }
-      // n_bigrams counts LM-MATCHED bigrams (== all of them when the LM is
-      // trained on the same corpus) and the n_bigrams >= 1 filter drops
-      // docs the old inner join produced no group for (empty/NULL text,
-      // unknown lang) — row-for-row the join+groupBy semantics.
-      val perDoc = tWide(s, dir)("documents")
-        .select(col("doc_id"), col("lang"),
-          graft.functions.GraftExpressions.lmNllSum(col("lang"),
-            Shingling.charBigramArray(col("text")), lmMap).as("ns"))
-        .select(col("doc_id"), col("lang"),
-          element_at(col("ns"), 1).as("n_bigrams"),
-          element_at(col("ns"), 2).as("sum_nll"))
-        .filter(col("n_bigrams") >= 1)
-        .select(col("doc_id"), col("lang"), col("n_bigrams"),
-          call_function("div", col("sum_nll"), col("n_bigrams")).as("avg_nll_micro"))
+      val perDoc = lmAvgNll(s, dir)
       // Per-lang mean via a lang-sized agg + broadcast join back, NOT a
       // Window.partitionBy(lang): the window funnels the whole per-doc
       // frame into |langs| partitions (5 here) and sorts each one on a
@@ -272,6 +233,29 @@ object PipelineOps extends OpRegistry {
         .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll_micro"),
           (col("avg_nll_micro") > col("lang_mean_micro")).cast("int").as("flagged"))
         .orderBy("doc_id")
+    }),
+
+    "docs_nll_histogram" -> ((s, dir) => {
+      // Perplexity histogram (round 11): the corpus-QA plot behind every
+      // CCNet-style quality cut — per lang, doc counts in half-nat
+      // avg-NLL buckets (bucket = avg_nll_micro div 500000) with exact
+      // ppm shares. Shows WHERE the docs_lm_quality_filter mean cut
+      // lands and whether the distribution is bimodal (clean text vs
+      // boilerplate) before committing to a threshold. Consumes the
+      // landed per-doc NLL score artifact shared with the filter; after
+      // it, two bounded aggs (buckets ≤ maxNll/0.5 nats per lang).
+      val perDoc = lmAvgNll(s, dir)
+        .withColumn("bucket", call_function("div", col("avg_nll_micro"),
+          lit(500000L)))
+      val hist = perDoc.groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = perDoc.groupBy("lang").agg(count(lit(1)).as("lang_docs"))
+      hist.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("bucket"),
+          (col("bucket") * 500000L).as("lo_micro_nats"), col("n_docs"),
+          call_function("div", col("n_docs") * lit(1000000L), col("lang_docs"))
+            .as("share_ppm"))
+        .orderBy("lang", "bucket")
     }),
 
     "docs_split_assign" -> ((s, dir) => {
@@ -538,6 +522,76 @@ object PipelineOps extends OpRegistry {
     }),
   )
 
+  /** Per-doc average bigram NLL under the corpus' own per-lang char-bigram
+    * LM — the scoring half of docs_lm_quality_filter, landed once per
+    * corpus ([[graft.CorpusArtifacts]], kind "nllscores") and shared with
+    * docs_nll_histogram. Training explodes once (vocab-sized shuffles);
+    * the LM is charset²×langs MODEL state collected to the driver; scoring
+    * is map-side via the native LmNllSum fold (no occurrence-sized row
+    * stream — the r10 fix). n_bigrams >= 1 drops empty/NULL-text docs,
+    * row-for-row the old join+groupBy semantics. */
+  private[llm] def lmAvgNll(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusArtifacts.parquet(s, "nllscores", dir) {
+      val bg = tWide(s, dir)("documents").select(col("doc_id"), col("lang"),
+        explode(Shingling.charBigramArray(col("text"))).as("bg"))
+      val cnt2 = bg.groupBy("lang", "bg").agg(count(lit(1)).as("c2"))
+      val cnt1 = cnt2.groupBy(col("lang"), substring(col("bg"), 1, 1).as("c1"))
+        .agg(sum(col("c2")).as("c1cnt"))
+      // cnt1 derives from cnt2 → alias both sides of the self-join lineage
+      val lm = cnt2.as("n2").join(cnt1.as("n1"),
+          col("n2.lang") === col("n1.lang")
+            && substring(col("n2.bg"), 1, 1) === col("n1.c1"))
+        .select(col("n2.lang").as("lang"), col("n2.bg").as("bg"),
+          floor(log(col("n1.c1cnt").cast("double") / col("n2.c2")) * lit(1e6)
+            + lit(0.5)).cast("long").as("nll_q"))
+      // bounded model-state collect: charset²×langs rows (651 on the 100×
+      // probe corpus), never data-sized
+      val lmMap = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]]()
+      lm.collect().foreach { r =>
+        val langK = org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))
+        var inner = lmMap.get(langK)
+        if (inner == null) {
+          inner = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+          lmMap.put(langK, inner)
+        }
+        inner.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+          java.lang.Long.valueOf(r.getLong(2)))
+      }
+      tWide(s, dir)("documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.GraftExpressions.lmNllSum(col("lang"),
+            Shingling.charBigramArray(col("text")), lmMap).as("ns"))
+        .select(col("doc_id"), col("lang"),
+          element_at(col("ns"), 1).as("n_bigrams"),
+          element_at(col("ns"), 2).as("sum_nll"))
+        .filter(col("n_bigrams") >= 1)
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          call_function("div", col("sum_nll"), col("n_bigrams")).as("avg_nll_micro"))
+    }
+
+  /** DuckDB replay of the per-doc NLL scoring (train the per-lang bigram
+    * LM + score every doc), shared by the docs_lm_quality_filter and
+    * docs_nll_histogram oracles. Splice after WITH; exposes `perdoc`. */
+  private val NllCteSql = """
+      bg AS (SELECT doc_id, lang, substring(text, i, 2) AS bg
+                  FROM (SELECT doc_id, lang, text, unnest(range(1, length(text))) AS i
+                        FROM documents WHERE length(text) >= 2)),
+      cnt2 AS (SELECT lang, bg, COUNT(1) AS c2 FROM bg GROUP BY lang, bg),
+      cnt1 AS (SELECT lang, substring(bg, 1, 1) AS c1,
+                      CAST(SUM(c2) AS BIGINT) AS c1cnt
+               FROM cnt2 GROUP BY 1, 2),
+      lm AS (SELECT cnt2.lang, cnt2.bg,
+                    CAST(floor(ln(CAST(cnt1.c1cnt AS DOUBLE) / cnt2.c2) * 1000000
+                             + 0.5) AS BIGINT) AS nll_q
+             FROM cnt2 JOIN cnt1
+               ON cnt2.lang = cnt1.lang AND substring(cnt2.bg, 1, 1) = cnt1.c1),
+      perdoc AS (SELECT bg.doc_id, bg.lang, COUNT(1) AS n_bigrams,
+                        CAST(SUM(lm.nll_q) AS BIGINT)
+                          // COUNT(1) AS avg_nll_micro
+                 FROM bg JOIN lm ON bg.lang = lm.lang AND bg.bg = lm.bg
+                 GROUP BY bg.doc_id, bg.lang)"""
+
   def oracleSql: Map[String, String] = Map(
     "docs_signal_corr" -> s"""
       WITH m AS (SELECT lang,
@@ -610,30 +664,25 @@ object PipelineOps extends OpRegistry {
              (w_q * 1000000) // CAST(SUM(w_q) OVER () AS BIGINT) AS mix_ppm
       FROM w ORDER BY source""",
 
-    "docs_lm_quality_filter" -> """
-      WITH bg AS (SELECT doc_id, lang, substring(text, i, 2) AS bg
-                  FROM (SELECT doc_id, lang, text, unnest(range(1, length(text))) AS i
-                        FROM documents WHERE length(text) >= 2)),
-      cnt2 AS (SELECT lang, bg, COUNT(1) AS c2 FROM bg GROUP BY lang, bg),
-      cnt1 AS (SELECT lang, substring(bg, 1, 1) AS c1,
-                      CAST(SUM(c2) AS BIGINT) AS c1cnt
-               FROM cnt2 GROUP BY 1, 2),
-      lm AS (SELECT cnt2.lang, cnt2.bg,
-                    CAST(floor(ln(CAST(cnt1.c1cnt AS DOUBLE) / cnt2.c2) * 1000000
-                             + 0.5) AS BIGINT) AS nll_q
-             FROM cnt2 JOIN cnt1
-               ON cnt2.lang = cnt1.lang AND substring(cnt2.bg, 1, 1) = cnt1.c1),
-      perdoc AS (SELECT bg.doc_id, bg.lang, COUNT(1) AS n_bigrams,
-                        CAST(SUM(lm.nll_q) AS BIGINT)
-                          // COUNT(1) AS avg_nll_micro
-                 FROM bg JOIN lm ON bg.lang = lm.lang AND bg.bg = lm.bg
-                 GROUP BY bg.doc_id, bg.lang)
+    "docs_lm_quality_filter" -> s"""
+      WITH $NllCteSql
       SELECT doc_id, lang, n_bigrams, avg_nll_micro,
              CAST(avg_nll_micro >
                   CAST(SUM(avg_nll_micro) OVER (PARTITION BY lang) AS BIGINT)
                     // COUNT(1) OVER (PARTITION BY lang)
                AS INT) AS flagged
       FROM perdoc ORDER BY doc_id""",
+
+    "docs_nll_histogram" -> s"""
+      WITH $NllCteSql,
+      h AS (SELECT lang, avg_nll_micro // 500000 AS bucket,
+                   COUNT(1) AS n_docs
+            FROM perdoc GROUP BY 1, 2),
+      tt AS (SELECT lang, COUNT(1) AS lang_docs FROM perdoc GROUP BY lang)
+      SELECT h.lang, h.bucket, h.bucket * 500000 AS lo_micro_nats, h.n_docs,
+             h.n_docs * 1000000 // tt.lang_docs AS share_ppm
+      FROM h JOIN tt ON h.lang = tt.lang
+      ORDER BY h.lang, h.bucket""",
 
     "docs_split_assign" -> """
       WITH h AS (SELECT doc_id, lang,

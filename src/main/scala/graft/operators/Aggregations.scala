@@ -245,6 +245,37 @@ object Aggregations extends OpRegistry {
             .as("stddev_qty6"))
         .orderBy("l_returnflag")
     }),
+    "agg_histogram" -> ((s, dir) => {
+      // Equi-width numeric histogram (round 11) — the profiling
+      // primitive behind every "distribution at a glance" panel.
+      // All-integer bucketing (engine round()/width_bucket boundary
+      // semantics differ; integers cannot): centi-quantized price c,
+      // bounds from ONE global agg (a 3-value broadcast frame),
+      // bucket = ((c − lo)·20) div (hi − lo + 1) ∈ [0, 20). Two passes
+      // over the fact (bounds, then bucket counts), both partial+final
+      // aggregates — the shape that holds at any fact size.
+      val e = t(s, dir)("lineitem")
+        .select(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("c"))
+      val bounds = e.agg(min("c").as("lo"), max("c").as("hi"),
+        count(lit(1)).as("total"))
+      e.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          call_function("div", (col("c") - col("lo")) * 20,
+            col("hi") - col("lo") + 1))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("c").as("min_centi"),
+          max("c").as("max_centi"), max("lo").as("lo"), max("hi").as("hi"),
+          max("total").as("total"))
+        .select(col("bucket"),
+          (col("lo") + call_function("div",
+            col("bucket") * (col("hi") - col("lo") + 1), lit(20L)))
+            .as("bucket_lo_centi"),
+          col("n_rows"), col("min_centi"), col("max_centi"),
+          call_function("div", col("n_rows") * lit(1000000L), col("total"))
+            .as("share_ppm"))
+        .orderBy("bucket")
+    }),
+
     "agg_mode" -> ((s, dir) => {
       // Deterministic mode (most frequent o_orderstatus per priority):
       // count + rank window with an explicit (cnt desc, status asc)
@@ -387,6 +418,19 @@ object Aggregations extends OpRegistry {
                                   ORDER BY COUNT(1) DESC, o_orderstatus) AS rn
         FROM orders GROUP BY o_orderpriority, o_orderstatus)
       WHERE rn = 1 ORDER BY o_orderpriority""",
+    "agg_histogram" -> """
+      WITH e AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+                 FROM lineitem),
+      b AS (SELECT MIN(c) AS lo, MAX(c) AS hi, COUNT(1) AS total FROM e),
+      x AS (SELECT c, ((c - lo) * 20) // (hi - lo + 1) AS bucket,
+                   lo, hi, total
+            FROM e CROSS JOIN b)
+      SELECT bucket,
+             MAX(lo) + (MAX(bucket) * (MAX(hi) - MAX(lo) + 1)) // 20
+               AS bucket_lo_centi,
+             COUNT(1) AS n_rows, MIN(c) AS min_centi, MAX(c) AS max_centi,
+             CAST(COUNT(1) * 1000000 // MAX(total) AS BIGINT) AS share_ppm
+      FROM x GROUP BY bucket ORDER BY bucket""",
     "agg_corr_covar" -> s"""
       WITH m AS (
         SELECT l_returnflag,

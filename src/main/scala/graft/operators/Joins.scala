@@ -277,6 +277,47 @@ object Joins extends OpRegistry {
         .orderBy("event_id")
     }),
 
+    "join_interval_overlap" -> ((s, dir) => {
+      // Interval-overlap join (round 11) — the operator class Spark has
+      // no native node for: overlap user SESSIONS (30-min-gap
+      // sessionization) with the corpus' BUSY HOURS (hours with
+      // above-average event volume), emitting per-session busy-hour
+      // count and total overlapped micros. Scale shape: the hour side is
+      // bounded by the TIME SPAN (≤744 hourly rows for a month at any
+      // corpus size) → broadcast + range predicate, never
+      // interval × interval on two data-sized sides — when both sides
+      // are data-sized, the general recipe buckets one side to exactly
+      // this kind of grid first. All integer micros; the busy cut
+      // cnt·n_hours > total avoids a float average.
+      val hourUs = 3600000000L
+      val e = t(s, dir)("events").select(col("user_id"),
+        tsDivMicros(col("ts")).as("ts_us"), col("event_id"))
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val sess = e
+        .withColumn("prev", lag("ts_us", 1).over(wOrd))
+        .withColumn("new_s", (col("prev").isNull
+          || col("ts_us") - col("prev") > 1800000000L).cast("long"))
+        .withColumn("sid", sum("new_s").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_us").as("s_start"), max("ts_us").as("s_end"))
+      val hours = e
+        .select((call_function("div", col("ts_us"), lit(hourUs)) * hourUs)
+          .as("h_start"))
+        .groupBy("h_start").agg(count(lit(1)).as("cnt"))
+      val htot = hours.agg(sum("cnt").as("total"), count(lit(1)).as("n_hours"))
+      val busy = hours.crossJoin(broadcast(htot))
+        .filter(col("cnt") * col("n_hours") > col("total"))
+        .select(col("h_start"), (col("h_start") + hourUs).as("h_end"))
+      sess.join(broadcast(busy),
+          col("s_start") < col("h_end") && col("h_start") <= col("s_end"))
+        .groupBy("user_id", "sid", "s_start", "s_end")
+        .agg(count(lit(1)).as("n_busy_hours"),
+          sum(least(col("s_end"), col("h_end"))
+            - greatest(col("s_start"), col("h_start"))).as("overlap_us"))
+        .orderBy("user_id", "sid")
+    }),
+
     "join_bloom_prefilter" -> ((s, dir) => {
       // Semi-join reduction via Bloom filter (round 4): build a ~1%-fpp
       // Bloom over the urgent orders' keys, prune lineitem BEFORE the
@@ -428,6 +469,37 @@ object Joins extends OpRegistry {
       SELECT event_id, user_id, ts_us, next_purchase_ts
       FROM w WHERE event_type = 'click'
       ORDER BY event_id""",
+
+    "join_interval_overlap" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
+                 FROM events),
+      s0 AS (SELECT user_id, ts_us, event_id,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                      OR ts_us - lag(ts_us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+             FROM e
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      s1 AS (SELECT user_id, ts_us,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS sid
+             FROM s0),
+      sess AS (SELECT user_id, sid, MIN(ts_us) AS s_start, MAX(ts_us) AS s_end
+               FROM s1 GROUP BY 1, 2),
+      hr AS (SELECT (ts_us // 3600000000) * 3600000000 AS h_start,
+                    COUNT(1) AS cnt
+             FROM e GROUP BY 1),
+      ht AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(1) AS n_hours
+             FROM hr),
+      busy AS (SELECT h_start, h_start + 3600000000 AS h_end
+               FROM hr CROSS JOIN ht WHERE cnt * n_hours > total)
+      SELECT s.user_id, s.sid, s.s_start, s.s_end,
+             COUNT(1) AS n_busy_hours,
+             CAST(SUM(least(s.s_end, b.h_end) - greatest(s.s_start, b.h_start))
+               AS BIGINT) AS overlap_us
+      FROM sess s JOIN busy b ON s.s_start < b.h_end AND b.h_start <= s.s_end
+      GROUP BY 1, 2, 3, 4 ORDER BY s.user_id, s.sid""",
 
     "join_asof_nearest" -> """
       WITH e AS (

@@ -36,16 +36,26 @@ object Timeseries extends OpRegistry {
 
   /** Exact per-type (lo+hi)-median of column `c` at 2× scale — agg_median's
     * all-integer recipe, shared by events_anomaly_mad (median + MAD) and
-    * events_cusum_drift (deviation baseline). */
+    * events_cusum_drift (deviation baseline). Computed from the VALUE
+    * HISTOGRAM, not a row sort: lo = min value whose cumulative count
+    * reaches rank (n+1)÷2 (hi likewise at n÷2+1) — identical to the
+    * rank-window form on any multiset, but the cumulating window runs
+    * over DISTINCT VALUES per type (bounded by the centi-value domain,
+    * ~32k) instead of rows. The row-sorted form was the 15× term of the
+    * r11 100× probe (events_cusum_drift: every event sorted inside 5
+    * single-task type partitions, twice). */
   private def med2ByType(df: DataFrame, c: String): DataFrame = {
+    val hist = df.groupBy(col("event_type"), col(c))
+      .agg(count(lit(1)).as("cnt"))
     val wv = Window.partitionBy("event_type").orderBy(c)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wn = Window.partitionBy("event_type")
-    df.withColumn("rn", row_number().over(wv))
-      .withColumn("n", count(lit(1)).over(wn))
+    hist.withColumn("cum", sum("cnt").over(wv))
+      .withColumn("n", sum("cnt").over(wn))
       .groupBy("event_type")
-      .agg((max(when(col("rn") === call_function("div", col("n") + 1, lit(2L)),
+      .agg((min(when(col("cum") >= call_function("div", col("n") + 1, lit(2L)),
         col(c))) +
-        max(when(col("rn") === call_function("div", col("n"), lit(2L)) + 1,
+        min(when(col("cum") >= call_function("div", col("n"), lit(2L)) + 1,
           col(c)))).as("m2"))
   }
 
@@ -485,20 +495,46 @@ object Timeseries extends OpRegistry {
       // a rank window with an earliest-ts tie-break. Both windows
       // partition by type — the same honest rank-exactness cost as the
       // median family; at 100 TB the screen runs per (type, day) shard.
+      // Scale shape (the r11 100× probe measured the naive per-type
+      // global window at 15×): the running sum is a SHARDED PREFIX SUM
+      // WITH CARRY — local cum within (type, day) partitions + the
+      // cumulated previous-day totals as a broadcast offset (the
+      // types×days offset frame is time-span-bounded). The peak argmax
+      // two-levels the same way: per-day winner, then the global winner
+      // over ≤ǀdaysǀ candidates — both levels use the identical
+      // (ǀcumǀ desc, ts, event_id) order, so the result is exactly the
+      // single-window answer (the global best row wins its day, then
+      // wins the final). Every window is partitioned; nothing data-sized
+      // is single-task.
       val e = eventsUs(s, dir).select(col("event_type"), col("ts_us"),
         col("event_id"), floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
       val med = med2ByType(e.select(col("event_type"), col("v")), "v")
         .withColumnRenamed("m2", "med2")
-      val wc = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+      val scored = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", col("v") * 2 - col("med2"))
+        .withColumn("day", call_function("div", col("ts_us"), lit(usPerDay)))
+      val wd = Window.partitionBy("event_type", "day")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val c = e.join(broadcast(med), Seq("event_type"))
-        .withColumn("cum", sum(col("v") * 2 - col("med2")).over(wc))
+      val wdays = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = scored.groupBy("event_type", "day")
+        .agg(sum("dev").as("day_sum"))
+        .withColumn("offset", sum("day_sum").over(wdays) - col("day_sum"))
+        .select("event_type", "day", "offset")
+      val cum = scored
+        .withColumn("local_cum", sum("dev").over(wd))
+        .join(broadcast(offsets), Seq("event_type", "day"))
+        .withColumn("cum", col("local_cum") + col("offset"))
+      val wpd = Window.partitionBy("event_type", "day")
+        .orderBy(abs(col("cum")).desc, col("ts_us"), col("event_id"))
       val wp = Window.partitionBy("event_type")
         .orderBy(abs(col("cum")).desc, col("ts_us"), col("event_id"))
-      c.withColumn("rk", row_number().over(wp))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-        .filter(col("rk") === 1)
-        .select(col("event_type"), col("n").as("n_events"), col("med2")
+      val nPer = e.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      cum.withColumn("rk", row_number().over(wpd)).filter(col("rk") === 1)
+        .withColumn("rk2", row_number().over(wp)).filter(col("rk2") === 1)
+        .join(broadcast(nPer), Seq("event_type"))
+        .select(col("event_type"), col("n_events"), col("med2")
           .as("med2x_centi"), abs(col("cum")).as("max_abs_cusum"),
           col("ts_us").as("peak_us"))
         .orderBy("event_type")
