@@ -401,4 +401,118 @@ class PropertySpec extends GraftSuite {
       assert(got == expect, s"seed $s: op=$got oracle=$expect")
     }
   }
+
+  // random (type, tsMicros-spanning-days, value) events — ts crosses day
+  // boundaries so the sharded-prefix-sum carry path is exercised
+  private val cusumGen: Gen[List[(String, Long, Double)]] =
+    Gen.chooseNum(5, 80).flatMap { n =>
+      Gen.listOfN(n, for {
+        t  <- Gen.oneOf("a", "b")
+        ts <- Gen.chooseNum(0L, 5L * 86400000000L)
+        v  <- Gen.chooseNum(0, 30000).map(_ / 100.0)
+      } yield (t, ts, v))
+    }
+
+  test("property: events_cusum_drift matches a sequential Scala CUSUM oracle across day shards") {
+    for (s <- seeds) {
+      val evs = sample(cusumGen, s).zipWithIndex.map { case ((t, ts, v), i) =>
+        (i.toLong, ts * 1000L, i.toLong % 5, t, v)
+      }
+      val dir = writeDir("events" -> evs
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}")))
+      val got = SparkEntry.queries("events_cusum_drift")(spark, dir)
+        .select("event_type", "n_events", "med2x_centi", "max_abs_cusum", "peak_us")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      def med2(xs: Seq[Long]): Long = {
+        val v = xs.sorted; val n = v.size
+        v((n + 1) / 2 - 1) + v(n / 2)
+      }
+      val expect = evs.groupBy(_._4).map { case (t, rows) =>
+        val ordered = rows.sortBy(r => (r._2 / 1000L, r._1))
+        val vs = ordered.map(r => math.floor(r._5 * 100 + 0.5).toLong)
+        val m2 = med2(vs)
+        var cum = 0L
+        var best = (-1L, Long.MaxValue, Long.MaxValue) // (abs, ts, eid)
+        ordered.zip(vs).foreach { case (r, v) =>
+          cum += v * 2 - m2
+          val cand = (math.abs(cum), r._2 / 1000L, r._1)
+          if (cand._1 > best._1 ||
+            (cand._1 == best._1 &&
+              Ordering[(Long, Long)].lt((cand._2, cand._3), (best._2, best._3))))
+            best = cand
+        }
+        (t, ordered.size.toLong, m2, best._1, best._2)
+      }.toSet
+      assert(got == expect, s"seed $s: op=$got oracle=$expect")
+    }
+  }
+
+  test("property: events_streaks matches a Scala run-length oracle") {
+    for (s <- seeds) {
+      val evs = sample(cusumGen, s).zipWithIndex.map { case ((t, ts, _), i) =>
+        (i.toLong, ts * 1000L, i.toLong % 4, t)
+      }
+      val dir = writeDir("events" -> evs
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}")))
+      val got = SparkEntry.queries("events_streaks")(spark, dir)
+        .select("user_id", "event_type", "streak_len", "start_us")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val expect = evs.groupBy(_._3).map { case (u, rows) =>
+        val ordered = rows.sortBy(r => (r._2 / 1000L, r._1))
+        // run-length encode consecutive same types, keep (len, start, type)
+        val runs = scala.collection.mutable.ListBuffer[(Long, Long, String)]()
+        ordered.foreach { r =>
+          val ts = r._2 / 1000L
+          if (runs.nonEmpty && runs.last._3 == r._4)
+            runs(runs.size - 1) = (runs.last._1 + 1, runs.last._2, runs.last._3)
+          else runs += ((1L, ts, r._4))
+        }
+        val best = runs.minBy(r => (-r._1, r._2, r._3))
+        (u, best._3, best._1, best._2)
+      }.toSet
+      assert(got == expect, s"seed $s: op=$got oracle=$expect")
+    }
+  }
+
+  test("property: join_asof_nearest matches a per-click Scala replay (ties backward)") {
+    for (s <- seeds) {
+      val evs = sample(cusumGen, s).zipWithIndex.map { case ((t, ts, _), i) =>
+        (i.toLong, ts * 1000L, i.toLong % 3,
+          if (t == "a") "click" else "purchase")
+      }
+      val dir = writeDir("events" -> evs
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}")))
+      val got = SparkEntry.queries("join_asof_nearest")(spark, dir)
+        .select("event_id", "nearest_purchase_ts", "direction")
+        .as[(Long, Option[Long], String)].collect().toSet
+      val expect = evs.filter(_._4 == "click").map { c =>
+        val ts = c._2 / 1000L
+        // the op's windows are ROWS frames over (ts, event_id): a
+        // same-ts purchase with smaller id is "preceding", larger id
+        // "following"
+        val sameUser = evs.filter(e => e._3 == c._3 && e._4 == "purchase")
+        val ord = Ordering[(Long, Long)]
+        val prev = sameUser.filter(p =>
+          ord.lt((p._2 / 1000L, p._1), (ts, c._1))).map(_._2 / 1000L)
+          .sorted.lastOption
+        val next = sameUser.filter(p =>
+          ord.gt((p._2 / 1000L, p._1), (ts, c._1))).map(_._2 / 1000L)
+          .sorted.headOption
+        val nearest = (prev, next) match {
+          case (None, n) => n
+          case (p, None) => p
+          case (Some(p), Some(n)) => if (ts - p <= n - ts) Some(p) else Some(n)
+        }
+        val dirn = nearest match {
+          case None => "none"
+          case Some(x) => if (x <= ts) "back" else "fwd"
+        }
+        (c._1, nearest, dirn)
+      }.toSet
+      assert(got == expect, s"seed $s: op=$got oracle=$expect")
+    }
+  }
 }
