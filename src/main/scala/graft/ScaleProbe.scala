@@ -63,7 +63,8 @@ object ScaleProbe {
     * sign-LSH multiprobe, IVF-PQ ADC, and LSH-bucketed semantic dedup. */
   private val ProbedVec = Seq(
     "knn_cosine_topk", "knn_ivf_topk", "knn_ivfpq_topk", "dedup_near_embedding",
-    "vec_hamming_recall", "vec_pca_deflate")
+    "vec_hamming_recall", "vec_pca_deflate", "vec_rank_fusion",
+    "vec_centroid_drift")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
@@ -90,7 +91,8 @@ object ScaleProbe {
     "events_burst_detect", "events_dau_wau", "events_sessionize",
     "events_interarrival_hist", "events_rfm_scores", "events_markov_transitions",
     "events_top_paths", "events_user_overlap", "events_streaks",
-    "join_asof_nearest", "events_cusum_drift", "join_interval_overlap")
+    "join_asof_nearest", "events_cusum_drift", "join_interval_overlap",
+    "events_ab_test")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,

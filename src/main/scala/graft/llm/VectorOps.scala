@@ -195,6 +195,80 @@ object VectorOps extends OpRegistry {
         .orderBy("qid")
     }),
 
+    "vec_rank_fusion" -> ((s, dir) => {
+      // Reciprocal-rank fusion (round 11): fuse the exact-cosine ranking
+      // with the binary-Hamming ranking per query — THE standard
+      // hybrid-retrieval combiner (RRF: score = Σ 1/(60+rank)), here in
+      // exact integer millionths (1000000 div (60+rank)) so the fused
+      // order is dialect-proof. Rides vec_hamming_recall's single scored
+      // pass (both rank windows share the qid exchange); the fused
+      // re-rank runs over the same frame, top-5 per query.
+      val sigBits = (0 until 64).map(i =>
+        when(element_at(col("qe"), i + 1) >= 0,
+          lit(if (i == 63) Long.MinValue else 1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .withColumn("sig", sigBits)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qe").as("qv"), col("sig").as("qsig"))
+      val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          dotQ(s, col("qv"), col("qe")).as("dot_q"),
+          call_function("bit_count", col("qsig").bitwiseXOR(col("sig"))).as("ham"))
+      val wf = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
+      val wh = Window.partitionBy("qid").orderBy(col("ham").asc, col("vid"))
+      val rrf = call_function("div", lit(1000000L), col("rf") + 60) +
+        call_function("div", lit(1000000L), col("rh") + 60)
+      val wr = Window.partitionBy("qid").orderBy(col("rrf").desc, col("vid"))
+      scored
+        .withColumn("rf", row_number().over(wf).cast("long"))
+        .withColumn("rh", row_number().over(wh).cast("long"))
+        .withColumn("rrf", rrf)
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn").cast("int").as("rn"), col("vid"),
+          col("rf"), col("rh"), col("rrf"))
+        .orderBy("qid", "rn")
+    }),
+
+    "vec_centroid_drift" -> ((s, dir) => {
+      // Embedding-drift monitor (round 11): per label, the L2 distance
+      // between the centroids of two corpus halves (vec_id parity — in
+      // production, yesterday's snapshot vs today's) — the drift alarm
+      // before a stale ANN index or classifier silently degrades. The
+      // rational centroids never materialize: with per-half integer sums
+      // s1,s2 and counts n1,n2, ǀǀc1−c2ǀǀ² = Σ_d (s1_d·n2 − s2_d·n1)² /
+      // (n1·n2)², so the numerator accumulates EXACTLY (cross terms
+      // ≤ ~4e24 per dim → DECIMAL(38,0); HUGEINT on the oracle side) and
+      // the single sqrt + divisions run once per label on the exact
+      // scalars. One explode pass → (label, dim, half) partial sums →
+      // label-sized frames only.
+      import org.apache.spark.sql.types.DecimalType
+      val d380 = DecimalType(38, 0)
+      val e = tWide(s, dir)("embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(quantize(col("embedding"))).as(Seq("i", "x")))
+      val sums = e.groupBy("label", "half", "i").agg(sum("x").as("sd"))
+      val a = sums.filter(col("half") === 0)
+        .select(col("label"), col("i"), col("sd").as("s1"))
+      val b = sums.filter(col("half") === 1)
+        .select(col("label"), col("i"), col("sd").as("s2"))
+      val n = tWide(s, dir)("embeddings").groupBy("label")
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n2"))
+      a.join(b, Seq("label", "i"))
+        .join(broadcast(n), Seq("label"))
+        .withColumn("t", col("s1") * col("n2") - col("s2") * col("n1"))
+        .groupBy("label")
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum((col("t").cast(d380) * col("t").cast(d380))).as("num"))
+        .select(col("label"), col("n1"), col("n2"),
+          r6(sqrt(col("num").cast("double")) / (col("n1") * col("n2"))
+            / lit(1000000d)).as("drift6"))
+        .orderBy("label")
+    }),
+
     "vec_matryoshka_recall" -> ((s, dir) => {
       // Matryoshka/MRL truncation eval: does the 16-dim PREFIX of each
       // embedding preserve the full 64-dim top-5 neighbor set? Per query:
@@ -1247,6 +1321,66 @@ object VectorOps extends OpRegistry {
              CAST(SUM(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS BIGINT)
                * 100000 AS recall_ppm
       FROM r GROUP BY qid ORDER BY qid""",
+    "vec_rank_fusion" -> """
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      sig AS (SELECT vec_id,
+                     CAST(SUM(CASE WHEN v >= 0 THEN
+                       CASE WHEN i = 64 THEN -9223372036854775808
+                            ELSE CAST(1 AS BIGINT) << (i - 1) END
+                       ELSE 0 END) AS BIGINT) AS sig
+              FROM e GROUP BY 1),
+      d AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
+            FROM e a JOIN e b ON a.i = b.i
+            WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      h AS (SELECT d.qid, d.vid, d.dot_q,
+                   bit_count(xor(sa.sig, sb.sig)) AS ham
+            FROM d JOIN sig sa ON sa.vec_id = d.qid
+                   JOIN sig sb ON sb.vec_id = d.vid),
+      r AS (SELECT qid, vid,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vid)
+                     AS BIGINT) AS rf,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham ASC, vid)
+                     AS BIGINT) AS rh
+            FROM h),
+      f AS (SELECT qid, vid, rf, rh,
+                   1000000 // (rf + 60) + 1000000 // (rh + 60) AS rrf
+            FROM r),
+      t AS (SELECT qid, vid, rf, rh, rrf,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, vid) AS rn
+            FROM f)
+      SELECT qid, CAST(rn AS INT) AS rn, vid, rf, rh, rrf
+      FROM t WHERE rn <= 5 ORDER BY qid, rn""",
+    "vec_centroid_drift" -> """
+      WITH q AS (SELECT vec_id, label, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT vec_id, label, vec_id % 2 AS half,
+                   unnest(qe) AS x, generate_subscripts(qe, 1) AS i FROM q),
+      sums AS (SELECT label, half, i, CAST(SUM(x) AS BIGINT) AS sd
+               FROM e GROUP BY 1, 2, 3),
+      n AS (SELECT label,
+                   CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+            FROM q GROUP BY label),
+      cross_t AS (SELECT a.label, a.i,
+                         a.sd * n.n2 - b.sd * n.n1 AS t
+                  FROM sums a JOIN sums b
+                    ON a.label = b.label AND a.i = b.i
+                       AND a.half = 0 AND b.half = 1
+                    JOIN n ON n.label = a.label),
+      agg AS (SELECT c.label, MAX(n.n1) AS n1, MAX(n.n2) AS n2,
+                     SUM(CAST(c.t AS HUGEINT) * c.t) AS num
+              FROM cross_t c JOIN n ON n.label = c.label
+              GROUP BY c.label)
+      SELECT label, n1, n2,
+             floor(sqrt(CAST(num AS DOUBLE)) / (n1 * n2) / 1000000
+               * 1000000 + 0.5) / 1000000 AS drift6
+      FROM agg ORDER BY label""",
     "vec_matryoshka_recall" -> """
       WITH q AS (SELECT vec_id, list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe

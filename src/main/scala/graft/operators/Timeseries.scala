@@ -363,6 +363,41 @@ object Timeseries extends OpRegistry {
         .orderBy("event_type")
     }),
 
+    "events_ab_test" -> ((s, dir) => {
+      // A/B experiment readout (round 11): user_id parity splits traffic
+      // into two cohorts; per event type, the Welch two-sample z on mean
+      // value — the statistic every experimentation platform prints.
+      // agg_corr_covar's moment recipe: exact centi-integer sums
+      // (DECIMAL(38,0) — overflow-proof at any event count), double
+      // arithmetic once per (type, cohort) on the exact scalars; the
+      // cohort pivot is a type-sized self-join. Everything before the
+      // final 5-row frame is one partial+final hash agg.
+      import org.apache.spark.sql.types.DecimalType
+      val d = DecimalType(38, 0)
+      val e = t(s, dir)("events").select(col("event_type"),
+        (col("user_id") % 2).as("cohort"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+      val g = e.groupBy("event_type", "cohort")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(d)).cast("double").as("s"),
+          sum((col("v") * col("v")).cast(d)).cast("double").as("ss"))
+      val a = g.filter(col("cohort") === 0).select(col("event_type"),
+        col("n").as("n_a"), col("s").as("s1"), col("ss").as("ss1"))
+      val b = g.filter(col("cohort") === 1).select(col("event_type"),
+        col("n").as("n_b"), col("s").as("s2"), col("ss").as("ss2"))
+      val v1 = (col("ss1") - col("s1") * col("s1") / col("n_a")) / (col("n_a") - 1)
+      val v2 = (col("ss2") - col("s2") * col("s2") / col("n_b")) / (col("n_b") - 1)
+      val diff = col("s1") / col("n_a") - col("s2") / col("n_b")
+      a.join(b, Seq("event_type"))
+        .withColumn("mean_diff4", r4(diff / lit(100.0)))
+        .withColumn("z6", r6(diff / sqrt(v1 / col("n_a") + v2 / col("n_b"))))
+        .withColumn("significant",
+          (abs(col("z6")) > lit(1.96)).cast("int"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("mean_diff4"), col("z6"), col("significant"))
+        .orderBy("event_type")
+    }),
+
     "scd2_type_history" -> ((s, dir) => {
       // Changelog → SCD2: collapse consecutive same-type runs per user
       // (gaps-and-islands change capture), then build [valid_from,
@@ -560,6 +595,29 @@ object Timeseries extends OpRegistry {
             FROM r)
       SELECT user_id, event_type, streak_len, start_us
       FROM b WHERE rn = 1 ORDER BY user_id""",
+    "events_ab_test" -> s"""
+      WITH e AS (SELECT event_type, user_id % 2 AS cohort,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                 FROM events),
+      g AS (SELECT event_type, cohort, COUNT(1) AS n,
+                   CAST(SUM(v) AS DOUBLE) AS s,
+                   CAST(SUM(v * v) AS DOUBLE) AS ss
+            FROM e GROUP BY 1, 2),
+      p AS (SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+                   a.s AS s1, a.ss AS ss1, b.s AS s2, b.ss AS ss2
+            FROM g a JOIN g b
+              ON a.event_type = b.event_type AND a.cohort = 0 AND b.cohort = 1)
+      SELECT event_type, n_a, n_b,
+             ${r4Sql("(s1 / n_a - s2 / n_b) / 100.0")} AS mean_diff4,
+             ${r6Sql("(s1 / n_a - s2 / n_b) / sqrt(" +
+               "(ss1 - s1 * s1 / n_a) / (n_a - 1) / n_a" +
+               " + (ss2 - s2 * s2 / n_b) / (n_b - 1) / n_b)")} AS z6,
+             CAST(abs(${r6Sql("(s1 / n_a - s2 / n_b) / sqrt(" +
+               "(ss1 - s1 * s1 / n_a) / (n_a - 1) / n_a" +
+               " + (ss2 - s2 * s2 / n_b) / (n_b - 1) / n_b)")}) > 1.96
+               AS INT) AS significant
+      FROM p ORDER BY event_type""",
+
     "events_cusum_drift" -> """
       WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS ts_us, event_id,
                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
