@@ -196,13 +196,22 @@ object VectorOps extends OpRegistry {
     }),
 
     "vec_rank_fusion" -> ((s, dir) => {
-      // Reciprocal-rank fusion (round 11): fuse the exact-cosine ranking
-      // with the binary-Hamming ranking per query — THE standard
-      // hybrid-retrieval combiner (RRF: score = Σ 1/(60+rank)), here in
-      // exact integer millionths (1000000 div (60+rank)) so the fused
-      // order is dialect-proof. Rides vec_hamming_recall's single scored
-      // pass (both rank windows share the qid exchange); the fused
-      // re-rank runs over the same frame, top-5 per query.
+      // Reciprocal-rank fusion (round 11): fuse the exact-cosine TOP-64
+      // LIST with the binary-Hamming TOP-64 LIST per query — the
+      // canonical hybrid-retrieval combiner exactly as practitioners run
+      // it (RRF fuses the lists each ranker RETURNED; a doc absent from
+      // a list contributes 0 for it). Scores are exact integer
+      // millionths (1000000 div (60+rank)) so the fused order is
+      // dialect-proof. Plan shape (measured, r11 200× probe): each
+      // top-list is the knn_cosine_topk pattern — exchange → rank →
+      // adjacent filter, which Spark rewrites into a PARTIAL
+      // WindowGroupLimit on the map side, pruning to ~64/qid per split
+      // BEFORE the shuffle; the two branches shuffle the SAME scored
+      // frame by qid, so AQE reuses one exchange. The naive form (three
+      // stacked windows + one final rank filter over the full scored
+      // frame) hit the Final-only WindowGroupLimit path at 4M rows:
+      // 39.4 s at 200× vs 3.5 s for this shape. The fused frame is
+      // ≤ 128 rows/query before the final re-rank.
       val sigBits = (0 until 64).map(i =>
         when(element_at(col("qe"), i + 1) >= 0,
           lit(if (i == 63) Long.MinValue else 1L << i)).otherwise(lit(0L)))
@@ -218,17 +227,21 @@ object VectorOps extends OpRegistry {
           call_function("bit_count", col("qsig").bitwiseXOR(col("sig"))).as("ham"))
       val wf = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
       val wh = Window.partitionBy("qid").orderBy(col("ham").asc, col("vid"))
-      val rrf = call_function("div", lit(1000000L), col("rf") + 60) +
-        call_function("div", lit(1000000L), col("rh") + 60)
+      val topF = scored.withColumn("rf", row_number().over(wf).cast("long"))
+        .filter(col("rf") <= 64).select(col("qid"), col("vid"), col("rf"))
+      val topH = scored.withColumn("rh", row_number().over(wh).cast("long"))
+        .filter(col("rh") <= 64).select(col("qid"), col("vid"), col("rh"))
+      val rrf =
+        coalesce(call_function("div", lit(1000000L), col("rf") + 60), lit(0L)) +
+        coalesce(call_function("div", lit(1000000L), col("rh") + 60), lit(0L))
       val wr = Window.partitionBy("qid").orderBy(col("rrf").desc, col("vid"))
-      scored
-        .withColumn("rf", row_number().over(wf).cast("long"))
-        .withColumn("rh", row_number().over(wh).cast("long"))
+      topF.join(topH, Seq("qid", "vid"), "full_outer")
         .withColumn("rrf", rrf)
         .withColumn("rn", row_number().over(wr))
         .filter(col("rn") <= 5)
         .select(col("qid"), col("rn").cast("int").as("rn"), col("vid"),
-          col("rf"), col("rh"), col("rrf"))
+          coalesce(col("rf"), lit(-1L)).as("rf"),
+          coalesce(col("rh"), lit(-1L)).as("rh"), col("rrf"))
         .orderBy("qid", "rn")
     }),
 
@@ -1347,9 +1360,12 @@ object VectorOps extends OpRegistry {
                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham ASC, vid)
                      AS BIGINT) AS rh
             FROM h),
-      f AS (SELECT qid, vid, rf, rh,
-                   1000000 // (rf + 60) + 1000000 // (rh + 60) AS rrf
-            FROM r),
+      f AS (SELECT qid, vid,
+                   CASE WHEN rf <= 64 THEN rf ELSE CAST(-1 AS BIGINT) END AS rf,
+                   CASE WHEN rh <= 64 THEN rh ELSE CAST(-1 AS BIGINT) END AS rh,
+                   CASE WHEN rf <= 64 THEN 1000000 // (rf + 60) ELSE 0 END
+                     + CASE WHEN rh <= 64 THEN 1000000 // (rh + 60) ELSE 0 END AS rrf
+            FROM r WHERE rf <= 64 OR rh <= 64),
       t AS (SELECT qid, vid, rf, rh, rrf,
                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, vid) AS rn
             FROM f)
