@@ -304,6 +304,19 @@ class PlanSpec extends GraftSuite {
       s"docs_dedup_weight label join must be a hash join:\n$w")
   }
 
+  test("vec_rank_fusion: top-list branches keep the map-side partial window prune") {
+    // The 200x-probe finding: an adjacent rank filter on a window that
+    // reuses existing partitioning gets only a FINAL-mode
+    // WindowGroupLimit (~40x slower than the plain window at 4M rows).
+    // The shipped shape ranks each top-list behind its own exchange so
+    // the rewrite inserts the PARTIAL (map-side) prune. Lock that.
+    val p = finalPlan("vec_rank_fusion")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit pushdown vanished:\n$p")
+    assert(p.contains("Partial"),
+      s"vec_rank_fusion lost the map-side partial window prune:\n$p")
+  }
+
   test("q_local_supplier_volume: date filter reaches the orders scan; dims broadcast") {
     val p = finalPlan("q_local_supplier_volume")
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
