@@ -56,6 +56,29 @@ object Scans extends OpRegistry {
         .agg(count(lit(1)).as("cnt")).orderBy("n_regionkey")
     }),
 
+    "scan_schema_merge" -> ((s, dir) => {
+      // Schema-evolution read (round 11): two parquet snapshots of the
+      // same table written under DIFFERENT schemas (snap2 adds
+      // n_regionkey — the added-column migration every long-lived
+      // dataset goes through), read back in ONE scan with mergeSchema:
+      // Spark unions the footer schemas and null-fills the missing
+      // column for snap1 files. The aggregate proves both the union
+      // schema and the null-fill — the -1 bucket is exactly the snap1
+      // row count. Fixed paths + overwrite (sink-op convention,
+      // ADVICE r2: one engine process at a time).
+      val base = "/tmp/graft_schema_merge"
+      val src = t(s, dir)("nation")
+      src.select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(s"$base/snap1")
+      src.write.mode("overwrite").parquet(s"$base/snap2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/snap1", s"$base/snap2")
+        .groupBy(coalesce(col("n_regionkey").cast("long"), lit(-1L))
+          .as("region"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("region")
+    }),
+
     "sink_json_roundtrip" -> ((s, dir) => {
       val out = "/tmp/graft_sink_json"
       val src = t(s, dir)("region")
@@ -168,5 +191,15 @@ object Scans extends OpRegistry {
     "sink_json_roundtrip" -> """
       SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
       FROM region ORDER BY r_regionkey""",
+    // differential twin replays the union-schema semantics from the
+    // SOURCE table: snap1 contributes every row with a NULL added column
+    "scan_schema_merge" -> """
+      WITH merged AS (
+        SELECT n_nationkey, n_name, NULL AS n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey, n_name, n_regionkey FROM nation)
+      SELECT COALESCE(CAST(n_regionkey AS BIGINT), -1) AS region,
+             COUNT(1) AS n_rows
+      FROM merged GROUP BY 1 ORDER BY region""",
   )
 }

@@ -50,6 +50,16 @@ class Round11hSpec extends GraftSuite {
     assert(rows(1)._1 == 1 && math.abs(rows(1)._4 - 2.0) < 1e-5)
   }
 
+  test("scan_schema_merge: union schema null-fills the old snapshot exactly") {
+    val rows = q("scan_schema_merge").collect()
+      .map(r => (r.getAs[Long]("region"), r.getAs[Long]("n_rows"))).toMap
+    // snap1 (no n_regionkey) contributes all 25 nations to the -1 bucket;
+    // snap2 contributes 5 nations per region
+    assert(rows(-1L) == 25L)
+    (0L to 4L).foreach(k => assert(rows(k) == 5L, s"region $k"))
+    assert(rows.values.sum == 50L)
+  }
+
   test("events_ab_test: Welch z matches the closed-form replay") {
     val us = 1000L
     val dir = java.nio.file.Files.createTempDirectory("graft_r11h_ev_").toString
