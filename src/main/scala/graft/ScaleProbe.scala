@@ -281,7 +281,10 @@ object ScaleProbe {
         // attempt OOMed anonymously ~8 ops in and cost the whole run's
         // evidence; a failed op reports -1 and the sweep continues
         try {
-          SparkEntry.queries(op)(spark, dir).count()
+          // full noop-sink materialization, NOT .count() — same action as
+          // Bench (VERDICT r11 #2): .count() deletes unfiltered windows/
+          // projections from the timed plan (§4.2.11)
+          Bench.materialize(SparkEntry.queries(op)(spark, dir))
           val dt = (System.nanoTime() - t0) / 1e9
           samples((m, op)) = samples.getOrElse((m, op), Nil) :+ dt
         } catch {

@@ -723,6 +723,13 @@ object TextOps extends OpRegistry {
       // rewritten to an INTEGER — 2p/(p+q) = 2A/(A+B) where A = c_a·t_b,
       // B = c_b·t_a — so each word contributes the exact integer
       // c_a·(lnq(2A) − lnq(A+B)) to S_a (ditto S_b), the accumulations
+      // (Amplification caveat, ADVICE r11: unlike text_entropy's per-term
+      // use, the floored lnq is MULTIPLIED by counts here, so a 1-ulp
+      // JVM-Math.log vs DuckDB-std::log disagreement at a value landing
+      // within ~1e-9·ǀlnǀ of an integer micro-nat boundary would flip
+      // s_a/s_b by ±c_a. Both resolve to the same correctly-rounded
+      // libm on this host — a dual-SF oracle break after a host/libm
+      // change should be diagnosed HERE first.)
       // are pure integer sums (order-independent), and the only doubles
       // are the two final divisions + r6. One-sided words need no special
       // case beyond the 0·ln guard: c_b = 0 makes the term c_a·lnq-diff

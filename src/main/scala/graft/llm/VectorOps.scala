@@ -252,8 +252,13 @@ object VectorOps extends OpRegistry {
       // before a stale ANN index or classifier silently degrades. The
       // rational centroids never materialize: with per-half integer sums
       // s1,s2 and counts n1,n2, ǀǀc1−c2ǀǀ² = Σ_d (s1_d·n2 − s2_d·n1)² /
-      // (n1·n2)², so the numerator accumulates EXACTLY (cross terms
-      // ≤ ~4e24 per dim → DECIMAL(38,0); HUGEINT on the oracle side) and
+      // (n1·n2)², so the numerator accumulates EXACTLY in DECIMAL(38,0)
+      // (HUGEINT on the oracle side). Declared bound (ADVICE r11): the
+      // term that must fit 1e38 is the SUMMED t², not t — with ǀxǀ ≤ 1e6
+      // per quantized component, ǀtǀ ≤ 2·n²·1e6 and Σ_64 t² < 1e38 needs
+      // ǀtǀ < ~1.2e18, i.e. n ≲ 8e5 rows per label per half; beyond that
+      // rescale the quantization (mirrors vec_pca_deflate's ~9e7 bound) —
+      // non-ANSI Spark would null silently while the oracle errors. And
       // the single sqrt + divisions run once per label on the exact
       // scalars. One explode pass → (label, dim, half) partial sums →
       // label-sized frames only.
@@ -1361,11 +1366,11 @@ object VectorOps extends OpRegistry {
                      AS BIGINT) AS rh
             FROM h),
       f AS (SELECT qid, vid,
-                   CASE WHEN rf <= 64 THEN rf ELSE CAST(-1 AS BIGINT) END AS rf,
-                   CASE WHEN rh <= 64 THEN rh ELSE CAST(-1 AS BIGINT) END AS rh,
-                   CASE WHEN rf <= 64 THEN 1000000 // (rf + 60) ELSE 0 END
-                     + CASE WHEN rh <= 64 THEN 1000000 // (rh + 60) ELSE 0 END AS rrf
-            FROM r WHERE rf <= 64 OR rh <= 64),
+                   CASE WHEN r.rf <= 64 THEN r.rf ELSE CAST(-1 AS BIGINT) END AS rf,
+                   CASE WHEN r.rh <= 64 THEN r.rh ELSE CAST(-1 AS BIGINT) END AS rh,
+                   CASE WHEN r.rf <= 64 THEN 1000000 // (r.rf + 60) ELSE 0 END
+                     + CASE WHEN r.rh <= 64 THEN 1000000 // (r.rh + 60) ELSE 0 END AS rrf
+            FROM r WHERE r.rf <= 64 OR r.rh <= 64),
       t AS (SELECT qid, vid, rf, rh, rrf,
                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, vid) AS rn
             FROM f)

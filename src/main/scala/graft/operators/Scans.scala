@@ -64,9 +64,10 @@ object Scans extends OpRegistry {
       // Spark unions the footer schemas and null-fills the missing
       // column for snap1 files. The aggregate proves both the union
       // schema and the null-fill — the -1 bucket is exactly the snap1
-      // row count. Fixed paths + overwrite (sink-op convention,
-      // ADVICE r2: one engine process at a time).
-      val base = "/tmp/graft_schema_merge"
+      // row count. Path is suffixed with the applicationId (ADVICE r11:
+      // the two-directory write+read window would race across concurrent
+      // harness/test processes on one host under a fixed path).
+      val base = s"/tmp/graft_schema_merge_${s.sparkContext.applicationId}"
       val src = t(s, dir)("nation")
       src.select(col("n_nationkey"), col("n_name"))
         .write.mode("overwrite").parquet(s"$base/snap1")

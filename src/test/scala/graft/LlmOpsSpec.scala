@@ -33,7 +33,7 @@ class LlmOpsSpec extends GraftSuite {
     val docs = (0L until 250L)
       .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
       .toSeq :+ ((900L, "totally different content with many unique words present here"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_giant_").toString
+    val tmp = TestSpark.tempDir("graft_giant_")
     docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val cand = DedupOps.queries("dedup_near_minhash")(spark, tmp)
       .select("id1", "id2").as[(Long, Long)].collect()
@@ -114,7 +114,7 @@ class LlmOpsSpec extends GraftSuite {
     ).toDF("doc_id", "text")
     docs.createOrReplaceTempView("___simhash_in")
     // reuse the op's kernel by writing docs to a temp dir
-    val tmp = java.nio.file.Files.createTempDirectory("graft_simhash_").toString
+    val tmp = TestSpark.tempDir("graft_simhash_")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val sh = DedupOps.queries("dedup_simhash")(spark, tmp)
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
@@ -268,7 +268,7 @@ class LlmOpsSpec extends GraftSuite {
       (2L, "x"),           // single word: no bigrams -> "" / 0 / 0.0
       (3L, "b a b a"))     // word tie a=2,b=2 -> lex "a"; bigrams "b a"x2,"a b" -> "b a"
       .toDF("doc_id", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_repsig_").toString
+    val tmp = TestSpark.tempDir("graft_repsig_")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val rows = TextOps.queries("text_repetition_signals")(spark, tmp)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -294,7 +294,7 @@ class LlmOpsSpec extends GraftSuite {
       (2L, "a b c c"), // top bucket 2 with cnt 2
       (3L, "a b"))     // 1-1 tie -> lowest bucket 0 wins
       .toDF("doc_id", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_hashfeat_").toString
+    val tmp = TestSpark.tempDir("graft_hashfeat_")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val rows = TextOps.queries("text_hashed_features")(spark, tmp)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -316,7 +316,7 @@ class LlmOpsSpec extends GraftSuite {
       (2L, "x x x x"),     // constant doc -> 0
       (3L, "a b c d"))     // uniform -> ln4 = 1.386294
       .toDF("doc_id", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_entropy_").toString
+    val tmp = TestSpark.tempDir("graft_entropy_")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val rows = TextOps.queries("text_entropy")(spark, tmp)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap

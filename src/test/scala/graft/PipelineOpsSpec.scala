@@ -21,7 +21,7 @@ class PipelineOpsSpec extends GraftSuite {
     val docs =
       (0 until 8).map(i => (i.toLong, text(i, 8), "a", "s", 1L)) ++
         (10 until 14).map(i => (i.toLong, text(2, 8), "b", "s", 1L))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_pgate_").toString
+    val tmp = TestSpark.tempDir("graft_pgate_")
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = PipelineOps.queries("docs_quality_percentile_gate")(spark, tmp)
@@ -47,7 +47,7 @@ class PipelineOpsSpec extends GraftSuite {
         "en", src, 1L)
     val docs = (0L until 64L).map(doc(_, "big")) ++
       (100L until 104L).map(doc(_, "small"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_resample_").toString
+    val tmp = TestSpark.tempDir("graft_resample_")
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val run1 = PipelineOps.queries("docs_temperature_resample")(spark, tmp)
@@ -244,8 +244,8 @@ class PipelineOpsSpec extends GraftSuite {
     // the identical per-doc assignment (the property that makes the split
     // stable across re-ingestion on a real pipeline)
     val docs = (0L until 60L).map(i => (i, s"doc $i body word${i % 7} tail"))
-    val t1 = java.nio.file.Files.createTempDirectory("graft_split_a_").toString
-    val t2 = java.nio.file.Files.createTempDirectory("graft_split_b_").toString
+    val t1 = TestSpark.tempDir("graft_split_a_")
+    val t2 = TestSpark.tempDir("graft_split_b_")
     docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
       .coalesce(1).write.mode("overwrite").parquet(s"$t1/documents.parquet")
     scala.util.Random.shuffle(docs).toDF("doc_id", "text").withColumn("lang", lit("en"))

@@ -20,7 +20,7 @@ class PropertySpec extends GraftSuite {
     g.apply(Gen.Parameters.default, Seed(seed)).get
 
   private def writeDir(tables: (String, DataFrame)*): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_prop_").toString
+    val tmp = TestSpark.tempDir("graft_prop_")
     tables.foreach { case (n, df) =>
       df.write.mode("overwrite").parquet(s"$tmp/$n.parquet")
     }

@@ -13,7 +13,7 @@ class Round11Spec extends GraftSuite {
 
   /** events fixture rows: (event_id, ts NANOS, user_id, event_type). */
   private def writeEvents(rows: Seq[(Long, Long, Long, String)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11_ev_").toString
+    val dir = TestSpark.tempDir("graft_r11_ev_")
     rows.toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -75,7 +75,7 @@ class Round11Spec extends GraftSuite {
   }
 
   test("agg_percentiles_exact: n=1 group and all-equal group collapse to the value") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11_ord_").toString
+    val dir = TestSpark.tempDir("graft_r11_ord_")
     val one = Seq(("1-SINGLE", 42.5))
     val eq = (1 to 100).map(_ => ("2-EQUAL", 7.0))
     (one ++ eq).toDF("o_orderpriority", "o_totalprice")
@@ -93,7 +93,7 @@ class Round11Spec extends GraftSuite {
   }
 
   test("vec_matryoshka_recall: zero tail (prefix==full) gives perfect overlap") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11_vec_").toString
+    val dir = TestSpark.tempDir("graft_r11_vec_")
     // 30 vectors whose dims 17..64 are all ZERO: the 16-dim prefix dot
     // equals the full dot bit-for-bit, so both rankings coincide exactly
     val vecs = (0 until 30).map { i =>

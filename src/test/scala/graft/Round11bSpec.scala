@@ -13,7 +13,7 @@ class Round11bSpec extends GraftSuite {
 
   /** events fixture rows: (event_id, ts NANOS, user_id, event_type). */
   private def writeEvents(rows: Seq[(Long, Long, Long, String)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11b_ev_").toString
+    val dir = TestSpark.tempDir("graft_r11b_ev_")
     rows.toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")

@@ -12,7 +12,7 @@ class Round11cSpec extends GraftSuite {
   import spark.implicits._
 
   private def writeDocs(rows: Seq[(Long, String, String)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11c_doc_").toString
+    val dir = TestSpark.tempDir("graft_r11c_doc_")
     rows.toDF("doc_id", "text", "lang")
       .withColumn("source", lit("s0"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -66,7 +66,7 @@ class Round11cSpec extends GraftSuite {
   }
 
   test("events_anomaly_mad: hand-computed odd- and even-count medians and the 3-MAD cut") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11c_ev_").toString
+    val dir = TestSpark.tempDir("graft_r11c_ev_")
     val rows =
       // view: values 1,2,3,4,100 -> med 3.00, MAD 1.00, one 3-MAD outlier
       Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 100.0))

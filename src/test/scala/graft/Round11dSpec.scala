@@ -14,7 +14,7 @@ class Round11dSpec extends GraftSuite {
   import spark.implicits._
 
   private def writeDocs(rows: Seq[(Long, String, String)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11d_doc_").toString
+    val dir = TestSpark.tempDir("graft_r11d_doc_")
     rows.toDF("doc_id", "text", "lang")
       .withColumn("source", lit("s0"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -81,7 +81,7 @@ class Round11dSpec extends GraftSuite {
     val neg = pos.map(x => -x)
     val rows = (0 to 10).map(i => (i.toLong, pos.toSeq, 0)) ++
       (11 to 25).map(i => (i.toLong, neg.toSeq, 1))
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11d_emb_").toString
+    val dir = TestSpark.tempDir("graft_r11d_emb_")
     rows.toDF("vec_id", "embedding", "label")
       .withColumn("embedding", col("embedding").cast("array<float>"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

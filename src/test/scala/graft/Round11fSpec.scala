@@ -14,7 +14,7 @@ class Round11fSpec extends GraftSuite {
 
   /** events fixture rows: (event_id, ts NANOS, user_id, event_type, value). */
   private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11f_ev_").toString
+    val dir = TestSpark.tempDir("graft_r11f_ev_")
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
       .withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -34,7 +34,7 @@ class Round11fSpec extends GraftSuite {
     val e2 = Array.tabulate(dim)(i => if (i == 1) 1.0f else 0.0f)
     val rows = (0 until 10).map(i => (i.toLong, e1.toSeq, 0)) ++
       (10 until 15).map(i => (i.toLong, e2.toSeq, 1))
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11f_emb_").toString
+    val dir = TestSpark.tempDir("graft_r11f_emb_")
     rows.toDF("vec_id", "embedding", "label")
       .withColumn("embedding", col("embedding").cast("array<float>"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -63,7 +63,7 @@ class Round11fSpec extends GraftSuite {
   }
 
   private def writeDocs(rows: Seq[(Long, String, String)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11f_doc_").toString
+    val dir = TestSpark.tempDir("graft_r11f_doc_")
     rows.toDF("doc_id", "text", "lang")
       .withColumn("source", lit("s0"))
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -13,7 +13,7 @@ class Round11gSpec extends GraftSuite {
   test("agg_histogram: integer bucket arithmetic matches the hand formula at the edges") {
     // prices 1.00/2.00/3.00 -> c 100/200/300, lo 100, hi 300, span 201:
     // buckets 0 / 9 / 19 (min lands in 0, max in 19 — never 20).
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11g_li_").toString
+    val dir = TestSpark.tempDir("graft_r11g_li_")
     Seq(1.00, 2.00, 3.00).toDF("l_extendedprice")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val rows = SparkEntry.queries("agg_histogram")(spark, dir)
@@ -42,7 +42,7 @@ class Round11gSpec extends GraftSuite {
     // H by 10 minutes; session 2 does not overlap any busy hour.
     val hUs = 3600000000L
     val h0 = hUs * 1000
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11g_ev_").toString
+    val dir = TestSpark.tempDir("graft_r11g_ev_")
     Seq(
       (1L, h0 * 1000L, 1L, "click"),
       (2L, (h0 + 600000000L) * 1000L, 1L, "click"),

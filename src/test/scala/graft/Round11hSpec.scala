@@ -12,7 +12,7 @@ class Round11hSpec extends GraftSuite {
   import spark.implicits._
 
   private def writeEmb(rows: Seq[(Long, Seq[Float], Int)]): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11h_emb_").toString
+    val dir = TestSpark.tempDir("graft_r11h_emb_")
     rows.toDF("vec_id", "embedding", "label")
       .withColumn("embedding", col("embedding").cast("array<float>"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -62,7 +62,7 @@ class Round11hSpec extends GraftSuite {
 
   test("events_ab_test: Welch z matches the closed-form replay") {
     val us = 1000L
-    val dir = java.nio.file.Files.createTempDirectory("graft_r11h_ev_").toString
+    val dir = TestSpark.tempDir("graft_r11h_ev_")
     Seq(
       (1L, 100L * us, 0L, "click", 10.0), (2L, 200L * us, 0L, "click", 12.0),
       (3L, 300L * us, 1L, "click", 20.0), (4L, 400L * us, 1L, "click", 24.0))

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Round-12 locks: (1) the bench action must EXECUTE cardinality-preserving
+  * operators (VERDICT r11 #2 — `.count()` let the optimizer delete
+  * unfiltered windows, so win_* benched at bare-scan cost), and (2)
+  * golden-plan locks for the round-11 scale rewrites not yet covered by
+  * PlanSpec (cusum day-sharded carry, token-budget histogram pre-cut,
+  * interval-overlap broadcast grid).
+  */
+class Round12Spec extends GraftSuite {
+
+  test("bench action: noop materialization executes the Window exec that .count() prunes") {
+    val df = q("win_rank_dense_row")
+    // the OLD action's plan: an unfiltered window chain under a bare
+    // count() is cardinality-preserving, so the optimizer deletes the
+    // windows — this is the measured §4.2.11 prune that made the seven
+    // pure-window ops bench at scan cost
+    val countPlan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(!countPlan.contains("Window"),
+      s"count() no longer prunes the window — re-evaluate the bench action rationale:\n$countPlan")
+    // the NEW action: capture the plan the noop write ACTUALLY executes
+    @volatile var writePlan: String = ""
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        val p = qe.executedPlan.toString
+        if (p.contains("Window")) writePlan = p
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Bench.materialize(df)
+      // QueryExecutionListener delivery is async — poll, bounded
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (writePlan.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    assert(writePlan.contains("Window"),
+      "the bench action's executed plan never contained the Window exec " +
+        "(either the noop write pruned it or the listener saw no such plan)")
+  }
+
+  test("events_cusum_drift: running sum stays day-sharded (no per-type global row sort)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // The r11 100x finding: a single Window.partitionBy(event_type)
+    // running sum puts ALL of a type's rows in one task (15.1x wall at
+    // 100x). The fix shards by (event_type, day) with a broadcast
+    // carry — so the plan must contain >= 2 two-key windows (the local
+    // cumsum and the per-day argmax); a revert to the naive shape
+    // leaves only one-key windows.
+    val wins = q("events_cusum_drift").queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w.partitionSpec.size
+    }
+    assert(wins.count(_ >= 2) >= 2,
+      s"day-sharded windows missing (partition-key sizes: $wins) — " +
+        "the per-type global running sum is the measured 15x-at-100x shape")
+  }
+
+  test("docs_token_budget_fill: histogram pre-cut gates the exact window") {
+    val df = q("docs_token_budget_fill")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("q_min"),
+      s"histogram pre-cut (q_min) vanished — exact cumsum would run over the full corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the lang-level cut must join broadcast (it is |langs|-sized):\n$p")
+  }
+
+  test("join_interval_overlap: busy-hour grid broadcasts; no cartesian") {
+    val df = q("join_interval_overlap")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"time-span-bounded hour grid must broadcast under the range predicate:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"interval join degenerated to a cartesian product:\n$p")
+  }
+}

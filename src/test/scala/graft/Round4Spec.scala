@@ -67,7 +67,7 @@ class Round4Spec extends GraftSuite {
       (31L, ns(5), 3L, "error"),
       (32L, ns(50), 3L, "purchase"))
       .toDF("event_id", "ts", "user_id", "event_type")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_attr_").toString
+    val tmp = TestSpark.tempDir("graft_attr_")
     events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
     val got = operators.Timeseries.queries("events_attribution_last_touch")(spark, tmp)
       .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
