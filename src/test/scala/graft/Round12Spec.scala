@@ -68,6 +68,24 @@ class Round12Spec extends GraftSuite {
       s"the lang-level cut must join broadcast (it is |langs|-sized):\n$p")
   }
 
+  test("scan_time_travel: the as-of-0 read contains none of the v1-appended rows") {
+    import org.apache.spark.sql.functions._
+    val base = operators.Scans.snapshotTable(spark, sfDir, "tt_spec")
+    val asOf0 = operators.Scans.readAsOf(spark, base, 0)
+    // v1 rows are shifted to keys >= 1000 / regions >= 100 — none may leak
+    assert(asOf0.filter(col("n_nationkey") >= 1000 || col("n_regionkey") >= 100)
+      .count() === 0L, "as-of-0 read leaked v1 rows")
+    // and the snapshot is complete: exactly the source table
+    val src = Tables.load(spark, sfDir, "nation")
+    assert(asOf0.count() === src.count())
+    assert(asOf0.except(src).isEmpty && src.except(asOf0).isEmpty)
+    // v1 sees both commits; the file-level diff is exactly the c1 files
+    assert(operators.Scans.readAsOf(spark, base, 1).count() === 2 * src.count())
+    val added = operators.Scans.changedFiles(spark, base, 0, 1)
+    assert(added.nonEmpty && added.forall(_.contains("/data/c1/")),
+      s"change capture picked non-c1 files: $added")
+  }
+
   test("join_interval_overlap: busy-hour grid broadcasts; no cartesian") {
     val df = q("join_interval_overlap")
     df.collect()
