@@ -122,7 +122,10 @@ object ScaleProbe {
     * from the fixture. */
   private val ProbedRel = Seq(
     "q_waiting_suppliers", "q_min_cost_supplier", "q_local_supplier_volume",
-    "q_market_share", "q_product_profit", "agg_histogram")
+    "q_market_share", "q_product_profit", "agg_histogram",
+    // round 12 (VERDICT r11 #4): the exact order-statistics family sorts
+    // per priority group — 5 near-table-sized frames
+    "agg_median", "agg_percentiles_exact")
 
   /** o_orderdate(k): deterministic day in 1995-01-01..2001-07-second, the
     * fixture's span — shared by synthOrders and synthLineitem so each
@@ -229,7 +232,13 @@ object ScaleProbe {
     val baseEvents = 100000L // sf0.1 events row count
     val baseLines = 600000L // sf0.1 lineitem row count (orders = /4)
     val baseCust = 15000L; val baseSupp = 1000L; val basePart = 20000L
-    val allOps = Probed ++ ProbedVec ++ ProbedEvents ++ ProbedRel
+    // optional comma-separated op filter for targeted local iteration
+    // (e.g. SPARK_GRAFT_PROBE_OPS=agg_median,agg_percentiles_exact);
+    // full sweeps leave it unset
+    val opFilter = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    val allOps = (Probed ++ ProbedVec ++ ProbedEvents ++ ProbedRel)
+      .filter(op => opFilter.forall(_(op)))
     val times = scala.collection.mutable.LinkedHashMap[(Long, String), Double]()
     val samples = scala.collection.mutable.LinkedHashMap[(Long, String), List[Double]]()
     mults.foreach { m =>
@@ -324,7 +333,7 @@ object ScaleProbe {
         .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
     // a recall failure (e.g. OOM at an untested scale) reports -1 rather
     // than discarding the whole sweep's timing evidence
-    val recallJson = try {
+    val recallJson = if (opFilter.nonEmpty) "" else try {
       val exact = top5("knn_cosine_topk")
       val recalls = Seq("knn_ivf_topk", "knn_ivfpq_topk").map { op =>
         val r = try {
@@ -355,7 +364,7 @@ object ScaleProbe {
     // ~2.7× apart (jaccard 6.3 / minhash 2.3), and jaccard now also carries
     // the shared candidate-artifact build as the pass's first consumer.
     // Below 100× both ops are overhead-dominated and the ratio is noise.
-    val mjJson = if (mults.size >= 2) {
+    val mjJson = if (mults.size >= 2 && opFilter.isEmpty) {
       def ratio(op: String) = {
         val a = times((mults.head, op)); val b = times((mults.last, op))
         if (a > 0 && b > 0) b / a else -1.0

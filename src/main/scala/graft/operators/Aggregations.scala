@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Helpers, OpRegistry, Tables}
 import graft.Helpers._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 
@@ -26,6 +26,64 @@ object Aggregations extends OpRegistry {
     def bufferEncoder = org.apache.spark.sql.Encoders.DECIMAL
     def outputEncoder = org.apache.spark.sql.Encoders.DECIMAL
   }
+
+  /** Exact order statistics by two-pass distributed selection (round 12;
+    * the r11 probe measured the old per-group row_number window — 5
+    * near-table-sized single-task sorts — at 22.6× wall on 100× orders).
+    * The value histogram recipe (med2ByType) does not apply here: money
+    * values are near-continuous, so the histogram IS the table. Instead:
+    * pass 1 bins each group into ≤65536 equi-width cells over its exact
+    * integer (centi-unit) image, cumulates the CELL counts (a
+    * ≤65536-row-per-group window — bounded at any table size), and
+    * locates, for each target rank, the unique cell with lo < rank ≤ cum;
+    * pass 2 sorts ONLY the target cells' rows (n/65536 rows per cell in
+    * expectation) to pick the exact in-cell rank. Every stage is
+    * partitioned; the only windows run over cell counts or single-cell
+    * row sets. Ties are safe: equal values share a cell and any in-cell
+    * peer order selects the same value. Exactness needs cents↔value to be
+    * 1:1 and monotone — true for 2-decimal money under
+    * floor(v·100 + 0.5).
+    *
+    * @param df    (grp, v, c) — c = exact integer image of v
+    * @param ranks (name, n → target rank), 1-based, 1 ≤ rank ≤ n
+    * @return one row per (grp, name): grp, name, n, v-at-rank
+    */
+  private def valueAtRanks(df: DataFrame, grp: String,
+                           ranks: Seq[(String, Column => Column)]): DataFrame = {
+    val per = df.groupBy(grp).agg(count(lit(1)).as("n"),
+      min("c").as("cmin"), max("c").as("cmax"))
+      .withColumn("cw", greatest(lit(1L),
+        call_function("div", col("cmax") - col("cmin") + 1, lit(65536L)) + 1))
+    val binned = df.join(broadcast(per.select(col(grp), col("cmin"), col("cw"))), grp)
+      .withColumn("cell", call_function("div", col("c") - col("cmin"), col("cw")))
+    val wCum = Window.partitionBy(grp).orderBy("cell")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = binned.groupBy(grp, "cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("lo", col("cum") - col("cnt"))
+    val targets = per.select(Seq(col(grp), col("n")) ++ ranks.map {
+      case (name, rk) => rk(col("n")).as(s"rk_$name") }: _*)
+      .select(col(grp), col("n"), explode(map(ranks.flatMap {
+        case (name, _) => Seq(lit(name), col(s"rk_$name")) }: _*))
+        .as(Seq("name", "rk")))
+    // locate: lo < rk <= cum picks exactly one cell per (grp, name)
+    val located = targets.join(cells, Seq(grp))
+      .filter(col("lo") < col("rk") && col("rk") <= col("cum"))
+      .select(col(grp), col("name"), col("n"), col("cell"),
+        (col("rk") - col("lo")).as("in_cell_rk"))
+    val wCell = Window.partitionBy(grp, "name").orderBy("c")
+    binned.join(broadcast(located), Seq(grp, "cell"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === col("in_cell_rk"))
+      .select(col(grp), col("name"), col("n"), col("v"))
+  }
+
+  /** Orders keyed for the selection family: centi-unit image of
+    * o_totalprice (exact for 2-decimal money). */
+  private def pricedOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice").as("v"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> ((s, dir) => {
@@ -294,17 +352,16 @@ object Aggregations extends OpRegistry {
     "agg_median" -> ((s, dir) => {
       // Exact median as the (lo, hi) middle-value pair — no interpolation
       // arithmetic, so no cross-engine float divergence (SURVEY §7.4.3).
-      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-      val n = Window.partitionBy("o_orderpriority")
-      t(s, dir)("orders")
-        .select(col("o_orderpriority"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(n))
-        .groupBy("o_orderpriority")
-        .agg(
-          max(col("n")).as("cnt"),
-          max(when(col("rn") === call_function("div", col("n") + 1, lit(2L)), col("o_totalprice"))).as("mid_lo"),
-          max(when(col("rn") === call_function("div", col("n"), lit(2L)) + 1, col("o_totalprice"))).as("mid_hi"))
+      // Scale shape (round 12): two-pass distributed selection via
+      // valueAtRanks — the old per-priority row_number window was 5
+      // near-table-sized single-task sorts, 22.6× wall at the 100× probe.
+      val stats = valueAtRanks(pricedOrders(s, dir), "o_orderpriority", Seq(
+        "mid_lo" -> (n => call_function("div", n + 1, lit(2L))),
+        "mid_hi" -> (n => call_function("div", n, lit(2L)) + 1)))
+      stats.groupBy("o_orderpriority")
+        .agg(max("n").as("cnt"),
+          max(when(col("name") === "mid_lo", col("v"))).as("mid_lo"),
+          max(when(col("name") === "mid_hi", col("v"))).as("mid_hi"))
         .orderBy("o_orderpriority")
     }),
 
@@ -313,25 +370,19 @@ object Aggregations extends OpRegistry {
       // semantics): the value at row ceil(p·n/100) of the per-group sort.
       // The boundary rank is ALL-INTEGER — (n·p + 99) div 100 — because
       // ceil(n * 0.9) in doubles flips at e.g. n=15000 (13500.000…02 →
-      // 13501) on a rounding difference; integer math cannot. ONE window
-      // sort per group feeds all three quantiles, and the final agg
-      // collapses to |priorities| rows — same single-exchange shape as
-      // agg_median. Boundary-peer ties are harmless: equal values at the
-      // boundary rank select the same VALUE regardless of peer order.
-      def rk(n: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column =
+      // 13501) on a rounding difference; integer math cannot. Boundary-
+      // peer ties are harmless: equal values at the boundary rank select
+      // the same VALUE regardless of peer order. Scale shape (round 12):
+      // two-pass distributed selection via valueAtRanks — see agg_median.
+      def rk(p: Int) = (n: Column) =>
         call_function("div", n * lit(p.toLong) + lit(99L), lit(100L))
-      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-      val n = Window.partitionBy("o_orderpriority")
-      t(s, dir)("orders")
-        .select(col("o_orderpriority"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(n))
-        .groupBy("o_orderpriority")
-        .agg(
-          max(col("n")).as("n_rows"),
-          max(when(col("rn") === rk(col("n"), 50), col("o_totalprice"))).as("p50"),
-          max(when(col("rn") === rk(col("n"), 90), col("o_totalprice"))).as("p90"),
-          max(when(col("rn") === rk(col("n"), 99), col("o_totalprice"))).as("p99"))
+      val stats = valueAtRanks(pricedOrders(s, dir), "o_orderpriority",
+        Seq("p50" -> rk(50), "p90" -> rk(90), "p99" -> rk(99)))
+      stats.groupBy("o_orderpriority")
+        .agg(max("n").as("n_rows"),
+          max(when(col("name") === "p50", col("v"))).as("p50"),
+          max(when(col("name") === "p90", col("v"))).as("p90"),
+          max(when(col("name") === "p99", col("v"))).as("p99"))
         .orderBy("o_orderpriority")
     }),
 

@@ -68,6 +68,20 @@ class Round12Spec extends GraftSuite {
       s"the lang-level cut must join broadcast (it is |langs|-sized):\n$p")
   }
 
+  test("agg_median/agg_percentiles_exact: distributed selection, never a table-sized group sort") {
+    // §4.2.12: the old one-window-per-group shape measured 22.6x at the
+    // 100x orders probe. The selection shape's signature is the
+    // cell-locate join (in_cell_rk); its only windows run over bounded
+    // cell counts or single-cell row sets.
+    for (name <- Seq("agg_median", "agg_percentiles_exact")) {
+      val df = q(name)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("in_cell_rk"),
+        s"$name lost the two-pass distributed selection (cell locate):\n$p")
+    }
+  }
+
   test("scan_time_travel: the as-of-0 read contains none of the v1-appended rows") {
     import org.apache.spark.sql.functions._
     val base = operators.Scans.snapshotTable(spark, sfDir, "tt_spec")
