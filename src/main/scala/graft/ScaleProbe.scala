@@ -127,6 +127,19 @@ object ScaleProbe {
     // per priority group — 5 near-table-sized frames
     "agg_median", "agg_percentiles_exact")
 
+  /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
+    * had a measured growth ratio. These run REAL Structured Streaming
+    * (file source over the synthetic events parquet → AvailableNow →
+    * memory sink), so the probe times the state-store path itself; the
+    * final-batch state rows/bytes are captured from StreamingQueryProgress
+    * (Streaming.lastStateStats) and reported per (mult, op) — state that
+    * grows faster than the keyspace is the failure this guards against
+    * (session merge state, stream-stream join buffers, watermark
+    * eviction). */
+  private val ProbedStream = Seq(
+    "stream_watermark_late", "stream_session_builtin", "stream_stream_join",
+    "stream_tws_running_max", "stream_stateful_count", "stream_dedup")
+
   /** o_orderdate(k): deterministic day in 1995-01-01..2001-07-second, the
     * fixture's span — shared by synthOrders and synthLineitem so each
     * line's shipdate is its own order's date + 1..120 days (what
@@ -226,6 +239,11 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     plans.GraftOptimizations.install(spark)
+    // the probe times the streaming STATE path with the distributed noop
+    // sink; the registry default (driver-local memory sink) is a
+    // diagnostic that chokes on data-sized append output at 100×
+    // (maxResultSize) — see Streaming.probeNoopSink
+    streaming.Streaming.probeNoopSink = true
 
     val baseDocs = 5000L // sf0.1 documents row count
     val baseVecs = 2000L // sf0.1 embeddings row count
@@ -237,10 +255,11 @@ object ScaleProbe {
     // full sweeps leave it unset
     val opFilter = sys.env.get("SPARK_GRAFT_PROBE_OPS")
       .map(_.split(",").map(_.trim).toSet)
-    val allOps = (Probed ++ ProbedVec ++ ProbedEvents ++ ProbedRel)
+    val allOps = (Probed ++ ProbedVec ++ ProbedEvents ++ ProbedRel ++ ProbedStream)
       .filter(op => opFilter.forall(_(op)))
     val times = scala.collection.mutable.LinkedHashMap[(Long, String), Double]()
     val samples = scala.collection.mutable.LinkedHashMap[(Long, String), List[Double]]()
+    val stateStats = scala.collection.mutable.LinkedHashMap[(Long, String), (Long, Long, Int)]()
     mults.foreach { m =>
       val dir = s"/tmp/graft_scale_${m}x"
       synthDocs(spark, baseDocs * m).write.mode("overwrite")
@@ -293,9 +312,11 @@ object ScaleProbe {
           // full noop-sink materialization, NOT .count() — same action as
           // Bench (VERDICT r11 #2): .count() deletes unfiltered windows/
           // projections from the timed plan (§4.2.11)
+          if (op.startsWith("stream_")) streaming.Streaming.lastStateStats = None
           Bench.materialize(SparkEntry.queries(op)(spark, dir))
           val dt = (System.nanoTime() - t0) / 1e9
           samples((m, op)) = samples.getOrElse((m, op), Nil) :+ dt
+          streaming.Streaming.lastStateStats.foreach(st => stateStats((m, op)) = st)
         } catch {
           case e: Throwable =>
             samples((m, op)) = samples.getOrElse((m, op), Nil)
@@ -315,7 +336,11 @@ object ScaleProbe {
         if (mults.size >= 2)
           s""","ratio":${fmt(times((mults.last, op)) / times((mults.head, op)))}"""
         else ""
-      s""""$op":{$per$ratio}"""
+      // streaming ops: final-batch state footprint per mult (rows/bytes)
+      val st = mults.flatMap(m => stateStats.get((m, op)).map { case (r, b, nb) =>
+        s""""state_${m}x":{"rows":$r,"bytes":$b,"batches":$nb}""" })
+      val stJson = if (st.isEmpty) "" else "," + st.mkString(",")
+      s""""$op":{$per$ratio$stJson}"""
     }
 
     // ANN recall AT PROBE SCALE (verdict r8 #2): the unit suite asserts

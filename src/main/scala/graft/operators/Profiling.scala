@@ -84,6 +84,61 @@ object Profiling extends OpRegistry {
       blocks.reduce(_.union(_)).orderBy("table_name", "col_name")
     }),
 
+    "maintenance_vacuum" -> ((s, dir) => {
+      // Lakehouse VACUUM (round 12): delete data files on disk that no
+      // manifest references — the debris an aborted/failed commit leaves
+      // behind (its part files landed, its manifest never did). The live
+      // set is the LOG's file list, so vacuum is list-directory minus
+      // manifest — the same O(files) maintenance walk Delta/Iceberg run;
+      // correctness is proven by reading the whole data DIRECTORY after
+      // vacuuming: it must now agree with the manifest read (orphan rows
+      // are shifted to region ≥ 200, so any survivor breaks the oracle).
+      val base = Scans.snapshotTable(s, dir, "vacuum")
+      // the failed commit: files on disk, never logged
+      t(s, dir)("nation")
+        .withColumn("n_nationkey", col("n_nationkey") + lit(2000))
+        .withColumn("n_regionkey", col("n_regionkey") + lit(200))
+        .write.mode("overwrite").parquet(s"$base/data/c_failed")
+      val referenced = Scans.readManifest(s, base, 1).toSet
+      val fs = Scans.hadoopFs(s, base)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$base/data"), true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet") && !referenced(p.toString))
+          fs.delete(p, false)
+      }
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/data")
+        .groupBy(col("n_regionkey").cast("long").as("region"))
+        .agg(count(lit(1)).as("cnt"), sum("n_nationkey").as("sum_key"))
+        .orderBy("region")
+    }),
+
+    "layout_compact_small_files" -> ((s, dir) => {
+      // Small-files compaction (round 12): bin-pack splinter files into
+      // ceil(bytes / 128 MB) outputs with coalesce — NO shuffle, the
+      // planner just concatenates input partitions, so compaction costs
+      // one read+write of the data and nothing across the network. The
+      // small-files problem is the dominant lakehouse decay mode (every
+      // streaming/foreachBatch sink splinters); at 100 TB the same op
+      // runs per partition directory. Row fidelity is the oracle: the
+      // compacted read aggregates to exactly the source table.
+      val base = s"/tmp/graft_compact_${s.sparkContext.applicationId}"
+      t(s, dir)("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .repartition(64).write.mode("overwrite").parquet(s"$base/small")
+      val fs = Scans.hadoopFs(s, base)
+      val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/small"))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      val target = 128L * 1024 * 1024
+      val nOut = math.max(1L, (bytes + target - 1) / target).toInt
+      s.read.parquet(s"$base/small").coalesce(nOut)
+        .write.mode("overwrite").parquet(s"$base/compacted")
+      s.read.parquet(s"$base/compacted")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), decSumOut(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "layout_zorder" -> ((s, dir) => {
       // Z-order (Morton) clustering key over (customer, order-day):
       // equi-width 8-bit binning from table stats — NOT a global ntile
@@ -330,6 +385,22 @@ object Profiling extends OpRegistry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // post-vacuum, the directory read = manifest read = v0 + the shifted
+    // v1 append (the c_failed orphans at region >= 200 must be gone)
+    "maintenance_vacuum" -> """
+      WITH live AS (
+        SELECT n_regionkey, n_nationkey FROM nation
+        UNION ALL
+        SELECT n_regionkey + 100, n_nationkey + 1000 FROM nation)
+      SELECT CAST(n_regionkey AS BIGINT) AS region, COUNT(1) AS cnt,
+             CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      FROM live GROUP BY 1 ORDER BY region""",
+    // lossless compaction: the compacted read aggregates to the source
+    "layout_compact_small_files" -> """
+      SELECT o_orderstatus, COUNT(1) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+
     "profile_table_stats" -> (profileCols
       .flatMap { case (tbl, cols) => cols.map { case (c, k) => profileSql(tbl, c, k) } }
       .mkString("", " UNION ALL ", " ORDER BY table_name, col_name")),

@@ -184,7 +184,7 @@ object Scans extends OpRegistry {
   // base/data (same contract as Delta/Iceberg logs; files of unreachable
   // versions may coexist in the directory).
 
-  private def hadoopFs(s: SparkSession, p: String) =
+  private[operators] def hadoopFs(s: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -204,8 +204,8 @@ object Scans extends OpRegistry {
     try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
-  private def readManifest(s: SparkSession, base: String,
-                           version: Int): Seq[String] = {
+  private[operators] def readManifest(s: SparkSession, base: String,
+                                      version: Int): Seq[String] = {
     val fs = hadoopFs(s, base)
     val p = new org.apache.hadoop.fs.Path(f"$base/_log/v$version%05d.manifest")
     val in = fs.open(p)

@@ -100,6 +100,42 @@ class Round12Spec extends GraftSuite {
       s"change capture picked non-c1 files: $added")
   }
 
+  test("maintenance_vacuum: orphans deleted, committed files intact") {
+    import org.apache.spark.sql.functions._
+    // run the op (it builds + vacuums its own table), then inspect disk
+    q("maintenance_vacuum").collect()
+    val base = s"/tmp/graft_vacuum_${spark.sparkContext.applicationId}"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$base/data"), true)
+    var survivors = List.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) survivors ::= p.toString
+    }
+    assert(!survivors.exists(_.contains("/c_failed/")),
+      s"vacuum left orphan files: ${survivors.filter(_.contains("c_failed"))}")
+    assert(survivors.exists(_.contains("/c0/")) && survivors.exists(_.contains("/c1/")),
+      s"vacuum deleted committed files: $survivors")
+    // and the directory read equals the manifest read
+    val dirRead = spark.read.option("recursiveFileLookup", "true").parquet(s"$base/data")
+    assert(dirRead.count() === 2 * Tables.load(spark, sfDir, "nation").count())
+  }
+
+  test("layout_compact_small_files: 64 splinters collapse to the bin-packed count") {
+    q("layout_compact_small_files").collect()
+    val base = s"/tmp/graft_compact_${spark.sparkContext.applicationId}"
+    def nParquet(sub: String) = new java.io.File(s"$base/$sub")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nParquet("small") === 64, "splinter fixture did not write 64 files")
+    // fixture bytes << 128 MB, so the bin-pack target is one file
+    assert(nParquet("compacted") === 1,
+      s"expected 1 compacted file, got ${nParquet("compacted")}")
+    // lossless: row counts agree
+    assert(spark.read.parquet(s"$base/compacted").count() ===
+      Tables.load(spark, sfDir, "orders").count())
+  }
+
   test("join_interval_overlap: busy-hour grid broadcasts; no cartesian") {
     val df = q("join_interval_overlap")
     df.collect()
