@@ -236,6 +236,13 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // A 40+-minute sweep accumulates shuffle files in /tmp faster than
+      // the default 30-min ContextCleaner GC reclaims them; under the
+      // noop action (which executes the output sorts .count() used to
+      // prune) the debris exhausted the disk and failed
+      // dedup_near_embedding's spill with ENOSPC. Frequent periodic GC
+      // lets the cleaner drop unreferenced shuffle files continuously.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     plans.GraftOptimizations.install(spark)
@@ -316,7 +323,10 @@ object ScaleProbe {
           Bench.materialize(SparkEntry.queries(op)(spark, dir))
           val dt = (System.nanoTime() - t0) / 1e9
           samples((m, op)) = samples.getOrElse((m, op), Nil) :+ dt
-          streaming.Streaming.lastStateStats.foreach(st => stateStats((m, op)) = st)
+          // stream ops only — lastStateStats would otherwise go stale and
+          // attach the previous pass's final stream op to batch ops
+          if (op.startsWith("stream_"))
+            streaming.Streaming.lastStateStats.foreach(st => stateStats((m, op)) = st)
         } catch {
           case e: Throwable =>
             samples((m, op)) = samples.getOrElse((m, op), Nil)

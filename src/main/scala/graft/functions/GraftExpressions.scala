@@ -95,6 +95,102 @@ case class DotQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native sign-LSH cell encoder: bit p of the result is set iff
+  * Σ_d vec(d)·planes(p)(d) ≥ 0 — the whole multi-plane signature in ONE
+  * expression whose GENERATED CODE SIZE IS CONSTANT in the plane count
+  * (the plane matrix is runtime data, looped over, never unrolled).
+  *
+  * Why it exists (round 12, found by the 100× probe): dedup_near_embedding's
+  * occupancy-targeted index needs planes that GROW with the corpus
+  * (10 at 200k vectors), and the declarative form — a sum of per-plane
+  * `when(dot_q(qe, lit(plane)) >= 0, 1<<p)` terms — unrolls 80 dot loops
+  * into one consume method. Janino compiles it (under 64 KB), but the
+  * method exceeds HotSpot's HugeMethodLimit (~8 KB bytecode), is NEVER
+  * JIT-compiled, and runs in the bytecode interpreter: 57 s vs 2.7 s for
+  * the 24-dot version at 200k vectors. Same defect class as the r7
+  * PqEncode fix, one layer down (JIT, not janino).
+  *
+  * Semantics: NULL if the vector is NULL, any vector element is NULL, or
+  * any plane's length differs from the vector's. Planes is expected to be
+  * a literal array<array<bigint>> with ≤64 rows (bit p maps to 1L<<p).
+  */
+case class SignPlanes(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<array<bigint>>), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sign_planes"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val ps = b.asInstanceOf[ArrayData]
+    val nP = ps.numElements()
+    val n = v.numElements()
+    var mask = 0L
+    var p = 0
+    while (p < nP) {
+      val plane = ps.getArray(p)
+      if (plane.numElements() != n) return null
+      var acc = 0L
+      var d = 0
+      while (d < n) {
+        if (v.isNullAt(d)) return null
+        acc += v.getLong(d) * plane.getLong(d)
+        d += 1
+      }
+      if (acc >= 0L) mask |= (1L << p)
+      p += 1
+    }
+    mask
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nP = ctx.freshName("nP")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val mask = ctx.freshName("mask")
+      val plane = ctx.freshName("plane")
+      val bad = ctx.freshName("bad")
+      val vecNullGuard =
+        if (left.dataType.asInstanceOf[ArrayType].containsNull)
+          s"if ($a.isNullAt($d)) { $bad = true; break; }"
+        else ""
+      s"""
+         |int $nP = $b.numElements();
+         |int $n = $a.numElements();
+         |long $mask = 0L;
+         |boolean $bad = false;
+         |for (int $p = 0; $p < $nP; $p++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $plane = $b.getArray($p);
+         |  if ($plane.numElements() != $n) { $bad = true; break; }
+         |  long $acc = 0L;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $vecNullGuard
+         |    $acc += $a.getLong($d) * $plane.getLong($d);
+         |  }
+         |  if ($bad) break;
+         |  if ($acc >= 0L) $mask |= (1L << $p);
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $mask; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen probe into a broadcast [[BloomFilter]] (the semi-join
   * reduction in `join_bloom_prefilter`). Replaces a per-row Scala UDF: a
   * ScalaUDF boxes every key, breaks WholeStageCodegen on the fact-table
@@ -519,6 +615,7 @@ object GraftExpressions {
   val DotQName = "graft_dot_q"
   val HllName = "graft_hll_distinct"
   val ShingleName = "graft_shingle_hash64"
+  val SignPlanesName = "graft_sign_planes"
 
   def register(spark: SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -533,12 +630,20 @@ object GraftExpressions {
     // bare AggregateFunction: the analyzer wraps it in AggregateExpression
     bind(HllName, exprs => HllDistinct(exprs.head))
     bind(ShingleName, exprs => ShingleHash64(exprs.head))
+    bind(SignPlanesName, exprs => SignPlanes(exprs.head, exprs(1)))
   }
 
   /** Column form of the fused dot product; registers on first use. */
   def dotQ(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(DotQName, a, b)
+  }
+
+  /** Column form of the constant-code-size multi-plane sign encoder;
+    * registers on first use. */
+  def signPlanes(spark: SparkSession, vec: Column, planes: Column): Column = {
+    register(spark)
+    call_function(SignPlanesName, vec, planes)
   }
 
   /** Column form of the mergeable HLL distinct-count; registers on first use. */

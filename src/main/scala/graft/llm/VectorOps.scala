@@ -183,14 +183,23 @@ object VectorOps extends OpRegistry {
         .select(col("qid"), col("vec_id").as("vid"),
           dotQ(s, col("qv"), col("qe")).as("dot_q"),
           call_function("bit_count", col("qsig").bitwiseXOR(col("sig"))).as("ham"))
+      // n_hit = |top10_dot ∩ top10_ham| — computed as two PRUNED top-list
+      // branches joined on (qid, vid), the vec_rank_fusion shape (round
+      // 12): ranking both orders inside one aggregate forces FULL ranks
+      // (no adjacent filter → no WindowGroupLimit prune → per-qid
+      // single-task sorts of the whole corpus; 21 s at the 100× probe),
+      // while each rank→filter branch prunes to 10/qid map-side. Ties
+      // break on vid in both forms, so the intersection is identical.
       val wf = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
       val wh = Window.partitionBy("qid").orderBy(col("ham").asc, col("vid"))
-      scored
-        .withColumn("rf", row_number().over(wf))
-        .withColumn("rh", row_number().over(wh))
-        .groupBy("qid")
-        .agg(sum(when(col("rf") <= 10 && col("rh") <= 10, 1L).otherwise(0L))
-          .cast("int").as("n_hit"))
+      val topF = scored.withColumn("rf", row_number().over(wf))
+        .filter(col("rf") <= 10).select(col("qid"), col("vid"))
+      val topH = scored.withColumn("rh", row_number().over(wh))
+        .filter(col("rh") <= 10).select(col("qid"), col("vid"))
+      val hits = topF.join(topH, Seq("qid", "vid"))
+        .groupBy("qid").agg(count(lit(1)).cast("int").as("n_hit"))
+      q.select(col("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hit"), lit(0)).as("n_hit"))
         .withColumn("recall_ppm", col("n_hit").cast("long") * lit(100000L))
         .orderBy("qid")
     }),
@@ -691,24 +700,51 @@ object VectorOps extends OpRegistry {
 
     "dedup_near_embedding" -> ((s, dir) => {
       // Embedding-cosine near-dup — the semantic-dedup primitive: candidate
-      // pairs from sign-LSH buckets (8 tables × 3 planes; plane indices
-      // offset +64 so they share no splitmix stride with knn_ivf_topk),
-      // exact quantized-cosine threshold (≥0.40 ≈ this fixture's top 0.05%
-      // of pairs; a real near-dup corpus would use ≥0.95 with more planes —
-      // agreement probability rises with cosine, so buckets get MORE
-      // selective exactly when the threshold tightens), then star
-      // assignment: canonical_id = min(id, neighbors). Never doc × doc:
-      // pair volume is bounded by per-cell occupancy per table.
+      // pairs from sign-LSH buckets (8 tables; plane indices offset +64 so
+      // they share no splitmix stride with knn_ivf_topk), exact
+      // quantized-cosine threshold (≥0.40 ≈ this fixture's top 0.05% of
+      // pairs; a real near-dup corpus uses ≥0.95 — agreement probability
+      // rises with cosine, so buckets get MORE selective exactly when the
+      // threshold tightens), then star assignment: canonical_id =
+      // min(id, neighbors).
+      //
+      // Round-12 scale fix (found by the 100× probe under the honest noop
+      // action): a FIXED 3-plane index has 8 cells, so per-cell occupancy
+      // is n/8 and candidate pairs grow QUADRATICALLY — at 200k vectors
+      // ~5e9 pairs, each dragging two 64-dim arrays through the pair
+      // dedup's shuffle sort (>50 GB of spill, ENOSPC). Two changes:
+      // (1) the plane count is occupancy-targeted —
+      // planes = max(3, ceil(log2(n/250))) — which keeps expected cell
+      // occupancy ≤~250 at any corpus size (measured at 200k vectors:
+      // target 512 → 73 s, target 250 → see §4.2.14). At every fixture
+      // SF (embeddings ≤ 2000 rows) the formula yields exactly 3, so the
+      // static 3-plane DuckDB twin stays exact; above n=2000 the twin
+      // would need regenerating at the matching plane count (declared
+      // bound — the same generated-literal contract as knn_ivf's twin).
+      // Recall note: more planes lowers per-table agreement for WEAK
+      // (0.4-cosine) pairs; the production dedup regime (≥0.95, agreement
+      // ~0.9 per plane) keeps multi-table recall high, which is the
+      // documented intent of this op. (2) the exact dot threshold now
+      // runs MAP-SIDE on the cell join's output, BEFORE the id-pair
+      // dedup — only (id1, id2) pairs that pass the 0.05%-selective
+      // threshold reach a shuffle; the quantized vectors never sort.
       val NumTables = 8
-      val Planes = 3
       val Threshold = 400000000000L // 0.40 * 1e12 in quantized dot units
       val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe, a repartition would force a full scan+shuffle
+      val nVecs = t(s, dir)("embeddings").count()
+      val Planes = math.max(3,
+        math.ceil(math.log(nVecs / 250.0) / math.log(2)).toInt)
       val e = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      // (3) the cell signature is the native SignPlanes kernel — constant
+      // generated-code size in the plane count. The unrolled
+      // when(dot_q ≥ 0, 1<<p) chain at 10 planes × 8 tables compiled fine
+      // under janino but exceeded HotSpot's HugeMethodLimit, so the whole
+      // consume method ran un-JIT-compiled: 57 s vs 2.7 s for the cells
+      // build alone at 200k vectors (GraftExpressions.SignPlanes scaladoc).
       def cellOf(qe: Column, tb: Int): Column =
-        (0 until Planes).map { p =>
-          val plane = planeComponents(64 + tb * Planes + p, dim)
-          when(dotQ(s, qe, lit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
+        graft.functions.GraftExpressions.signPlanes(s, qe,
+          typedLit((0 until Planes).map(p =>
+            planeComponents(64 + tb * Planes + p, dim).toSeq)))
       val cells = e.select(col("vec_id"), col("qe"),
         posexplode(array((0 until NumTables).map(tb => cellOf(col("qe"), tb)): _*))
           .as(Seq("tbl", "cell")))
@@ -716,9 +752,9 @@ object VectorOps extends OpRegistry {
       val b = cells.select(col("vec_id").as("id2"), col("qe").as("q2"), col("tbl"), col("cell"))
       val pairs = a.join(b, Seq("tbl", "cell"))
         .filter(col("id1") < col("id2"))
-        .dropDuplicates("id1", "id2")
         .filter(dotQ(s, col("q1"), col("q2")) >= Threshold)
         .select(col("id1"), col("id2"))
+        .dropDuplicates("id1", "id2")
       val nbrs = pairs.select(col("id1").as("vid"), col("id2").as("nbr"))
         .union(pairs.select(col("id2").as("vid"), col("id1").as("nbr")))
         .groupBy("vid").agg(min(col("nbr")).as("mn"))

@@ -186,6 +186,50 @@ class ExpressionSpec extends GraftSuite {
       s"graft_rolling_hash31 not inside a WholeStageCodegen Project:\n$plan")
   }
 
+  test("SignPlanes equals the declarative when(dot_q >= 0) chain on every fixture embedding") {
+    // The kernel exists because the unrolled chain's consume method blew
+    // HotSpot's HugeMethodLimit at 10 planes x 8 tables (§4.2.14); its
+    // SEMANTICS must be bit-identical to the chain it replaced.
+    val planes = (0 until 10).map(p => (0 until 64).map(d =>
+      ((p * 64 + d) * 2654435761L % 2001L) - 1000L))
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", quant($"embedding").cast("array<long>").as("qe"))
+    val chain = planes.zipWithIndex.map { case (pl, p) =>
+      when(GraftExpressions.dotQ(spark, $"qe", typedLit(pl)) >= 0, lit(1L << p))
+        .otherwise(lit(0L)) }.reduce(_ + _)
+    val native = GraftExpressions.signPlanes(spark, $"qe",
+      typedLit(planes.map(_.toSeq)))
+    assert(e.select(chain.as("c"), native.as("n")).filter($"c" =!= $"n").count() == 0)
+  }
+
+  test("SignPlanes: NULL vector/element and length mismatch yield NULL; empty planes yield 0") {
+    GraftExpressions.register(spark)
+    val planes2 = Seq(Seq(1L, -1L), Seq(-1L, 1L))
+    val df = Seq(
+      (Some(Seq(Some(5L), Some(3L))), 1),  // +dot both planes? p0: 5-3=2>=0, p1: -5+3=-2 -> bit0 only
+      (None, 2),
+      (Some(Seq(Some(1L), None)), 3),      // NULL element
+      (Some(Seq(Some(1L))), 4)             // length mismatch vs 2-wide planes
+    ).toDF("v", "tag")
+      .select($"tag", call_function(GraftExpressions.SignPlanesName,
+        $"v", typedLit(planes2)).as("m"))
+      .orderBy("tag").collect()
+    assert(df(0).getLong(1) === 1L)
+    assert(df(1).isNullAt(1) && df(2).isNullAt(1) && df(3).isNullAt(1))
+    val empty = Seq(Seq(1L, 2L)).toDF("v")
+      .select(call_function(GraftExpressions.SignPlanesName, $"v",
+        typedLit(Seq.empty[Seq[Long]])).as("m")).collect()
+    assert(empty(0).getLong(0) === 0L)
+  }
+
+  test("SignPlanes runs inside WholeStageCodegen in the dedup_near_embedding plan") {
+    val df = q("dedup_near_embedding")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sign_planes"),
+      s"graft_sign_planes missing from the plan:\n$plan")
+  }
+
   test("DotQ runs inside WholeStageCodegen in the knn plan") {
     val df = q("knn_cosine_topk")
     df.collect() // finalize the adaptive plan before inspecting it
