@@ -347,4 +347,48 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("PushedFilters"), s"no scan-level filters:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
+
+  test("events_cusum_drift: running sum is day-sharded with carry, never a per-type global cum") {
+    // The r11 100x-probe defect (15.1x): a ROWS cum-window partitioned by
+    // event_type alone sorts every event of a type in one task. The
+    // shipped shape shards by (event_type, day) and adds the cumulated
+    // previous-day offsets as a broadcast carry. Lock: the data-sized
+    // running sum partitions by BOTH columns (day appears as a partition
+    // key, i.e. followed by another column, not by ASC), and no window
+    // spec over the event rows partitions by event_type alone ordered by
+    // ts_us.
+    val p = finalPlan("events_cusum_drift")
+    assert("windowspecdefinition\\(event_type#\\d+, day#\\d+L?, ts_us#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"day-sharded cum window (partition by type, day) vanished:\n$p")
+    assert("windowspecdefinition\\(event_type#\\d+, ts_us#\\d+".r
+      .findFirstIn(p).isEmpty,
+      s"per-type global window over raw events reappeared (single-task sort):\n$p")
+  }
+
+  test("docs_token_budget_fill: histogram pre-cut bounds the exact window's input") {
+    // The exact greedy prefix may only window over docs at/above the
+    // per-lang histogram cut (q_min) — a full-corpus cum-window
+    // partitioned by lang is the measured antipattern. Lock: the cut
+    // join is a broadcast hash join and the q_min filter survives in the
+    // final plan (removing the pre-cut removes both).
+    val p = finalPlan("docs_token_budget_fill")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-lang cut frame is no longer broadcast-joined:\n$p")
+    assert(p.contains("q_min"),
+      s"the histogram pre-cut (quality >= q_min) vanished from the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("join_interval_overlap: the busy-hour grid is broadcast; no cartesian") {
+    // Overlap joins have no equi-key; the scale contract is that the
+    // bounded (time-span-sized) hour grid is the BROADCAST side of a
+    // nested-loop with the range predicate — never a data-sized
+    // cartesian/shuffled nested loop.
+    val p = finalPlan("join_interval_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"busy-hour grid no longer broadcast (range join shape lost):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"overlap degenerated to a cartesian product:\n$p")
+  }
 }
