@@ -56,7 +56,10 @@ object ScaleProbe {
     // the pipeline shape), plus the 9-moment corr agg
     "text_collocations", "text_vocab_coverage", "docs_dedup_weight",
     "docs_cross_lang_dups", "docs_signal_corr", "text_js_divergence",
-    "docs_nll_histogram")
+    "docs_nll_histogram",
+    // round 12: the containment twin of the jaccard kernel and the
+    // vocab-sized keyness agg
+    "text_containment", "text_keyness_llr")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -92,7 +95,9 @@ object ScaleProbe {
     "events_interarrival_hist", "events_rfm_scores", "events_markov_transitions",
     "events_top_paths", "events_user_overlap", "events_streaks",
     "join_asof_nearest", "events_cusum_drift", "join_interval_overlap",
-    "events_ab_test")
+    "events_ab_test",
+    // round 12: the bounded-grid lag self-join and the tolerance carry
+    "events_period_autocorr", "join_asof_tolerance")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -125,7 +130,9 @@ object ScaleProbe {
     "q_market_share", "q_product_profit", "agg_histogram",
     // round 12 (VERDICT r11 #4): the exact order-statistics family sorts
     // per priority group — 5 near-table-sized frames
-    "agg_median", "agg_percentiles_exact")
+    "agg_median", "agg_percentiles_exact",
+    // round 12: the S1..S4 moment-sum aggregate (decimal overflow watch)
+    "agg_skew_kurt")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

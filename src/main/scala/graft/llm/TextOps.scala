@@ -90,15 +90,22 @@ object TextOps extends OpRegistry {
     graft.CorpusArtifacts.parquet(s, "edges", dir)(
       jaccardEdges(s, dir, materialize = true))
 
-  private[graft] def jaccardEdges(s: SparkSession, dir: String,
-                                  materialize: Boolean): DataFrame = {
+  /** The df-capped hashed posting list (doc_id, sh_h) — shared root of
+    * the exact pair kernels (Jaccard + containment). */
+  private def cappedShingles(s: SparkSession, dir: String,
+                             materialize: Boolean): DataFrame = {
     val docsArr = tWide(s, dir)("documents").select(col("doc_id"),
       Shingling.shingleArray(col("text"), hashed = true)(s).as("shs"))
     val sh = docsArr.select(col("doc_id"), explode(col("shs")).as("sh_h"))
     val wdf = Window.partitionBy("sh_h")
     val shCapped0 = sh.withColumn("df", count(lit(1)).over(wdf))
       .filter(col("df") <= MaxShingleDf).drop("df")
-    val shCapped = if (materialize) shCapped0.localCheckpoint() else shCapped0
+    if (materialize) shCapped0.localCheckpoint() else shCapped0
+  }
+
+  private[graft] def jaccardEdges(s: SparkSession, dir: String,
+                                  materialize: Boolean): DataFrame = {
+    val shCapped = cappedShingles(s, dir, materialize)
     // set sizes over the SAME capped universe as the intersection (ADVICE
     // r2 consistency)
     val sizes = shCapped.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -119,7 +126,44 @@ object TextOps extends OpRegistry {
       .select(col("id1"), col("id2"), col("inter"), col("uni"))
   }
 
+  /** Containment pair kernel: same capped posting-list root as
+    * [[jaccardEdges]], different score — |A∩B| / min(|A|,|B|) > 0.5, the
+    * ASYMMETRIC near-dup test that catches a small document embedded in a
+    * large one (quote farms, boilerplate wrappers), which Jaccard
+    * structurally misses: a doc fully contained in one 10× its size has
+    * jac ≤ 0.1 but containment 1.0. Exact rational compare (2·inter >
+    * min), no float in the row set. */
+  private def containmentEdges(s: SparkSession, dir: String): DataFrame = {
+    val shCapped = cappedShingles(s, dir, materialize = false)
+    val sizes = shCapped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shCapped.as("a").join(shCapped.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    // same no-broadcast-hint rationale as jaccardEdges: sizes is
+    // doc-count-sized; AQE picks broadcast only while it is small
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("n1")), col("id1") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("n2")), col("id2") === col("doc_id")).drop("doc_id")
+      .filter(col("inter") * 2 > least(col("n1"), col("n2")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_containment" -> ((s, dir) =>
+      // Sub-document duplication screen (round 12): shingle-set
+      // containment over the capped universe — see [[containmentEdges]]
+      // for why this is a different operator from jaccard_pairs, not a
+      // threshold change. Scale shape identical to the jaccard kernel
+      // (df-capped posting self-join; candidate volume bounded per
+      // shingle cell), so the probe findings for jaccard steer this op
+      // too; at 100 TB the minhash/LSH pass steers candidates here the
+      // same way.
+      containmentEdges(s, dir)
+        .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"),
+          r6(col("inter").cast("double") / least(col("n1"), col("n2")))
+            .as("cont6"))
+        .orderBy("id1", "id2")),
+
     "dedup_exact" -> ((s, dir) =>
       tWide(s, dir)("documents")
         .select(sha2(lower(trim(col("text"))), 256).as("h"), col("doc_id"))
@@ -138,6 +182,47 @@ object TextOps extends OpRegistry {
         .select(col("id1"), col("id2"), col("inter"), col("uni"),
           r6(col("inter").cast("double") / col("uni")).as("jac"))
         .orderBy("id1", "id2")),
+
+    "text_keyness_llr" -> ((s, dir) => {
+      // Corpus-comparison keyness (round 12): Dunning's log-likelihood G²
+      // per word between the two largest language slices — the "which
+      // words are over-represented in THIS corpus vs that one" screen
+      // used for domain drift, register checks, and contamination triage.
+      // Determinism: the 2×2 G² decomposes as G²/2 = ΣO·lnO − ΣR·lnR −
+      // ΣC·lnC + N·lnN, where every argument is an INTEGER count — so
+      // each ln floor-quantizes to micro-nats (the text_entropy D-rule)
+      // and g2_u is an exact long. Same acknowledged 1-ULP libm residual
+      // as the other quantized-ln ops; counts multiply a floored ln
+      // (c·lnq), the text_js_divergence amplification caveat applies.
+      // Scale: the occurrence explode collapses map-side into the vocab-
+      // sized (word, side) agg; the 1-row totals frame broadcasts; top-30
+      // rank is a TakeOrderedAndProject, never a global sort.
+      val docs = tWide(s, dir)("documents")
+      val top2 = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lang")).limit(2)
+        .collect().map(_.getString(0)) // 2-element model state (bounded)
+      val (la, lb) = (top2(0), top2(1))
+      def tq(k: Column): Column = when(k > 0,
+        k * floor(log(k.cast("double")) * lit(1000000d)).cast("long"))
+        .otherwise(0L)
+      val wc = docs.filter(col("lang").isin(la, lb))
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(sum(when(col("lang") === la, 1L).otherwise(0L)).as("c_a"),
+          sum(when(col("lang") === lb, 1L).otherwise(0L)).as("c_b"))
+      val totals = wc.agg(sum("c_a").as("na"), sum("c_b").as("nb"))
+      wc.crossJoin(broadcast(totals))
+        .filter(col("c_a") + col("c_b") >= 5)
+        .withColumn("g2_u", lit(2L) * (tq(col("c_a")) + tq(col("c_b"))
+          + tq(col("na") - col("c_a")) + tq(col("nb") - col("c_b"))
+          - tq(col("c_a") + col("c_b"))
+          - tq(col("na") + col("nb") - col("c_a") - col("c_b"))
+          - tq(col("na")) - tq(col("nb")) + tq(col("na") + col("nb"))))
+        .select(col("word"), col("c_a"), col("c_b"), col("g2_u"),
+          when(col("c_a") * col("nb") > col("c_b") * col("na"), lit(la))
+            .otherwise(lit(lb)).as("key_lang"))
+        .orderBy(col("g2_u").desc, col("word")).limit(30)
+    }),
 
     "text_wordcount" -> ((s, dir) =>
       tWide(s, dir)("documents")
@@ -932,6 +1017,24 @@ object TextOps extends OpRegistry {
     "dedup_exact" -> """
       SELECT sha256(lower(trim(text))) AS h, MIN(doc_id) AS doc_id, COUNT(1) AS dup_cnt
       FROM documents GROUP BY 1 ORDER BY doc_id""",
+    "text_containment" -> s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      shc AS (SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
+              WHERE df <= 100),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM shc GROUP BY doc_id),
+      ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT id1, id2, inter, s1.n AS n1, s2.n AS n2,
+             ${r6Sql("CAST(inter AS DOUBLE) / least(s1.n, s2.n)")} AS cont6
+      FROM ix JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+      WHERE inter * 2 > least(s1.n, s2.n)
+      ORDER BY id1, id2""",
     "jaccard_pairs" -> s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
@@ -950,6 +1053,36 @@ object TextOps extends OpRegistry {
       FROM ix JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
       WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.1
       ORDER BY id1, id2""",
+    "text_keyness_llr" -> {
+      def t(k: String) = s"(CASE WHEN ($k) > 0 THEN ($k) * " +
+        s"CAST(floor(ln(CAST(($k) AS DOUBLE)) * 1000000) AS BIGINT) ELSE 0 END)"
+      s"""
+      WITH ranked AS (SELECT lang, ROW_NUMBER() OVER (ORDER BY COUNT(1) DESC,
+                        lang) AS rk
+                      FROM documents GROUP BY lang),
+      ab AS (SELECT MAX(CASE WHEN rk = 1 THEN lang END) AS la,
+                    MAX(CASE WHEN rk = 2 THEN lang END) AS lb FROM ranked),
+      w AS (SELECT d.lang, unnest(string_split(d.text, ' ')) AS word
+            FROM documents d, ab WHERE d.lang IN (ab.la, ab.lb)),
+      wc AS (SELECT word,
+               CAST(SUM(CASE WHEN lang = (SELECT la FROM ab) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN lang = (SELECT lb FROM ab) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c_b
+             FROM w GROUP BY word),
+      tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+                     CAST(SUM(c_b) AS BIGINT) AS nb FROM wc),
+      g AS (SELECT word, c_a, c_b, na, nb,
+                   2 * (${t("c_a")} + ${t("c_b")} + ${t("na - c_a")}
+                      + ${t("nb - c_b")} - ${t("c_a + c_b")}
+                      - ${t("na + nb - c_a - c_b")} - ${t("na")} - ${t("nb")}
+                      + ${t("na + nb")}) AS g2_u
+            FROM wc, tot WHERE c_a + c_b >= 5)
+      SELECT word, c_a, c_b, CAST(g2_u AS BIGINT) AS g2_u,
+             CASE WHEN c_a * nb > c_b * na THEN (SELECT la FROM ab)
+                  ELSE (SELECT lb FROM ab) END AS key_lang
+      FROM g ORDER BY g2_u DESC, word LIMIT 30"""
+    },
     "text_wordcount" -> """
       SELECT lang, token, COUNT(1) AS cnt
       FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)

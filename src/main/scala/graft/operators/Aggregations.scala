@@ -303,6 +303,54 @@ object Aggregations extends OpRegistry {
             .as("stddev_qty6"))
         .orderBy("l_returnflag")
     }),
+    "agg_skew_kurt" -> ((s, dir) => {
+      // Higher-moment statistics (round 12): per-flag skewness and excess
+      // kurtosis of l_quantity from EXACT integer power sums — the same
+      // mergeable-moments discipline as agg_corr_covar, extended to S3/S4.
+      // The central-moment NUMERATORS are fully integer (no float mean):
+      //   m2n = n·S2 − S1²
+      //   m3n = n²·S3 − 3n·S1·S2 + 2·S1³
+      //   m4n = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴
+      // so the exact columns are dialect-proof; skew6/kurt6 are display
+      // ratios computed once per group from those exact scalars (r6).
+      // Bound: with x ≤ 50 (raw quantity units, integral in TPC-H), the
+      // dominant term 3·S1⁴ stays under DECIMAL(38,0)'s ~1e38 up to
+      // S1 ≈ 1.3e9, i.e. ~2.6e7 rows per flag group — past that, rescale
+      // the quantization (NOT centi units, which cap at ~2.6e5 rows).
+      // One partial+final hash aggregate, 5 buffers, no extra shuffle.
+      import org.apache.spark.sql.types.DecimalType
+      val d = DecimalType(38, 0)
+      val g = t(s, dir)("lineitem")
+        .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("x"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d)).as("s1"),
+          sum((col("x") * col("x")).cast(d)).as("s2"),
+          sum((col("x") * col("x") * col("x")).cast(d)).as("s3"),
+          sum((col("x") * col("x") * col("x") * col("x")).cast(d)).as("s4"))
+      val (n, s1, s2, s3, s4) =
+        (col("n").cast(d), col("s1"), col("s2"), col("s3"), col("s4"))
+      val m2n = (n * s2 - s1 * s1).cast(d)
+      val m3n = (n * n * s3 - lit(3) * n * s1 * s2 + lit(2) * s1 * s1 * s1).cast(d)
+      val m4n = (n * n * n * s4 - lit(4) * n * n * s1 * s3
+        + lit(6) * n * s1 * s1 * s2 - lit(3) * s1 * s1 * s1 * s1).cast(d)
+      g.select(col("l_returnflag"), col("n"),
+          s1.cast("long").as("sum_qty"),
+          m2n.cast("double").as("m2_num"),
+          m3n.cast("double").as("m3_num"),
+          m4n.cast("double").as("m4_num"),
+          // the n powers inside the numerators cancel those of the m2
+          // denominator exactly, so the dimensionless forms are
+          // m3n/m2n^1.5 and m4n/m2n² − 3; m2^1.5 as m2·sqrt(m2) because
+          // sqrt is IEEE-correctly-rounded in both engines, pow() is not
+          // (same determinism reasoning as corr6)
+          r6(m3n.cast("double")
+            / (m2n.cast("double") * sqrt(m2n.cast("double")))).as("skew6"),
+          r6(m4n.cast("double")
+            / (m2n.cast("double") * m2n.cast("double")) - lit(3.0)).as("kurt6"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_histogram" -> ((s, dir) => {
       // Equi-width numeric histogram (round 11) — the profiling
       // primitive behind every "distribution at a glance" panel.
@@ -469,6 +517,31 @@ object Aggregations extends OpRegistry {
                                   ORDER BY COUNT(1) DESC, o_orderstatus) AS rn
         FROM orders GROUP BY o_orderpriority, o_orderstatus)
       WHERE rn = 1 ORDER BY o_orderpriority""",
+    "agg_skew_kurt" -> s"""
+      WITH q AS (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS x
+                 FROM lineitem),
+      m AS (SELECT l_returnflag, COUNT(1) AS n,
+              CAST(SUM(x) AS HUGEINT) AS s1,
+              CAST(SUM(x * x) AS HUGEINT) AS s2,
+              CAST(SUM(x * x * x) AS HUGEINT) AS s3,
+              CAST(SUM(x * x * x * x) AS HUGEINT) AS s4
+            FROM q GROUP BY 1),
+      c AS (SELECT l_returnflag, n, s1,
+              (n * s2 - s1 * s1) AS m2n,
+              (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1) AS m3n,
+              (n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2
+                - 3 * s1 * s1 * s1 * s1) AS m4n
+            FROM m)
+      SELECT l_returnflag, n, CAST(s1 AS BIGINT) AS sum_qty,
+             CAST(m2n AS DOUBLE) AS m2_num,
+             CAST(m3n AS DOUBLE) AS m3_num,
+             CAST(m4n AS DOUBLE) AS m4_num,
+             ${r6Sql("CAST(m3n AS DOUBLE) / " +
+               "(CAST(m2n AS DOUBLE) * sqrt(CAST(m2n AS DOUBLE)))")} AS skew6,
+             ${r6Sql("CAST(m4n AS DOUBLE) / " +
+               "(CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)) - 3.0")} AS kurt6
+      FROM c ORDER BY l_returnflag""",
+
     "agg_histogram" -> """
       WITH e AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
                  FROM lineitem),

@@ -219,6 +219,30 @@ object Joins extends OpRegistry {
         .orderBy("event_id")
     }),
 
+    "join_asof_tolerance" -> ((s, dir) => {
+      // Tolerance-bounded as-of (round 12): join_asof's backward carry
+      // with a max-staleness bound — pandas merge_asof(tolerance=…) /
+      // kdb-style "within": a click more than 1h before the purchase is
+      // NO match (stale quotes must not price trades). Same single
+      // user_id shuffle and O(1)-state carry as join_asof; the bound is
+      // a post-carry projection, so tolerance is free at any scale —
+      // never a per-key range join.
+      val tolUs = 3600000000L
+      val e = t(s, dir)("events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          tsDivMicros(col("ts")).as("ts_us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_click_ts",
+          max(when(col("event_type") === "click", col("ts_us"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("ts_us") - col("last_click_ts") <= tolUs,
+            col("last_click_ts")).as("click_ts_within"))
+        .orderBy("event_id")
+    }),
+
     "join_asof_forward" -> ((s, dir) => {
       // Forward as-of: for each 'click', the EARLIEST following
       // 'purchase' of the same user — the forward twin of join_asof's
@@ -454,6 +478,21 @@ object Joins extends OpRegistry {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
         FROM e)
       SELECT event_id, user_id, ts_us, last_click_ts
+      FROM w WHERE event_type = 'purchase'
+      ORDER BY event_id""",
+
+    "join_asof_tolerance" -> """
+      WITH e AS (
+        SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (
+        SELECT *, MAX(CASE WHEN event_type = 'click' THEN ts_us END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        FROM e)
+      SELECT event_id, user_id, ts_us,
+             CASE WHEN ts_us - last_click_ts <= 3600000000
+                  THEN last_click_ts END AS click_ts_within
       FROM w WHERE event_type = 'purchase'
       ORDER BY event_id""",
 

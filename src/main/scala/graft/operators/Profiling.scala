@@ -197,6 +197,32 @@ object Profiling extends OpRegistry {
         .orderBy("c_custkey")
     }),
 
+    "merge_delete_cow" -> ((s, dir) => {
+      // Copy-on-write DELETE (round 12): delete a key range by rewriting
+      // ONLY the files whose zone maps intersect the predicate — the
+      // Delta/Iceberg COW write path. Untouched files carry into the new
+      // manifest VERBATIM (no read, no write, no move), so a selective
+      // delete on a 100 TB table costs IO proportional to the files that
+      // actually contain matches, never a table rewrite; the zone-map
+      // stats that drive scan pruning drive the write path too. Commit =
+      // manifest v1 (untouched ++ rewritten survivors); the v0 reader
+      // still sees every pre-delete row — snapshot isolation for free.
+      // Round12bSpec asserts ≥1 file was rewritten, ≥1 carried verbatim,
+      // and the carried paths are byte-identical across manifests.
+      val (base, stats) = Scans.statsTable(s, dir, "delete_cow")
+      val (lo, hi) = (1000L, 5000L)
+      val (touched, untouched) = stats.partition(f => f.max >= lo && f.min <= hi)
+      s.read.parquet(touched.map(_.path): _*)
+        .filter(!col("o_orderkey").between(lo, hi))
+        .write.mode("overwrite").parquet(s"$base/data/c1")
+      Scans.writeManifest(s, base, 1,
+        untouched.map(_.path) ++ Scans.partFiles(s, s"$base/data/c1"))
+      s.read.parquet(Scans.readManifest(s, base, 1): _*)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), decSumOut(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       // Triangle count over the nation co-trade graph: undirected edge
       // (a,b) iff some order has a customer in nation a and a line
@@ -215,6 +241,41 @@ object Profiling extends OpRegistry {
         .groupBy(col("a"))
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy("a")
+    }),
+
+    "graph_jaccard_neighbors" -> ((s, dir) => {
+      // Neighborhood-Jaccard link prediction over the co-trade graph: for
+      // every node pair sharing ≥1 common neighbor, |N(a)∩N(b)| /
+      // |N(a)∪N(b)| — the classic "should these two trade?" score (high
+      // overlap + no edge = predicted link). Common neighbors come from
+      // ONE wedge self-join of the directed expansion grouped by the
+      // endpoint pair — the same m^1.5-bounded join discipline as
+      // graph_triangles, never a per-node set materialization (at 100 TB
+      // degree-oriented wedge joins are the only shape that survives hub
+      // nodes). Everything after the fact-sized edge build is ≤|nation|²
+      // rows; the union size is inclusion–exclusion from the (node-sized)
+      // degree table, so the score needs no second set pass. Exact
+      // integer columns; the ratio is a safe-rounded display (D3).
+      val dir2 = directedCoTrade(s, dir)
+      val common = dir2.as("x").join(dir2.as("y"),
+          col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+        .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+        .agg(count(lit(1)).as("n_common"))
+      val deg = dir2.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val edges = coTradeEdges(s, dir)
+        .select(col("a").as("ea"), col("b").as("eb"), lit(1L).as("has_edge"))
+      common
+        .join(deg.select(col("node"), col("degree").as("deg_a")),
+          col("a") === col("node")).drop("node")
+        .join(deg.select(col("node"), col("degree").as("deg_b")),
+          col("b") === col("node")).drop("node")
+        .join(edges, col("a") === col("ea") && col("b") === col("eb"), "left")
+        .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
+          coalesce(col("has_edge"), lit(0L)).as("has_edge"),
+          r4(col("n_common").cast("double")
+            / (col("deg_a") + col("deg_b") - col("n_common"))).as("jac4"))
+        .orderBy("a", "b")
     }),
 
     "graph_degree_stats" -> ((s, dir) => {
@@ -440,6 +501,13 @@ object Profiling extends OpRegistry {
       FROM customer FULL OUTER JOIN changes ON c_custkey = o_custkey
       ORDER BY c_custkey""",
 
+    // COW delete: reading manifest v1 equals the source minus the range
+    "merge_delete_cow" -> """
+      SELECT o_orderstatus, COUNT(1) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000
+      GROUP BY 1 ORDER BY o_orderstatus""",
+
     "graph_triangles" -> """
       WITH pairs AS (
         SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
@@ -454,6 +522,34 @@ object Profiling extends OpRegistry {
         JOIN pairs e2 ON e1.b = e2.a
         JOIN pairs e3 ON e1.a = e3.a AND e2.b = e3.b
       GROUP BY e1.a ORDER BY e1.a""",
+
+    "graph_jaccard_neighbors" -> s"""
+      WITH pairs AS (
+        SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                        greatest(c_nationkey, s_nationkey) AS b
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey),
+      dir2 AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      cmn AS (
+        SELECT x.src AS a, y.src AS b, COUNT(1) AS n_common
+        FROM dir2 x JOIN dir2 y ON x.dst = y.dst AND x.src < y.src
+        GROUP BY 1, 2),
+      deg AS (SELECT src AS node, COUNT(1) AS degree FROM dir2 GROUP BY src)
+      SELECT c.a, c.b, c.n_common,
+             da.degree AS deg_a, db.degree AS deg_b,
+             CAST(CASE WHEN p.a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_edge,
+             ${rNSql("CAST(n_common AS DOUBLE) / (da.degree + db.degree - n_common)", 4)} AS jac4
+      FROM cmn c
+        JOIN deg da ON c.a = da.node
+        JOIN deg db ON c.b = db.node
+        LEFT JOIN pairs p ON c.a = p.a AND c.b = p.b
+      ORDER BY c.a, c.b""",
 
     "graph_degree_stats" -> s"""
       WITH pairs AS (

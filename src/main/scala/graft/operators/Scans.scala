@@ -99,6 +99,32 @@ object Scans extends OpRegistry {
         .orderBy("region")
     }),
 
+    "scan_zone_map_prune" -> ((s, dir) => {
+      // Zone-map data skipping (round 12): per-file min/max column stats
+      // kept in the table's stats manifest prune files BEFORE any scan is
+      // planned — the Iceberg/Delta-style data-skipping primitive on top
+      // of the manifest log. The table is range-clustered on o_orderkey
+      // (repartitionByRange → each file holds a contiguous key slice),
+      // which is what makes zone maps selective; an unclustered table has
+      // full-range zone maps and prunes nothing — clustering and skipping
+      // are one design. The stats manifest is one line per file (KB-sized
+      // driver state at any table size), so the prune is an O(files)
+      // driver walk; survivors still apply the exact predicate, because
+      // zone maps are SOUND but not exact: a surviving file may contain
+      // no match, an excluded file can never contain one. At 100 TB this
+      // is the difference between reading ~2 files and reading the table.
+      // Round12bSpec asserts the prune plans a strict subset of files.
+      val (_, stats) = statsTable(s, dir, "zone_map")
+      val (lo, hi) = (1000L, 5000L)
+      val live = stats.filter(f => f.max >= lo && f.min <= hi).map(_.path)
+      s.read.parquet(live: _*)
+        .filter(col("o_orderkey").between(lo, hi))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          graft.Helpers.decSumOut(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "scan_snapshot_changes" -> ((s, dir) => {
       // Incremental/CDC read (round 12): the rows ADDED between version 0
       // and version 1 = the parquet files in manifest 1 but not manifest
@@ -188,7 +214,7 @@ object Scans extends OpRegistry {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def partFiles(s: SparkSession, dir: String): Seq[String] = {
+  private[graft] def partFiles(s: SparkSession, dir: String): Seq[String] = {
     val fs = hadoopFs(s, dir)
     fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.toString)
@@ -196,16 +222,16 @@ object Scans extends OpRegistry {
       .sorted.toSeq
   }
 
-  private def writeManifest(s: SparkSession, base: String, version: Int,
-                            files: Seq[String]): Unit = {
+  private[graft] def writeManifest(s: SparkSession, base: String, version: Int,
+                                   files: Seq[String]): Unit = {
     val fs = hadoopFs(s, base)
     val p = new org.apache.hadoop.fs.Path(f"$base/_log/v$version%05d.manifest")
     val out = fs.create(p, true)
     try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
-  private[operators] def readManifest(s: SparkSession, base: String,
-                                      version: Int): Seq[String] = {
+  private[graft] def readManifest(s: SparkSession, base: String,
+                                  version: Int): Seq[String] = {
     val fs = hadoopFs(s, base)
     val p = new org.apache.hadoop.fs.Path(f"$base/_log/v$version%05d.manifest")
     val in = fs.open(p)
@@ -234,6 +260,49 @@ object Scans extends OpRegistry {
   def readAsOf(s: SparkSession, base: String, version: Int): DataFrame =
     s.read.parquet(readManifest(s, base, version): _*)
 
+  /** Per-file zone-map stats: path + min/max of the clustering key. */
+  private[graft] case class FileStats(path: String, min: Long, max: Long)
+
+  /** Builds a range-clustered orders table (8 files, contiguous
+    * o_orderkey slices): a v0 manifest (pure path list — the shared
+    * time-travel contract) plus a v0 STATS SIDECAR whose lines carry the
+    * per-file zone maps `path\tmin\tmax` (Iceberg keeps column stats in
+    * manifest metadata the same way). The stats pass reads the hidden
+    * `_metadata.file_path` column — one aggregate over the fresh files,
+    * the ANALYZE walk a lakehouse writer folds into its commit. Returns
+    * (base, stats). */
+  private[graft] def statsTable(s: SparkSession, dir: String,
+                                name: String): (String, Seq[FileStats]) = {
+    val base = s"/tmp/graft_${name}_${s.sparkContext.applicationId}"
+    t(s, dir)("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$base/data/c0")
+    // normalize scheme variants (file:/ vs file:///) before matching the
+    // stats rows back to the listed part files
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val byFile = s.read.parquet(s"$base/data/c0")
+      .groupBy(col("_metadata.file_path").as("p"))
+      .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      .collect().map(r => norm(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val stats = partFiles(s, s"$base/data/c0").map { p =>
+      val (mn, mx) = byFile(norm(p))
+      FileStats(p, mn, mx)
+    }
+    writeManifest(s, base, 0, stats.map(_.path))
+    writeLog(s, f"$base/_log/v00000.stats",
+      stats.map(f => s"${f.path}\t${f.min}\t${f.max}"))
+    (base, stats)
+  }
+
+  private def writeLog(s: SparkSession, path: String,
+                       lines: Seq[String]): Unit = {
+    val fs = hadoopFs(s, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
   /** File-level change capture: files reachable at `to` but not `from`. */
   def changedFiles(s: SparkSession, base: String, from: Int,
                    to: Int): Seq[String] = {
@@ -246,6 +315,13 @@ object Scans extends OpRegistry {
       SELECT CAST(n_regionkey AS BIGINT) AS region, COUNT(1) AS cnt,
              CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       FROM nation GROUP BY 1 ORDER BY region""",
+    // skipping is sound: survivors re-apply the exact predicate, so the
+    // pruned read equals the plain filtered read of the source table
+    "scan_zone_map_prune" -> """
+      SELECT o_orderstatus, COUNT(1) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+      GROUP BY 1 ORDER BY o_orderstatus""",
     // the incremental read returns exactly the v1-appended rows: the
     // shifted copies, replayable from the source table
     "scan_snapshot_changes" -> """

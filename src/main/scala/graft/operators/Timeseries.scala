@@ -518,6 +518,52 @@ object Timeseries extends OpRegistry {
         .orderBy("user_id")
     }),
 
+    "events_period_autocorr" -> ((s, dir) => {
+      // Period detection (round 12): per event type, the lag-1..10
+      // autocovariance of the DAILY count series — the screen that finds
+      // weekly/daily cycles in traffic before any forecasting model is
+      // fit (a strong lag-7 peak = weekly seasonality). Exact integers
+      // throughout: with S = Σc and N = |days|, the centered product
+      // (N·c_d − S)(N·c_{d+L} − S) is integer, so the per-(type, lag)
+      // numerator Σ_d (…)(…) is an exact long sum — no float means, no
+      // dialect drift; acv6 is a safe-rounded display ratio only.
+      // Zero days COUNT: the grid is types × the corpus' day span (both
+      // bounded — types by schema, days by time span), left-joined and
+      // zero-filled, so a silent day reads as c=0, not a missing row.
+      // Scale shape: one agg collapses events to the (type, day) frame;
+      // everything after — grid, lag self-join (≤10 lags), totals — runs
+      // on bounded frames; nothing is ever partitioned by nothing.
+      // Long-bound: |N·c − S| ≤ N·c_max; at 10000× fixture scale the
+      // product×span sum is ~1e18 < 2^63 (rescale to day-thousands past
+      // that).
+      val e = eventsUs(s, dir).select(col("event_type"),
+        call_function("div", col("ts_us"), lit(usPerDay)).as("day"))
+      val span = e.agg(min("day").as("d0"), max("day").as("d1"))
+      val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val grid = e.select("event_type").distinct().crossJoin(broadcast(days))
+      val cnt = e.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val g = grid.join(cnt, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val tot = g.groupBy("event_type")
+        .agg(sum("c").as("stot"), count(lit(1)).as("n_days"))
+      val gg = g.join(broadcast(tot), Seq("event_type"))
+        .withColumn("dev", col("n_days") * col("c") - col("stot"))
+      gg.as("x").join(gg.as("y"),
+          col("x.event_type") === col("y.event_type")
+            && col("y.day") > col("x.day")
+            && col("y.day") <= col("x.day") + lit(10L))
+        .groupBy(col("x.event_type").as("event_type"),
+          (col("y.day") - col("x.day")).as("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x.dev") * col("y.dev")).as("acov_num"),
+          max(col("x.n_days")).as("n_days"))
+        .select(col("event_type"), col("lag"), col("n_pairs"), col("acov_num"),
+          r6(col("acov_num").cast("double")
+            / (col("n_pairs") * col("n_days") * col("n_days")).cast("double"))
+            .as("acv6"))
+        .orderBy("event_type", "lag")
+    }),
+
     "events_cusum_drift" -> ((s, dir) => {
       // CUSUM drift screen (round 11): per event type, the cumulative sum
       // of integer deviations from the type's exact median, and the
@@ -617,6 +663,31 @@ object Timeseries extends OpRegistry {
                " + (ss2 - s2 * s2 / n_b) / (n_b - 1) / n_b)")}) > 1.96
                AS INT) AS significant
       FROM p ORDER BY event_type""",
+
+    "events_period_autocorr" -> s"""
+      WITH e AS (SELECT event_type, (epoch_ns(ts)//1000)//86400000000 AS day
+                 FROM events),
+      span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+      days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+      grid AS (SELECT t.event_type, d.day
+               FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN days d),
+      cnt AS (SELECT event_type, day, COUNT(1) AS c FROM e GROUP BY 1, 2),
+      g AS (SELECT grid.event_type, grid.day, COALESCE(cnt.c, 0) AS c
+            FROM grid LEFT JOIN cnt
+              ON grid.event_type = cnt.event_type AND grid.day = cnt.day),
+      tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS stot,
+                     COUNT(1) AS n_days
+              FROM g GROUP BY 1),
+      gg AS (SELECT g.event_type, g.day, tot.n_days,
+                    tot.n_days * g.c - tot.stot AS dev
+             FROM g JOIN tot ON g.event_type = tot.event_type)
+      SELECT x.event_type, y.day - x.day AS lag, COUNT(1) AS n_pairs,
+             CAST(SUM(x.dev * y.dev) AS BIGINT) AS acov_num,
+             ${r6Sql("CAST(SUM(x.dev * y.dev) AS DOUBLE) / " +
+               "(COUNT(1) * MAX(x.n_days) * MAX(x.n_days))")} AS acv6
+      FROM gg x JOIN gg y ON x.event_type = y.event_type
+        AND y.day > x.day AND y.day <= x.day + 10
+      GROUP BY 1, 2 ORDER BY x.event_type, lag""",
 
     "events_cusum_drift" -> """
       WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS ts_us, event_id,
