@@ -145,7 +145,9 @@ object ScaleProbe {
     * eviction). */
   private val ProbedStream = Seq(
     "stream_watermark_late", "stream_session_builtin", "stream_stream_join",
-    "stream_tws_running_max", "stream_stateful_count", "stream_dedup")
+    "stream_tws_running_max", "stream_stateful_count", "stream_dedup",
+    // round 12: the ListState leaderboard (O(k) state per key)
+    "stream_tws_topk")
 
   /** o_orderdate(k): deterministic day in 1995-01-01..2001-07-second, the
     * fixture's span — shared by synthOrders and synthLineitem so each

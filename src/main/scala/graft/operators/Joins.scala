@@ -342,6 +342,37 @@ object Joins extends OpRegistry {
         .orderBy("user_id", "sid")
     }),
 
+    "join_dpp_partition_prune" -> ((s, dir) => {
+      // Dynamic partition pruning (round 12): the fact table is laid out
+      // one-directory-per-status, and the ONLY selective predicate lives
+      // on the dimension side of the join — so static pruning sees
+      // nothing, yet the fact scan must still skip partitions. Spark's
+      // DPP injects a dynamicpruningexpression subquery into the scan's
+      // PartitionFilters, seeded from the dim's broadcast exchange (free:
+      // the broadcast already exists for the join). THE mechanism that
+      // lets a star-schema query over a partitioned 100 TB fact read one
+      // partition instead of the table when the filter is on the dim
+      // attribute, not the key. PlanSpec locks the pruning expression in
+      // the executed scan. App-id-suffixed path (sink convention).
+      import s.implicits._
+      val out = s"/tmp/graft_dpp_orders_${s.sparkContext.applicationId}"
+      t(s, dir)("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      // the dim must be a REAL table: a literal Seq collapses to a
+      // LocalRelation whose filter constant-folds away, and DPP requires
+      // a surviving selective predicate on the pruning side
+      Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+        .toDF("st", "st_name")
+        .write.mode("overwrite").parquet(s"$out-dim")
+      s.read.parquet(out)
+        .join(s.read.parquet(s"$out-dim").filter(col("st_name") === "finished"),
+          col("o_orderstatus") === col("st"))
+        .groupBy("o_orderstatus", "st_name")
+        .agg(count(lit(1)).as("cnt"), decSumOut(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "join_bloom_prefilter" -> ((s, dir) => {
       // Semi-join reduction via Bloom filter (round 4): build a ~1%-fpp
       // Bloom over the urgent orders' keys, prune lineitem BEFORE the
@@ -372,6 +403,14 @@ object Joins extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // DPP result = the plain dim-filtered join, which collapses to a
+    // literal status filter on the source table
+    "join_dpp_partition_prune" -> """
+      SELECT o_orderstatus, 'finished' AS st_name, COUNT(1) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY 1, 2 ORDER BY o_orderstatus""",
+
     "join_bloom_prefilter" -> """
       SELECT o_orderdate, COUNT(1) AS line_cnt,
              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue

@@ -5,7 +5,7 @@ import graft.Helpers._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
 
 /** §2.10 Streaming over the `events` stream.
   *
@@ -127,6 +127,34 @@ object Streaming extends OpRegistry {
         if (r._4 > cur) { cur = r._4; out += ((key, r._2, r._3, cur)) }
       }
       mx.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** Leaderboard-entry processor (round 12): per user, emit each event
+    * whose value enters the all-time top-3 at its arrival — the
+    * "new record" change-log an alerting pipeline emits, with O(k) state
+    * per key (a 3-long ListState) regardless of stream length. An event
+    * enters iff fewer than 3 already-seen values are ≥ it (ties keep the
+    * earlier event — a duplicate value does not re-enter a full board). */
+  private[graft] class TopKEntryProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Long), (Long, Long, Long, Long)] {
+    @transient private var top: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[Long]("top",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Long)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._2))
+      var board = top.get().toIndexedSeq
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      sorted.foreach { r =>
+        if (board.count(_ >= r._4) < 3) {
+          out += ((key, r._2, r._3, r._4))
+          board = (board :+ r._4).sorted(Ordering[Long].reverse).take(3)
+        }
+      }
+      top.put(board.toArray)
       out.result().iterator
     }
   }
@@ -356,6 +384,38 @@ object Streaming extends OpRegistry {
       out.orderBy("user_id", "ts_us", "event_id")
     }),
 
+    "stream_tws_topk" -> ((s, dir) => {
+      // transformWithState ListState surface (round 12): the per-user
+      // top-3 leaderboard ENTRY log — each event whose value breaks into
+      // the all-time top-3 at arrival (the "new record" alert shape).
+      // Complements stream_tws_running_max's ValueState with the other
+      // typed-state handle: a k-bounded ListState, O(k) bytes per key at
+      // any stream length — the state-budget discipline that keeps a
+      // 100 TB/day leaderboard in RocksDB. Ties keep the earlier event:
+      // a duplicate value never re-enters a full board, so the log is
+      // deterministic and the batch oracle (count of preceding ≥-values
+      // < 3) replays it exactly.
+      import s.implicits._
+      val typed = eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"), tsDivMicros(col("ts")).as("ts_us"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v100"))
+        .as[(Long, Long, Long, Long)]
+      val entries = typed.groupByKey(_._1)
+        .transformWithState(new TopKEntryProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_id", "ts_us", "v100")
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out =
+        try runToMemory(s, entries, "twsk", OutputMode.Update())
+        finally prevProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      out.orderBy("user_id", "ts_us", "event_id")
+    }),
+
     "stream_session_builtin" -> ((s, dir) => {
       // The dedicated session-window state-store path (vs the batch
       // gaps-and-islands in stream_session_30m): merging session state
@@ -470,6 +530,24 @@ object Streaming extends OpRegistry {
       SELECT user_id, event_id, ts_us, CAST(cum // 100000 AS BIGINT) AS level
       FROM r WHERE cum // 100000 > (cum - v100) // 100000
       ORDER BY user_id, ts_us, event_id""",
+    // leaderboard entry: an event enters the all-time top-3 iff fewer
+    // than 3 strictly-preceding events (user order: ts, event_id) carry a
+    // value >= its own — ties keep the earlier event
+    "stream_tws_topk" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+                 FROM events),
+      c AS (SELECT a.user_id, a.event_id, a.ts_us, a.v100,
+                   COUNT(b.event_id) AS n_ge
+            FROM e a LEFT JOIN e b
+              ON b.user_id = a.user_id AND b.v100 >= a.v100
+              AND (b.ts_us < a.ts_us
+                   OR (b.ts_us = a.ts_us AND b.event_id < a.event_id))
+            GROUP BY 1, 2, 3, 4)
+      SELECT user_id, event_id, ts_us, v100
+      FROM c WHERE n_ge < 3
+      ORDER BY user_id, ts_us, event_id""",
+
     "stream_tws_running_max" -> """
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100

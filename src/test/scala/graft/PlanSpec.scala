@@ -380,6 +380,17 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("join_dpp_partition_prune: runtime dim filter reaches the fact scan as a partition filter") {
+    // The selective predicate lives on the dim attribute, so static
+    // pruning sees nothing — the fact scan must carry a DPP subquery
+    // (seeded from the dim's broadcast) in its PartitionFilters, and the
+    // join must be the broadcast it reuses.
+    val p = finalPlan("join_dpp_partition_prune")
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the partitioned fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+  }
+
   test("join_interval_overlap: the busy-hour grid is broadcast; no cartesian") {
     // Overlap joins have no equi-key; the scale contract is that the
     // bounded (time-span-sized) hour grid is the BROADCAST side of a

@@ -168,6 +168,42 @@ class Round12bSpec extends GraftSuite {
     }
   }
 
+  test("transformWithState top-3 board carries across micro-batches; equal values never re-enter a full board") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Long, Long, Long)]
+      val entries = ms.toDS().groupByKey(_._1)
+        .transformWithState(new streaming.Streaming.TopKEntryProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_id", "ts_us", "v100")
+      val qn = "twsk_" + System.nanoTime()
+      val query = entries.writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // batch 1: 3 entries fill the board [50,30,20]
+        ms.addData((1L, 10L, 100L, 50L), (1L, 11L, 200L, 30L), (1L, 12L, 300L, 20L))
+        query.processAllAvailable()
+        // batch 2 (state must persist): 20 ties the board min — NO entry;
+        // 40 beats it — entry; 10 below — no entry
+        ms.addData((1L, 13L, 400L, 20L), (1L, 14L, 500L, 40L), (1L, 15L, 600L, 10L))
+        query.processAllAvailable()
+        val out = spark.table(qn).as[(Long, Long, Long, Long)].collect().sorted
+        assert(out.sameElements(Seq(
+          (1L, 10L, 100L, 50L), (1L, 11L, 200L, 30L),
+          (1L, 12L, 300L, 20L), (1L, 14L, 500L, 40L))),
+          s"got ${out.mkString(",")}")
+      } finally query.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("agg_skew_kurt: exact numerators match a BigInt replica of the fixture") {
     val qty = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("x"))
