@@ -146,8 +146,9 @@ object ScaleProbe {
   private val ProbedStream = Seq(
     "stream_watermark_late", "stream_session_builtin", "stream_stream_join",
     "stream_tws_running_max", "stream_stateful_count", "stream_dedup",
-    // round 12: the ListState leaderboard (O(k) state per key)
-    "stream_tws_topk")
+    // round 12: the ListState leaderboard (O(k) state per key) and the
+    // per-batch snapshot-rewrite CDC apply
+    "stream_tws_topk", "stream_cdc_apply")
 
   /** o_orderdate(k): deterministic day in 1995-01-01..2001-07-second, the
     * fixture's span — shared by synthOrders and synthLineitem so each

@@ -131,6 +131,34 @@ object Streaming extends OpRegistry {
     }
   }
 
+  /** CDC upsert-merge kernel (round 12), shared with Round12bSpec's
+    * out-of-order-batch test: collapse the change batch to one row per
+    * key (tuple max), then full-outer merge against the current snapshot
+    * picking the per-key (ts, event_id, value) TUPLE MAX — never
+    * "incoming wins", which would let an out-of-order batch regress a
+    * row. Null-side structs are nulled wholesale so `greatest` picks the
+    * surviving side. */
+  private[graft] def cdcMerge(cur: Option[DataFrame],
+                              batch: DataFrame): DataFrame = {
+    def tup(side: String) = when(col(s"$side.last_ts_us").isNull, lit(null))
+      .otherwise(struct(col(s"$side.last_ts_us"), col(s"$side.last_event_id"),
+        col(s"$side.last_v100")))
+    val upserts = batch
+      .groupBy("user_id")
+      .agg(max(struct(col("last_ts_us"), col("last_event_id"),
+        col("last_v100"))).as("u"))
+      .select(col("user_id"), col("u.last_ts_us"), col("u.last_event_id"),
+        col("u.last_v100"))
+    cur match {
+      case None => upserts
+      case Some(t) =>
+        t.as("t").join(upserts.as("u"), Seq("user_id"), "full_outer")
+          .select(col("user_id"), greatest(tup("t"), tup("u")).as("p"))
+          .select(col("user_id"), col("p.last_ts_us"), col("p.last_event_id"),
+            col("p.last_v100"))
+    }
+  }
+
   /** Leaderboard-entry processor (round 12): per user, emit each event
     * whose value enters the all-time top-3 at its arrival — the
     * "new record" change-log an alerting pipeline emits, with O(k) state
@@ -452,6 +480,54 @@ object Streaming extends OpRegistry {
         .orderBy("user_id", "sess_start_us")
     }),
 
+    "stream_cdc_apply" -> ((s, dir) => {
+      // Streaming CDC apply into the lakehouse table (round 12): each
+      // event is an upsert of its user's latest reading; every
+      // micro-batch collapses to one change row per key, tuple-max-MERGEs
+      // into the manifest-logged snapshot, and commits manifest vN+1 —
+      // the streaming → lakehouse sync loop every warehouse runs. Readers
+      // pinned to vN never see a half-applied batch (the scan_time_travel
+      // isolation contract). The merge picks per key by the FULL
+      // (ts, event_id, value) tuple max — associative and commutative, so
+      // the final table is MICRO-BATCH-PARTITIONING-INVARIANT (an
+      // out-of-order batch carrying an older change can never regress a
+      // row; Round12bSpec proves exactly that case) — which is why a
+      // batch oracle can replay it. This demo table rewrites the
+      // user-count-sized snapshot per commit; at 100 TB the merge targets
+      // only zone-map-hit files (merge_delete_cow's COW path) with the
+      // nightly-small change batch broadcast.
+      val base = s"/tmp/graft_cdc_${s.sparkContext.applicationId}"
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(base))
+      val ckpt = scratchCkpt("cdc")
+      val changes = eventsStream(s, dir).select(col("user_id"),
+        tsDivMicros(col("ts")).as("last_ts_us"),
+        col("event_id").as("last_event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("last_v100"))
+      var version = -1
+      withStreamPartitions(s) {
+        try {
+          val q = changes.writeStream
+            .outputMode(OutputMode.Append())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              val cur = if (version < 0) None
+                else Some(s.read.parquet(
+                  graft.operators.Scans.readManifest(s, base, version): _*))
+              val merged = cdcMerge(cur, batch)
+              val commit = s"$base/data/c$batchId" // retry-idempotent path
+              merged.write.mode("overwrite").parquet(commit)
+              graft.operators.Scans.writeManifest(s, base, version + 1,
+                graft.operators.Scans.partFiles(s, commit))
+              version += 1
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally cleanupCkpt(ckpt)
+      }
+      s.read.parquet(graft.operators.Scans.readManifest(s, base, version): _*)
+        .orderBy("user_id")
+    }),
+
     "stream_sink_foreachBatch" -> ((s, dir) => {
       // Micro-batch parquet upsert, idempotent by batchId (same batch
       // re-written to the same path on retry -> overwrite semantics).
@@ -530,6 +606,20 @@ object Streaming extends OpRegistry {
       SELECT user_id, event_id, ts_us, CAST(cum // 100000 AS BIGINT) AS level
       FROM r WHERE cum // 100000 > (cum - v100) // 100000
       ORDER BY user_id, ts_us, event_id""",
+    // the CDC-applied table is batching-invariant: per user, the
+    // (ts, event_id, value)-tuple max = the latest event
+    "stream_cdc_apply" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+                 FROM events),
+      r AS (SELECT user_id, ts_us, event_id, v100,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY ts_us DESC, event_id DESC) AS rn
+            FROM e)
+      SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+             v100 AS last_v100
+      FROM r WHERE rn = 1 ORDER BY user_id""",
+
     // leaderboard entry: an event enters the all-time top-3 iff fewer
     // than 3 strictly-preceding events (user order: ts, event_id) carry a
     // value >= its own — ties keep the earlier event

@@ -204,6 +204,24 @@ class Round12bSpec extends GraftSuite {
     }
   }
 
+  test("cdcMerge: an out-of-order batch carrying an older change never regresses a row") {
+    // snapshot: user 1 @ ts=500 v=50; late batch: user 1 @ ts=100 v=99
+    // (older — must NOT win), user 2 @ ts=200 v=20 twice in-batch (the
+    // in-batch collapse picks its tuple max), user 3 new.
+    val cur = Seq((1L, 500L, 10L, 50L))
+      .toDF("user_id", "last_ts_us", "last_event_id", "last_v100")
+    val batch = Seq((1L, 100L, 11L, 99L), (2L, 200L, 12L, 20L),
+      (2L, 200L, 13L, 21L), (3L, 900L, 14L, 30L))
+      .toDF("user_id", "last_ts_us", "last_event_id", "last_v100")
+    val out = streaming.Streaming.cdcMerge(Some(cur), batch)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 500L, 10L, 50L),  // older upsert did not regress
+      (2L, 200L, 13L, 21L),  // in-batch tuple max (event_id tiebreak)
+      (3L, 900L, 14L, 30L))) // insert
+  }
+
   test("agg_skew_kurt: exact numerators match a BigInt replica of the fixture") {
     val qty = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("x"))
