@@ -96,8 +96,11 @@ object ScaleProbe {
     "events_top_paths", "events_user_overlap", "events_streaks",
     "join_asof_nearest", "events_cusum_drift", "join_interval_overlap",
     "events_ab_test",
-    // round 12: the bounded-grid lag self-join and the tolerance carry
-    "events_period_autocorr", "join_asof_tolerance")
+    // round 12: the bounded-grid lag self-join, the tolerance carry, and
+    // the occupancy-capped bucketed interval SELF-join (the cap exists
+    // because this probe's first run of the uncapped op filled the disk
+    // at 100× — co-presence pairs grow ∝ occupancy² at fixed span)
+    "events_period_autocorr", "join_asof_tolerance", "join_interval_bucketed")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,

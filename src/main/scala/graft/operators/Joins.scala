@@ -373,6 +373,71 @@ object Joins extends OpRegistry {
         .orderBy("o_orderstatus")
     }),
 
+    "join_interval_bucketed" -> ((s, dir) => {
+      // Interval SELF-join with BOTH sides data-sized (round 12): which
+      // pairs of users were active at the same time? Purchase-sessions
+      // (30-min-gap sessionization, padded by the gap timeout into the
+      // "active window") overlap-joined against each other — the shape
+      // join_interval_overlap's bounded-grid trick cannot serve, because
+      // neither side is time-span-bounded. The general recipe: explode
+      // each interval to the hour buckets it covers, equi-join ON THE
+      // BUCKET (a plain shuffle join — co-partitioned, no broadcast, no
+      // cartesian), apply the exact range predicate inside the bucket,
+      // and emit a pair ONLY in the bucket containing the LATER START —
+      // that bucket is covered by both intervals exactly once, so every
+      // overlapping pair appears exactly once with NO dedup shuffle.
+      // Replication = buckets-per-interval (≤2 here: windows are
+      // gap-bounded).
+      // OCCUPANCY CAP (the MaxShingleDf discipline, same reasoning as
+      // dedup_near_minhash's bucket cap): co-presence pairs grow
+      // ∝ occupancy² at fixed time span, so an uncapped exact listing is
+      // SEMANTICALLY quadratic — the first probe run of this op filled
+      // the disk at 100× (≈350M pairs through the output sort). Each
+      // bucket therefore admits only its first 64 windows by (s_start,
+      // user_id, sid); a pair emits iff BOTH windows are admitted in the
+      // later-start bucket. The cap is part of the operator's semantics
+      // and the oracle computes the identical cap — at every fixture SF
+      // occupancy stays far below 64 (≈28/bucket at sf0.1, +7σ to reach
+      // the cap), so the capped result equals the exact one there. At
+      // 100 TB the capped screen is the candidate pass; exact per-pair
+      // accounting runs per hot bucket on demand. All integer micros.
+      val hourUs = 3600000000L
+      val gapUs = 1800000000L
+      val cap = 64
+      val e = t(s, dir)("events").select(col("user_id"),
+        tsDivMicros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val sess = e
+        .withColumn("prev", lag("ts_us", 1).over(wOrd))
+        .withColumn("new_s", (col("prev").isNull
+          || col("ts_us") - col("prev") > gapUs).cast("long"))
+        .withColumn("sid", sum("new_s").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_us").as("s_start"),
+          (max("ts_us") + gapUs).as("s_end"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_p"))
+        .filter(col("has_p") === 1)
+      val b0 = sess.withColumn("bkt", explode(sequence(
+        call_function("div", col("s_start"), lit(hourUs)),
+        call_function("div", col("s_end"), lit(hourUs)))))
+      val wB = Window.partitionBy("bkt").orderBy("s_start", "user_id", "sid")
+      val b = b0.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= cap).drop("rk")
+      b.as("x").join(b.as("y"),
+          col("x.bkt") === col("y.bkt")
+            && col("x.user_id") < col("y.user_id")
+            && col("x.s_start") <= col("y.s_end")
+            && col("y.s_start") <= col("x.s_end")
+            && col("x.bkt") === call_function("div",
+              greatest(col("x.s_start"), col("y.s_start")), lit(hourUs)))
+        .select(col("x.user_id").as("user_a"), col("y.user_id").as("user_b"),
+          col("x.sid").as("sid_a"), col("y.sid").as("sid_b"),
+          (least(col("x.s_end"), col("y.s_end"))
+            - greatest(col("x.s_start"), col("y.s_start"))).as("overlap_us"))
+        .orderBy("user_a", "user_b", "sid_a", "sid_b")
+    }),
+
     "join_bloom_prefilter" -> ((s, dir) => {
       // Semi-join reduction via Bloom filter (round 4): build a ~1%-fpp
       // Bloom over the urgent orders' keys, prune lineitem BEFORE the
@@ -403,6 +468,43 @@ object Joins extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the bucket grid AND the occupancy cap are semantic (MaxShingleDf
+    // discipline) — the oracle computes the identical capped bucket join;
+    // at fixture occupancies the cap never binds, so this equals the
+    // plain range self-join there
+    "join_interval_bucketed" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+                        event_type FROM events),
+      l AS (SELECT *, LAG(ts_us) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) AS prev FROM e),
+      f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                           THEN 1 ELSE 0 END AS new_s FROM l),
+      g AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS sid FROM f),
+      sess AS (SELECT user_id, sid, MIN(ts_us) AS s_start,
+                      MAX(ts_us) + 1800000000 AS s_end,
+                      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS has_p
+               FROM g GROUP BY 1, 2),
+      p AS (SELECT * FROM sess WHERE has_p = 1),
+      bk AS (SELECT p.*, unnest(generate_series(s_start // 3600000000,
+                                                s_end // 3600000000)) AS bkt
+             FROM p),
+      bc AS (SELECT * FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY bkt
+                 ORDER BY s_start, user_id, sid) AS rk FROM bk)
+             WHERE rk <= 64)
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             a.sid AS sid_a, b.sid AS sid_b,
+             least(a.s_end, b.s_end) - greatest(a.s_start, b.s_start)
+               AS overlap_us
+      FROM bc a JOIN bc b ON a.bkt = b.bkt AND a.user_id < b.user_id
+        AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+        AND a.bkt = greatest(a.s_start, b.s_start) // 3600000000
+      ORDER BY user_a, user_b, sid_a, sid_b""",
+
     // DPP result = the plain dim-filtered join, which collapses to a
     // literal status filter on the source table
     "join_dpp_partition_prune" -> """

@@ -204,6 +204,41 @@ class Round12bSpec extends GraftSuite {
     }
   }
 
+  test("join_interval_bucketed: cross-bucket overlaps emit exactly once; non-overlaps never") {
+    val us = 1000L; val hr = 3600000000L
+    // user 1: purchase at t=0 → window [0, 30min]
+    // user 2: purchase at t=hr-1s → window spans the hour-0/hour-1
+    //         boundary AND overlaps user 1? no: starts 59:59, u1 ends
+    //         30:00 — no overlap with u1; overlaps user 3.
+    // user 3: purchase at t=hr+10min → overlaps user 2's padded window
+    //         (their shared span crosses the bucket boundary — the pair
+    //         must appear ONCE, not once per shared bucket)
+    // user 4: purchase at t=10min → overlaps user 1 ([10min, 40min] ∩
+    //         [0, 30min] = 20min); its session also contains a view.
+    // user 5: purchase at t=3000s → window [3000s, 4800s], spans buckets
+    // {0, 1} — as does user 2's [3599s, 5399s]: the pair shares TWO
+    // buckets, so without the later-start-bucket rule it would emit twice
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, "purchase"),
+      (2L, (hr - 1000000L) * 1000L, 2L, "purchase"),
+      (3L, (hr + 600000000L) * 1000L, 3L, "purchase"),
+      (4L, 600000000L * 1000L, 4L, "purchase"),
+      (5L, 610000000L * 1000L, 4L, "view"),
+      (6L, 3000000000L * 1000L, 5L, "purchase")))
+    val rows = SparkEntry.queries("join_interval_bucketed")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("overlap_us")))
+    // u1 [0,1800s] ∩ u4 [600s,2410s] = 1200s
+    // u2 [3599s,5399s] ∩ u3 [4200s,6000s] = 1199s
+    // u2 ∩ u5 [3000s,4800s] = 4800-3599 = 1201s (two shared buckets — ONE row)
+    // u3 ∩ u5 = 4800-4200 = 600s
+    assert(rows.toSeq.sorted === Seq(
+      (1L, 4L, 1200000000L),
+      (2L, 3L, 1199000000L),
+      (2L, 5L, 1201000000L),
+      (3L, 5L, 600000000L)).sorted,
+      s"got ${rows.toSeq.sorted}")
+  }
+
   test("cdcMerge: an out-of-order batch carrying an older change never regresses a row") {
     // snapshot: user 1 @ ts=500 v=50; late batch: user 1 @ ts=100 v=99
     // (older — must NOT win), user 2 @ ts=200 v=20 twice in-batch (the
