@@ -67,7 +67,9 @@ object ScaleProbe {
   private val ProbedVec = Seq(
     "knn_cosine_topk", "knn_ivf_topk", "knn_ivfpq_topk", "dedup_near_embedding",
     "vec_hamming_recall", "vec_pca_deflate", "vec_rank_fusion",
-    "vec_centroid_drift")
+    "vec_centroid_drift",
+    // round 12: the labels²-bounded affinity matrix
+    "vec_label_affinity")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
@@ -100,7 +102,8 @@ object ScaleProbe {
     // the occupancy-capped bucketed interval SELF-join (the cap exists
     // because this probe's first run of the uncapped op filled the disk
     // at 100× — co-presence pairs grow ∝ occupancy² at fixed span)
-    "events_period_autocorr", "join_asof_tolerance", "join_interval_bucketed")
+    "events_period_autocorr", "join_asof_tolerance", "join_interval_bucketed",
+    "events_user_entropy")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -135,7 +138,12 @@ object ScaleProbe {
     // per priority group — 5 near-table-sized frames
     "agg_median", "agg_percentiles_exact",
     // round 12: the S1..S4 moment-sum aggregate (decimal overflow watch)
-    "agg_skew_kurt")
+    // and the bounded-group basket pair join
+    "agg_skew_kurt", "q_cross_sell_basket",
+    // round 12 batch 6: the landed-backbone BFS, the bitmap
+    // exact-distinct (shuffle carries bitmaps, not values), and the
+    // decimal-squared HHI aggregate
+    "graph_bfs_distance", "agg_bitmap_distinct", "q_supplier_concentration")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

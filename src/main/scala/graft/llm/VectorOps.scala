@@ -786,6 +786,40 @@ object VectorOps extends OpRegistry {
         .orderBy("label")
     }),
 
+    "vec_label_affinity" -> ((s, dir) => {
+      // Label-centroid affinity matrix (round 12): cosine between every
+      // pair of label centroids — the class-separation readout an
+      // embedding QA pipeline checks before training on the labels
+      // (near-1 off-diagonal = labels not separable). Works on UNNORMALIZED
+      // centroid SUM vectors: cos(mean_a, mean_b) = cos(sum_a, sum_b), so
+      // no division ever enters the integer path (D3). Cross terms cast
+      // to DECIMAL(38,0) BEFORE multiplying (sv ≤ 1e6·n_vec; sv² sums
+      // stay under 1e38 to ~1e11 rows/label — the vec_centroid_drift
+      // bound discipline). Everything after the (label × dim) partial agg
+      // is labels²-bounded; cos6 is the one double, r6-rounded from
+      // exact scalars via IEEE sqrt only.
+      import org.apache.spark.sql.types.DecimalType
+      val d = DecimalType(38, 0)
+      val sums = tWide(s, dir)("embeddings")
+        .select(col("label"), quantize(col("embedding")).as("qe"))
+        .select(col("label"), posexplode(col("qe")).as(Seq("i", "v")))
+        .groupBy("label", "i").agg(sum("v").as("sv"))
+      val dots = sums.as("x").join(sums.as("y"),
+          col("x.i") === col("y.i") && col("x.label") < col("y.label"))
+        .groupBy(col("x.label").as("la"), col("y.label").as("lb"))
+        .agg(sum(col("x.sv").cast(d) * col("y.sv").cast(d)).cast(d).as("dot"))
+      val norms = sums.groupBy("label")
+        .agg(sum(col("sv").cast(d) * col("sv").cast(d)).cast(d).as("nrm2"))
+      dots
+        .join(norms.select(col("label").as("la"), col("nrm2").as("na")), Seq("la"))
+        .join(norms.select(col("label").as("lb"), col("nrm2").as("nb")), Seq("lb"))
+        .select(col("la"), col("lb"), col("dot").cast("double").as("dot_d"),
+          r6(col("dot").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cos6"))
+        .orderBy("la", "lb")
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       // Multimodal plumbing (no oracle; unit-tested): binary payload column
       // + typed metadata struct + per-partition batched "decode". The real
@@ -1480,6 +1514,24 @@ object VectorOps extends OpRegistry {
              CAST(MIN(dim) AS INT) AS dim_min, CAST(MAX(dim) AS INT) AS dim_max,
              ${r6Sql("CAST(SUM(norm_q) AS DOUBLE) / COUNT(1) / 1000000")} AS mean_norm
       FROM n GROUP BY label ORDER BY label""",
+    "vec_label_affinity" -> s"""
+      WITH q AS (SELECT label, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT label, generate_subscripts(qe, 1) AS i, unnest(qe) AS v FROM q),
+      g AS (SELECT label, i, CAST(SUM(v) AS HUGEINT) AS sv FROM e GROUP BY label, i),
+      dots AS (SELECT x.label AS la, y.label AS lb,
+                      SUM(x.sv * y.sv) AS dot
+               FROM g x JOIN g y ON x.i = y.i AND x.label < y.label
+               GROUP BY 1, 2),
+      nrm AS (SELECT label, SUM(sv * sv) AS nrm2 FROM g GROUP BY label)
+      SELECT la, lb, CAST(dot AS DOUBLE) AS dot_d,
+             ${r6Sql("CAST(dot AS DOUBLE) / " +
+               "(sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE)))")}
+               AS cos6
+      FROM dots JOIN nrm a ON la = a.label JOIN nrm b ON lb = b.label
+      ORDER BY la, lb""",
+
     "vec_centroid_by_label" -> """
       WITH q AS (SELECT label, list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe

@@ -488,6 +488,33 @@ object Aggregations extends OpRegistry {
               col("o_orderstatus")))),
             x => x.getField("o_orderstatus"))).as("status_seq"))
         .orderBy("o_custkey")),
+
+    "agg_bitmap_distinct" -> ((s, dir) => {
+      // Bitmap exact-distinct (round 12): monthly distinct customers via
+      // Spark's two-level bitmap aggregation — the scale path for EXACT
+      // count-distinct. COUNT(DISTINCT) makes the shuffle carry every
+      // distinct (month, custkey) value; here each key hashes to a
+      // (bucket, bit) and the shuffle carries at most one ≤4 KB bitmap
+      // per (month, bucket) cell, built map-side by bitmap_construct_agg's
+      // partial aggregation — cardinality-independent row width, exact
+      // answer (contrast agg_approx_distinct, which trades exactness for
+      // one fixed-size HLL sketch per group). The month total is the sum
+      // of disjoint per-bucket popcounts, so no merge step is needed; on
+      // ids denser than 32k/bucket the same plan holds (more cells, same
+      // bound per cell).
+      t(s, dir)("orders")
+        .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+          col("o_custkey"))
+        .select(col("month"),
+          expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+          expr("bitmap_bit_position(o_custkey)").as("pos"))
+        .groupBy("month", "bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"), count(lit(1)).as("c"))
+        .groupBy("month")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_cust"),
+          sum(col("c")).as("n_orders"))
+        .orderBy("month")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -681,5 +708,9 @@ object Aggregations extends OpRegistry {
              MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN o_totalprice END) AS p90,
              MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN o_totalprice END) AS p99
       FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_bitmap_distinct" -> """
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(DISTINCT o_custkey) AS n_cust, COUNT(1) AS n_orders
+      FROM orders GROUP BY 1 ORDER BY month""",
   )
 }

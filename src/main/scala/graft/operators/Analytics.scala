@@ -15,6 +15,87 @@ import org.apache.spark.sql.expressions.Window
 object Analytics extends OpRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cross_sell_basket" -> ((s, dir) => {
+      // Market-basket co-occurrence (round 12): pairs of parts bought in
+      // the SAME order, support ≥ 3, top-50 by support with integer lift
+      // as the association readout (lift > 1 = bought together more than
+      // chance). Scale shape: TPC-H orders hold ≤ 7 lines, so pair
+      // generation is ≤ 21 rows per order — LINEAR in orders at any
+      // scale (pair explosion is safe exactly when the group is
+      // schema-bounded; contrast join_interval_bucketed's occupancy cap,
+      // needed because time buckets are NOT bounded). The first probe of
+      // the self-join formulation ran 55.8× at 100×: FOUR fact-sized
+      // shuffles (distinct, re-partitioned self-join, pair agg, distinct
+      // order count) and the distinct frame recomputed per consumer. The
+      // shipped shape pays ONE fact shuffle: baskets land once per corpus
+      // as sorted part arrays (collect_set dedupes in the same pass);
+      // pairs explode from the bounded array with map-side count
+      // partials, and part counts + the order total re-read the landed
+      // (order-sized) artifact instead of re-scanning the fact table.
+      // Row set and rank are integer-only (support desc, part ids); lift
+      // is an r6 display from exact counts, n_orders broadcast.
+      val sets = graft.CorpusArtifacts.parquet(s, "basket_sets", dir) {
+        t(s, dir)("lineitem").select("l_orderkey", "l_partkey")
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      }
+      val pairs = sets
+        .select(col("parts"), explode(col("parts")).as("pa"))
+        .select(col("pa"), explode(col("parts")).as("pb"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa").as("part_a"), col("pb").as("part_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      val pc = sets.select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val tot = sets.agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(pc.select(col("l_partkey").as("part_a"), col("c").as("c_a")), Seq("part_a"))
+        .join(pc.select(col("l_partkey").as("part_b"), col("c").as("c_b")), Seq("part_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("part_a"), col("part_b"), col("c_ab"), col("c_a"), col("c_b"),
+          r6(col("c_ab").cast("double") * col("n_orders").cast("double")
+            / (col("c_a").cast("double") * col("c_b").cast("double"))).as("lift6"))
+        .orderBy(col("c_ab").desc, col("part_a"), col("part_b")).limit(50)
+    }),
+
+    "q_supplier_concentration" -> ((s, dir) => {
+      // Supplier-concentration HHI per nation (round 12): Herfindahl index
+      // of supplier revenue shares — the supply-chain-risk readout (HHI→1
+      // = one supplier owns the nation's flow; →1/n = evenly spread).
+      // HHI = Σ(rᵢ/R)² = (Σrᵢ²)/R², so the integer path never forms a
+      // share: per-supplier revenue lands as exact DECIMAL(38,6) (the
+      // decSumOut per-line cast convention), scales to integer micros,
+      // and both Σrᵢ² and R stay exact decimals — safe while any single
+      // supplier's revenue ≤ ~1e19 micros (1e13 currency units; the
+      // vec_centroid_drift bound discipline — bound the TERM, not the
+      // sum, against 1e38). One fact-table aggregate; everything after is
+      // supplier- then nation-sized. The division happens once in double
+      // with r6 at the boundary; nation is a broadcast dim.
+      import org.apache.spark.sql.types.DecimalType
+      val tt = t(s, dir) _
+      val perSupp = tt("lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(tt("supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev_dec"))
+        .select(col("s_nationkey"), col("rev_dec"),
+          (col("rev_dec") * lit(1000000L)).cast(DecimalType(38, 0)).as("rm"))
+      perSupp
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev_dec")).cast("double").as("revenue"),
+          sum(col("rm")).as("tot"),
+          sum((col("rm") * col("rm")).cast(DecimalType(38, 0))).as("num"))
+        .join(broadcast(tt("nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_suppliers"), col("revenue"),
+          r6(col("num").cast("double")
+            / (col("tot").cast("double") * col("tot").cast("double"))).as("hhi6"))
+        .orderBy("n_name")
+    }),
+
     "q_monthly_trend" -> ((s, dir) => {
       // Time-series rollup + month-over-month delta: date_trunc to month,
       // exact decimal revenue, lag window for the delta (subtraction stays
@@ -845,6 +926,42 @@ object Analytics extends OpRegistry {
       WHERE late_i = 1
       GROUP BY s_name
       ORDER BY numwait DESC, s_name""",
+    "q_cross_sell_basket" -> s"""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pr AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                    COUNT(1) AS c_ab
+             FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+             GROUP BY 1, 2 HAVING COUNT(1) >= 3),
+      pc AS (SELECT l_partkey, COUNT(1) AS c FROM li GROUP BY 1),
+      tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+      SELECT part_a, part_b, c_ab, a.c AS c_a, b.c AS c_b,
+             ${r6Sql("CAST(c_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) / " +
+               "(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))")} AS lift6
+      FROM pr JOIN pc a ON part_a = a.l_partkey
+              JOIN pc b ON part_b = b.l_partkey
+              CROSS JOIN tot
+      ORDER BY c_ab DESC, part_a, part_b LIMIT 50""",
+    "q_supplier_concentration" -> s"""
+      WITH ps AS (
+        SELECT s_nationkey, s_suppkey,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))
+                 AS rev_dec
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      pm AS (SELECT s_nationkey, rev_dec,
+                    CAST(rev_dec * 1000000 AS HUGEINT) AS rm
+             FROM ps),
+      agg AS (SELECT s_nationkey, COUNT(1) AS n_suppliers,
+                     CAST(SUM(rev_dec) AS DOUBLE) AS revenue,
+                     SUM(rm) AS tot, SUM(rm * rm) AS num
+              FROM pm GROUP BY 1)
+      SELECT n_name, n_suppliers, revenue,
+             ${r6Sql("CAST(num AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))")}
+               AS hhi6
+      FROM agg JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY n_name""",
+
     "q_monthly_trend" -> """
       WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec,

@@ -333,6 +333,53 @@ object Profiling extends OpRegistry {
       }
       rank.orderBy("node")
     }),
+
+    "graph_bfs_distance" -> ((s, dir) => {
+      // Bounded-round multi-hop BFS (round 12): hop distance from nation 0
+      // along the TRADE BACKBONE — each nation keeps only its 3
+      // strongest partners (by distinct co-trade orders, partner-asc
+      // tiebreak), symmetrized. The k-NN backbone is the scale move: the
+      // raw co-trade graph saturates to a complete |nation|² graph (every
+      // BFS answer would be 1), and on real entity graphs per-node top-k
+      // caps the edge list at k·|V| regardless of density — the same
+      // bounded-degree discipline as vec_knn_graph. The BFS itself is
+      // 8 unrolled Bellman-Ford rounds (relax one hop per round) over the
+      // node-sized distance table — FIXED shuffle-stage count, each round
+      // one edge join + min-aggregate, localCheckpoint truncating lineage
+      // (the dedup_components loop discipline); nodes beyond 8 hops
+      // report -1, and the oracle's recursive CTE carries the identical
+      // d<8 bound, so the cap is part of the op's contract, not a fixture
+      // shortcut. Weighted-edge build is fact-sized and landed once per
+      // corpus; everything after is ≤|nation|²-row.
+      val w = coTradeWeights(s, dir)
+      val dw = w.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(w.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val backbone = dw
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")
+            .orderBy(col("w").desc, col("dst"))))
+        .filter(col("rn") <= 3).select("src", "dst")
+      val edges = backbone
+        .unionAll(backbone.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val nodes = t(s, dir)("nation")
+        .select(col("n_nationkey").cast("long").as("node"))
+      var dist = nodes
+        .withColumn("d", when(col("node") === 0L, 0L))
+        .localCheckpoint()
+      for (_ <- 1 to 8) {
+        val relaxed = dist.filter(col("d").isNotNull)
+          .join(edges, col("node") === col("src"))
+          .groupBy(col("dst")).agg(min(col("d") + 1L).as("nd"))
+        dist = dist.join(relaxed, col("node") === col("dst"), "left_outer")
+          // least() ignores NULL unless all args are NULL — exactly the
+          // "keep the better of (current, relaxed)" semantics needed here
+          .select(col("node"), least(col("d"), col("nd")).as("d"))
+          .localCheckpoint()
+      }
+      dist.select(col("node"), coalesce(col("d"), lit(-1L)).as("dist"))
+        .orderBy("node")
+    }),
   )
 
   /** Undirected co-trade edge list (a<b, distinct): nations a and b traded
@@ -367,6 +414,28 @@ object Profiling extends OpRegistry {
       .filter(col("a") < col("b"))
       .distinct()
   }
+
+  /** Weighted co-trade pairs (a<b): weight = distinct orders linking the
+    * two nations. Same fact-sized build as [[coTradeEdges]] but keeping
+    * the multiplicity — landed once per corpus; the (a,b,orderkey)
+    * distinct collapses map-side before the count. */
+  private def coTradeWeights(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusArtifacts.parquet(s, "cotradew", dir) {
+      val tt = t(s, dir) _
+      tWide(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
+        .join(tt("orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tt("customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(tt("supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .select(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"),
+          col("l_orderkey"))
+        .distinct()
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    }
 
   /** Directed expansion of the undirected co-trade graph (both arcs). */
   private def directedCoTrade(s: SparkSession, dir: String): DataFrame = {
@@ -606,5 +675,35 @@ object Profiling extends OpRegistry {
                150000 + (850000 * COALESCE(in_sum, 0)) // 1000000 AS rank_ppm
         FROM deg LEFT OUTER JOIN c2 ON deg.node = c2.dst)
       SELECT node, rank_ppm FROM r2 ORDER BY node""",
+
+    "graph_bfs_distance" -> """
+      WITH RECURSIVE e AS (
+        SELECT l_orderkey,
+               CAST(least(c_nationkey, s_nationkey) AS BIGINT) AS a,
+               CAST(greatest(c_nationkey, s_nationkey) AS BIGINT) AS b
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey),
+      w AS (SELECT a, b, COUNT(DISTINCT l_orderkey) AS w FROM e GROUP BY 1, 2),
+      dw AS (SELECT a AS src, b AS dst, w FROM w
+             UNION ALL
+             SELECT b AS src, a AS dst, w FROM w),
+      tk AS (SELECT src, dst,
+                    ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+             FROM dw),
+      bb AS (SELECT src, dst FROM tk WHERE rn <= 3),
+      ee AS (SELECT src, dst FROM bb UNION SELECT dst, src FROM bb),
+      bfs AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+        UNION
+        SELECT ee.dst, bfs.d + 1 FROM bfs JOIN ee ON bfs.node = ee.src
+        WHERE bfs.d < 8),
+      m AS (SELECT node, MIN(d) AS d FROM bfs GROUP BY node)
+      SELECT CAST(n_nationkey AS BIGINT) AS node,
+             COALESCE(d, CAST(-1 AS BIGINT)) AS dist
+      FROM nation LEFT OUTER JOIN m ON CAST(n_nationkey AS BIGINT) = m.node
+      ORDER BY node""",
   )
 }

@@ -518,6 +518,31 @@ object Timeseries extends OpRegistry {
         .orderBy("user_id")
     }),
 
+    "events_user_entropy" -> ((s, dir) => {
+      // Behavioral diversity score (round 12): Shannon entropy of each
+      // user's event-TYPE mix — the bot/scraper screen (a user doing one
+      // thing in a loop scores ~0; organic use scores near ln of the
+      // type count). The text_entropy identity on the events table:
+      // H = ln N − (Σ c·ln c)/N, ln only on INTEGER counts, each
+      // floor-quantized to micro-nats immediately, exact long
+      // accumulation, one double division + r6 at the boundary. The
+      // per-user distinct frame is type-bounded (≤5 rows/user), so the
+      // shuffle carries (user, type) counts — never events.
+      def lnq(x: Column): Column =
+        floor(log(x.cast("double")) * lit(1000000d)).cast("long")
+      t(s, dir)("events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n_events"),
+          sum(col("c") * lnq(col("c"))).as("sum_c_lnc_u"))
+        .select(col("user_id"), col("n_events"), col("sum_c_lnc_u"),
+          r6((lnq(col("n_events")) * col("n_events") - col("sum_c_lnc_u"))
+            .cast("double")
+            / (col("n_events").cast("double") * lit(1000000d))).as("entropy6"))
+        .orderBy("user_id")
+    }),
+
     "events_period_autocorr" -> ((s, dir) => {
       // Period detection (round 12): per event type, the lag-1..10
       // autocovariance of the DAILY count series — the screen that finds
@@ -663,6 +688,19 @@ object Timeseries extends OpRegistry {
                " + (ss2 - s2 * s2 / n_b) / (n_b - 1) / n_b)")}) > 1.96
                AS INT) AS significant
       FROM p ORDER BY event_type""",
+
+    "events_user_entropy" -> s"""
+      WITH c AS (SELECT user_id, event_type, COUNT(1) AS c
+                 FROM events GROUP BY 1, 2),
+      agg AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+                                  AS BIGINT)) AS BIGINT) AS sum_c_lnc_u
+              FROM c GROUP BY 1)
+      SELECT user_id, n_events, sum_c_lnc_u,
+             ${r6Sql("(CAST(floor(ln(CAST(n_events AS DOUBLE)) * 1000000)" +
+               " AS BIGINT) * n_events - sum_c_lnc_u)" +
+               " / (CAST(n_events AS DOUBLE) * 1000000)")} AS entropy6
+      FROM agg ORDER BY user_id""",
 
     "events_period_autocorr" -> s"""
       WITH e AS (SELECT event_type, (epoch_ns(ts)//1000)//86400000000 AS day

@@ -380,6 +380,22 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("q_cross_sell_basket: pairs explode from the landed basket artifact, never a fact self-join") {
+    // The r12 100x-probe defect (55.8x/133 s): li.distinct() self-joined
+    // on l_orderkey paid four fact-sized shuffles and recomputed the
+    // distinct frame per consumer. Lock: the final plan generates pairs
+    // via explode over the landed basket_sets parquet and contains no
+    // scan of the raw lineitem table (all three consumers must re-read
+    // the order-sized artifact).
+    val p = finalPlan("q_cross_sell_basket")
+    assert(p.contains("basket_sets"),
+      s"landed basket artifact vanished from the plan:\n$p")
+    assert("Generate explode".r.findFirstIn(p).isDefined,
+      s"array pair explode vanished (self-join shape back?):\n$p")
+    assert(!p.contains("lineitem"),
+      s"raw lineitem scan reappeared in the consumer plan:\n$p")
+  }
+
   test("join_dpp_partition_prune: runtime dim filter reaches the fact scan as a partition filter") {
     // The selective predicate lives on the dim attribute, so static
     // pruning sees nothing — the fact scan must carry a DPP subquery
