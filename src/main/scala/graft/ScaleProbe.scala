@@ -59,7 +59,9 @@ object ScaleProbe {
     "docs_nll_histogram",
     // round 12: the containment twin of the jaccard kernel and the
     // vocab-sized keyness agg
-    "text_containment", "text_keyness_llr")
+    "text_containment", "text_keyness_llr",
+    // round 12 batch 7: the scan-shaped regex readability kernel
+    "text_readability")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -143,7 +145,10 @@ object ScaleProbe {
     // round 12 batch 6: the landed-backbone BFS, the bitmap
     // exact-distinct (shuffle carries bitmaps, not values), and the
     // decimal-squared HHI aggregate
-    "graph_bfs_distance", "agg_bitmap_distinct", "q_supplier_concentration")
+    "graph_bfs_distance", "agg_bitmap_distinct", "q_supplier_concentration",
+    // round 12 batch 7: the brand-month seasonal rollup and the
+    // three-branch SCD2 merge with landed write-back
+    "q_seasonal_index", "merge_scd2_apply")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

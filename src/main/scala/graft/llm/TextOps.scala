@@ -278,6 +278,35 @@ object TextOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "text_readability" -> ((s, dir) => {
+      // Flesch reading-ease per document (round 12) — the readability
+      // gate pretraining quality filters run (FineWeb-edu-class
+      // pipelines screen on exactly this family of scores). All three
+      // inputs are integer counts: words = whitespace tokens, sentences
+      // = [.!?]+ runs floored at 1 (the fixture corpus is unpunctuated
+      // word soup — the floor IS the contract, not a fixture dodge),
+      // syllables ≈ vowel groups (the standard heuristic). Groups count
+      // via the length DELTA of replace-group-with-one-char vs
+      // replace-with-nothing, so no regex-count function is needed and
+      // the single greedy pattern behaves identically in both engines.
+      // score6 = 206.835 − 1.015·w/s − 84.6·syl/w evaluated once in
+      // double from exact integers — a fixed IEEE op sequence the
+      // oracle mirrors literally (left-assoc, same casts). Map-side
+      // only: the op is scan-shaped, no shuffle at any scale.
+      def groups(pat: String): Column =
+        length(regexp_replace(col("text"), pat, "@")) -
+          length(regexp_replace(col("text"), pat, ""))
+      val w = size(split(col("text"), " "))
+      val sent = greatest(groups("[.!?]+"), lit(1))
+      val syl = groups("[aeiou]+")
+      tWide(s, dir)("documents").select(col("doc_id"),
+          w.as("n_words"), sent.as("n_sentences"), syl.as("n_syllables"),
+          r6(lit(206.835)
+            - lit(1.015) * (w.cast("double") / sent)
+            - lit(84.6) * (syl.cast("double") / w)).as("flesch6"))
+        .orderBy("doc_id")
+    }),
+
     "text_token_count" -> ((s, dir) =>
       tWide(s, dir)("documents").select(
         col("doc_id"),
@@ -1117,6 +1146,22 @@ object TextOps extends OpRegistry {
                x -> x IN ('the','of','and','a','to','in','is','data'))) AS INT) AS stop_cnt,
              ${r6Sql("CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','of','and','a','to','in','is','data'))) AS DOUBLE) / len(string_split(text, ' '))")} AS stop_ratio
       FROM documents ORDER BY doc_id""",
+    "text_readability" -> s"""
+      WITH c AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               CAST(GREATEST(length(regexp_replace(text, '[.!?]+', '@', 'g'))
+                   - length(regexp_replace(text, '[.!?]+', '', 'g')),
+                 1) AS INT) AS n_sentences,
+               CAST(length(regexp_replace(text, '[aeiou]+', '@', 'g'))
+                   - length(regexp_replace(text, '[aeiou]+', '', 'g')) AS INT)
+                 AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             ${r6Sql("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)" +
+               " - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)")} AS flesch6
+      FROM c ORDER BY doc_id""",
+
     "text_token_count" -> """
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,

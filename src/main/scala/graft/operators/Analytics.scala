@@ -96,6 +96,36 @@ object Analytics extends OpRegistry {
         .orderBy("n_name")
     }),
 
+    "q_seasonal_index" -> ((s, dir) => {
+      // Seasonal index per part brand (round 12): each calendar month's
+      // revenue against the brand's flat-year expectation — index
+      // 12·m/Σ > 1 marks the hot months (the ratio-to-average method,
+      // the first pass of any retail seasonality model). One fact-sized
+      // join+agg collapses to the (brand × month ≤ 12·ǀbrandsǀ) frame;
+      // the brand total comes from a window over THAT tiny frame — never
+      // a second fact pass and no self-join recompute. Revenue stays
+      // DECIMAL(38,6) until the boundary; the index is one double
+      // division with r6 (D2/D3).
+      val tt = t(s, dir) _
+      val bm = tt("lineitem")
+        .select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+        .join(tt("orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tt("part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), month(col("o_orderdate")).as("mth"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev_dec"),
+          count(lit(1)).as("n_lines"))
+      bm.withColumn("tot_dec",
+          sum(col("rev_dec")).over(Window.partitionBy("p_brand")))
+        .select(col("p_brand"), col("mth"),
+          col("rev_dec").cast("double").as("revenue"), col("n_lines"),
+          r6(lit(12.0) * col("rev_dec").cast("double")
+            / col("tot_dec").cast("double")).as("idx6"))
+        .orderBy("p_brand", "mth")
+    }),
+
     "q_monthly_trend" -> ((s, dir) => {
       // Time-series rollup + month-over-month delta: date_trunc to month,
       // exact decimal revenue, lag window for the delta (subtraction stays
@@ -961,6 +991,24 @@ object Analytics extends OpRegistry {
                AS hhi6
       FROM agg JOIN nation ON s_nationkey = n_nationkey
       ORDER BY n_name""",
+
+    "q_seasonal_index" -> s"""
+      WITH bm AS (
+        SELECT p_brand, CAST(month(o_orderdate) AS INT) AS mth,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))
+                 AS rev_dec,
+               COUNT(1) AS n_lines
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      w AS (SELECT p_brand, mth, rev_dec, n_lines,
+                   SUM(rev_dec) OVER (PARTITION BY p_brand) AS tot_dec
+            FROM bm)
+      SELECT p_brand, mth, CAST(rev_dec AS DOUBLE) AS revenue, n_lines,
+             ${r6Sql("12.0 * CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)")}
+               AS idx6
+      FROM w ORDER BY p_brand, mth""",
 
     "q_monthly_trend" -> """
       WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -334,6 +334,58 @@ object Profiling extends OpRegistry {
       rank.orderBy("node")
     }),
 
+    "merge_scd2_apply" -> ((s, dir) => {
+      // SCD2 MERGE (round 12): nightly type-2 dimension maintenance —
+      // the merge_upsert change batch (each customer's latest order
+      // total, now carrying its effective date) applied into a
+      // slowly-changing customer dimension. A customer whose balance
+      // actually changes gets its current row CLOSED (valid_to =
+      // effective date) and a new current version OPENED; everyone else
+      // carries through. This is the other half of the Delta/Iceberg
+      // MERGE story next to merge_upsert's type-1 overwrite: history is
+      // kept, and the three output branches come from ONE left join
+      // (never three passes over the dimension). valid_to uses a
+      // 2099-12-31 sentinel, not NULL or 9999 — open-endedness stays
+      // filterable and the date survives every engine's ns-precision
+      // timestamp bridge. Like merge_upsert, the result is LANDED as
+      // partitioned parquet (by is_current — exactly the layout that
+      // lets point-lookups of current rows prune history files) and
+      // served from the landed bytes, so the oracle row also certifies
+      // the persisted table.
+      val changes = graft.Helpers.keepFirst(
+        t(s, dir)("orders").select(col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderkey")),
+        Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_totalprice").as("new_bal"),
+          col("o_orderdate").cast("date").as("eff_date"))
+      val j = t(s, dir)("customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .join(changes, col("c_custkey") === col("o_custkey"), "left_outer")
+        .withColumn("chg",
+          col("new_bal").isNotNull && col("new_bal") =!= col("c_acctbal"))
+      val open0 = lit("1990-01-01").cast("date")
+      val hi = lit("2099-12-31").cast("date")
+      val unchanged = j.filter(!col("chg"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal").as("bal"),
+          open0.as("valid_from"), hi.as("valid_to"), lit(1).as("is_current"))
+      val closed = j.filter(col("chg"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal").as("bal"),
+          open0.as("valid_from"), col("eff_date").as("valid_to"),
+          lit(0).as("is_current"))
+      val opened = j.filter(col("chg"))
+        .select(col("c_custkey"), col("c_name"), col("new_bal").as("bal"),
+          col("eff_date").as("valid_from"), hi.as("valid_to"),
+          lit(1).as("is_current"))
+      val out = s"/tmp/graft_scd2_${s.sparkContext.applicationId}"
+      unchanged.unionAll(closed).unionAll(opened)
+        .write.mode("overwrite").partitionBy("is_current").parquet(out)
+      s.read.parquet(out)
+        .select("c_custkey", "c_name", "bal", "valid_from", "valid_to",
+          "is_current")
+        .orderBy("c_custkey", "valid_from", "is_current")
+    }),
+
     "graph_bfs_distance" -> ((s, dir) => {
       // Bounded-round multi-hop BFS (round 12): hop distance from nation 0
       // along the TRADE BACKBONE — each nation keeps only its 3
@@ -675,6 +727,31 @@ object Profiling extends OpRegistry {
                150000 + (850000 * COALESCE(in_sum, 0)) // 1000000 AS rank_ppm
         FROM deg LEFT OUTER JOIN c2 ON deg.node = c2.dst)
       SELECT node, rank_ppm FROM r2 ORDER BY node""",
+
+    "merge_scd2_apply" -> """
+      WITH ch AS (
+        SELECT o_custkey, new_bal, eff_date FROM (
+          SELECT o_custkey, o_totalprice AS new_bal,
+                 CAST(o_orderdate AS DATE) AS eff_date,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rn
+          FROM orders) WHERE rn = 1),
+      j AS (
+        SELECT c_custkey, c_name, c_acctbal, new_bal, eff_date,
+               (new_bal IS NOT NULL AND new_bal <> c_acctbal) AS chg
+        FROM customer LEFT OUTER JOIN ch ON c_custkey = o_custkey)
+      SELECT c_custkey, c_name, c_acctbal AS bal,
+             DATE '1990-01-01' AS valid_from, DATE '2099-12-31' AS valid_to,
+             1 AS is_current
+      FROM j WHERE NOT chg
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, DATE '1990-01-01', eff_date, 0
+      FROM j WHERE chg
+      UNION ALL
+      SELECT c_custkey, c_name, new_bal, eff_date, DATE '2099-12-31', 1
+      FROM j WHERE chg
+      ORDER BY c_custkey, valid_from, is_current""",
 
     "graph_bfs_distance" -> """
       WITH RECURSIVE e AS (
