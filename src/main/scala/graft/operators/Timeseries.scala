@@ -645,6 +645,55 @@ object Timeseries extends OpRegistry {
           col("ts_us").as("peak_us"))
         .orderBy("event_type")
     }),
+
+    "events_autocorr" -> ((s, dir) => {
+      // Sample autocorrelation of the daily event-count series at lags
+      // 1..7 (round 12) — the seasonality detector behind "is traffic
+      // weekly-periodic": a spike at lag 7 is the weekend signature that
+      // q_seasonal_index assumes and this op PROVES. All-integer moment
+      // recipe (agg_corr_covar / events_ab_test discipline): daily counts
+      // x_t are exact longs; per lag the correlation NUMERATORS
+      // n·Σxy − Σx·Σy and n·Σxx − (Σx)² accumulate in DECIMAL(38,0)
+      // (overflow-proof at any event count — daily counts of 1e10 square
+      // to 1e20 > long) and emit as BIGINT (exact at validation scale;
+      // the DuckDB twin sums in HUGEINT and casts the same boundary).
+      // acf6 is display-only: one fixed IEEE sequence num/(sqrt·sqrt)
+      // from the exact scalars — sqrt is correctly rounded cross-engine,
+      // pow is not (the moment-stats rule). Scale shape: the event scan
+      // collapses map-side into the per-day partial count; everything
+      // after is CALENDAR-BOUNDED (ǀdaysǀ rows, ×7 after the lag
+      // explode) — at 100 TB the joins and aggs below the first groupBy
+      // touch a few thousand rows regardless of data size.
+      import org.apache.spark.sql.types.DecimalType
+      val d0 = DecimalType(38, 0)
+      val daily = eventsUs(s, dir)
+        .select(call_function("div", col("ts_us"), lit(usPerDay)).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val lagged = daily
+        .withColumn("k", explode(array((1 to 7).map(lit): _*)))
+        .select((col("day") + col("k")).as("day"), col("k"),
+          col("x").as("x_lag"))
+      val g = daily.join(lagged, Seq("day"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d0)).as("sx"),
+          sum(col("x_lag").cast(d0)).as("sy"),
+          sum((col("x") * col("x")).cast(d0)).as("sxx"),
+          sum((col("x_lag") * col("x_lag")).cast(d0)).as("syy"),
+          sum((col("x") * col("x_lag")).cast(d0)).as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("k").cast("int").as("lag"), col("n").as("n_pairs"),
+          cov.cast("long").as("cov_num"),
+          vx.cast("long").as("vx_num"),
+          vy.cast("long").as("vy_num"),
+          when(vx > 0 && vy > 0,
+            r6(cov.cast("double")
+              / (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))))
+            .as("acf6"))
+        .orderBy("lag")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
