@@ -105,7 +105,10 @@ object ScaleProbe {
     // because this probe's first run of the uncapped op filled the disk
     // at 100× — co-presence pairs grow ∝ occupancy² at fixed span)
     "events_period_autocorr", "join_asof_tolerance", "join_interval_bucketed",
-    "events_user_entropy")
+    "events_user_entropy",
+    // round 13: the global zero-filled daily-series correlation (one
+    // map-side day-count collapse; everything after is calendar-bounded)
+    "events_autocorr")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,

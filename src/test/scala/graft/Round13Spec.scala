@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 evidence: events_autocorr verification (VERDICT r12 #1 — the
+  * op landed post-closing-sweep with no oracle/spec/probe; it now carries
+  * all three) and the round's plan work (shared co-trade artifact,
+  * seasonal-index bucketed layout, basket apriori pre-prune).
+  */
+class Round13Spec extends GraftSuite {
+  import spark.implicits._
+
+  /** events fixture rows: (event_id, ts NANOS, user_id, event_type). */
+  private def writeEvents(rows: Seq[(Long, Long, Long, String)]): String = {
+    val dir = TestSpark.tempDir("graft_r13_ev_")
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("events_autocorr: planted period-7 spikes peak at lag 7; silent days zero-fill") {
+    val usPerDayNs = 86400000000000L
+    // Events ONLY on days 0, 7, 14, 21 (10 each) — every other day is
+    // SILENT (absent from the raw stream). The lag-k pairing is only
+    // correct if silent days read x=0: without the grid, "lag 7" would
+    // pair each spike with the next OBSERVED day and the series would
+    // look constant (acf undefined), and n_pairs(k) would be 3, not N−k.
+    var id = 0L
+    val rows = Seq(0, 7, 14, 21).flatMap { d =>
+      (1 to 10).map { k => id += 1; (id, d * usPerDayNs + k * 1000000L, 1L, "view") }
+    }
+    val dir = writeEvents(rows)
+    val out = SparkEntry.queries("events_autocorr")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("lag"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("cov_num"), r.getAs[Long]("vx_num"),
+        r.getAs[Long]("vy_num"), Option(r.get(5)).map(_.asInstanceOf[Double])))
+    assert(out.length === 7, s"lags 1..7 expected: ${out.toSeq}")
+    // span = [0, 21] ⇒ N = 22 grid days ⇒ lag k has exactly N−k pairs
+    out.foreach { case (lag, n, _, _, _, _) =>
+      assert(n === 22L - lag, s"zero-fill broken at lag $lag: $n pairs") }
+    val byLag = out.map(t => t._1 -> t).toMap
+    // period-7 series: lag 7 aligns spike-with-spike (perfect positive
+    // correlation), lag 1 pairs every spike with a silent day (negative)
+    assert(byLag(7)._6.exists(_ > 0.9), s"lag-7 acf must be ~1: ${byLag(7)}")
+    assert(byLag(1)._6.exists(_ < 0.0), s"lag-1 acf must be < 0: ${byLag(1)}")
+    // moment identity on exact integers: cov² ≤ vx·vy (Cauchy–Schwarz)
+    out.foreach { case (lag, _, cov, vx, vy, _) =>
+      assert(BigInt(cov) * BigInt(cov) <= BigInt(vx) * BigInt(vy),
+        s"Cauchy–Schwarz violated at lag $lag") }
+  }
+
+  test("events_autocorr: a constant series has zero variance and null acf") {
+    val usPerDayNs = 86400000000000L
+    // one event per day for 10 days: x_t ≡ 1 ⇒ vx = vy = 0 ⇒ acf NULL
+    val rows = (0 until 10).map(d =>
+      ((d + 1).toLong, d * usPerDayNs + 1000000L, 1L, "view"))
+    val dir = writeEvents(rows)
+    val out = SparkEntry.queries("events_autocorr")(spark, dir).collect()
+    assert(out.length === 7)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vx_num") === 0L && r.getAs[Long]("vy_num") === 0L)
+      assert(r.isNullAt(5), s"acf must be NULL on zero variance: $r")
+    }
+  }
+}
