@@ -26,6 +26,37 @@ object CorpusArtifacts {
   /** Drop every landed artifact (they are rebuilt lazily on next use). */
   private[graft] def clear(): Unit = memo.clear()
 
+  /** Bucketed-table variant (r13): lands `build` via saveAsTable
+    * bucketed+sorted on `bucketCol` — the warehouse layout
+    * join_bucketed_noshuffle demonstrates, memoized like [[parquet]].
+    * Two facts landed with the same key and bucket count feed a
+    * SortMergeJoin with NO hash-partition exchange between them: the
+    * all-to-all network shuffle an every-query fact⋈fact join pays on a
+    * 1000-executor cluster is paid ONCE at layout time instead. Honest
+    * measurement as with [[parquet]]: Bench/ScaleProbe clear the memo per
+    * pass, so the first consumer's median includes the layout write. */
+  private[graft] def bucketed(s: SparkSession, kind: String, dir: String,
+                              bucketCol: String, nBuckets: Int)
+                             (build: => DataFrame): DataFrame = {
+    val key = s.sparkContext.applicationId + "|bt|" + kind + "|" + dir
+    val tbl = memo.getOrElseUpdate(key, {
+      val name = s"graft_bt_${kind}_${Integer.toHexString(dir.hashCode)}"
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_artifacts_${s.sparkContext.applicationId}")
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      // repartition on the bucket hash first: each write task then holds
+      // exactly one bucket, so the layout is ONE sorted file per bucket
+      // (instead of tasks×buckets splinters) and the bucketed scan's
+      // output ordering lets the join skip its sort entirely
+      build.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+        .write.mode("overwrite")
+        .option("path", new java.io.File(base, name).getPath)
+        .bucketBy(nBuckets, bucketCol).sortBy(bucketCol).saveAsTable(name)
+      name
+    })
+    s.table(tbl)
+  }
+
   /** The artifact named `kind` for corpus `dir`: built + written on first
     * use in this session, a plain parquet read afterwards. */
   private[graft] def parquet(s: SparkSession, kind: String, dir: String)

@@ -359,26 +359,8 @@ object Profiling extends OpRegistry {
         Seq(col("o_orderdate").desc, col("o_orderkey").desc))
         .select(col("o_custkey"), col("o_totalprice").as("new_bal"),
           col("o_orderdate").cast("date").as("eff_date"))
-      val j = t(s, dir)("customer")
-        .select("c_custkey", "c_name", "c_acctbal")
-        .join(changes, col("c_custkey") === col("o_custkey"), "left_outer")
-        .withColumn("chg",
-          col("new_bal").isNotNull && col("new_bal") =!= col("c_acctbal"))
-      val open0 = lit("1990-01-01").cast("date")
-      val hi = lit("2099-12-31").cast("date")
-      val unchanged = j.filter(!col("chg"))
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal").as("bal"),
-          open0.as("valid_from"), hi.as("valid_to"), lit(1).as("is_current"))
-      val closed = j.filter(col("chg"))
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal").as("bal"),
-          open0.as("valid_from"), col("eff_date").as("valid_to"),
-          lit(0).as("is_current"))
-      val opened = j.filter(col("chg"))
-        .select(col("c_custkey"), col("c_name"), col("new_bal").as("bal"),
-          col("eff_date").as("valid_from"), hi.as("valid_to"),
-          lit(1).as("is_current"))
       val out = s"/tmp/graft_scd2_${s.sparkContext.applicationId}"
-      unchanged.unionAll(closed).unionAll(opened)
+      scd2Kernel(t(s, dir)("customer"), changes)
         .write.mode("overwrite").partitionBy("is_current").parquet(out)
       s.read.parquet(out)
         .select("c_custkey", "c_name", "bal", "valid_from", "valid_to",
@@ -434,21 +416,32 @@ object Profiling extends OpRegistry {
     }),
   )
 
-  /** Undirected co-trade edge list (a<b, distinct): nations a and b traded
-    * iff some order had a customer in one and a supplying supplier in the
-    * other. Fact-table-sized build that collapses to ≤|nation|² rows —
-    * landed once per corpus via [[graft.CorpusArtifacts]] (r11): the three
-    * graph consumers (triangles, degree stats, PageRank) each re-ran this
-    * lineitem⋈orders⋈customer⋈supplier pass, ~3 fact scans per bench pass
-    * for one ≤300-row result. The first consumer of a pass pays the build
-    * (Bench/ScaleProbe clear the memo per pass); each oracle re-derives
-    * the edges from the raw tables, so the artifact never self-certifies. */
+  /** Weighted co-trade pairs (a<b): nations a and b traded iff some order
+    * had a customer in one and a supplying supplier in the other; weight =
+    * distinct orders linking the two. THE single fact-sized build of the
+    * graph family (VERDICT r12 #4): r12 landed TWO artifacts per pass —
+    * an unweighted edge set AND this weighted one — each paying its own
+    * lineitem⋈orders⋈customer⋈supplier pass. The unweighted edges are just
+    * this table's (a,b) projection, so one landed artifact now serves all
+    * five graph consumers (triangles, degree stats, PageRank, link
+    * prediction, BFS); the first consumer of a pass pays the build
+    * (Bench/ScaleProbe clear the memo per pass), the rest read node-sized
+    * parquet. Each oracle re-derives its edges from the raw tables, so
+    * the artifact never self-certifies. */
+  private def coTradeWeights(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusArtifacts.parquet(s, "cotradew", dir)(coTradeBuild(s, dir))
+
+  /** Undirected co-trade edge list (a<b, distinct): the (a,b) projection
+    * of the landed weighted artifact — a node-sized parquet read, never a
+    * second fact pass. (Weight rows are already distinct per pair, and
+    * both builds excluded same-nation links, so the sets are identical.) */
   private def coTradeEdges(s: SparkSession, dir: String): DataFrame =
-    graft.CorpusArtifacts.parquet(s, "cotrade", dir)(coTradeBuild(s, dir))
+    coTradeWeights(s, dir).select("a", "b")
 
   /** The build kernel behind the co-trade artifact — PlanSpec audits THIS
     * for data-sized broadcast hints (the artifact consumer's plan is a
-    * vacuous parquet scan, same split as jaccardEdges vs candidatePairs). */
+    * vacuous parquet scan, same split as jaccardEdges vs candidatePairs).
+    * The (a,b,orderkey) distinct collapses map-side before the count. */
   private[graft] def coTradeBuild(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir) _
     tWide(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
@@ -459,41 +452,52 @@ object Profiling extends OpRegistry {
         col("o_custkey") === col("c_custkey"))
       .join(tt("supplier").select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
       // long, not int: DuckDB's least() promotes to BIGINT and the
       // comparator is dtype-exact
       .select(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
-        greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
-      .filter(col("a") < col("b"))
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"),
+        col("l_orderkey"))
       .distinct()
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
   }
-
-  /** Weighted co-trade pairs (a<b): weight = distinct orders linking the
-    * two nations. Same fact-sized build as [[coTradeEdges]] but keeping
-    * the multiplicity — landed once per corpus; the (a,b,orderkey)
-    * distinct collapses map-side before the count. */
-  private def coTradeWeights(s: SparkSession, dir: String): DataFrame =
-    graft.CorpusArtifacts.parquet(s, "cotradew", dir) {
-      val tt = t(s, dir) _
-      tWide(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
-        .join(tt("orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(tt("customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(tt("supplier").select("s_suppkey", "s_nationkey"),
-          col("l_suppkey") === col("s_suppkey"))
-        .filter(col("c_nationkey") =!= col("s_nationkey"))
-        .select(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
-          greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"),
-          col("l_orderkey"))
-        .distinct()
-        .groupBy("a", "b").agg(count(lit(1)).as("w"))
-    }
 
   /** Directed expansion of the undirected co-trade graph (both arcs). */
   private def directedCoTrade(s: SparkSession, dir: String): DataFrame = {
     val e = coTradeEdges(s, dir)
     e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** The SCD2 apply kernel (extracted r13 for the plan lock, and rewritten
+    * from a 3-branch UNION to ONE explode): the union form's claim of "one
+    * left join" was only logically true — each union branch copies the
+    * join subtree, so the physical plan scanned the customer dimension
+    * THREE times (exchange reuse saves the shuffle, never the streamed
+    * scan). One pass now generates 1 row (unchanged carry) or 2 rows
+    * (closed + opened version) per customer from a single struct-array
+    * explode over the single left join — the dimension is read once at
+    * any scale. PlanSpec locks: exactly one join, one customer scan. */
+  private[graft] def scd2Kernel(customer: DataFrame, changes: DataFrame): DataFrame = {
+    val open0 = lit("1990-01-01").cast("date")
+    val hi = lit("2099-12-31").cast("date")
+    val j = customer
+      .select("c_custkey", "c_name", "c_acctbal")
+      .join(changes, col("c_custkey") === col("o_custkey"), "left_outer")
+      .withColumn("chg",
+        col("new_bal").isNotNull && col("new_bal") =!= col("c_acctbal"))
+    val versions = when(col("chg"), array(
+        struct(col("c_acctbal").as("bal"), open0.as("valid_from"),
+          col("eff_date").as("valid_to"), lit(0).as("is_current")),
+        struct(col("new_bal").as("bal"), col("eff_date").as("valid_from"),
+          hi.as("valid_to"), lit(1).as("is_current"))))
+      .otherwise(array(
+        struct(col("c_acctbal").as("bal"), open0.as("valid_from"),
+          hi.as("valid_to"), lit(1).as("is_current"))))
+    j.select(col("c_custkey"), col("c_name"), explode(versions).as("v"))
+      .select(col("c_custkey"), col("c_name"), col("v.bal").as("bal"),
+        col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"),
+        col("v.is_current").as("is_current"))
   }
 
   /** Change capture for the MERGE batch: each customer's latest order total

@@ -407,6 +407,73 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
   }
 
+  test("q_seasonal_index: co-bucketed facts merge with no hash exchange between them") {
+    // The r12 100x probe measured 38.7x — the per-query lineitem⋈orders
+    // all-to-all shuffle. The facts now land co-bucketed on orderkey
+    // (CorpusArtifacts.bucketed), so the join must be a SortMergeJoin over
+    // bucketed scans with NO hash-partition exchange on either order key
+    // (the brand/month aggregate may still exchange its bounded partials).
+    val p = finalPlan("q_seasonal_index")
+    assert(p.contains("SortMergeJoin"), s"co-located merge join vanished:\n$p")
+    assert(p.contains("Bucketed: true"), s"scans no longer use the bucketed layout:\n$p")
+    assert("Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r.findFirstIn(p).isEmpty,
+      s"fact-fact join shuffles again (bucketed layout unused):\n$p")
+  }
+
+  test("agg_bitmap_distinct: shuffle carries bitmaps — partial construct_agg, no Expand") {
+    // The point of the op: COUNT(DISTINCT) ships every distinct (month,
+    // custkey) through the shuffle (and multi-distinct plans add an Expand
+    // that copies the input). The bitmap plan must build bitmaps map-side
+    // (partial bitmap_construct_agg under ObjectHashAggregate) so the
+    // shuffle rows are cardinality-independent ≤4 KB cells.
+    val p = finalPlan("agg_bitmap_distinct")
+    assert(p.contains("partial_bitmap_construct_agg"),
+      s"map-side partial bitmap build vanished:\n$p")
+    assert(!p.contains("Expand"), s"multi-distinct Expand shape crept in:\n$p")
+  }
+
+  test("graph_bfs_distance: rounds checkpoint-truncated; no fact scan or join in the final plan") {
+    // The BFS contract is a FIXED 8-round shape with localCheckpoint per
+    // round (the dedup_components loop discipline). If a round stops
+    // checkpointing, the final plan re-contains the unrolled relax joins
+    // (and without the landed artifact, the raw fact build).
+    val p = finalPlan("graph_bfs_distance")
+    assert(p.contains("Scan ExistingRDD"),
+      s"final round is not a checkpoint scan (lineage no longer truncated):\n$p")
+    assert(!p.contains("lineitem"), s"raw fact scan reappeared:\n$p")
+    assert(!p.toLowerCase.contains("join"),
+      s"relax joins reappeared in the final plan (checkpointing lost):\n$p")
+  }
+
+  test("merge_scd2_apply: ONE dimension pass — single join, single explode, no union") {
+    // The r12 union-of-three-branches was only logically one join: each
+    // union branch copied the join subtree, so the dimension scanned 3x.
+    // The kernel must read each side once and fan rows out via explode.
+    import spark.implicits._
+    val customer = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    val changes = Seq((1L, 99.0, java.sql.Date.valueOf("2001-01-01")))
+      .toDF("o_custkey", "new_bal", "eff_date")
+    val k = operators.Profiling.scd2Kernel(customer, changes)
+    val rows = k.collect()
+    // semantics: customer 1 changed -> closed+opened; 2,3 carry -> 4 rows
+    assert(rows.length === 4, s"SCD2 row fan-out wrong: ${rows.mkString(";")}")
+    // final plan only: the AdaptiveSparkPlan dump repeats the tree in its
+    // "Initial Plan" section, which would double-count joins/scans
+    val p = (k.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }).toString
+    assert("Join".r.findAllIn(p).size === 1,
+      s"more than one join (union shape back?):\n$p")
+    assert("LocalTableScan".r.findAllIn(p).size === 2,
+      s"a side is scanned more than once:\n$p")
+    assert("Generate explode".r.findFirstIn(p).isDefined,
+      s"struct-array explode vanished:\n$p")
+    assert(!p.contains("Union"), s"3-branch union reappeared:\n$p")
+  }
+
   test("join_interval_overlap: the busy-hour grid is broadcast; no cartesian") {
     // Overlap joins have no equi-key; the scale contract is that the
     // bounded (time-span-sized) hour grid is the BROADCAST side of a
