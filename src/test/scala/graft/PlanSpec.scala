@@ -394,6 +394,12 @@ class PlanSpec extends GraftSuite {
       s"array pair explode vanished (self-join shape back?):\n$p")
     assert(!p.contains("lineitem"),
       s"raw lineitem scan reappeared in the consumer plan:\n$p")
+    // r13 apriori pre-prune: the pair stream must pass the fixed-size
+    // bloom probe of the frequent-part set BEFORE the pair shuffle (a
+    // semi-join here degrades to shuffling the amplified pair stream
+    // once the frequent set outgrows broadcast — measured 104 s at 100×)
+    assert(p.contains("bloom_might_contain"),
+      s"apriori bloom pre-prune vanished from the pair stream:\n$p")
   }
 
   test("join_dpp_partition_prune: runtime dim filter reaches the fact scan as a partition filter") {
