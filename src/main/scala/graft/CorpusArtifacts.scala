@@ -57,6 +57,24 @@ object CorpusArtifacts {
     s.table(tbl)
   }
 
+  /** The co-bucketed ORDERKEY fact pair — (lineitem, orders) landed
+    * bucketed+sorted on the order key, carrying the union of the columns
+    * its consumers need (scans still prune per query). Shared by
+    * q_seasonal_index and the graph family's co-trade edge build: every
+    * lineitem⋈orders join downstream of this pair runs with zero hash
+    * exchange between the facts — the warehouse layout paid once per
+    * corpus instead of an all-to-all shuffle per query. */
+  private[graft] def orderkeyFacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = bucketed(s, "li_okey", dir, "l_orderkey", 32)(
+      graft.Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount"))
+    val oo = bucketed(s, "ord_okey", dir, "o_orderkey", 32)(
+      graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate"))
+    (li, oo)
+  }
+
   /** The artifact named `kind` for corpus `dir`: built + written on first
     * use in this session, a plain parquet read afterwards. */
   private[graft] def parquet(s: SparkSession, kind: String, dir: String)

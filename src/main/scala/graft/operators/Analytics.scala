@@ -138,11 +138,9 @@ object Analytics extends OpRegistry {
       // — never a second fact pass. Revenue stays DECIMAL(38,6) until the
       // boundary; the index is one double division with r6 (D2/D3).
       val tt = t(s, dir) _
-      val lo = graft.CorpusArtifacts.bucketed(s, "li_okey", dir, "l_orderkey", 32)(
-        tt("lineitem")
-          .select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount"))
-      val oo = graft.CorpusArtifacts.bucketed(s, "ord_okey", dir, "o_orderkey", 32)(
-        tt("orders").select("o_orderkey", "o_orderdate"))
+      val (liB, ooB) = graft.CorpusArtifacts.orderkeyFacts(s, dir)
+      val lo = liB.select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+      val oo = ooB.select("o_orderkey", "o_orderdate")
       // merge hint pins the co-located SMJ (at fixture scale AQE would
       // broadcast orders — also shuffle-free, but not the layout this op
       // exists to prove, and not available once both sides are huge)

@@ -441,11 +441,16 @@ object Profiling extends OpRegistry {
   /** The build kernel behind the co-trade artifact — PlanSpec audits THIS
     * for data-sized broadcast hints (the artifact consumer's plan is a
     * vacuous parquet scan, same split as jaccardEdges vs candidatePairs).
-    * The (a,b,orderkey) distinct collapses map-side before the count. */
+    * The fact-fact half rides the shared co-bucketed orderkey pair
+    * (CorpusArtifacts.orderkeyFacts, r13) — zero hash exchange between
+    * lineitem and orders; customer/supplier are per-row-key dim joins
+    * AQE sizes. The (a,b,orderkey) distinct collapses map-side before
+    * the count. */
   private[graft] def coTradeBuild(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir) _
-    tWide(s, dir)("lineitem").select("l_orderkey", "l_suppkey")
-      .join(tt("orders").select("o_orderkey", "o_custkey"),
+    val (liB, ooB) = graft.CorpusArtifacts.orderkeyFacts(s, dir)
+    liB.select("l_orderkey", "l_suppkey")
+      .join(ooB.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       // customer/supplier unhinted: both scale with SF; AQE decides
       .join(tt("customer").select("c_custkey", "c_nationkey"),
