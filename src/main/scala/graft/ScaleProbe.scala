@@ -108,7 +108,8 @@ object ScaleProbe {
     "events_user_entropy",
     // round 13: the global zero-filled daily-series correlation (one
     // map-side day-count collapse; everything after is calendar-bounded)
-    "events_autocorr")
+    // and the exact-moment regression aggregate
+    "events_autocorr", "agg_regression")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -151,7 +152,9 @@ object ScaleProbe {
     "graph_bfs_distance", "agg_bitmap_distinct", "q_supplier_concentration",
     // round 12 batch 7: the brand-month seasonal rollup and the
     // three-branch SCD2 merge with landed write-back
-    "q_seasonal_index", "merge_scd2_apply")
+    "q_seasonal_index", "merge_scd2_apply",
+    // round 13: the distinct-frame year-over-year retention self-join
+    "q_customer_churn")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

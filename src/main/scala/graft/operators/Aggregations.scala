@@ -489,6 +489,62 @@ object Aggregations extends OpRegistry {
             x => x.getField("o_orderstatus"))).as("status_seq"))
         .orderBy("o_custkey")),
 
+    "agg_regression" -> ((s, dir) => {
+      // Per-group least-squares regression (round 13) — the ANSI regr_*
+      // family (slope / intercept / R²) as one mergeable aggregate: per
+      // event type, regress the centi-quantized value on the day index.
+      // Built-in regr_slope folds doubles in partition order, so the five
+      // moments accumulate as EXACT integers instead (the agg_corr_covar
+      // discipline): x = day − min(day) (the 1-row min broadcasts; small
+      // x keeps every product far from the decimal boundary), y = centi
+      // value; Σx, Σy, Σxx, Σyy, Σxy in DECIMAL(38,0) (HUGEINT in the
+      // DuckDB twin). The correlation numerators n·Σxy − ΣxΣy etc. are
+      // exact 128-bit integers emitted as DOUBLE — NOT BIGINT: the
+      // n-scaled variance numerator is n²σ², which overflowed int64 at
+      // the 100× probe's 2M-rows-per-group (3.3e19), while the
+      // decimal→double cast is correctly rounded (nearest-even) in BOTH
+      // engines, so identical exact integers produce bit-identical
+      // doubles at any magnitude. slope/intercept/R² are one fixed IEEE
+      // sequence from those exact scalars with r6 at the boundary (and a
+      // vx>0 zero-variance guard). Scale shape: one
+      // partial+final hash aggregate over the scan, 6 buffers, no extra
+      // shuffle — the mergeable-moment form every distributed stats
+      // engine uses for regression at scale.
+      import org.apache.spark.sql.types.DecimalType
+      val dd = DecimalType(38, 0)
+      val usPerDay = 86400000000L
+      val ev = t(s, dir)("events").select(col("event_type"),
+        call_function("div",
+          call_function("div", col("ts"), lit(1000L)), lit(usPerDay)).as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("y"))
+      val day0 = ev.agg(min("day").as("day0"))
+      val g = ev.crossJoin(broadcast(day0))
+        .withColumn("x", col("day") - col("day0"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dd)).as("sx"),
+          sum(col("y").cast(dd)).as("sy"),
+          sum((col("x") * col("x")).cast(dd)).as("sxx"),
+          sum((col("y") * col("y")).cast(dd)).as("syy"),
+          sum((col("x") * col("y")).cast(dd)).as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      val covD = cov.cast("double"); val vxD = vx.cast("double")
+      g.select(col("event_type"), col("n"),
+          cov.cast("double").as("cov_num"),
+          vx.cast("double").as("vx_num"),
+          vy.cast("double").as("vy_num"),
+          // slope in value-units/day: the centi y scale divides out once
+          when(vx > 0, r6(covD / vxD / lit(100.0))).as("slope6"),
+          when(vx > 0, r6((col("sy").cast("double") - covD / vxD
+            * col("sx").cast("double")) / col("n").cast("double") / lit(100.0)))
+            .as("intercept6"),
+          when(vx > 0 && vy > 0,
+            r6(covD * covD / (vxD * vy.cast("double")))).as("r2_6"))
+        .orderBy("event_type")
+    }),
+
     "agg_bitmap_distinct" -> ((s, dir) => {
       // Bitmap exact-distinct (round 12): monthly distinct customers via
       // Spark's two-level bitmap aggregation — the scale path for EXACT
@@ -518,6 +574,41 @@ object Aggregations extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB SUM(BIGINT) is HUGEINT, so the moment sums and correlation
+    // numerators are exact 128-bit like the Spark side's DECIMAL(38,0);
+    // the slope/intercept/R² IEEE sequences mirror the Spark expressions
+    // operation-for-operation
+    "agg_regression" -> s"""
+      WITH e AS (SELECT event_type,
+                        (epoch_ns(ts)//1000)//86400000000 AS day,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                 FROM events),
+      d0 AS (SELECT MIN(day) AS day0 FROM e),
+      g AS (SELECT event_type, COUNT(1) AS n,
+                   SUM(day - day0) AS sx, SUM(y) AS sy,
+                   SUM((day - day0) * (day - day0)) AS sxx,
+                   SUM(y * y) AS syy, SUM((day - day0) * y) AS sxy
+            FROM e CROSS JOIN d0 GROUP BY 1)
+      SELECT event_type, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cov_num,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS vx_num,
+             CAST(n * syy - sy * sy AS DOUBLE) AS vy_num,
+             CASE WHEN n * sxx - sx * sx > 0 THEN
+               ${r6Sql("CAST(n * sxy - sx * sy AS DOUBLE) / " +
+                 "CAST(n * sxx - sx * sx AS DOUBLE) / 100.0")}
+             END AS slope6,
+             CASE WHEN n * sxx - sx * sx > 0 THEN
+               ${r6Sql("(CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)" +
+                 " / CAST(n * sxx - sx * sx AS DOUBLE)" +
+                 " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0")}
+             END AS intercept6,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               ${r6Sql("CAST(n * sxy - sx * sy AS DOUBLE) * " +
+                 "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+                 "(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+                 "CAST(n * syy - sy * sy AS DOUBLE))")}
+             END AS r2_6
+      FROM g ORDER BY event_type""",
     "agg_bool" -> """
       SELECT o_orderstatus,
              CAST(bool_and(o_totalprice > 1000.0) AS INT) AS all_over_1k,

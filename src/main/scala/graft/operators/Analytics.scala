@@ -83,6 +83,42 @@ object Analytics extends OpRegistry {
         .orderBy(col("c_ab").desc, col("part_a"), col("part_b")).limit(50)
     }),
 
+    "q_customer_churn" -> ((s, dir) => {
+      // Year-over-year customer churn (round 13): for each consecutive
+      // year pair, how many active customers were retained, churned, or
+      // are new — the subscription-health readout every revenue team
+      // asks first. ONE fact pass collapses orders to the distinct
+      // (year, custkey) frame (map-side partial dedup); retention is an
+      // equi self-join of that frame ON custkey (co-partitioned — the
+      // yr+1 predicate rides the join, never a cross of year shelves);
+      // everything after is year-bounded. Churned/new fall out of the
+      // retained count by set arithmetic (no second fact pass), and the
+      // retention rate is exact integer ppm (retained·1e6 div active) —
+      // no float division (the events_pareto_share discipline).
+      val d = t(s, dir)("orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"), col("o_custkey"))
+        .distinct()
+      val act = d.groupBy("yr").agg(count(lit(1)).as("active"))
+      val ret = d.as("a").join(d.as("b"),
+          col("a.o_custkey") === col("b.o_custkey")
+            && col("b.yr") === col("a.yr") + 1)
+        .groupBy(col("a.yr").as("yr"))
+        .agg(count(lit(1)).as("retained"))
+      act
+        .join(act.select(col("yr").as("yr2"), col("active").as("active_to")),
+          col("yr2") === col("yr") + 1)
+        .join(ret, Seq("yr"), "left")
+        .withColumn("retained", coalesce(col("retained"), lit(0L)))
+        .select(col("yr").as("year_from"), col("yr2").as("year_to"),
+          col("active").as("active_from"), col("active_to"),
+          col("retained"),
+          (col("active") - col("retained")).as("churned"),
+          (col("active_to") - col("retained")).as("new_customers"),
+          call_function("div", col("retained") * lit(1000000L), col("active"))
+            .as("retention_ppm"))
+        .orderBy("year_from")
+    }),
+
     "q_supplier_concentration" -> ((s, dir) => {
       // Supplier-concentration HHI per nation (round 12): Herfindahl index
       // of supplier revenue shares — the supply-chain-risk readout (HHI→1
@@ -762,6 +798,23 @@ object Analytics extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_customer_churn" -> """
+      WITH d AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                                 o_custkey FROM orders),
+      act AS (SELECT yr, COUNT(1) AS active FROM d GROUP BY 1),
+      ret AS (SELECT a.yr, COUNT(1) AS retained
+              FROM d a JOIN d b
+                ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+              GROUP BY 1)
+      SELECT c.yr AS year_from, n.yr AS year_to,
+             c.active AS active_from, n.active AS active_to,
+             COALESCE(r.retained, 0) AS retained,
+             c.active - COALESCE(r.retained, 0) AS churned,
+             n.active - COALESCE(r.retained, 0) AS new_customers,
+             (COALESCE(r.retained, 0) * 1000000) // c.active AS retention_ppm
+      FROM act c JOIN act n ON n.yr = c.yr + 1
+      LEFT JOIN ret r ON r.yr = c.yr
+      ORDER BY year_from""",
     "q_order_priority_late" -> """
       SELECT o_orderpriority, COUNT(1) AS order_count
       FROM orders

@@ -50,6 +50,57 @@ class Round13Spec extends GraftSuite {
         s"Cauchy–Schwarz violated at lag $lag") }
   }
 
+  test("agg_regression: a planted exact line recovers slope/intercept/r2 = 1") {
+    val usPerDayNs = 86400000000000L
+    // value(day d) = 10 + 2d exactly, 3 events per day over 10 days:
+    // centi y = 1000 + 200x is an exact integer line => slope6 = 2.0,
+    // intercept6 (at the min-day origin) = 10.0, r2_6 = 1.0 exactly.
+    var id = 0L
+    val rows = (0 until 10).flatMap { d =>
+      (1 to 3).map { k => id += 1
+        (id, d * usPerDayNs + k * 1000000L, 1L, "view", 10.0 + 2.0 * d) }
+    }
+    val dir = TestSpark.tempDir("graft_r13_rg_")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("agg_regression")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === 30L)
+    assert(r.getAs[Double]("slope6") === 2.0, s"slope: $r")
+    assert(r.getAs[Double]("intercept6") === 10.0, s"intercept: $r")
+    assert(r.getAs[Double]("r2_6") === 1.0, s"r2: $r")
+    // moment identity: cov^2 == vx*vy exactly on a perfect line (the
+    // fixture magnitudes are far below 2^53, so the doubles are exact)
+    assert(r.getAs[Double]("cov_num") * r.getAs[Double]("cov_num") ===
+      r.getAs[Double]("vx_num") * r.getAs[Double]("vy_num"))
+  }
+
+  test("q_customer_churn: retained/churned/new by hand on a 3-year fixture") {
+    val dir = TestSpark.tempDir("graft_r13_ch_")
+    def o(k: Long, cust: Long, yr: Int) =
+      (k, cust, java.sql.Timestamp.valueOf(s"$yr-06-01 00:00:00"))
+    // 1995: {1,2,3} (cust 1 twice — distinct must dedup), 1996: {2,3,4,5},
+    // 1997: {5}
+    val rows = Seq(o(1, 1, 1995), o(2, 2, 1995), o(3, 3, 1995), o(4, 1, 1995),
+      o(5, 2, 1996), o(6, 3, 1996), o(7, 4, 1996), o(8, 5, 1996),
+      o(9, 5, 1997))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_totalprice", lit(1.0))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_customer_churn")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("year_from"), r.getAs[Long]("year_to"),
+        r.getAs[Long]("active_from"), r.getAs[Long]("active_to"),
+        r.getAs[Long]("retained"), r.getAs[Long]("churned"),
+        r.getAs[Long]("new_customers"), r.getAs[Long]("retention_ppm"))).toSeq
+    assert(out === Seq(
+      (1995L, 1996L, 3L, 4L, 2L, 1L, 2L, 666666L),
+      (1996L, 1997L, 4L, 1L, 1L, 3L, 0L, 250000L)), s"churn table: $out")
+  }
+
   test("events_autocorr: a constant series has zero variance and null acf") {
     val usPerDayNs = 86400000000000L
     // one event per day for 10 days: x_t ≡ 1 ⇒ vx = vy = 0 ⇒ acf NULL
