@@ -65,13 +65,18 @@ object CorpusArtifacts {
     * exchange between the facts — the warehouse layout paid once per
     * corpus instead of an all-to-all shuffle per query. */
   private[graft] def orderkeyFacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // the intersection guard exists for narrow TEST fixtures (a spec that
+    // writes only the columns its own op reads must not break the other
+    // consumer's artifact build); real corpora carry every column
+    def pruned(table: String, want: Seq[String]): DataFrame = {
+      val df = graft.Tables.load(s, dir, table)
+      df.select(want.filter(df.columns.contains).map(org.apache.spark.sql.functions.col): _*)
+    }
     val li = bucketed(s, "li_okey", dir, "l_orderkey", 32)(
-      graft.Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey", "l_suppkey",
-          "l_extendedprice", "l_discount"))
+      pruned("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")))
     val oo = bucketed(s, "ord_okey", dir, "o_orderkey", 32)(
-      graft.Tables.load(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderdate"))
+      pruned("orders", Seq("o_orderkey", "o_custkey", "o_orderdate")))
     (li, oo)
   }
 

@@ -170,7 +170,10 @@ object ScaleProbe {
     "stream_tws_running_max", "stream_stateful_count", "stream_dedup",
     // round 12: the ListState leaderboard (O(k) state per key) and the
     // per-batch snapshot-rewrite CDC apply
-    "stream_tws_topk", "stream_cdc_apply")
+    "stream_tws_topk", "stream_cdc_apply",
+    // round 13: the stream-static enrichment probe (state must stay
+    // window-agg-bounded — the static side adds none)
+    "stream_static_join")
 
   /** o_orderdate(k): deterministic day in 1995-01-01..2001-07-second, the
     * fixture's span — shared by synthOrders and synthLineitem so each

@@ -302,6 +302,32 @@ object Streaming extends OpRegistry {
         .orderBy("win_us", "event_type")
     }),
 
+    "stream_static_join" -> ((s, dir) => {
+      // Stream-static enrichment (round 13) — the everyday streaming-ETL
+      // join Structured Streaming is built around and the one §2.10 shape
+      // the registry lacked: each event micro-batch hash-probes a STATIC
+      // dimension (customer segment; unmatched users → 'UNKNOWN'), then a
+      // watermarked tumbling window aggregates per segment. The static
+      // side needs no watermark and holds NO join state — per batch it is
+      // a broadcast/hash probe re-resolved from the table (which is how a
+      // slowly-refreshed dim picks up new snapshots at 100 TB), so state
+      // is bounded by the window aggregation alone, never the stream
+      // length. Single AvailableNow batch ⇒ the emitted (closed) windows
+      // equal the batch left-join twin, which is the DuckDB oracle
+      // (same HAVING-closed-window form as stream_watermark_late).
+      val dim = t(s, dir)("customer").select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = eventsStream(s, dir)
+        .withWatermark("ts_ts", "10 minutes")
+        .join(dim, col("user_id") === col("c_custkey"), "left_outer")
+        .withColumn("seg", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+        .groupBy(window(col("ts_ts"), "1 hour"), col("seg"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+      val out = runToMemory(s, enriched, "sst", OutputMode.Append())
+      out.select(unix_micros(col("window.start")).as("win_us"), col("seg"),
+          col("cnt"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy("win_us", "seg")
+    }),
+
     "stream_dedup" -> ((s, dir) => {
       val dd = eventsStream(s, dir)
         .withWatermark("ts_ts", "10 minutes")
@@ -571,6 +597,18 @@ object Streaming extends OpRegistry {
     // window is emitted iff window.end <= watermark, where Spark tracks the
     // watermark in MILLISECONDS: floor(max_event_us/1000) - delay_ms. The
     // HAVING clause mirrors that ms-granularity comparison exactly.
+    "stream_static_join" -> """
+      WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, user_id, value FROM events),
+      j AS (SELECT ts_us // 3600000000 * 3600000000 AS win_us,
+                   COALESCE(c_mktsegment, 'UNKNOWN') AS seg, value
+            FROM e LEFT JOIN customer ON user_id = c_custkey)
+      SELECT win_us, seg, COUNT(1) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM j
+      GROUP BY 1, 2
+      HAVING (win_us + 3600000000) // 1000 <=
+             (SELECT MAX(ts_us) // 1000 - 600000 FROM e)
+      ORDER BY win_us, seg""",
     "stream_watermark_late" -> """
       WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, event_type, value FROM events)
       SELECT ts_us // 3600000000 * 3600000000 AS win_us, event_type,

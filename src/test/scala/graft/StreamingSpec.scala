@@ -43,6 +43,40 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("stream-static join enriches across batches; unmatched keys coalesce; no join state") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("k", "tier")
+    val ms = MemoryStream[(Timestamp, Long)]
+    val enriched = ms.toDF().toDF("ts_ts", "user_id")
+      .withWatermark("ts_ts", "10 minutes")
+      .join(dim, $"user_id" === $"k", "left_outer")
+      .withColumn("tier", coalesce($"tier", lit("UNKNOWN")))
+      .groupBy(window($"ts_ts", "1 hour"), $"tier")
+      .agg(count(lit(1)).as("cnt"))
+    val qn = "sstest_" + System.nanoTime()
+    val query = enriched.writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((ts(1), 1L), (ts(2), 2L), (ts(3), 9L)) // 9 has no dim row
+      query.processAllAvailable()
+      ms.addData((ts(10), 1L)) // second batch re-probes the static side
+      query.processAllAvailable()
+      ms.addData((ts(300), 2L)) // close the hour-10 window
+      query.processAllAvailable()
+      val lp = query.lastProgress
+      val hour10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+      val out = spark.table(qn)
+        .filter(unix_micros($"window.start") === hour10)
+        .select($"tier", $"cnt").as[(String, Long)].collect().toMap
+      assert(out === Map("GOLD" -> 2L, "SILVER" -> 1L, "UNKNOWN" -> 1L),
+        s"enrichment across batches wrong: $out")
+      // static side holds no JOIN state: the only stateful operator is the
+      // window aggregation (a symmetric stream-stream join would add one)
+      assert(lp.stateOperators.length === 1,
+        s"expected only the window-agg state operator: ${lp.stateOperators.map(_.operatorName).mkString(",")}")
+    } finally query.stop()
+  }
+
   test("streaming dedup equals batch distinct") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, Long)]
