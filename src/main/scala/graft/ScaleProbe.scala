@@ -61,7 +61,9 @@ object ScaleProbe {
     // vocab-sized keyness agg
     "text_containment", "text_keyness_llr",
     // round 12 batch 7: the scan-shaped regex readability kernel
-    "text_readability")
+    "text_readability",
+    // round 13: the langid kernel + langs²-bounded confusion matrix
+    "docs_langid_confusion")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -71,7 +73,10 @@ object ScaleProbe {
     "vec_hamming_recall", "vec_pca_deflate", "vec_rank_fusion",
     "vec_centroid_drift",
     // round 12: the labels²-bounded affinity matrix
-    "vec_label_affinity")
+    "vec_label_affinity",
+    // round 13: the id-capped geometry histogram (work is cap-bounded —
+    // the ratio should be ~1 at any corpus size)
+    "vec_cosine_histogram")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
@@ -153,8 +158,10 @@ object ScaleProbe {
     // round 12 batch 7: the brand-month seasonal rollup and the
     // three-branch SCD2 merge with landed write-back
     "q_seasonal_index", "merge_scd2_apply",
-    // round 13: the distinct-frame year-over-year retention self-join
-    "q_customer_churn")
+    // round 13: the distinct-frame year-over-year retention self-join,
+    // the order-size histogram, and the dynamic-partition re-stage write
+    "q_customer_churn", "q_order_size_distribution",
+    "merge_insert_overwrite_dynamic")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

@@ -260,6 +260,29 @@ object DedupOps extends OpRegistry {
       // exercises the full train/apply pipeline shape.
       langId(tWide(s, dir)("documents"))),
 
+    "docs_langid_confusion" -> ((s, dir) => {
+      // Language-ID QA gate (round 13): the CONFUSION MATRIX of the
+      // classifier the corpus mix depends on — actual label × predicted
+      // lang cell counts plus each cell's integer-ppm share of its actual
+      // row (the diagonal is per-language recall). A quality pipeline
+      // ships langid WITH this table: a collapsed row (e.g. everything
+      // predicted 'en') silently skews the training mix long before any
+      // downstream metric moves. Reuses the text_langid kernel verbatim;
+      // everything after the per-doc argmax is ǀlangsǀ²-bounded, and the
+      // row totals come from a re-agg of the matrix, never a second doc
+      // pass. No float division (integer ppm).
+      val pred = langId(tWide(s, dir)("documents"))
+      val m = pred.groupBy(col("actual_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = m.groupBy("actual_lang").agg(sum("n_docs").as("n_actual"))
+      m.join(tot, Seq("actual_lang"))
+        .select(col("actual_lang"), col("pred_lang"), col("n_docs"),
+          col("n_actual"),
+          call_function("div", col("n_docs") * lit(1000000L), col("n_actual"))
+            .as("cell_ppm"))
+        .orderBy("actual_lang", "pred_lang")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // Incremental-ingest dedup (round 4): a new batch (doc_id % 10 = 7)
       // is admitted only if its content fingerprint is unseen in the
@@ -419,8 +442,27 @@ object DedupOps extends OpRegistry {
       FROM pairs JOIN documents d1 ON id1 = d1.doc_id
                  JOIN documents d2 ON id2 = d2.doc_id
       GROUP BY 1, 2 ORDER BY lang_a, lang_b""",
-    "text_langid" -> """
-      WITH bg AS (
+    "text_langid" -> s"""
+      WITH $langIdCtes
+      SELECT doc_id, actual_lang, pred_lang,
+             (actual_lang = pred_lang) AS correct
+      FROM pred WHERE rn = 1 ORDER BY doc_id""",
+    "docs_langid_confusion" -> s"""
+      WITH $langIdCtes,
+      p AS (SELECT doc_id, actual_lang, pred_lang FROM pred WHERE rn = 1),
+      m AS (SELECT actual_lang, pred_lang, COUNT(1) AS n_docs
+            FROM p GROUP BY 1, 2),
+      tot AS (SELECT actual_lang, CAST(SUM(n_docs) AS BIGINT) AS n_actual
+              FROM m GROUP BY 1)
+      SELECT m.actual_lang, m.pred_lang, m.n_docs, tot.n_actual,
+             (m.n_docs * 1000000) // tot.n_actual AS cell_ppm
+      FROM m JOIN tot USING (actual_lang)
+      ORDER BY m.actual_lang, m.pred_lang""",
+  )
+
+  /** The text_langid kernel's oracle CTE chain, shared with the r13
+    * confusion-matrix oracle so the two can never drift apart. */
+  private val langIdCtes = """bg AS (
         SELECT DISTINCT doc_id, lang AS actual_lang, substring(text, i, 2) AS bigram
         FROM (SELECT doc_id, lang, text, unnest(range(1, length(text))) AS i
               FROM documents WHERE length(text) >= 2)),
@@ -436,9 +478,5 @@ object DedupOps extends OpRegistry {
       pred AS (SELECT doc_id, actual_lang, profile_lang AS pred_lang,
                       ROW_NUMBER() OVER (PARTITION BY doc_id
                                          ORDER BY overlap DESC, profile_lang) AS rn
-               FROM scores)
-      SELECT doc_id, actual_lang, pred_lang,
-             (actual_lang = pred_lang) AS correct
-      FROM pred WHERE rn = 1 ORDER BY doc_id""",
-  )
+               FROM scores)"""
 }

@@ -341,6 +341,34 @@ object VectorOps extends OpRegistry {
         .orderBy("id1", "id2")
     }),
 
+    "vec_cosine_histogram" -> ((s, dir) => {
+      // Embedding-geometry diagnostic (round 13): the DISTRIBUTION of
+      // pairwise cosine similarity over an id-capped probe sample — the
+      // hubness / collapsed-encoder screen run before any ANN index is
+      // trusted (a healthy normalized corpus piles mass near 0; a
+      // collapsed encoder piles it near 1, and no top-k metric shows
+      // that). The ≤200-id sample is the op's declared semantics,
+      // mirrored in the oracle (the sim_threshold_pairs cap discipline —
+      // a geometry histogram needs a sample, not all-pairs). Integer
+      // determinism end-to-end: native DotQ integer dot (denominator
+      // 1e12), bucket = non-negative integer floor-div into 0.05-wide
+      // cells ((dot+1e12) div 5e10 ∈ 0..40 — shifting first keeps both
+      // engines' integer division identical), cos_lo6 a display from the
+      // small-int bucket only.
+      val e = tWide(s, dir)("embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val a = e.select(col("vec_id").as("id1"), col("qe").as("q1"))
+      val b = e.select(col("vec_id").as("id2"), col("qe").as("q2"))
+      a.join(broadcast(b), col("id1") < col("id2"))
+        .select(dotQ(s, col("q1"), col("q2")).as("dot_q"))
+        .select(call_function("div", col("dot_q") + lit(1000000000000L),
+          lit(50000000000L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .select(col("bucket"), col("n_pairs"),
+          r6(col("bucket").cast("double") * lit(0.05) - lit(1.0)).as("cos_lo6"))
+        .orderBy("bucket")
+    }),
+
     "vec_norm_stats" -> ((s, dir) => {
       val e = tWide(s, dir)("embeddings")
         .withColumn("qe", quantize(col("embedding")))
@@ -1502,6 +1530,21 @@ object VectorOps extends OpRegistry {
             GROUP BY 1, 2)
       SELECT id1, id2, dot_q, ${r4Sql("CAST(dot_q AS DOUBLE) / 1000000000000")} AS cos4
       FROM d WHERE dot_q > 250000000000 ORDER BY id1, id2""",
+    "vec_cosine_histogram" -> s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings WHERE vec_id < 200),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      d AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2),
+      h AS (SELECT (dot_q + 1000000000000) // 50000000000 AS bucket,
+                   COUNT(1) AS n_pairs
+            FROM d GROUP BY 1)
+      SELECT bucket, n_pairs,
+             ${r6Sql("CAST(bucket AS DOUBLE) * 0.05 - 1.0")} AS cos_lo6
+      FROM h ORDER BY bucket""",
     "vec_norm_stats" -> s"""
       WITH q AS (SELECT vec_id, label, embedding, list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe

@@ -83,6 +83,25 @@ object Analytics extends OpRegistry {
         .orderBy(col("c_ab").desc, col("part_a"), col("part_b")).limit(50)
     }),
 
+    "q_order_size_distribution" -> ((s, dir) => {
+      // Lines-per-order histogram (round 13) — the basket-size profile
+      // that q_cross_sell_basket's linearity argument RESTS on (pair
+      // explosion is safe iff this distribution's tail is bounded): exact
+      // order-size counts plus each size's integer-ppm share. One fact
+      // aggregate collapses to the order frame; the histogram and its
+      // total are size-bounded re-aggs (≤ max-lines rows) — the stream is
+      // touched once, the share is integer ppm (no float division).
+      val sizes = t(s, dir)("lineitem").groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"))
+      val h = sizes.groupBy("n_lines").agg(count(lit(1)).as("n_orders"))
+      val tot = h.agg(sum("n_orders").as("n_total"))
+      h.crossJoin(broadcast(tot))
+        .select(col("n_lines"), col("n_orders"),
+          call_function("div", col("n_orders") * lit(1000000L), col("n_total"))
+            .as("share_ppm"))
+        .orderBy("n_lines")
+    }),
+
     "q_customer_churn" -> ((s, dir) => {
       // Year-over-year customer churn (round 13): for each consecutive
       // year pair, how many active customers were retained, churned, or
@@ -798,6 +817,14 @@ object Analytics extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_order_size_distribution" -> """
+      WITH s AS (SELECT l_orderkey, COUNT(1) AS n_lines
+                 FROM lineitem GROUP BY 1),
+      h AS (SELECT n_lines, COUNT(1) AS n_orders FROM s GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM h)
+      SELECT n_lines, n_orders, (n_orders * 1000000) // n_total AS share_ppm
+      FROM h CROSS JOIN t ORDER BY n_lines""",
+
     "q_customer_churn" -> """
       WITH d AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr,
                                  o_custkey FROM orders),

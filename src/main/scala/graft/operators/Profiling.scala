@@ -223,6 +223,35 @@ object Profiling extends OpRegistry {
         .orderBy("o_orderstatus")
     }),
 
+    "merge_insert_overwrite_dynamic" -> ((s, dir) => {
+      // Dynamic partition overwrite (round 13) — the third lakehouse
+      // write mode next to merge_upsert (row-level MERGE) and
+      // merge_delete_cow (zone-map-targeted file COW): INSERT OVERWRITE
+      // replaces ONLY the partitions the batch actually writes; every
+      // untouched partition carries with its files intact. This is the
+      // nightly re-stage pattern (recompute one day/status, never truncate
+      // the table — static overwrite mode would wipe it). Here the batch
+      // recomputes the 'F'-status partition with a 10% price cut; O and P
+      // carry. Round13Spec asserts the untouched partitions' files are
+      // the SAME paths after the overwrite (no rewrite IO) and the 'F'
+      // files are new; the oracle certifies the resulting table.
+      val out = s"/tmp/graft_dynover_${s.sparkContext.applicationId}"
+      val base = t(s, dir)("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      t(s, dir)("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), decSumOut(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       // Triangle count over the nation co-trade graph: undirected edge
       // (a,b) iff some order has a customer in nation a and a line
@@ -578,6 +607,17 @@ object Profiling extends OpRegistry {
   def oracleSql: Map[String, String] = Map(
     // post-vacuum, the directory read = manifest read = v0 + the shifted
     // v1 append (the c_failed orphans at region >= 200 must be gone)
+    "merge_insert_overwrite_dynamic" -> """
+      WITH v AS (
+        SELECT o_orderstatus, o_totalprice * 0.9 AS p
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus <> 'F')
+      SELECT o_orderstatus, COUNT(1) AS cnt,
+             CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM v GROUP BY 1 ORDER BY o_orderstatus""",
+
     "maintenance_vacuum" -> """
       WITH live AS (
         SELECT n_regionkey, n_nationkey FROM nation

@@ -101,6 +101,47 @@ class Round13Spec extends GraftSuite {
       (1996L, 1997L, 4L, 1L, 1L, 3L, 0L, 250000L)), s"churn table: $out")
   }
 
+  test("merge_insert_overwrite_dynamic: untouched partitions carry their files verbatim") {
+    def partFiles(status: String): Set[String] = {
+      val out = s"/tmp/graft_dynover_${spark.sparkContext.applicationId}"
+      val d = new java.io.File(s"$out/o_orderstatus=$status")
+      if (!d.exists) Set.empty
+      else d.listFiles.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    // first run lands base + applies the batch; snapshot the file lists by
+    // re-running the op and capturing between the two writes is not
+    // possible from outside, so instead: run the op once, record files,
+    // re-apply ONLY the dynamic batch, and assert O/P partitions are the
+    // untouched originals while F was replaced
+    q("merge_insert_overwrite_dynamic").collect()
+    val (o1, p1, f1) = (partFiles("O"), partFiles("P"), partFiles("F"))
+    assert(o1.nonEmpty && p1.nonEmpty && f1.nonEmpty, "three partitions expected")
+    val out = s"/tmp/graft_dynover_${spark.sparkContext.applicationId}"
+    graft.Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(out)
+    assert(partFiles("O") === o1 && partFiles("P") === p1,
+      "dynamic overwrite rewrote partitions the batch never touched")
+    assert(partFiles("F") !== f1,
+      "the overwritten partition must carry NEW files")
+  }
+
+  test("docs_langid_confusion: cells sum to row totals; ppm within bounds") {
+    val rows = q("docs_langid_confusion").collect()
+    assert(rows.nonEmpty)
+    val byActual = rows.groupBy(_.getAs[String]("actual_lang"))
+    byActual.foreach { case (lang, cells) =>
+      val tot = cells.head.getAs[Long]("n_actual")
+      assert(cells.map(_.getAs[Long]("n_docs")).sum === tot,
+        s"$lang cells don't sum to the row total")
+      cells.foreach(c => assert(c.getAs[Long]("cell_ppm") >= 0L
+        && c.getAs[Long]("cell_ppm") <= 1000000L, s"ppm out of range: $c"))
+    }
+  }
+
   test("events_autocorr: a constant series has zero variance and null acf") {
     val usPerDayNs = 86400000000000L
     // one event per day for 10 days: x_t ≡ 1 ⇒ vx = vy = 0 ⇒ acf NULL
