@@ -62,8 +62,9 @@ object ScaleProbe {
     "text_containment", "text_keyness_llr",
     // round 12 batch 7: the scan-shaped regex readability kernel
     "text_readability",
-    // round 13: the langid kernel + langs²-bounded confusion matrix
-    "docs_langid_confusion")
+    // round 13: the langid kernel + langs²-bounded confusion matrix,
+    // and the overlap-bounded sliding chunker
+    "docs_langid_confusion", "docs_chunk_sliding_windows")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -151,6 +152,8 @@ object ScaleProbe {
     // round 12: the S1..S4 moment-sum aggregate (decimal overflow watch)
     // and the bounded-group basket pair join
     "agg_skew_kurt", "q_cross_sell_basket",
+    // round 13: the bounded-histogram weighted median
+    "agg_weighted_median",
     // round 12 batch 6: the landed-backbone BFS, the bitmap
     // exact-distinct (shuffle carries bitmaps, not values), and the
     // decimal-squared HHI aggregate

@@ -471,6 +471,37 @@ object TextOps extends OpRegistry {
         .orderBy("lang", "bucket")
     }),
 
+    "docs_chunk_sliding_windows" -> ((s, dir) => {
+      // Sliding-window chunking (round 13) — the RAG/embedding prep step
+      // the corpus family lacked: each document splits into 64-token
+      // windows at stride 48 (16-token overlap, so no boundary sentence
+      // is ever lost to a hard cut — the standard retrieval-chunking
+      // trade). Chunk count is DEFINED exactly as 1 + ceil(max(n−64,0)/48)
+      // (ceil via integer (x+47) div 48), so both engines generate the
+      // identical window set with a possibly-short final window; each
+      // chunk carries its token span and a portable sha256 fingerprint
+      // (the dedup_exact discipline — chunk-level dedup joins on it).
+      // Scale shape: pure map-side explode, amplification bounded by the
+      // 64/48 overlap factor (≤1.34× tokens); no shuffle before the
+      // output sort.
+      val toks = split(col("text"), " ")
+      val n = size(toks)
+      val nChunks = (lit(1) + call_function("div",
+        greatest(n - lit(64), lit(0)).cast("long") + lit(47L), lit(48L))).cast("int")
+      tWide(s, dir)("documents")
+        .select(col("doc_id"), toks.as("toks"), n.as("n_tok_doc"),
+          nChunks.as("nc"))
+        .select(col("doc_id"), col("toks"), col("n_tok_doc"),
+          explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * 48).as("start_tok"),
+          slice(col("toks"), col("chunk_idx") * 48 + 1, lit(64)).as("ctoks"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          size(col("ctoks")).as("n_tok"),
+          sha2(concat_ws(" ", col("ctoks")), 256).as("chunk_sha"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "docs_pack_greedy" -> ((s, dir) => {
       // Sequence packing for training batches: within each language, docs
       // (ordered by doc_id) fill batches of ~2000 tokens — batch id =
@@ -937,6 +968,24 @@ object TextOps extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "docs_chunk_sliding_windows" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                        len(string_split(text, ' ')) AS n
+                 FROM documents),
+      c AS (SELECT doc_id, toks, n,
+                   CAST(1 + (GREATEST(n - 64, 0) + 47) // 48 AS INT) AS nc
+            FROM t),
+      x AS (SELECT doc_id, toks,
+                   CAST(unnest(generate_series(0, nc - 1)) AS INT) AS chunk_idx
+            FROM c),
+      w AS (SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+                   list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)
+                     AS ctoks
+            FROM x)
+      SELECT doc_id, chunk_idx, start_tok,
+             CAST(len(ctoks) AS INT) AS n_tok,
+             sha256(array_to_string(ctoks, ' ')) AS chunk_sha
+      FROM w ORDER BY doc_id, chunk_idx""",
     "text_collocations" -> s"""
       WITH d AS (SELECT string_split(text, ' ') AS ts FROM documents),
       uni AS (SELECT unnest(ts) AS w FROM d),

@@ -489,6 +489,41 @@ object Aggregations extends OpRegistry {
             x => x.getField("o_orderstatus"))).as("status_seq"))
         .orderBy("o_custkey")),
 
+    "agg_weighted_median" -> ((s, dir) => {
+      // Exact WEIGHTED median (round 13): the revenue-weighted median
+      // order quantity per return flag — "at what order size does the
+      // money sit?", the weighted order statistic plain medians can't
+      // answer (a million $1 lines must not outvote one $1M line).
+      // The (lo+hi)-at-2×-scale recipe generalized to weight ranks:
+      // lo = min value whose CUMULATIVE WEIGHT reaches (W+1) div 2, hi
+      // likewise at W div 2 + 1 — all-integer (weights are exact price
+      // centi-units), no interpolation, no float rank. Scale shape: the
+      // cumulating window runs over the (flag × quantity) VALUE HISTOGRAM
+      // — quantity's 1..50 integer domain bounds it at 150 rows
+      // regardless of corpus size (the med2ByType discipline; a weighted
+      // median over an unbounded domain would need the valueAtRanks
+      // two-pass selection instead). Long-bound: Σw ≈ 3e12 centi at
+      // sf0.1, < 2^63 through 1e5× growth.
+      val e = t(s, dir)("lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("w"))
+      val hist = e.groupBy("l_returnflag", "q").agg(sum("w").as("cw"))
+      val wv = Window.partitionBy("l_returnflag").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("l_returnflag")
+      hist.withColumn("cum", sum("cw").over(wv))
+        .withColumn("wtot", sum("cw").over(wn))
+        .groupBy("l_returnflag")
+        .agg(max("wtot").as("w_total"),
+          (min(when(col("cum") >= call_function("div", col("wtot") + 1, lit(2L)),
+            col("q"))) +
+            min(when(col("cum") >= call_function("div", col("wtot"), lit(2L)) + 1,
+              col("q")))).as("med2x"))
+        .select(col("l_returnflag"), col("w_total"), col("med2x"),
+          r6(col("med2x").cast("double") / lit(2.0)).as("wmedian6"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_regression" -> ((s, dir) => {
       // Per-group least-squares regression (round 13) — the ANSI regr_*
       // family (slope / intercept / R²) as one mergeable aggregate: per
@@ -578,6 +613,27 @@ object Aggregations extends OpRegistry {
     // numerators are exact 128-bit like the Spark side's DECIMAL(38,0);
     // the slope/intercept/R² IEEE sequences mirror the Spark expressions
     // operation-for-operation
+    "agg_weighted_median" -> s"""
+      WITH e AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS w
+                 FROM lineitem),
+      hist AS (SELECT l_returnflag, q, CAST(SUM(w) AS BIGINT) AS cw
+               FROM e GROUP BY 1, 2),
+      c AS (SELECT l_returnflag, q, cw,
+                   CAST(SUM(cw) OVER (PARTITION BY l_returnflag ORDER BY q
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(SUM(cw) OVER (PARTITION BY l_returnflag)
+                     AS BIGINT) AS wtot
+            FROM hist)
+      SELECT l_returnflag, MAX(wtot) AS w_total,
+             MIN(CASE WHEN cum >= (wtot + 1) // 2 THEN q END)
+               + MIN(CASE WHEN cum >= wtot // 2 + 1 THEN q END) AS med2x,
+             ${r6Sql("CAST(MIN(CASE WHEN cum >= (wtot + 1) // 2 THEN q END) " +
+               "+ MIN(CASE WHEN cum >= wtot // 2 + 1 THEN q END) AS DOUBLE) / 2.0")}
+               AS wmedian6
+      FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "agg_regression" -> s"""
       WITH e AS (SELECT event_type,
                         (epoch_ns(ts)//1000)//86400000000 AS day,

@@ -142,6 +142,39 @@ class Round13Spec extends GraftSuite {
     }
   }
 
+  test("docs_chunk_sliding_windows: 100 tokens -> two overlapping chunks; short doc -> one") {
+    val dir = TestSpark.tempDir("graft_r13_ck_")
+    val long100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val short30 = (1 to 30).map(i => s"s$i").mkString(" ")
+    Seq((1L, long100, "en"), (2L, short30, "en")).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("docs_chunk_sliding_windows")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("n_tok"))).toSeq
+    // 100 tokens: 1 + ceil(36/48) = 2 chunks — [1..64] and [49..100]
+    // (16-token overlap); 30 tokens: one short chunk
+    assert(out === Seq((1L, 0, 0, 64), (1L, 1, 48, 52), (2L, 0, 0, 30)),
+      s"chunk table: $out")
+  }
+
+  test("agg_weighted_median: one heavy line outvotes many light ones") {
+    val dir = TestSpark.tempDir("graft_r13_wm_")
+    // flag A: five qty-1 lines at 1 cent (w=1 each) vs ONE qty-50 line at
+    // $100 (w=10000): weight rank lands on 50; a plain median would say 1
+    val rows = (1 to 5).map(i => (i.toLong, 1.0, 0.01, "A")) :+
+      (6L, 50.0, 100.0, "A")
+    rows.toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("agg_weighted_median")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("w_total") === 10005L, s"weight total: $r")
+    assert(r.getAs[Long]("med2x") === 100L && r.getAs[Double]("wmedian6") === 50.0,
+      s"weighted median must be the heavy line's quantity: $r")
+  }
+
   test("events_autocorr: a constant series has zero variance and null acf") {
     val usPerDayNs = 86400000000000L
     // one event per day for 10 days: x_t ≡ 1 ⇒ vx = vy = 0 ⇒ acf NULL
