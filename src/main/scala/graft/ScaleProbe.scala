@@ -64,7 +64,8 @@ object ScaleProbe {
     "text_readability",
     // round 13: the langid kernel + langs²-bounded confusion matrix,
     // and the overlap-bounded sliding chunker
-    "docs_langid_confusion", "docs_chunk_sliding_windows")
+    "docs_langid_confusion", "docs_chunk_sliding_windows",
+    "docs_chunk_dup_rate")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,

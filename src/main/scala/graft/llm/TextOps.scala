@@ -502,6 +502,43 @@ object TextOps extends OpRegistry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "docs_chunk_dup_rate" -> ((s, dir) => {
+      // Chunk-level duplication rate (round 13) — the C4/RefinedWeb
+      // boilerplate screen at window granularity: what fraction of each
+      // document's sliding chunks also appear (by sha) in ANOTHER
+      // document? Headers, navboxes, and license blocks duplicate at
+      // chunk level long before whole-doc dedup sees anything. Rides the
+      // docs_chunk_sliding_windows kernel: chunks → per-sha distinct-doc
+      // count (map-side partial agg; the sha frame is chunk-vocabulary-
+      // sized) → join back → integer-ppm shared-chunk fraction per doc.
+      // The fixture corpus is all-distinct, so nonzero rows here are a
+      // red flag by design — the spec plants a shared chunk to prove the
+      // detector fires.
+      val toks = split(col("text"), " ")
+      val n = size(toks)
+      val nChunks = (lit(1) + call_function("div",
+        greatest(n - lit(64), lit(0)).cast("long") + lit(47L), lit(48L))).cast("int")
+      val chunks = tWide(s, dir)("documents")
+        .select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"),
+          col("toks"))
+        .select(col("doc_id"),
+          sha2(concat_ws(" ",
+            slice(col("toks"), col("chunk_idx") * 48 + 1, lit(64))), 256)
+            .as("chunk_sha"))
+      val bySha = chunks.groupBy("chunk_sha")
+        .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      chunks.join(bySha, Seq("chunk_sha"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+          call_function("div", col("n_shared") * lit(1000000L), col("n_chunks"))
+            .as("shared_ppm"))
+        .orderBy("doc_id")
+    }),
+
     "docs_pack_greedy" -> ((s, dir) => {
       // Sequence packing for training batches: within each language, docs
       // (ordered by doc_id) fill batches of ~2000 tokens — batch id =
@@ -968,6 +1005,32 @@ object TextOps extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "docs_chunk_dup_rate" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                        len(string_split(text, ' ')) AS n
+                 FROM documents),
+      c AS (SELECT doc_id, toks,
+                   CAST(1 + (GREATEST(n - 64, 0) + 47) // 48 AS INT) AS nc
+            FROM t),
+      x AS (SELECT doc_id, toks,
+                   CAST(unnest(generate_series(0, nc - 1)) AS INT) AS chunk_idx
+            FROM c),
+      ch AS (SELECT doc_id,
+                    sha256(array_to_string(
+                      list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
+                      ' ')) AS chunk_sha
+             FROM x),
+      bysha AS (SELECT chunk_sha, COUNT(DISTINCT doc_id) AS n_docs_with
+                FROM ch GROUP BY 1),
+      j AS (SELECT ch.doc_id, bysha.n_docs_with
+            FROM ch JOIN bysha USING (chunk_sha))
+      SELECT doc_id, COUNT(1) AS n_chunks,
+             CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+             (CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               * 1000000) // COUNT(1) AS shared_ppm
+      FROM j GROUP BY doc_id ORDER BY doc_id""",
+
     "docs_chunk_sliding_windows" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                         len(string_split(text, ' ')) AS n

@@ -175,6 +175,26 @@ class Round13Spec extends GraftSuite {
       s"weighted median must be the heavy line's quantity: $r")
   }
 
+  test("docs_chunk_dup_rate: a planted shared boilerplate chunk fires the detector") {
+    val dir = TestSpark.tempDir("graft_r13_cd_")
+    val boiler = (1 to 64).map(i => s"b$i").mkString(" ")
+    // docs 1 and 2 share an identical 64-token head (their only chunk
+    // window aligns exactly); doc 3 is unique
+    val d3 = (1 to 40).map(i => s"u$i").mkString(" ")
+    Seq((1L, boiler, "en"), (2L, boiler + "", "en"), (3L, d3, "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("docs_chunk_dup_rate")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_shared"),
+          r.getAs[Long]("shared_ppm"))).toMap
+    assert(out(1L) === ((1L, 1L, 1000000L)), s"doc 1: $out")
+    assert(out(2L) === ((1L, 1L, 1000000L)), s"doc 2: $out")
+    assert(out(3L) === ((1L, 0L, 0L)), s"unique doc must score 0: $out")
+  }
+
   test("events_autocorr: a constant series has zero variance and null acf") {
     val usPerDayNs = 86400000000000L
     // one event per day for 10 days: x_t ≡ 1 ⇒ vx = vy = 0 ⇒ acf NULL
