@@ -65,7 +65,12 @@ object ScaleProbe {
     // round 13: the langid kernel + langs²-bounded confusion matrix,
     // and the overlap-bounded sliding chunker
     "docs_langid_confusion", "docs_chunk_sliding_windows",
-    "docs_chunk_dup_rate")
+    "docs_chunk_dup_rate",
+    // round 13 batch 4: the two scan-shaped QA screens and the two
+    // vocab-bounded corpus-curve ops (Heaps prefix buckets; source-pair
+    // token overlap — pair stream ≤ vocab × C(|sources|,2))
+    "text_char_class_profile", "docs_pii_rate_by_source",
+    "docs_vocab_growth_heaps", "docs_source_overlap_jaccard")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,

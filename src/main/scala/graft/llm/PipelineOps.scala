@@ -520,6 +520,45 @@ object PipelineOps extends OpRegistry {
             .as("corr_distinct_chars6"))
         .orderBy("lang")
     }),
+    "docs_pii_rate_by_source" -> ((s, dir) => {
+      // PII incidence QA matrix — the redaction-pipeline MONITOR beside
+      // text_pii_scrub's redactor: per source, how many docs carry an
+      // email / phone and the combined integer-ppm rate. A source whose
+      // rate jumps is a new crawl seed leaking contact pages; the gate
+      // reads this table, the scrubber fixes the docs. The fixture corpus
+      // is synthetic word-soup with zero real PII, so docs are augmented
+      // the text_pii_scrub way but SPARSELY (doc_id % 7 == 0 gains the
+      // email line, doc_id % 11 == 0 the phone) — per-source rates then
+      // differ and the detector's selectivity is actually exercised.
+      // Shares EmailRe/PhoneRe verbatim so monitor and scrubber can never
+      // drift. Map-side flags + one source-bounded agg; scan-shaped.
+      val d = tWide(s, dir)("documents")
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" tel +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      d.select(col("source"), aug.as("t"))
+        .select(col("source"),
+          (size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))) > 0)
+            .cast("long").as("has_email"),
+          (size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))) > 0)
+            .cast("long").as("has_phone"))
+        .withColumn("has_any", greatest(col("has_email"), col("has_phone")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("has_email")).as("docs_email"),
+          sum(col("has_phone")).as("docs_phone"),
+          sum(col("has_any")).as("docs_any"))
+        .select(col("source"), col("n_docs"), col("docs_email"),
+          col("docs_phone"), col("docs_any"),
+          call_function("div", col("docs_any") * lit(1000000L), col("n_docs"))
+            .as("pii_ppm"))
+        .orderBy("source")
+    }),
   )
 
   /** Per-doc average bigram NLL under the corpus' own per-lang char-bigram
@@ -593,6 +632,32 @@ object PipelineOps extends OpRegistry {
                  GROUP BY bg.doc_id, bg.lang)"""
 
   def oracleSql: Map[String, String] = Map(
+    "docs_pii_rate_by_source" -> """
+      WITH aug AS (SELECT source,
+             concat(text,
+               CASE WHEN doc_id % 7 = 0
+                    THEN concat(' contact user', doc_id, '@example.com')
+                    ELSE '' END,
+               CASE WHEN doc_id % 11 = 0
+                    THEN concat(' tel +1-555-',
+                                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                    ELSE '' END) AS t
+           FROM documents),
+      f AS (SELECT source,
+             CASE WHEN len(regexp_extract_all(t,
+               '[a-z0-9.+_-]+@[a-z0-9-]+(\.[a-z0-9-]+)+', 0)) > 0
+               THEN 1 ELSE 0 END AS has_email,
+             CASE WHEN len(regexp_extract_all(t,
+               '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}', 0)) > 0
+               THEN 1 ELSE 0 END AS has_phone
+           FROM aug)
+      SELECT source, COUNT(1) AS n_docs,
+             CAST(SUM(has_email) AS BIGINT) AS docs_email,
+             CAST(SUM(has_phone) AS BIGINT) AS docs_phone,
+             CAST(SUM(GREATEST(has_email, has_phone)) AS BIGINT) AS docs_any,
+             CAST(SUM(GREATEST(has_email, has_phone)) * 1000000 // COUNT(1)
+                  AS BIGINT) AS pii_ppm
+      FROM f GROUP BY source ORDER BY source""",
     "docs_signal_corr" -> s"""
       WITH m AS (SELECT lang,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,

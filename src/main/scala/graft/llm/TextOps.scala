@@ -1002,9 +1002,150 @@ object TextOps extends OpRegistry {
             col("total_tokens")))
         .orderBy("k")
     }),
+    "text_char_class_profile" -> ((s, dir) => {
+      // Character-class mix per language — the encoding-corruption / OCR-
+      // artifact screen a crawl pipeline runs before any model-side
+      // signal: mojibake, binary bleed, and broken decoders all surface
+      // as a jump in the non-[a-z0-9 space] share on one lang slice long
+      // before perplexity moves. Per-doc class counts come from length
+      // differences after class-targeted regexp_replace (all integer, no
+      // tokenization), the per-lang rollup is one partial+final agg over
+      // a langs-bounded frame, and shares are integer ppm (div) — exact
+      // cross-engine by construction. Pure scan-shaped map work: scales
+      // embarrassingly; tWide spreads the single-file fixture scan.
+      val d = tWide(s, dir)("documents")
+      def classCount(re: String): Column =
+        (length(col("text")) - length(regexp_replace(col("text"), re, ""))).cast("long")
+      val perDoc = d.select(col("lang"),
+        length(col("text")).cast("long").as("n"),
+        classCount("[a-z]").as("n_alpha"),
+        classCount("[0-9]").as("n_digit"),
+        classCount(" ").as("n_space"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_chars"),
+          sum(col("n_alpha")).as("s_alpha"),
+          sum(col("n_digit")).as("s_digit"),
+          sum(col("n_space")).as("s_space"))
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          call_function("div", col("s_alpha") * lit(1000000L), col("n_chars")).as("alpha_ppm"),
+          call_function("div", col("s_digit") * lit(1000000L), col("n_chars")).as("digit_ppm"),
+          call_function("div", col("s_space") * lit(1000000L), col("n_chars")).as("space_ppm"),
+          call_function("div",
+            (col("n_chars") - col("s_alpha") - col("s_digit") - col("s_space")) * lit(1000000L),
+            col("n_chars")).as("other_ppm"))
+        .orderBy("lang")
+    }),
+    "docs_vocab_growth_heaps" -> ((s, dir) => {
+      // Heaps-law vocabulary growth: cumulative distinct-token count vs
+      // cumulative token count at ten corpus prefixes in doc_id order —
+      // the diversity curve read before scaling a mix (a flattening
+      // curve = the source is saturating its domain; still-steep at full
+      // size = under-sampled, dedup won't bite yet). Scale shape: the
+      // prefix bucket is a MAP-SIDE integer from the broadcast 1-row
+      // [min,max] doc_id span (never a global row_number window, which
+      // would be one task over the corpus); a token's first occurrence
+      // is min(bucket) on the vocab-sized frame; everything after lives
+      // on a 10-row frame. All counts exact integers.
+      val d = tWide(s, dir)("documents")
+      val span = d.agg(min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      val withB = d.join(broadcast(span))
+        .withColumn("bucket", call_function("div",
+          (col("doc_id") - col("min_id")) * lit(10L),
+          col("max_id") - col("min_id") + lit(1L)))
+      val sizes = withB.groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val vocabNew = withB
+        .select(col("bucket"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(min("bucket").as("fb"))
+        .groupBy("fb").agg(count(lit(1)).as("vocab_new"))
+      val wl = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sizes.join(vocabNew, col("bucket") === col("fb"), "left")
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          coalesce(col("vocab_new"), lit(0L)).as("vocab_new"))
+        .withColumn("docs_cum", sum("n_docs").over(wl))
+        .withColumn("tokens_cum", sum("n_tokens").over(wl))
+        .withColumn("vocab_cum", sum("vocab_new").over(wl))
+        .orderBy("bucket")
+    }),
+    "docs_source_overlap_jaccard" -> ((s, dir) => {
+      // Source-pair vocabulary overlap: exact token-set Jaccard for every
+      // source pair sharing ≥1 token — the domain-similarity screen
+      // behind mixing and dedup decisions (two crawl seeds with jac over
+      // ~0.5 are one site mirrored; a near-zero pair is safe to upsample
+      // independently). Scale shape: after the per-(source, token)
+      // distinct collapse the frame is ≤ ǀsourcesǀ·ǀvocabǀ and the
+      // token-keyed self-join amplifies each token by ≤ C(ǀsourcesǀ,2) —
+      // sources are a DIMENSION (20 here, O(100s) real), so the pair
+      // stream stays vocab-bounded at any corpus size, never
+      // doc-quadratic. Union via inclusion–exclusion from the
+      // source-sized vocab-size table (broadcast); integer ppm.
+      val d = tWide(s, dir)("documents")
+      val st = d.select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("v"))
+      val inter = st.as("a").join(st.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("v").as("va"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("v").as("vb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"), col("va"), col("vb"),
+          call_function("div", col("inter") * lit(1000000L),
+            col("va") + col("vb") - col("inter")).as("jac_ppm"))
+        .orderBy("src_a", "src_b")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "docs_vocab_growth_heaps" -> """
+      WITH span AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+      d AS (SELECT doc_id, text,
+                   CAST((doc_id - mn) * 10 // (mx - mn + 1) AS BIGINT) AS bucket
+            FROM documents, span),
+      sizes AS (SELECT bucket, COUNT(1) AS n_docs,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                FROM d GROUP BY bucket),
+      w AS (SELECT bucket, unnest(string_split(text, ' ')) AS w FROM d),
+      fb AS (SELECT w, MIN(bucket) AS fb FROM w WHERE w <> '' GROUP BY w),
+      vn AS (SELECT fb AS bucket, COUNT(1) AS vocab_new FROM fb GROUP BY fb)
+      SELECT s.bucket, s.n_docs, s.n_tokens,
+             CAST(COALESCE(vn.vocab_new, 0) AS BIGINT) AS vocab_new,
+             CAST(SUM(s.n_docs) OVER (ORDER BY s.bucket) AS BIGINT) AS docs_cum,
+             CAST(SUM(s.n_tokens) OVER (ORDER BY s.bucket) AS BIGINT) AS tokens_cum,
+             CAST(SUM(COALESCE(vn.vocab_new, 0)) OVER (ORDER BY s.bucket) AS BIGINT) AS vocab_cum
+      FROM sizes s LEFT JOIN vn ON s.bucket = vn.bucket
+      ORDER BY s.bucket""",
+    "docs_source_overlap_jaccard" -> """
+      WITH st AS (SELECT DISTINCT source, w
+                  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                        FROM documents)
+                  WHERE w <> ''),
+      sz AS (SELECT source, COUNT(1) AS v FROM st GROUP BY source),
+      i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(1) AS inter
+            FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT i.src_a, i.src_b, i.inter, sa.v AS va, sb.v AS vb,
+             CAST(i.inter * 1000000 // (sa.v + sb.v - i.inter) AS BIGINT) AS jac_ppm
+      FROM i JOIN sz sa ON i.src_a = sa.source
+             JOIN sz sb ON i.src_b = sb.source
+      ORDER BY src_a, src_b""",
+    "text_char_class_profile" -> """
+      WITH per AS (SELECT lang, CAST(length(text) AS BIGINT) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS a,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS d,
+             CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS sp
+           FROM documents)
+      SELECT lang, COUNT(1) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_chars,
+             CAST(SUM(a) * 1000000 // SUM(n) AS BIGINT) AS alpha_ppm,
+             CAST(SUM(d) * 1000000 // SUM(n) AS BIGINT) AS digit_ppm,
+             CAST(SUM(sp) * 1000000 // SUM(n) AS BIGINT) AS space_ppm,
+             CAST((SUM(n) - SUM(a) - SUM(d) - SUM(sp)) * 1000000 // SUM(n) AS BIGINT) AS other_ppm
+      FROM per GROUP BY lang ORDER BY lang""",
     "docs_chunk_dup_rate" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                         len(string_split(text, ' ')) AS n
