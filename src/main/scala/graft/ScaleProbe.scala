@@ -70,7 +70,10 @@ object ScaleProbe {
     // vocab-bounded corpus-curve ops (Heaps prefix buckets; source-pair
     // token overlap — pair stream ≤ vocab × C(|sources|,2))
     "text_char_class_profile", "docs_pii_rate_by_source",
-    "docs_vocab_growth_heaps", "docs_source_overlap_jaccard")
+    "docs_vocab_growth_heaps", "docs_source_overlap_jaccard",
+    // the med2/MAD length gate: medians from the length-domain-bounded
+    // value histogram, never a row sort
+    "docs_length_outliers")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -121,7 +124,10 @@ object ScaleProbe {
     // round 13: the global zero-filled daily-series correlation (one
     // map-side day-count collapse; everything after is calendar-bounded)
     // and the exact-moment regression aggregate
-    "events_autocorr", "agg_regression")
+    "events_autocorr", "agg_regression",
+    // round 13 batch 4: the hod-baseline anomaly screen — one scan agg
+    // to the days×24×types grid, bounded joins after
+    "events_anomaly_seasonal")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,

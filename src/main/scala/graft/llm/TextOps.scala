@@ -1099,9 +1099,84 @@ object TextOps extends OpRegistry {
             col("va") + col("vb") - col("inter")).as("jac_ppm"))
         .orderBy("src_a", "src_b")
     }),
+    "docs_length_outliers" -> ((s, dir) => {
+      // Length-outlier gate per language — the truncation/concatenation
+      // QA screen beside the ratio-based text_quality_filter: a doc far
+      // below its language's typical length is a navbox/boilerplate
+      // fragment, far above is a crawl concatenation or minified blob;
+      // both poison token budgets before any content signal moves.
+      // events_anomaly_mad's robust med2/MAD recipe keyed by lang, split
+      // by direction: medians come from the VALUE HISTOGRAM (cumulative
+      // window over distinct char-lengths per lang — bounded by the
+      // length domain, never a row sort), deviations stay at 2× scale in
+      // exact longs, the 3-MAD cut 2·dev > 3·mad4 is pure integer — no
+      // float anywhere, bit-identical cross-engine.
+      val d = tWide(s, dir)("documents")
+        .select(col("lang"), col("n_chars").cast("long").as("v"))
+      def med2ByLang(df: DataFrame, c: String): DataFrame = {
+        val hist = df.groupBy(col("lang"), col(c)).agg(count(lit(1)).as("cnt"))
+        val wv = Window.partitionBy("lang").orderBy(c)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy("lang")
+        hist.withColumn("cum", sum("cnt").over(wv))
+          .withColumn("n", sum("cnt").over(wn))
+          .groupBy("lang")
+          .agg((min(when(col("cum") >=
+              call_function("div", col("n") + 1, lit(2L)), col(c))) +
+            min(when(col("cum") >=
+              call_function("div", col("n"), lit(2L)) + 1, col(c)))).as("m2"))
+      }
+      val med = med2ByLang(d, "v").withColumnRenamed("m2", "med2")
+      val dev = d.join(broadcast(med), Seq("lang"))
+        .select(col("lang"), col("med2"),
+          (col("v") * 2 - col("med2")).as("sdev"))
+        .withColumn("dev", abs(col("sdev")))
+      val mad = med2ByLang(dev.select(col("lang"), col("dev").as("v")), "v")
+        .withColumnRenamed("m2", "mad4")
+      dev.join(broadcast(mad), Seq("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("med2")).as("med2_chars"),
+          max(col("mad4")).as("mad4_chars"),
+          sum(when(col("dev") * 2 > col("mad4") * 3 && col("sdev") < 0, 1L)
+            .otherwise(0L)).as("n_short"),
+          sum(when(col("dev") * 2 > col("mad4") * 3 && col("sdev") > 0, 1L)
+            .otherwise(0L)).as("n_long"))
+        .withColumn("n_outliers", col("n_short") + col("n_long"))
+        .orderBy("lang")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "docs_length_outliers" -> """
+      WITH e AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+      r1 AS (SELECT lang, v,
+                    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+                    COUNT(1) OVER (PARTITION BY lang) AS n FROM e),
+      med AS (SELECT lang,
+                     MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                       + MAX(CASE WHEN rn = n // 2 + 1 THEN v END) AS med2
+              FROM r1 GROUP BY lang),
+      d AS (SELECT e.lang, med.med2, e.v * 2 - med.med2 AS sdev,
+                   abs(e.v * 2 - med.med2) AS dev
+            FROM e JOIN med ON e.lang = med.lang),
+      r2 AS (SELECT lang, dev,
+                    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dev) AS rn,
+                    COUNT(1) OVER (PARTITION BY lang) AS n FROM d),
+      mad AS (SELECT lang,
+                     MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+                       + MAX(CASE WHEN rn = n // 2 + 1 THEN dev END) AS mad4
+              FROM r2 GROUP BY lang)
+      SELECT d.lang, COUNT(1) AS n_docs,
+             MAX(d.med2) AS med2_chars, MAX(mad.mad4) AS mad4_chars,
+             CAST(SUM(CASE WHEN d.dev * 2 > mad.mad4 * 3 AND d.sdev < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+             CAST(SUM(CASE WHEN d.dev * 2 > mad.mad4 * 3 AND d.sdev > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+             CAST(SUM(CASE WHEN d.dev * 2 > mad.mad4 * 3 AND d.sdev <> 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM d JOIN mad ON d.lang = mad.lang
+      GROUP BY d.lang ORDER BY d.lang""",
     "docs_vocab_growth_heaps" -> """
       WITH span AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
       d AS (SELECT doc_id, text,

@@ -362,6 +362,44 @@ object Timeseries extends OpRegistry {
             .as("n_anomalies"))
         .orderBy("event_type")
     }),
+    "events_anomaly_seasonal" -> ((s, dir) => {
+      // Seasonal-adjusted anomaly screen: hourly event counts judged
+      // against the type × hour-of-day seasonal baseline
+      // (events_hourly_profile's grid) instead of a global mean — a 1.5×
+      // spike at 3am is an incident, the same count at noon is Tuesday.
+      // All-integer: D = days in the corpus span (broadcast 1-row), so a
+      // cell's seasonal mean is S/D with S its hour-of-day total, and the
+      // flag 2·n·D ≥ 3·S is an exact cross-multiplication — no division,
+      // no float. Silent hours read 0 and can never flag high, so the
+      // zero-filled grid is implicit in D counting EVERY day of the span
+      // (the events_autocorr lesson: quiet periods must weigh the
+      // baseline, not vanish from it). Work shape: one scan-aggregate to
+      // the days×24×ǀtypesǀ-bounded hour grid; profile and span join
+      // broadcast; peak ratio in integer ppm (n·D·1e6 exceeds int64 only
+      // past ~1e9 events/hour-cell × 3000 days — declared bound).
+      val e = eventsUs(s, dir)
+      val hours = e.groupBy(col("event_type"),
+          hourFloor(col("ts_us")).as("hour_us"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("hod",
+          call_function("div", col("hour_us"), lit(usPerHour)) % 24)
+      val span = e.agg(
+        call_function("div", min("ts_us"), lit(usPerDay)).as("d0"),
+        call_function("div", max("ts_us"), lit(usPerDay)).as("d1"))
+      val prof = hours.groupBy("event_type", "hod").agg(sum("n").as("s_tot"))
+      hours.join(broadcast(prof), Seq("event_type", "hod"))
+        .join(broadcast(span))
+        .withColumn("ndays", col("d1") - col("d0") + 1)
+        .groupBy("event_type")
+        .agg(max(col("ndays")).as("n_days"),
+          count(lit(1)).as("n_hour_cells"),
+          sum(col("n")).as("n_events"),
+          sum(when(col("n") * col("ndays") * 2 >= col("s_tot") * 3, 1L)
+            .otherwise(0L)).as("n_anom_3halfx"),
+          max(call_function("div", col("n") * col("ndays") * lit(1000000L),
+            col("s_tot"))).as("peak_ratio_ppm"))
+        .orderBy("event_type")
+    }),
 
     "events_ab_test" -> ((s, dir) => {
       // A/B experiment readout (round 11): user_id parity splits traffic
@@ -1087,6 +1125,29 @@ object Timeseries extends OpRegistry {
         JOIN cnt cb ON type_b = cb.event_type
       ORDER BY type_a, type_b""",
 
+    "events_anomaly_seasonal" -> """
+      WITH h AS (SELECT event_type,
+                        (epoch_ns(ts)//1000 // 3600000000) * 3600000000 AS hour_us,
+                        COUNT(1) AS n
+                 FROM events GROUP BY 1, 2),
+      hh AS (SELECT event_type, n,
+                    (hour_us // 3600000000) % 24 AS hod FROM h),
+      span AS (SELECT MIN(epoch_ns(ts)//1000) // 86400000000 AS d0,
+                      MAX(epoch_ns(ts)//1000) // 86400000000 AS d1
+               FROM events),
+      prof AS (SELECT event_type, hod, CAST(SUM(n) AS BIGINT) AS s_tot
+               FROM hh GROUP BY 1, 2)
+      SELECT hh.event_type,
+             MAX(d1 - d0 + 1) AS n_days,
+             COUNT(1) AS n_hour_cells,
+             CAST(SUM(hh.n) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN hh.n * (d1 - d0 + 1) * 2 >= prof.s_tot * 3
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_anom_3halfx,
+             CAST(MAX(hh.n * (d1 - d0 + 1) * 1000000 // prof.s_tot)
+                  AS BIGINT) AS peak_ratio_ppm
+      FROM hh JOIN prof ON hh.event_type = prof.event_type
+                        AND hh.hod = prof.hod, span
+      GROUP BY hh.event_type ORDER BY hh.event_type""",
     "events_anomaly_mad" -> """
       WITH e AS (SELECT event_type,
                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),

@@ -79,4 +79,49 @@ class Round13bSpec extends GraftSuite {
     assert(out === Seq(("s0", "s1", 1L, 2L, 2L, 333333L)),
       s"only the sharing pair may appear: $out")
   }
+
+  test("docs_length_outliers: med2/MAD hand-check — one short, one long, middle band clean") {
+    val dir = TestSpark.tempDir("graft_r13_lo_")
+    // lengths [1,8,9,10,10,10,11,12,100]: med2 = 10+10 = 20; devs |2v-20|
+    // sorted = 0,0,0,2,2,4,4,18,180 ⇒ mad4 = 2+2 = 4; cut 2·dev > 12 ⇒
+    // dev > 6 flags ONLY len 1 (short) and len 100 (long)
+    val lens = Seq(1, 8, 9, 10, 10, 10, 11, 12, 100)
+    writeDocs(dir, lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, "a" * n, "en", "s0") })
+    val out = SparkEntry.queries("docs_length_outliers")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 9L, s"row: $r")
+    assert(r.getAs[Long]("med2_chars") === 20L, s"row: $r")
+    assert(r.getAs[Long]("mad4_chars") === 4L, s"row: $r")
+    assert(r.getAs[Long]("n_short") === 1L, s"row: $r")
+    assert(r.getAs[Long]("n_long") === 1L, s"row: $r")
+    assert(r.getAs[Long]("n_outliers") === 2L, s"row: $r")
+  }
+
+  test("events_anomaly_seasonal: burst flags against its hod baseline; quiet days weigh it") {
+    val dir = TestSpark.tempDir("graft_r13_as_")
+    val usDay = 86400000000L; val usHour = 3600000000L
+    def ns(day: Long, hour: Long, i: Long): Long = (day * usDay + hour * usHour + i * 1000000L) * 1000L
+    // hod 0: day0 n=1, day1 n=1, day2 n=4 (burst); hod 1: day0 only, n=2.
+    // D=3, S(h0)=6, S(h1)=2. Flags (2nD >= 3S): d2h0 (24>=18) and d0h1
+    // (12>=6 — a single-observation cell is 3x its quiet-day-weighted
+    // baseline, exactly the semantics); peak = 2*3e6//2 = 3000000.
+    val rows = Seq(
+      (1L, ns(0, 0, 0), 10L, "view"), (2L, ns(1, 0, 0), 10L, "view"),
+      (3L, ns(2, 0, 0), 10L, "view"), (4L, ns(2, 0, 1), 11L, "view"),
+      (5L, ns(2, 0, 2), 12L, "view"), (6L, ns(2, 0, 3), 13L, "view"),
+      (7L, ns(0, 1, 0), 10L, "view"), (8L, ns(0, 1, 1), 11L, "view"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_anomaly_seasonal")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") === 3L, s"row: $r")
+    assert(r.getAs[Long]("n_hour_cells") === 4L, s"row: $r")
+    assert(r.getAs[Long]("n_events") === 8L, s"row: $r")
+    assert(r.getAs[Long]("n_anom_3halfx") === 2L, s"row: $r")
+    assert(r.getAs[Long]("peak_ratio_ppm") === 3000000L, s"row: $r")
+  }
 }
