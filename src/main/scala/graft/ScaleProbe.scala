@@ -73,7 +73,9 @@ object ScaleProbe {
     "docs_vocab_growth_heaps", "docs_source_overlap_jaccard",
     // the med2/MAD length gate: medians from the length-domain-bounded
     // value histogram, never a row sort
-    "docs_length_outliers")
+    "docs_length_outliers",
+    // the parity-sketch banded near-dup pass (cell-capped pair stream)
+    "multimodal_phash_dedup")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -126,8 +128,9 @@ object ScaleProbe {
     // and the exact-moment regression aggregate
     "events_autocorr", "agg_regression",
     // round 13 batch 4: the hod-baseline anomaly screen — one scan agg
-    // to the days×24×types grid, bounded joins after
-    "events_anomaly_seasonal")
+    // to the days×24×types grid, bounded joins after — and the
+    // cohort-week LTV curve (two aggs + calendar-bounded window)
+    "events_anomaly_seasonal", "events_cohort_ltv_curve")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -194,8 +197,9 @@ object ScaleProbe {
     // per-batch snapshot-rewrite CDC apply
     "stream_tws_topk", "stream_cdc_apply",
     // round 13: the stream-static enrichment probe (state must stay
-    // window-agg-bounded — the static side adds none)
-    "stream_static_join")
+    // window-agg-bounded — the static side adds none) and the left-outer
+    // stream-stream join (state = open click windows, watermark-evicted)
+    "stream_static_join", "stream_outer_join_watermark")
 
   /** o_orderdate(k): deterministic day in 1995-01-01..2001-07-second, the
     * fixture's span — shared by synthOrders and synthLineitem so each

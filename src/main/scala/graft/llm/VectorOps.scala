@@ -968,6 +968,70 @@ object VectorOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "multimodal_phash_dedup" -> ((s, dir) => {
+      // Perceptual-hash-style near-dup detection over payloads — the
+      // media twin of dedup_simhash: a 64-bit parity sketch of the
+      // payload's codepoint histogram (bucket = cp % 64, bit = count
+      // parity) is a locality-sensitive fingerprint for SMALL EDITS — an
+      // m-char edit flips ≤ 2m bits where unrelated payloads differ in
+      // ~32 — exactly the re-encode/metadata-stamp dup class a crawl's
+      // media store carries (a real pHash kernel drops into the same
+      // batched decode slot; no codec libs in the container). The sketch
+      // lands as FOUR 16-bit band columns: LSH banding yields candidate
+      // pairs (share ≥1 band — complete for Hamming ≤ 3 by pigeonhole,
+      // the stated recall contract), verified at Hamming ≤ 6 via
+      // per-band XOR bit_count. Scale: per-(band, value) occupancy is
+      // CAPPED at 64 docs in doc_id order (the join_interval_bucketed
+      // discipline, mirrored exactly in the oracle, inactive at fixture
+      // SFs); at 100 TB the band width widens with the corpus like any
+      // LSH. The all-distinct fixture is augmented with planted clones
+      // (doc_id % 100 == 0 gains a +1e7-id copy with one appended char —
+      // Hamming 1) so the detector's recall is actually exercised.
+      // Codepoints, not UTF-8 bytes, so the sketch agrees with DuckDB's
+      // char-positional ord on any text (the multimodal_resample rule).
+      val base = tWide(s, dir)("documents").select(col("doc_id"), col("text"))
+      val aug = base.unionByName(
+        base.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(".")).as("text")))
+      import s.implicits._
+      val bands = aug.as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val par = new Array[Long](64)
+            if (text != null)
+              text.codePoints().forEach(cp => par(cp % 64) ^= 1L)
+            def band(k: Int): Long =
+              (0 until 16).foldLeft(0L)((a, j) => a | (par(k * 16 + j) << j))
+            (id, band(0), band(1), band(2), band(3))
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      val exploded = bands.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("k", "v")))
+      val wCell = Window.partitionBy("k", "v").orderBy("doc_id")
+      val capped = exploded.withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") <= 64)
+      val cand = capped.as("a").join(capped.as("b"),
+          col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      def bc(x: Column, y: Column): Column =
+        bit_count(x.bitwiseXOR(y)).cast("long")
+      cand
+        .join(bands.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("doc_a"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (bc(col("a0"), col("c0")) + bc(col("a1"), col("c1")) +
+            bc(col("a2"), col("c2")) + bc(col("a3"), col("c3"))).as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "vec_dim_stats" -> ((s, dir) => {
       // Per-dimension calibration stats over the whole embedding table —
       // the first pass any quantizer (int8 ranges, PQ codebooks, JL
@@ -1373,6 +1437,50 @@ object VectorOps extends OpRegistry {
     // output is differential: DuckDB re-derives the same stats from the text
     // via a per-character fold (ord == byte on the all-ascii fixture, which
     // LlmOpsSpec asserts via n_bytes == length(text)).
+    "multimodal_phash_dedup" -> """
+      WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text || '.' FROM documents
+        WHERE doc_id % 100 = 0),
+      ch AS (SELECT doc_id,
+               unnest(list_transform(range(1, length(text) + 1),
+                 i -> ord(substring(text, i, 1)) % 64)) AS bucket
+             FROM aug),
+      par AS (SELECT doc_id, bucket, CAST(COUNT(1) % 2 AS BIGINT) AS p
+              FROM ch GROUP BY 1, 2),
+      bands AS (SELECT a.doc_id,
+          CAST(COALESCE(SUM(CASE WHEN p.bucket // 16 = 0
+            THEN p.p * (1 << (p.bucket % 16)) END), 0) AS BIGINT) AS b0,
+          CAST(COALESCE(SUM(CASE WHEN p.bucket // 16 = 1
+            THEN p.p * (1 << (p.bucket % 16)) END), 0) AS BIGINT) AS b1,
+          CAST(COALESCE(SUM(CASE WHEN p.bucket // 16 = 2
+            THEN p.p * (1 << (p.bucket % 16)) END), 0) AS BIGINT) AS b2,
+          CAST(COALESCE(SUM(CASE WHEN p.bucket // 16 = 3
+            THEN p.p * (1 << (p.bucket % 16)) END), 0) AS BIGINT) AS b3
+        FROM aug a LEFT JOIN par p ON a.doc_id = p.doc_id
+        GROUP BY a.doc_id),
+      ex AS (SELECT doc_id, 0 AS k, b0 AS v FROM bands
+             UNION ALL SELECT doc_id, 1, b1 FROM bands
+             UNION ALL SELECT doc_id, 2, b2 FROM bands
+             UNION ALL SELECT doc_id, 3, b3 FROM bands),
+      capped AS (SELECT doc_id, k, v FROM (
+          SELECT doc_id, k, v,
+                 ROW_NUMBER() OVER (PARTITION BY k, v ORDER BY doc_id) AS rn
+          FROM ex) WHERE rn <= 64),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM capped a JOIN capped b
+                 ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+               AS BIGINT) AS hamming
+      FROM cand
+      JOIN bands x ON cand.doc_a = x.doc_id
+      JOIN bands y ON cand.doc_b = y.doc_id
+      WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 6
+      ORDER BY doc_a, doc_b""",
     "multimodal_features" -> """
       SELECT doc_id, lang,
              CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

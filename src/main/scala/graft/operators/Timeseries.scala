@@ -401,6 +401,43 @@ object Timeseries extends OpRegistry {
         .orderBy("event_type")
     }),
 
+    "events_cohort_ltv_curve" -> ((s, dir) => {
+      // Cohort LTV curve: cumulative purchase value per user by cohort
+      // week × weeks-since-acquisition — the payback-period table growth
+      // teams read (which acquisition cohorts earn back spend, and how
+      // fast; a flattening curve = monetization stalls after week k).
+      // events_retention_cohorts' integer day/week bucketing (micros div,
+      // identical on both engines) extended with money: purchase values
+      // accumulate as exact centi-longs, the cumulative sum runs on the
+      // cohorts×weeks-bounded curve frame (a calendar-sized window, never
+      // the events), and LTV-per-user is an integer div. Cohort
+      // assignment counts ANY event type (first touch); only purchases
+      // monetize. Cohort-size table is user-sized — unhinted, AQE decides
+      // the join strategy (the r10 broadcast-hint lesson).
+      val e = t(s, dir)("events")
+        .select(col("user_id"), col("event_type"),
+          call_function("div", tsDivMicros(col("ts")), lit(usPerDay * 7))
+            .as("week"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val cohort = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      val sizes = cohort.groupBy("cohort_week")
+        .agg(count(lit(1)).as("cohort_size"))
+      val curve = e.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_buyers"),
+          sum(col("cents")).as("wk_cents"))
+      val wc = Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      curve.withColumn("cum_cents", sum("wk_cents").over(wc))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+          col("n_buyers"), col("wk_cents"), col("cum_cents"),
+          call_function("div", col("cum_cents"), col("cohort_size"))
+            .as("ltv_cents_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "events_ab_test" -> ((s, dir) => {
       // A/B experiment readout (round 11): user_id parity splits traffic
       // into two cohorts; per event type, the Welch two-sample z on mean
@@ -1125,6 +1162,32 @@ object Timeseries extends OpRegistry {
         JOIN cnt cb ON type_b = cb.event_type
       ORDER BY type_a, type_b""",
 
+    "events_cohort_ltv_curve" -> """
+      WITH e AS (SELECT user_id, event_type,
+                        (epoch_ns(ts) // 1000) // 604800000000 AS week,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                 FROM events),
+      cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id),
+      sizes AS (SELECT cohort_week, COUNT(1) AS cohort_size
+                FROM cohort GROUP BY cohort_week),
+      curve AS (SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+                       COUNT(DISTINCT e.user_id) AS n_buyers,
+                       CAST(SUM(e.cents) AS BIGINT) AS wk_cents
+                FROM e JOIN cohort c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase'
+                GROUP BY 1, 2)
+      SELECT cv.cohort_week, cv.week_offset, sz.cohort_size, cv.n_buyers,
+             cv.wk_cents,
+             CAST(SUM(cv.wk_cents) OVER (PARTITION BY cv.cohort_week
+               ORDER BY cv.week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents,
+             CAST(SUM(cv.wk_cents) OVER (PARTITION BY cv.cohort_week
+               ORDER BY cv.week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               // sz.cohort_size AS BIGINT) AS ltv_cents_per_user
+      FROM curve cv JOIN sizes sz ON cv.cohort_week = sz.cohort_week
+      ORDER BY 1, 2""",
     "events_anomaly_seasonal" -> """
       WITH h AS (SELECT event_type,
                         (epoch_ns(ts)//1000 // 3600000000) * 3600000000 AS hour_us,

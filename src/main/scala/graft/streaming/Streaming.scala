@@ -389,6 +389,44 @@ object Streaming extends OpRegistry {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    "stream_outer_join_watermark" -> ((s, dir) => {
+      // LEFT-OUTER stream-stream join — the abandonment shape where
+      // ABSENCE is the signal (clicks that never converted within 30
+      // minutes). The outer side is what makes this genuinely streaming:
+      // a match emits immediately (the inner path), but an unmatched
+      // click may only emit its null row once the join watermark passes
+      // the end of its match window — before that a matching purchase
+      // could still arrive, so the engine holds the row open in state.
+      // At stream end the watermark rests at min(max c_ts, max p_ts) −
+      // 10 min, so clicks younger than wm − 30 min stay OPEN and emit
+      // nothing: the streaming left join is the batch left join MINUS
+      // the still-open tail, and the oracle mirrors that closure rule
+      // exactly (unmatched kept only where c_us + 30 min < wm_us). The
+      // AvailableNow no-data final batch performs the closing flush once
+      // the last data batch has advanced the watermark. Unmatched rows
+      // carry −1 sentinels, not NULLs, so the dumped schema stays
+      // non-nullable BIGINT on both engines.
+      val clicks = eventsStream(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts_ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      val purchases = eventsStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts_ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      val out = runToMemory(s, joined, "soj", OutputMode.Append())
+      out.select(col("c_user").as("user_id"), col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          unix_micros(col("c_ts")).as("click_us"),
+          coalesce(unix_micros(col("p_ts")), lit(-1L)).as("purchase_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     "stream_threshold_alerts" -> ((s, dir) => {
       // Arbitrary stateful detector (round 4): emit an alert row each time
       // a user's cumulative spend crosses another $1000 boundary. State is
@@ -715,6 +753,23 @@ object Streaming extends OpRegistry {
       SELECT event_type, COUNT(1) AS cnt,
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_outer_join_watermark" -> """
+      WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS click_us
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS purchase_us
+            FROM events WHERE event_type = 'purchase'),
+      wm AS (SELECT LEAST((SELECT MAX(click_us) FROM c),
+                          (SELECT MAX(purchase_us) FROM p)) - 600000000 AS wm_us),
+      j AS (SELECT c.user_id, click_id, purchase_id, click_us, purchase_us
+            FROM c LEFT JOIN p ON c.user_id = p.user_id
+              AND purchase_us >= click_us
+              AND purchase_us <= click_us + 1800000000)
+      SELECT user_id, click_id,
+             COALESCE(purchase_id, -1) AS purchase_id, click_us,
+             COALESCE(purchase_us, -1) AS purchase_us
+      FROM j, wm
+      WHERE purchase_id IS NOT NULL OR click_us + 1800000000 < wm_us
+      ORDER BY user_id, click_id, purchase_id""",
     "stream_stream_join" -> """
       WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS click_us
                  FROM events WHERE event_type = 'click'),

@@ -124,4 +124,82 @@ class Round13bSpec extends GraftSuite {
     assert(r.getAs[Long]("n_anom_3halfx") === 2L, s"row: $r")
     assert(r.getAs[Long]("peak_ratio_ppm") === 3000000L, s"row: $r")
   }
+
+  test("stream_outer_join_watermark: match emits, closed unmatched flushes -1, open tail stays silent") {
+    val dir = TestSpark.tempDir("graft_r13_soj_")
+    val usMin = 60000000L
+    // day-1 base: an event AT epoch 0 equals the stream's initial
+    // watermark and is dropped as late — shift everything off it
+    val base = 1440L
+    def ns(min: Long): Long = (base + min) * usMin * 1000L
+    // wm = min(max click, max purchase) - 10min = min(100, 120) - 10 = 90min.
+    // click 1 @0 matches purchase 101 @10; click 2 @5 unmatched and CLOSED
+    // (5+30 < 90) -> the -1 row the no-data final batch must flush;
+    // click 3 @100 unmatched but OPEN (100+30 >= 90) -> must emit nothing.
+    val rows = Seq(
+      (1L, ns(0), 1L, "click"), (101L, ns(10), 1L, "purchase"),
+      (2L, ns(5), 2L, "click"),
+      (3L, ns(100), 3L, "click"),
+      (109L, ns(120), 9L, "purchase"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("stream_outer_join_watermark")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("click_us"),
+        r.getAs[Long]("purchase_us"))).toSeq
+    assert(out === Seq(
+      (1L, 1L, 101L, base * usMin, (base + 10L) * usMin),
+      (2L, 2L, -1L, (base + 5L) * usMin, -1L)), s"rows: $out")
+  }
+
+  test("multimodal_phash_dedup: one-char edit scores Hamming 1; distinct payloads stay apart; clone augmentation fires") {
+    val dir = TestSpark.tempDir("graft_r13_ph_")
+    // d1/d2 differ by one appended '.' (bucket 46 parity flip -> Hamming
+    // 1); d3 occupies a disjoint bucket range (Hamming 25/26 vs d1/d2);
+    // d100 triggers the %100 clone augmentation -> planted pair at +1e7
+    writeDocs(dir, Seq(
+      (1L, "abcdefghijklm", "en", "s0"),
+      (2L, "abcdefghijklm.", "en", "s0"),
+      (3L, "nopqrstuvwxyz", "en", "s0"),
+      (100L, "hello world", "en", "s0")))
+    val out = SparkEntry.queries("multimodal_phash_dedup")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSeq
+    assert(out === Seq((1L, 2L, 1L), (100L, 10000100L, 1L)), s"pairs: $out")
+  }
+
+  test("multimodal_phash_dedup: per-cell occupancy cap bounds identical-payload blowup at 64") {
+    val dir = TestSpark.tempDir("graft_r13_phc_")
+    writeDocs(dir, (1L to 70L).map(i => (i, "dup", "en", "s0")))
+    val out = SparkEntry.queries("multimodal_phash_dedup")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(out.length === 64 * 63 / 2, s"expected C(64,2) capped pairs, got ${out.length}")
+    assert(out.map(_._2).max === 64L, "docs beyond the cap must appear in no pair")
+  }
+
+  test("events_cohort_ltv_curve: first-touch cohorts, only purchases monetize, cum + per-user div") {
+    val dir = TestSpark.tempDir("graft_r13_ltv_")
+    val usWk = 604800000000L
+    def ns(week: Long, i: Long): Long = (week * usWk + i * 60000000L) * 1000L
+    // cohort w0 = {u1 (buys 10.00 in w0, 5.00 in w1), u2 (never buys)};
+    // cohort w1 = {u3 (buys 2.50 in w2)}
+    val rows = Seq(
+      (1L, ns(0, 1), 1L, "view", 0.0), (2L, ns(0, 2), 1L, "purchase", 10.0),
+      (3L, ns(1, 1), 1L, "purchase", 5.0),
+      (4L, ns(0, 3), 2L, "view", 0.0),
+      (5L, ns(1, 2), 3L, "click", 0.0), (6L, ns(2, 1), 3L, "purchase", 2.5))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_cohort_ltv_curve")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("cohort_size"), r.getAs[Long]("n_buyers"),
+        r.getAs[Long]("wk_cents"), r.getAs[Long]("cum_cents"),
+        r.getAs[Long]("ltv_cents_per_user"))).toSeq
+    assert(out === Seq(
+      (0L, 0L, 2L, 1L, 1000L, 1000L, 500L),
+      (0L, 1L, 2L, 1L, 500L, 1500L, 750L),
+      (1L, 1L, 1L, 1L, 250L, 250L, 250L)), s"curve: $out")
+  }
 }
