@@ -87,8 +87,9 @@ object ScaleProbe {
     // round 12: the labels²-bounded affinity matrix
     "vec_label_affinity",
     // round 13: the id-capped geometry histogram (work is cap-bounded —
-    // the ratio should be ~1 at any corpus size)
-    "vec_cosine_histogram")
+    // the ratio should be ~1 at any corpus size) and the recall-curve
+    // harness composing the two kNN kernels
+    "vec_cosine_histogram", "vec_ann_recall_curve")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
@@ -179,7 +180,10 @@ object ScaleProbe {
     // round 13: the distinct-frame year-over-year retention self-join,
     // the order-size histogram, and the dynamic-partition re-stage write
     "q_customer_churn", "q_order_size_distribution",
-    "merge_insert_overwrite_dynamic")
+    "merge_insert_overwrite_dynamic",
+    // round 13 batch 6: the IVM delta fold (snapshot paid once) and the
+    // per-key skew diagnosis (key-sized aggs + broadcast heavy probe)
+    "merge_view_refresh_incremental", "profile_join_skew_report")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming
@@ -199,7 +203,9 @@ object ScaleProbe {
     // round 13: the stream-static enrichment probe (state must stay
     // window-agg-bounded — the static side adds none) and the left-outer
     // stream-stream join (state = open click windows, watermark-evicted)
-    "stream_static_join", "stream_outer_join_watermark")
+    "stream_static_join", "stream_outer_join_watermark",
+    // the shared-checkpoint incremental restart (two runs, state resumed)
+    "stream_restart_checkpoint")
 
   /** o_orderdate(k): deterministic day in 1995-01-01..2001-07-second, the
     * fixture's span — shared by synthOrders and synthLineitem so each

@@ -464,6 +464,35 @@ object VectorOps extends OpRegistry {
         .orderBy("qid", "rn")
     }),
 
+    "vec_ann_recall_curve" -> ((s, dir) => {
+      // ANN quality-evaluation harness: recall@k (k = 1, 3, 5) of the IVF
+      // index against the exact cosine top-5 — the acceptance gate any
+      // vector store runs before swapping brute force for an index. Both
+      // sides are THE REGISTRY KERNELS invoked verbatim (eval and prod
+      // path can never drift; both are independently oracle-checked, so
+      // their tie-breaks provably agree), joined on (query, neighbor) and
+      // folded to a 3-row curve: n_hits = ǀIVF top-k ∩ exact top-kǀ over
+      // the 10-query panel, recall in integer ppm. Everything after the
+      // two kernel runs is ≤50 rows; the left join keeps zero-hit k rows
+      // honest instead of dropping them.
+      val ivf = queries("knn_ivf_topk")(s, dir)
+        .select(col("qid"), col("vid"), col("rn").as("rn_i"))
+      val brute = queries("knn_cosine_topk")(s, dir)
+        .select(col("qid"), col("vid"), col("rn").as("rn_b"))
+      val joined = brute.join(ivf, Seq("qid", "vid"))
+      val nq = brute.agg(countDistinct("qid").as("n_queries"))
+      val ks = s.range(1, 6, 2).select(col("id").as("k"))
+      broadcast(ks)
+        .join(joined, col("rn_b") <= col("k") && col("rn_i") <= col("k"), "left")
+        .groupBy("k")
+        .agg(sum(when(col("qid").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .join(broadcast(nq))
+        .select(col("k"), col("n_queries"), col("n_hits"),
+          call_function("div", col("n_hits") * lit(1000000L),
+            col("k") * col("n_queries")).as("recall_ppm"))
+        .orderBy("k")
+    }),
+
     "knn_ivfpq_topk" -> ((s, dir) => {
       // Composed IVF-PQ — the production 100 TB vector-store ANN shape
       // (IVFADC, Jégou et al., "Product Quantization for Nearest Neighbor
@@ -1116,6 +1145,25 @@ object VectorOps extends OpRegistry {
     * a second engine re-derives the same ANN result from the same planes.
     * Note: the SQL pins dim=64 (the fixture dim the Spark op discovers at
     * run time). */
+  /** Brute-force quantized-dot top-5 twin — also the ground-truth side of
+    * vec_ann_recall_curve's composed oracle. */
+  private def bruteKnnSql: String = s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      d AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
+            FROM e a JOIN e b ON a.i = b.i
+            WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      r AS (SELECT qid, vid, dot_q,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vid) AS rn
+            FROM d)
+      SELECT qid, vid, dot_q, ${r4Sql("CAST(dot_q AS DOUBLE) / 1000000000000")} AS cos4,
+             CAST(rn AS INT) AS rn
+      FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   private def ivfOracleSql: String = {
     val dim = 64
     val vals = (for { t <- 0 until IvfTables; p <- 0 until IvfPlanes } yield
@@ -1416,6 +1464,22 @@ object VectorOps extends OpRegistry {
              CAST(SUM(dist) AS BIGINT) AS inertia_q
       FROM best GROUP BY cl ORDER BY cluster""",
     "knn_ivf_topk" -> ivfOracleSql,
+    "vec_ann_recall_curve" -> s"""
+      WITH ivf AS ($ivfOracleSql),
+      brute AS ($bruteKnnSql),
+      j AS (SELECT b.qid, b.vid, b.rn AS rn_b, i.rn AS rn_i
+            FROM brute b JOIN ivf i ON b.qid = i.qid AND b.vid = i.vid),
+      nq AS (SELECT COUNT(DISTINCT qid) AS n_queries FROM brute),
+      ks AS (SELECT CAST(unnest([1, 3, 5]) AS BIGINT) AS k)
+      SELECT ks.k, nq.n_queries,
+             CAST(COALESCE(SUM(CASE WHEN j.rn_b <= ks.k AND j.rn_i <= ks.k
+               THEN 1 END), 0) AS BIGINT) AS n_hits,
+             CAST(COALESCE(SUM(CASE WHEN j.rn_b <= ks.k AND j.rn_i <= ks.k
+               THEN 1 END), 0) * 1000000 // (ks.k * nq.n_queries)
+               AS BIGINT) AS recall_ppm
+      FROM ks CROSS JOIN nq
+      LEFT JOIN j ON j.rn_b <= ks.k AND j.rn_i <= ks.k
+      GROUP BY ks.k, nq.n_queries ORDER BY ks.k""",
     "knn_ivfpq_topk" -> ivfpqOracleSql,
     "vec_pq_codes" -> pqOracleSql,
     "dedup_near_embedding" -> nearEmbOracleSql,
@@ -1500,22 +1564,7 @@ object VectorOps extends OpRegistry {
                  k -> CAST(ord(substring(text, CAST(k * 4 + 1 AS INT), 1)) AS BIGINT))),
                (a, b) -> (a * 31 + b) % 2147483648) AS checksum31
       FROM s ORDER BY doc_id""",
-    "knn_cosine_topk" -> s"""
-      WITH q AS (SELECT vec_id, list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
-                 FROM embeddings),
-      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
-      d AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
-                   CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
-            FROM e a JOIN e b ON a.i = b.i
-            WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
-            GROUP BY 1, 2),
-      r AS (SELECT qid, vid, dot_q,
-                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vid) AS rn
-            FROM d)
-      SELECT qid, vid, dot_q, ${r4Sql("CAST(dot_q AS DOUBLE) / 1000000000000")} AS cos4,
-             CAST(rn AS INT) AS rn
-      FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "knn_cosine_topk" -> bruteKnnSql,
     "vec_hamming_recall" -> """
       WITH q AS (SELECT vec_id, list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe

@@ -197,6 +197,76 @@ object Profiling extends OpRegistry {
         .orderBy("c_custkey")
     }),
 
+    "profile_join_skew_report" -> ((s, dir) => {
+      // Join-key skew report — the "should I salt this join" table read
+      // before planning any fact-fact shuffle (join_skew_salted is the
+      // treatment; this is the diagnosis): per join-key column, row and
+      // distinct-key counts, the heaviest key and its count, and the
+      // max/mean ratio in integer ppm. Two-level shape per column:
+      // key-sized partial agg, then a 1-row stats frame + a broadcast
+      // equality probe to name the heavy key (min-key tiebreak — never
+      // max_by, whose ties are nondeterministic cross-engine); the four
+      // per-column subtrees union like profile_table_stats. skew_ppm =
+      // max_cnt·1e6 div (n_rows div n_keys): both divisions integer, no
+      // overflow at any scale (max_cnt < 2^43 declared; the direct
+      // max·keys·1e6 cross-mult would overflow past ~1e9 keys).
+      def prof(tbl: String, key: String): DataFrame = {
+        val cnts = t(s, dir)(tbl).select(col(key).cast("long").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("cnt"))
+        val stats = cnts.agg(sum("cnt").as("n_rows"),
+          count(lit(1)).as("n_keys"), max("cnt").as("max_cnt"))
+        val heavy = cnts.join(broadcast(stats))
+          .filter(col("cnt") === col("max_cnt"))
+          .agg(min("k").as("heavy_key"))
+        broadcast(stats).join(broadcast(heavy))
+          .select(lit(tbl).as("tbl"), lit(key).as("col_name"),
+            col("n_rows"), col("n_keys"), col("max_cnt"), col("heavy_key"),
+            call_function("div", col("max_cnt") * lit(1000000L),
+              call_function("div", col("n_rows"), col("n_keys")))
+              .as("skew_ppm"))
+      }
+      prof("lineitem", "l_orderkey")
+        .unionByName(prof("lineitem", "l_partkey"))
+        .unionByName(prof("lineitem", "l_suppkey"))
+        .unionByName(prof("orders", "o_custkey"))
+        .orderBy("tbl", "col_name")
+    }),
+
+    "merge_view_refresh_incremental" -> ((s, dir) => {
+      // Incremental materialized-view refresh (IVM): the nightly pattern
+      // where an aggregate view over an append-only fact is maintained by
+      // folding ONLY the delta partition into the landed snapshot —
+      // refresh cost ∝ delta, never the base (at 100 TB the base is never
+      // re-read; here the snapshot build is paid once per session, the
+      // CorpusArtifacts discipline). COUNT/SUM are self-maintainable
+      // aggregates — their partial states merge associatively — so
+      // snapshot ⊕ delta-agg provably equals the full recompute the
+      // oracle runs. The landed snapshot keeps EXACT DECIMAL partial
+      // sums (the merge must happen in decimal; only the served view
+      // casts to double), and the refresh re-aggregates snapshot ∪
+      // delta-agg on the groups-sized frame, not the fact.
+      val orders = t(s, dir)("orders")
+      val cutoff = "1997-01-01"
+      def aggOf(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderpriority"),
+            year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).as("sum_price_d"))
+      val snapDir = "/tmp/graft_ivm_snapshot_" + s.sparkContext.applicationId
+      if (!new java.io.File(snapDir).exists())
+        aggOf(orders.filter(col("o_orderdate") < lit(cutoff)))
+          .write.mode("overwrite").parquet(snapDir)
+      val snap = s.read.parquet(snapDir)
+      val delta = aggOf(orders.filter(col("o_orderdate") >= lit(cutoff)))
+      snap.unionByName(delta)
+        .groupBy("o_orderpriority", "yr")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("sum_price_d")).as("merged_d"))
+        .select(col("o_orderpriority"), col("yr"), col("n_orders"),
+          col("merged_d").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority", "yr")
+    }),
+
     "merge_delete_cow" -> ((s, dir) => {
       // Copy-on-write DELETE (round 12): delete a key range by rewriting
       // ONLY the files whose zone maps intersect the predicate — the
@@ -657,6 +727,43 @@ object Profiling extends OpRegistry {
       FROM z GROUP BY 1 ORDER BY zbucket"""
     },
 
+    "profile_join_skew_report" -> """
+      WITH c1 AS (SELECT l_orderkey AS k, COUNT(1) AS cnt FROM lineitem GROUP BY 1),
+      s1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(1) AS n_keys,
+                    MAX(cnt) AS max_cnt FROM c1),
+      h1 AS (SELECT MIN(k) AS heavy_key FROM c1, s1 WHERE cnt = max_cnt),
+      c2 AS (SELECT l_partkey AS k, COUNT(1) AS cnt FROM lineitem GROUP BY 1),
+      s2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(1) AS n_keys,
+                    MAX(cnt) AS max_cnt FROM c2),
+      h2 AS (SELECT MIN(k) AS heavy_key FROM c2, s2 WHERE cnt = max_cnt),
+      c3 AS (SELECT l_suppkey AS k, COUNT(1) AS cnt FROM lineitem GROUP BY 1),
+      s3 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(1) AS n_keys,
+                    MAX(cnt) AS max_cnt FROM c3),
+      h3 AS (SELECT MIN(k) AS heavy_key FROM c3, s3 WHERE cnt = max_cnt),
+      c4 AS (SELECT o_custkey AS k, COUNT(1) AS cnt FROM orders GROUP BY 1),
+      s4 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(1) AS n_keys,
+                    MAX(cnt) AS max_cnt FROM c4),
+      h4 AS (SELECT MIN(k) AS heavy_key FROM c4, s4 WHERE cnt = max_cnt)
+      SELECT * FROM (
+        SELECT 'lineitem' AS tbl, 'l_orderkey' AS col_name, n_rows, n_keys,
+               max_cnt, heavy_key,
+               max_cnt * 1000000 // (n_rows // n_keys) AS skew_ppm FROM s1, h1
+        UNION ALL
+        SELECT 'lineitem', 'l_partkey', n_rows, n_keys, max_cnt, heavy_key,
+               max_cnt * 1000000 // (n_rows // n_keys) FROM s2, h2
+        UNION ALL
+        SELECT 'lineitem', 'l_suppkey', n_rows, n_keys, max_cnt, heavy_key,
+               max_cnt * 1000000 // (n_rows // n_keys) FROM s3, h3
+        UNION ALL
+        SELECT 'orders', 'o_custkey', n_rows, n_keys, max_cnt, heavy_key,
+               max_cnt * 1000000 // (n_rows // n_keys) FROM s4, h4)
+      ORDER BY tbl, col_name""",
+    "merge_view_refresh_incremental" -> """
+      SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+             COUNT(1) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     "merge_upsert" -> """
       WITH changes AS (
         SELECT o_custkey, o_totalprice AS new_bal

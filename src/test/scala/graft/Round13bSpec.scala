@@ -202,4 +202,70 @@ class Round13bSpec extends GraftSuite {
       (0L, 1L, 2L, 1L, 500L, 1500L, 750L),
       (1L, 1L, 1L, 1L, 250L, 250L, 250L)), s"curve: $out")
   }
+
+  test("stream_restart_checkpoint: resumed state sums both phases; phase-A-only type survives the log") {
+    val dir = TestSpark.tempDir("graft_r13_rc_")
+    // even event_ids land in run 1, odd in run 2: 'view' spans both
+    // (resumed state must add, not reset), 'click' is run-1-only (its
+    // final row must survive from the earlier batch in the log),
+    // 'purchase' is run-2-only (new key in resumed state)
+    val rows = Seq(
+      (2L, 1000L, 1L, "view", 1.0), (4L, 2000L, 1L, "view", 2.0),
+      (3L, 3000L, 2L, "view", 3.0),
+      (6L, 4000L, 3L, "click", 10.0), (8L, 5000L, 3L, "click", 20.0),
+      (5L, 6000L, 4L, "purchase", 5.5))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("stream_restart_checkpoint")(spark, dir)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))).toSeq
+    assert(out === Seq(("click", 2L, 3000L), ("purchase", 1L, 550L),
+      ("view", 3L, 600L)), s"rows: $out")
+  }
+
+  test("merge_view_refresh_incremental: snapshot + delta fold equals full recompute; snapshot reuse is stable") {
+    def full() = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority", "yr")
+      .collect().toSeq
+    val expected = full()
+    val r1 = q("merge_view_refresh_incremental").collect().toSeq
+    val r2 = q("merge_view_refresh_incremental").collect().toSeq // landed-snapshot path
+    assert(r1 === expected, "refresh must equal the full recompute")
+    assert(r2 === expected, "second refresh (snapshot reused) must be identical")
+  }
+
+  test("profile_join_skew_report: hand-counted key frequencies, min-key tiebreak, integer ppm") {
+    val dir = TestSpark.tempDir("graft_r13_sk_")
+    Seq((1L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq(7L, 7L, 7L, 8L).toDF("o_custkey").write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("profile_join_skew_report")(spark, dir)
+      .collect().map(r => (r.getAs[String]("tbl"), r.getAs[String]("col_name")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"), r.getAs[Long]("max_cnt"),
+          r.getAs[Long]("heavy_key"), r.getAs[Long]("skew_ppm"))).toMap
+    assert(out(("lineitem", "l_orderkey")) === ((3L, 2L, 2L, 1L, 2000000L)), s"$out")
+    assert(out(("lineitem", "l_partkey"))  === ((3L, 3L, 1L, 1L, 1000000L)), s"$out")
+    assert(out(("lineitem", "l_suppkey"))  === ((3L, 2L, 2L, 1L, 2000000L)), s"$out")
+    assert(out(("orders", "o_custkey"))    === ((4L, 2L, 3L, 7L, 1500000L)), s"$out")
+  }
+
+  test("vec_ann_recall_curve: 3-row curve, recall bounded and hits monotone in k") {
+    val rows = q("vec_ann_recall_curve")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_queries"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toSeq
+    assert(rows.map(_._1) === Seq(1L, 3L, 5L), s"curve: $rows")
+    assert(rows.forall(_._2 == 10L), s"panel must be the 10 queries: $rows")
+    assert(rows.forall(r => r._4 >= 0L && r._4 <= 1000000L), s"recall out of [0,1]: $rows")
+    assert(rows.forall(r => r._3 <= r._1 * r._2), s"hits exceed k*nq: $rows")
+    val hits = rows.map(_._3)
+    assert(hits == hits.sorted, s"hits must be monotone in k: $rows")
+    // the fixture index is known-good (the r12 probe measured recall 1.0);
+    // anything below 0.8 at k=5 means a kernel drifted
+    assert(rows.last._4 >= 800000L, s"recall@5 collapsed: $rows")
+  }
 }
