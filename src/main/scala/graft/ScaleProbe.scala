@@ -75,7 +75,9 @@ object ScaleProbe {
     // value histogram, never a row sort
     "docs_length_outliers",
     // the parity-sketch banded near-dup pass (cell-capped pair stream)
-    "multimodal_phash_dedup")
+    "multimodal_phash_dedup",
+    // round 13 batch 7: the scan-shaped per-lang fertility table
+    "docs_token_fertility")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -89,7 +91,10 @@ object ScaleProbe {
     // round 13: the id-capped geometry histogram (work is cap-bounded —
     // the ratio should be ~1 at any corpus size) and the recall-curve
     // harness composing the two kNN kernels
-    "vec_cosine_histogram", "vec_ann_recall_curve")
+    "vec_cosine_histogram", "vec_ann_recall_curve",
+    // round 13 batch 7: the cell-bounded index-health report (≤ 2^planes
+    // rows per table after one scan)
+    "vec_ivf_cell_stats")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
@@ -131,7 +136,10 @@ object ScaleProbe {
     // round 13 batch 4: the hod-baseline anomaly screen — one scan agg
     // to the days×24×types grid, bounded joins after — and the
     // cohort-week LTV curve (two aggs + calendar-bounded window)
-    "events_anomaly_seasonal", "events_cohort_ltv_curve")
+    "events_anomaly_seasonal", "events_cohort_ltv_curve",
+    // round 13 batch 7: the growth-accounting ledger (one distinct
+    // collapse + user-partitioned lag/lead + calendar-bounded grid)
+    "events_user_lifecycle")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,

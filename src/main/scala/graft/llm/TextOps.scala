@@ -314,6 +314,36 @@ object TextOps extends OpRegistry {
         expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))").as("bpe_ish_tokens"))
         .orderBy("doc_id")),
 
+    "docs_token_fertility" -> ((s, dir) => {
+      // Tokenizer fertility by language — the chars-per-token compression
+      // table every multilingual corpus audit runs before fixing a token
+      // budget: a language whose fertility is 2× the corpus mean gets half
+      // the effective context for the same token spend, so mix weights and
+      // per-lang budgets are set off THIS table. Tokenizers are
+      // text_token_count's exact pair (whitespace + the bpe-ish [a-z]+|[0-9]+
+      // run regex), so the two ops can never disagree on what a token is.
+      // Map-side tokenize + one lang-sized agg — scan-shaped at any corpus
+      // size; ratios are r4-displayed doubles guarded against empty-token
+      // languages (NULL, never a cross-engine inf).
+      val tok = tWide(s, dir)("documents").select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))")
+          .cast("long").as("bpe_tokens"))
+      tok.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("ws_tokens").as("sum_ws_tokens"),
+          sum("bpe_tokens").as("sum_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          col("sum_ws_tokens"), col("sum_bpe_tokens"),
+          when(col("sum_bpe_tokens") > 0,
+            r4(col("sum_chars").cast("double") / col("sum_bpe_tokens")))
+            .as("chars_per_bpe4"),
+          when(col("sum_ws_tokens") > 0,
+            r4(col("sum_chars").cast("double") / col("sum_ws_tokens")))
+            .as("chars_per_ws4"))
+        .orderBy("lang")
+    }),
+
     "dedup_assign_canonical" -> ((s, dir) => {
       // Dedup as ASSIGNMENT rather than filtering: every row maps to the
       // retained representative (min doc_id of its exact-hash group) — the
@@ -1495,6 +1525,22 @@ object TextOps extends OpRegistry {
              CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS bpe_ish_tokens
       FROM documents ORDER BY doc_id""",
+    "docs_token_fertility" -> s"""
+      WITH tok AS (SELECT lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS bpe_tokens
+           FROM documents),
+      a AS (SELECT lang, COUNT(1) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+                   CAST(SUM(bpe_tokens) AS BIGINT) AS sum_bpe_tokens
+            FROM tok GROUP BY lang)
+      SELECT lang, n_docs, sum_chars, sum_ws_tokens, sum_bpe_tokens,
+             CASE WHEN sum_bpe_tokens > 0 THEN
+               ${r4Sql("CAST(sum_chars AS DOUBLE) / sum_bpe_tokens")} END AS chars_per_bpe4,
+             CASE WHEN sum_ws_tokens > 0 THEN
+               ${r4Sql("CAST(sum_chars AS DOUBLE) / sum_ws_tokens")} END AS chars_per_ws4
+      FROM a ORDER BY lang""",
     "dedup_assign_canonical" -> """
       SELECT doc_id,
              MIN(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS canonical_id,

@@ -58,6 +58,29 @@ object VectorOps extends OpRegistry {
     }
   }
 
+  /** Shared IVF cell assignment — (vec_id, qe, tbl, cell), one row per
+    * vector per LSH table: the sign pattern of the vector against each
+    * table's IvfPlanes deterministic hyperplanes, planes baked in as
+    * literals (no per-row hashing). THE kernel behind both knn_ivf_topk
+    * (the index) and vec_ivf_cell_stats (the index-health report) — one
+    * definition, so the diagnosed index is provably the served index.
+    * Embedding dim comes from the data via a one-row probe (a literal-
+    * plane/array length mismatch would silently null projections). */
+  private def ivfCellsFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = tWide(s, dir)("embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe, a repartition would force a full scan+shuffle
+    def cellOf(qe: Column, tb: Int): Column =
+      (0 until IvfPlanes).map { p =>
+        val plane = planeComponents(tb * IvfPlanes + p, dim)
+        val proj = dotQ(s, qe, lit(plane))
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    e.select(col("vec_id"), col("qe"),
+      posexplode(array((0 until IvfTables).map(tb => cellOf(col("qe"), tb)): _*))
+        .as(Seq("tbl", "cell")))
+  }
+
   private val PqSubspaces = 8
   private val PqCodebook = 16
   /** knn_ivfpq_topk uses finer subspaces than vec_pq_codes (16×4-dim vs
@@ -424,23 +447,8 @@ object VectorOps extends OpRegistry {
       // 1-(1-0.6)^4 ≈ 0.97 recall — while the candidate set stays bounded
       // by cell occupancy (never doc × doc). At larger corpora, add planes
       // per table: cell count scales exponentially, probe count stays 22L.
-      val NumTables = IvfTables
       val Planes = IvfPlanes
-      val e = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
-      // Embedding dim from the data (a literal-plane/array length mismatch
-      // would silently null out projections — ADVICE r1); one-row scan.
-      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe, a repartition would force a full scan+shuffle
-      // cell bits for table tb: sign of <qe, plane(tb, p)> with deterministic
-      // zero-mean integer planes baked in as literals (no per-row hashing).
-      def cellOf(qe: Column, tb: Int): Column =
-        (0 until Planes).map { p =>
-          val plane = planeComponents(tb * Planes + p, dim)
-          val proj = dotQ(s, qe, lit(plane))
-          when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      val cells = e.select(col("vec_id"), col("qe"),
-        posexplode(array((0 until NumTables).map(tb => cellOf(col("qe"), tb)): _*))
-          .as(Seq("tbl", "cell")))
+      val cells = ivfCellsFrame(s, dir)
       val q = cells.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("qe").as("qv"),
           col("tbl").as("qtbl"), col("cell").as("qcell"))
@@ -462,6 +470,40 @@ object VectorOps extends OpRegistry {
         .filter(col("rn") <= 5)
         .select(col("qid"), col("vid"), col("dot_q"), col("rn").cast("int").as("rn"))
         .orderBy("qid", "rn")
+    }),
+
+    "vec_ivf_cell_stats" -> ((s, dir) => {
+      // IVF index-health report — the occupancy-balance table a vector
+      // store reads before trusting its index (profile_join_skew_report's
+      // diagnosis discipline applied to the ANN index): per LSH table,
+      // vector/cell counts, the heaviest cell and its occupancy, singleton
+      // count, and max/mean occupancy in integer ppm. A saturated cell
+      // means candidate lists degenerate toward brute force (the
+      // multimodal_phash_dedup cap lesson); a sea of singletons means
+      // recall starves. Cells come from ivfCellsFrame — THE same kernel
+      // knn_ivf_topk serves from, so the diagnosed index is provably the
+      // served one. Work is cell-bounded after one scan: ≤ 2^planes rows
+      // per table at any corpus size. skew_ppm = max_occ·1e6 div
+      // (n_vecs div n_cells), both divisions integer (overflow-safe at
+      // any scale); heavy cell by min-cell tiebreak (never max_by).
+      val occ = ivfCellsFrame(s, dir).groupBy("tbl", "cell")
+        .agg(count(lit(1)).as("occ"))
+      val stats = occ.groupBy("tbl").agg(
+        sum("occ").as("n_vecs"), count(lit(1)).as("n_cells"),
+        max("occ").as("max_occ"),
+        sum(when(col("occ") === 1, 1L).otherwise(0L)).as("singleton_cells"))
+      val heavy = occ.join(broadcast(stats.select(col("tbl").as("tbl2"),
+          col("max_occ").as("mx"))),
+          col("tbl") === col("tbl2") && col("occ") === col("mx"))
+        .groupBy("tbl").agg(min("cell").as("heavy_cell"))
+      stats.join(heavy, Seq("tbl"))
+        .select(col("tbl").cast("long").as("tbl"), col("n_vecs"),
+          col("n_cells"), col("max_occ"), col("singleton_cells"),
+          col("heavy_cell"),
+          call_function("div", col("max_occ") * lit(1000000L),
+            call_function("div", col("n_vecs"), col("n_cells")))
+            .as("occ_skew_ppm"))
+        .orderBy("tbl")
     }),
 
     "vec_ann_recall_curve" -> ((s, dir) => {
@@ -1204,6 +1246,43 @@ object VectorOps extends OpRegistry {
       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
   }
 
+  /** Generated DuckDB twin of vec_ivf_cell_stats: re-derives the cell
+    * assignment from the SAME planeComponents literals ivfOracleSql emits
+    * (both strings come from one Scala generator — no hand-copied SQL to
+    * drift), then folds to the per-table occupancy stats. */
+  private def ivfCellStatsOracleSql: String = {
+    val dim = 64
+    val vals = (for { t <- 0 until IvfTables; p <- 0 until IvfPlanes } yield
+      s"($t, $p, [${planeComponents(t * IvfPlanes + p, dim).mkString(",")}])"
+    ).mkString(",\n        ")
+    s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      planes(tbl, p, comps) AS (VALUES
+        $vals),
+      proj AS (SELECT vec_id, tbl, p,
+                      list_sum(list_transform(range(1, ${dim + 1}), i -> qe[i] * comps[i])) AS pr
+               FROM q CROSS JOIN planes),
+      cells AS (SELECT vec_id, tbl,
+                       CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS cell
+                FROM proj GROUP BY vec_id, tbl),
+      occ AS (SELECT tbl, cell, COUNT(1) AS occ FROM cells GROUP BY 1, 2),
+      st AS (SELECT tbl, CAST(SUM(occ) AS BIGINT) AS n_vecs,
+                    COUNT(1) AS n_cells, MAX(occ) AS max_occ,
+                    CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS singleton_cells
+             FROM occ GROUP BY tbl),
+      hv AS (SELECT o.tbl, MIN(o.cell) AS heavy_cell
+             FROM occ o JOIN st ON o.tbl = st.tbl AND o.occ = st.max_occ
+             GROUP BY o.tbl)
+      SELECT CAST(st.tbl AS BIGINT) AS tbl, n_vecs, n_cells, max_occ,
+             singleton_cells, heavy_cell,
+             CAST(max_occ * 1000000 // (n_vecs // n_cells) AS BIGINT)
+               AS occ_skew_ppm
+      FROM st JOIN hv ON st.tbl = hv.tbl ORDER BY tbl"""
+  }
+
   /** Generated DuckDB twin of vec_pq_codes: the 8×16 codebook is emitted as
     * SQL literals and the encode — subvector slice, exact integer L2 argmin
     * with (dist, k) tie-break, code packing, total quantization error — is
@@ -1464,6 +1543,7 @@ object VectorOps extends OpRegistry {
              CAST(SUM(dist) AS BIGINT) AS inertia_q
       FROM best GROUP BY cl ORDER BY cluster""",
     "knn_ivf_topk" -> ivfOracleSql,
+    "vec_ivf_cell_stats" -> ivfCellStatsOracleSql,
     "vec_ann_recall_curve" -> s"""
       WITH ivf AS ($ivfOracleSql),
       brute AS ($bruteKnnSql),

@@ -139,6 +139,29 @@ object Scans extends OpRegistry {
         .orderBy("region")
     }),
 
+    "scan_describe_history" -> ((s, dir) => {
+      // DESCRIBE HISTORY over the manifest log — the table-audit surface
+      // every lakehouse exposes (Delta DESCRIBE HISTORY / Iceberg
+      // snapshots metadata table): one row per committed version with
+      // row-level content stats certified by actually reading each
+      // version's file list. The log walk is O(versions) driver state
+      // (KB-sized at any table size); the per-version aggregates are each
+      // a pinned readAsOf — at 100 TB a production implementation serves
+      // these from commit-time manifest stats instead of re-scanning, but
+      // the CONTRACT this op locks is that the history row equals the
+      // as-of read, which is exactly what makes manifest stats trustable.
+      // Oracle replays both versions from the source table (v1 = source +
+      // key+1000/region+100 shifted copies — snapshotTable's fixture).
+      val base = snapshotTable(s, dir, "describe_history")
+      def summ(v: Int): DataFrame =
+        readAsOf(s, base, v).agg(count(lit(1)).as("n_rows"),
+            sum("n_nationkey").as("sum_key"),
+            countDistinct("n_regionkey").as("n_regions"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("sum_key"), col("n_regions"))
+      summ(0).unionByName(summ(1)).orderBy("version")
+    }),
+
     "sink_json_roundtrip" -> ((s, dir) => {
       val out = "/tmp/graft_sink_json"
       val src = t(s, dir)("region")
@@ -328,6 +351,19 @@ object Scans extends OpRegistry {
       SELECT CAST(n_regionkey + 100 AS BIGINT) AS region, COUNT(1) AS cnt,
              CAST(SUM(n_nationkey + 1000) AS BIGINT) AS sum_key
       FROM nation GROUP BY 1 ORDER BY region""",
+    // v0 = nation verbatim; v1 appends the shifted copies (keys +1000,
+    // regions +100, disjoint domains) — so every history row is derivable
+    // from the source table alone
+    "scan_describe_history" -> """
+      WITH v0 AS (SELECT COUNT(1) AS n_rows,
+                         CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+                         COUNT(DISTINCT n_regionkey) AS n_regions
+                  FROM nation)
+      SELECT CAST(0 AS BIGINT) AS version, n_rows, sum_key, n_regions FROM v0
+      UNION ALL
+      SELECT 1, 2 * n_rows, CAST(2 * sum_key + 1000 * n_rows AS BIGINT),
+             2 * n_regions FROM v0
+      ORDER BY version""",
     "scan_parquet" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_projection" -> """
       SELECT l_orderkey, l_linenumber, l_extendedprice

@@ -312,6 +312,47 @@ object Timeseries extends OpRegistry {
         .orderBy("day")
     }),
 
+    "events_user_lifecycle" -> ((s, dir) => {
+      // Growth accounting — the new/retained/resurrected/churned ledger
+      // every DAU chart decomposes into (the "quick ratio" inputs). One
+      // fact-sized pass collapses to DISTINCT (user, day); one per-user
+      // window (lag + lead over the same day order — Catalyst reuses the
+      // sort) classifies each active day: NEW (no prior day), RETAINED
+      // (active yesterday), RESURRECTED (gap ≥ 2 days); a user CHURNS on
+      // day d+1 when active on d but not d+1 (capped at the corpus's last
+      // day — beyond it churn is unknowable, the standard convention).
+      // The day grid is calendar-bounded (zero-filled: a silent day must
+      // read 0s, not vanish — the events_period_autocorr discipline), the
+      // span frame is 1 row, and everything after the distinct is
+      // user-partitioned or day-sized. Identity per day: n_active =
+      // n_new + n_retained + n_resurrected (spec-asserted).
+      val d = eventsUs(s, dir).select(col("user_id"),
+        call_function("div", col("ts_us"), lit(usPerDay)).as("day")).distinct()
+      val ord = Window.partitionBy("user_id").orderBy("day")
+      val c = d.withColumn("prev_day", lag("day", 1).over(ord))
+        .withColumn("next_day", lead("day", 1).over(ord))
+      val span = d.agg(min("day").as("min_d"), max("day").as("max_d"))
+      val grid = span.select(explode(sequence(col("min_d"), col("max_d"))).as("day"))
+      val act = c.groupBy("day").agg(count(lit(1)).as("n_active"),
+        sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev_day") === col("day") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev_day").isNotNull && col("prev_day") < col("day") - 1,
+          1L).otherwise(0L)).as("n_resurrected"))
+      val churn = c.join(broadcast(span))
+        .filter((col("next_day").isNull || col("next_day") > col("day") + 1)
+          && col("day") + 1 <= col("max_d"))
+        .groupBy((col("day") + 1).as("day"))
+        .agg(count(lit(1)).as("n_churned"))
+      grid.join(act, Seq("day"), "left").join(churn, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy("day")
+    }),
+
     "events_pareto_share" -> ((s, dir) => {
       // Activity-concentration (Pareto) table: users ranked into deciles
       // by event count, each decile's share of all events in exact integer
@@ -1086,6 +1127,33 @@ object Timeseries extends OpRegistry {
         GROUP BY g.day)
       SELECT day, dau, wau
       FROM dau JOIN wau ON day = g_day
+      ORDER BY day""",
+
+    "events_user_lifecycle" -> """
+      WITH d AS (SELECT DISTINCT user_id,
+                        (epoch_ns(ts)//1000) // 86400000000 AS day FROM events),
+      c AS (SELECT user_id, day,
+                   LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+                   LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+            FROM d),
+      span AS (SELECT MIN(day) AS min_d, MAX(day) AS max_d FROM d),
+      grid AS (SELECT unnest(generate_series(min_d, max_d)) AS day FROM span),
+      act AS (SELECT day, COUNT(1) AS n_active,
+                     CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                     CAST(SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                     CAST(SUM(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+              FROM c GROUP BY day),
+      churn AS (SELECT day + 1 AS day, COUNT(1) AS n_churned
+                FROM c, span
+                WHERE (next_day IS NULL OR next_day > day + 1) AND day + 1 <= max_d
+                GROUP BY day + 1)
+      SELECT g.day, COALESCE(n_active, 0) AS n_active,
+             COALESCE(n_new, 0) AS n_new,
+             COALESCE(n_retained, 0) AS n_retained,
+             COALESCE(n_resurrected, 0) AS n_resurrected,
+             COALESCE(n_churned, 0) AS n_churned
+      FROM grid g LEFT JOIN act USING (day) LEFT JOIN churn USING (day)
       ORDER BY day""",
 
     "events_pareto_share" -> """
