@@ -77,7 +77,15 @@ object ScaleProbe {
     // the parity-sketch banded near-dup pass (cell-capped pair stream)
     "multimodal_phash_dedup",
     // round 13 batch 7: the scan-shaped per-lang fertility table
-    "docs_token_fertility")
+    "docs_token_fertility",
+    // round 13 batch 8: the source-sized mixture/epoch sheet
+    "docs_mixture_epoch_plan",
+    // round 13 batch 9: winnowing — per-doc window over positional
+    // k-grams + fingerprint-vocabulary-sized sharing pass
+    "text_winnowing_fingerprints",
+    // round 13 batch 10: the stage-survivor funnel (one conditional-agg
+    // scan + the kept frame's content-hash window)
+    "docs_curation_funnel")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -191,7 +199,11 @@ object ScaleProbe {
     "merge_insert_overwrite_dynamic",
     // round 13 batch 6: the IVM delta fold (snapshot paid once) and the
     // per-key skew diagnosis (key-sized aggs + broadcast heavy probe)
-    "merge_view_refresh_incremental", "profile_join_skew_report")
+    "merge_view_refresh_incremental", "profile_join_skew_report",
+    // round 13 batch 8: the day-grid running backlog (two fact aggs +
+    // calendar-bounded window) and the argmax-with-ties broadcast-max
+    // filter (no per-group sort — the k=1 WITH TIES rewrite)
+    "q_order_backlog_daily", "limit_topk_with_ties")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

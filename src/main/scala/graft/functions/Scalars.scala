@@ -167,6 +167,25 @@ object Scalars extends OpRegistry {
         md5(col("text")).as("md5h"))
         .orderBy("doc_id")),
 
+    "fn_try_arith" -> ((s, dir) =>
+      // ANSI-safe TRY arithmetic family: the error becomes NULL instead of
+      // failing the job — the semantics a production pipeline needs when
+      // one poisoned row must not kill a 100 TB run (ANSI mode without TRY
+      // kills the stage; non-ANSI silently wraps, which is worse).
+      // try_divide hits a real zero denominator (qty = 25 centers it),
+      // try_add overflows on EVERY row (Long.MaxValue staging), and
+      // try_element_at probes past the array end. The oracle replays each
+      // with explicit CASE guards — DuckDB would raise where Spark TRY
+      // nulls, so the guard IS the cross-engine statement of the contract.
+      t(s, dir)("lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"),
+          col("l_quantity").cast("long") - 25).as("cents_per_div25"),
+        try_add(lit(Long.MaxValue), col("l_orderkey")).as("add_overflow"),
+        try_multiply(col("l_orderkey"), lit(2L)).as("mul_ok"),
+        try_element_at(split(col("l_returnflag"), ""), lit(2)).as("elem_oob"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     "fn_bitwise" -> ((s, dir) =>
       // Bitwise scalar family over 64-bit keys: AND/OR/XOR, shifts, bit
       // count — the primitives behind bucket masks, bloom probes, and flag
@@ -330,6 +349,15 @@ object Scalars extends OpRegistry {
     "fn_hash" -> """
       SELECT doc_id, sha256(text) AS sha, md5(text) AS md5h
       FROM documents ORDER BY doc_id""",
+    "fn_try_arith" -> """
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN CAST(l_quantity AS BIGINT) <> 25 THEN
+               CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
+                 / (CAST(l_quantity AS BIGINT) - 25) END AS cents_per_div25,
+             CASE WHEN l_orderkey = 0 THEN 9223372036854775807 END AS add_overflow,
+             l_orderkey * 2 AS mul_ok,
+             CAST(NULL AS VARCHAR) AS elem_oob
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "fn_bitwise" -> """
       SELECT event_id,
              event_id & 255 AS band,

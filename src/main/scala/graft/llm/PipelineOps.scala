@@ -186,6 +186,38 @@ object PipelineOps extends OpRegistry {
         .orderBy("source")
     }),
 
+    "docs_mixture_epoch_plan" -> ((s, dir) => {
+      // Data-mixing EPOCH plan — docs_domain_mix gives the target shares;
+      // this op turns them into the actionable table: per source, how many
+      // epochs (repeats) of that source the training run makes when the
+      // total token budget is one pass over the corpus re-balanced to
+      // sqrt-temperature shares (epochs > 1 ⇒ the source is upsampled /
+      // repeated, < 1 ⇒ downsampled — the Llama-style mixture sheet).
+      // Weights are TOKEN-based here (budgets are spent in tokens, not
+      // docs): w ∝ sqrt(tokens), quantized to integer MILLI-units before
+      // the normalizing sum (milli, not micro: w_q ≤ 1e10 at 1e14 corpus
+      // tokens keeps w_q·1e6 inside BIGINT where micro-units would
+      // overflow) — no double accumulation, no ordering sensitivity.
+      // epochs6 = share · total ÷ tokens as ONE fixed left-assoc IEEE
+      // double sequence from exact integers (the text_readability
+      // discipline), r6 display. Source dimension is tiny by construction;
+      // the groupBy is the only fact-sized pass.
+      val byS = t(s, dir)("documents").groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      val wq = floor(sqrt(col("tokens").cast("double")) * lit(1e3) + lit(0.5))
+        .cast("long")
+      byS.withColumn("w_q", wq)
+        .withColumn("w_total", sum(col("w_q")).over(Window.partitionBy()))
+        .withColumn("total_tokens", sum(col("tokens")).over(Window.partitionBy()))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          call_function("div", col("w_q") * lit(1000000L), col("w_total"))
+            .as("share_ppm"),
+          r6(col("w_q").cast("double") / col("w_total") * col("total_tokens")
+            / col("tokens")).as("epochs6"))
+        .orderBy("source")
+    }),
+
     "docs_lm_quality_filter" -> ((s, dir) => {
       // LM-based quality filtering (the CCNet shape): score every doc by
       // its average bigram negative-log-likelihood under the corpus' own
@@ -728,6 +760,23 @@ object PipelineOps extends OpRegistry {
       SELECT source, n_docs, n_tokens,
              (w_q * 1000000) // CAST(SUM(w_q) OVER () AS BIGINT) AS mix_ppm
       FROM w ORDER BY source""",
+
+    "docs_mixture_epoch_plan" -> s"""
+      WITH byS AS (SELECT source, COUNT(1) AS n_docs,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+                   FROM documents GROUP BY source),
+      w AS (SELECT source, n_docs, tokens,
+                   CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w_q
+            FROM byS),
+      t AS (SELECT source, n_docs, tokens, w_q,
+                   CAST(SUM(w_q) OVER () AS BIGINT) AS w_total,
+                   CAST(SUM(tokens) OVER () AS BIGINT) AS total_tokens
+            FROM w)
+      SELECT source, n_docs, tokens,
+             (w_q * 1000000) // w_total AS share_ppm,
+             ${r6Sql("CAST(w_q AS DOUBLE) / w_total * total_tokens / tokens")}
+               AS epochs6
+      FROM t ORDER BY source""",
 
     "docs_lm_quality_filter" -> s"""
       WITH $NllCteSql

@@ -344,6 +344,52 @@ object TextOps extends OpRegistry {
         .orderBy("lang")
     }),
 
+    "text_winnowing_fingerprints" -> ((s, dir) => {
+      // Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD'03,
+      // the MOSS algorithm): per doc, POSITIONAL 3-token k-grams (order
+      // kept, duplicates kept — unlike the distinct shingle kernel), each
+      // hashed with the portable rolling 31-fold; in every window of w=4
+      // consecutive k-gram hashes, select the minimum — the winnowing
+      // guarantee is that any shared run of ≥ w+k−1 tokens yields at
+      // least one shared selected fingerprint, with density ~2/(w+1)
+      // instead of every-k-gram (minhash has no locality guarantee at
+      // all; this is the local-match detector). Fingerprints dedup by
+      // VALUE per doc; a fingerprint seen in ≥2 docs marks local overlap,
+      // reported per doc as integer-ppm share. Scale: the window runs
+      // per-doc over doc-length rows (the per-user window class); the
+      // sharing pass is fingerprint-vocabulary-sized. Oracle replays the
+      // identical fold + frame in SQL.
+      val w = 4
+      val docs = tWide(s, dir)("documents")
+      val toks = split(col("text"), " ")
+      val sh = docs.select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(when(size(col("toks")) >= 3,
+            sequence(lit(0), size(col("toks")) - 3))
+          .otherwise(array().cast("array<int>"))).as("i"), col("toks"))
+        .select(col("doc_id"), col("i"),
+          graft.llm.PipelineOps.rollingHash31(
+            array_join(slice(col("toks"), col("i") + 1, lit(3)), " ")).as("h"))
+      val wspec = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+      val fps = sh.withColumn("fp", min("h").over(wspec))
+        .withColumn("nf", count(lit(1)).over(wspec))
+        .filter(col("nf") === w)
+        .select("doc_id", "fp").distinct()
+      val docCnt = fps.groupBy("fp").agg(countDistinct("doc_id").as("n_docs_fp"))
+      val perDoc = fps.join(docCnt, "fp").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"),
+          sum(when(col("n_docs_fp") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      docs.select(col("doc_id"),
+          greatest(size(toks) - 2, lit(0)).cast("long").as("n_shingles"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          when(coalesce(col("n_fps"), lit(0L)) > 0,
+            call_function("div", coalesce(col("n_shared"), lit(0L)) * lit(1000000L),
+              col("n_fps"))).as("shared_ppm"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_assign_canonical" -> ((s, dir) => {
       // Dedup as ASSIGNMENT rather than filtering: every row maps to the
       // retained representative (min doc_id of its exact-hash group) — the
@@ -386,6 +432,52 @@ object TextOps extends OpRegistry {
         size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_masked"))
         .withColumn("scrub_sha", sha2(col("scrubbed"), 256))
         .orderBy("doc_id")),
+
+    "docs_curation_funnel" -> ((s, dir) => {
+      // Curation FUNNEL — the stage-by-stage survivor report every
+      // pipeline publishes next to its cleaned corpus (how much did each
+      // gate cost): raw → quality gate → exact-dedup canonical, THE SAME
+      // gates pipeline_clean_corpus applies (same StopWords, same integer
+      // thresholds, same scrub + sha canonical rule — the funnel counts
+      // and the cleaned corpus can never disagree). One conditional-agg
+      // scan covers raw+quality; the dedup stage rides the kept frame's
+      // content-hash window (the only shuffle). kept_ppm is integer ppm
+      // vs RAW (the budget owner's view: how much of the crawl survives).
+      val stop = StopWords
+      val toks = split(col("text"), " ")
+      val base = tWide(s, dir)("documents")
+        .withColumn("n_tokens", size(toks))
+        .withColumn("stop_cnt", size(filter(toks, x => x.isin(stop: _*))))
+        .withColumn("punct_cnt",
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+        .withColumn("q_pass", col("n_tokens") >= 5
+          && col("stop_cnt") * 2 <= col("n_tokens")
+          && col("punct_cnt") * 10 <= col("n_chars"))
+      val s01 = base.agg(
+        count(lit(1)).as("raw_docs"), sum("n_chars").as("raw_chars"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("q_docs"),
+        sum(when(col("q_pass"), col("n_chars")).otherwise(0L)).as("q_chars"))
+      val canon = base.filter(col("q_pass"))
+        .withColumn("scrubbed", scrubExpr(col("text")))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(sha2(col("scrubbed"), 256))))
+        .filter(col("doc_id") === col("canonical_id"))
+        .agg(count(lit(1)).as("d_docs"), sum("n_chars").as("d_chars"))
+      s01.join(broadcast(canon))
+        .select(explode(array(
+          struct(lit(0L).as("stage"), lit("raw").as("stage_name"),
+            col("raw_docs").as("n_docs"), col("raw_chars").as("n_chars")),
+          struct(lit(1L).as("stage"), lit("quality").as("stage_name"),
+            col("q_docs").as("n_docs"), col("q_chars").as("n_chars")),
+          struct(lit(2L).as("stage"), lit("dedup").as("stage_name"),
+            col("d_docs").as("n_docs"), col("d_chars").as("n_chars"))))
+          .as("r"), col("raw_docs"))
+        .select(col("r.stage").as("stage"), col("r.stage_name").as("stage_name"),
+          col("r.n_docs").as("n_docs"), col("r.n_chars").as("n_chars"),
+          call_function("div", col("r.n_docs") * lit(1000000L),
+            col("raw_docs")).as("kept_ppm"))
+        .orderBy("stage")
+    }),
 
     "pipeline_clean_corpus" -> ((s, dir) => {
       // Capstone composite: the whole training-data cleaning pipeline in one
@@ -1541,6 +1633,40 @@ object TextOps extends OpRegistry {
              CASE WHEN sum_ws_tokens > 0 THEN
                ${r4Sql("CAST(sum_chars AS DOUBLE) / sum_ws_tokens")} END AS chars_per_ws4
       FROM a ORDER BY lang""",
+    "text_winnowing_fingerprints" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      pos AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i, tk
+              FROM toks),
+      sh0 AS (SELECT doc_id, i, array_to_string(tk[i:i+2], ' ') AS sg FROM pos),
+      sh AS (SELECT doc_id, i,
+               list_reduce(list_prepend(CAST(17 AS BIGINT),
+                 list_transform(range(1, length(sg) + 1),
+                   j -> CAST(ord(substring(sg, j, 1)) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 2147483648) AS h
+             FROM sh0),
+      win AS (SELECT doc_id,
+                MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                COUNT(1) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nf
+              FROM sh),
+      fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE nf = 4),
+      dc AS (SELECT fp, COUNT(DISTINCT doc_id) AS n_docs_fp FROM fps GROUP BY fp),
+      pd AS (SELECT f.doc_id, COUNT(1) AS n_fps,
+                    CAST(SUM(CASE WHEN dc.n_docs_fp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_shared
+             FROM fps f JOIN dc ON f.fp = dc.fp GROUP BY f.doc_id),
+      base AS (SELECT doc_id,
+                      CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS BIGINT)
+                        AS n_shingles
+               FROM documents)
+      SELECT b.doc_id, b.n_shingles,
+             COALESCE(n_fps, 0) AS n_fps, COALESCE(n_shared, 0) AS n_shared,
+             CASE WHEN COALESCE(n_fps, 0) > 0
+               THEN COALESCE(n_shared, 0) * 1000000 // n_fps END AS shared_ppm
+      FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
+      ORDER BY b.doc_id""",
+
     "dedup_assign_canonical" -> """
       SELECT doc_id,
              MIN(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS canonical_id,
@@ -1563,6 +1689,43 @@ object TextOps extends OpRegistry {
                CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_masked
         FROM documents)
       ORDER BY doc_id""",
+    "docs_curation_funnel" -> """
+      WITH staged AS (
+        SELECT doc_id, n_chars, text,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','of','and','a','to','in','is','data'))) AS INT) AS stop_cnt,
+               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INT) AS punct_cnt
+        FROM documents),
+      flagged AS (
+        SELECT doc_id, n_chars, text,
+               (n_tokens >= 5 AND stop_cnt * 2 <= n_tokens
+                AND punct_cnt * 10 <= n_chars) AS q_pass
+        FROM staged),
+      s01 AS (SELECT COUNT(1) AS raw_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS raw_chars,
+                     CAST(SUM(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS q_docs,
+                     CAST(SUM(CASE WHEN q_pass THEN n_chars ELSE 0 END) AS BIGINT) AS q_chars
+              FROM flagged),
+      canon AS (
+        SELECT COUNT(1) AS d_docs, CAST(SUM(n_chars) AS BIGINT) AS d_chars
+        FROM (
+          SELECT doc_id, n_chars, MIN(doc_id) OVER (PARTITION BY sha256(
+            trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+                                '  +', ' ', 'g')))) AS canonical_id
+          FROM flagged WHERE q_pass)
+        WHERE doc_id = canonical_id)
+      SELECT stage, stage_name, n_docs, n_chars,
+             n_docs * 1000000 // raw_docs AS kept_ppm
+      FROM (
+        SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+               raw_docs AS n_docs, raw_chars AS n_chars, raw_docs FROM s01
+        UNION ALL
+        SELECT 1, 'quality', q_docs, q_chars, raw_docs FROM s01
+        UNION ALL
+        SELECT 2, 'dedup', d_docs, d_chars, raw_docs FROM s01, canon)
+      ORDER BY stage""",
+
     "pipeline_clean_corpus" -> """
       WITH staged AS (
         SELECT doc_id, lang, source, n_chars, text,

@@ -138,6 +138,37 @@ object Analytics extends OpRegistry {
         .orderBy("year_from")
     }),
 
+    "q_order_backlog_daily" -> ((s, dir) => {
+      // Open-order backlog per day — the operations running-balance chart
+      // (how many orders are in flight): an order OPENS on o_orderdate and
+      // CLOSES when its LAST line ships; backlog = running Σ(opened −
+      // closed) over the calendar grid. Two fact-sized aggs (order-day
+      // counts; per-order max shipdate then its day counts), everything
+      // after is day-sized: the grid is calendar-bounded (~2.5k days at
+      // any SF) and the running sum is one bounded single-partition window
+      // (documented WindowExec-warning class — correct at any scale). Day
+      // grid is zero-filled: a day with no order activity still carries
+      // the backlog level. Grid born distributed via sequence() explode.
+      val opened = t(s, dir)("orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_opened"))
+      val closed = t(s, dir)("lineitem")
+        .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("close_ts"))
+        .groupBy(to_date(col("close_ts")).as("day"))
+        .agg(count(lit(1)).as("n_closed"))
+      val span = opened.select("day").unionByName(closed.select("day"))
+        .agg(min("day").as("min_d"), max("day").as("max_d"))
+      val grid = span.select(explode(sequence(col("min_d"), col("max_d"),
+        expr("interval 1 day"))).as("day"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(opened, Seq("day"), "left").join(closed, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+          coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+        .withColumn("backlog", sum(col("n_opened") - col("n_closed")).over(w))
+        .orderBy("day")
+    }),
+
     "q_supplier_concentration" -> ((s, dir) => {
       // Supplier-concentration HHI per nation (round 12): Herfindahl index
       // of supplier revenue shares — the supply-chain-risk readout (HHI→1
@@ -1124,6 +1155,24 @@ object Analytics extends OpRegistry {
              ${r6Sql("12.0 * CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)")}
                AS idx6
       FROM w ORDER BY p_brand, mth""",
+
+    "q_order_backlog_daily" -> """
+      WITH opened AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(1) AS n_opened
+                      FROM orders GROUP BY 1),
+      closed AS (SELECT day, COUNT(1) AS n_closed
+                 FROM (SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS day
+                       FROM lineitem GROUP BY 1) GROUP BY day),
+      span AS (SELECT MIN(day) AS min_d, MAX(day) AS max_d
+               FROM (SELECT day FROM opened UNION ALL SELECT day FROM closed)),
+      grid AS (SELECT CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS DATE) AS day
+               FROM span)
+      SELECT g.day, COALESCE(o.n_opened, 0) AS n_opened,
+             COALESCE(c.n_closed, 0) AS n_closed,
+             CAST(SUM(COALESCE(o.n_opened, 0) - COALESCE(c.n_closed, 0))
+               OVER (ORDER BY g.day) AS BIGINT) AS backlog
+      FROM grid g LEFT JOIN opened o ON o.day = g.day
+        LEFT JOIN closed c ON c.day = g.day
+      ORDER BY g.day""",
 
     "q_monthly_trend" -> """
       WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

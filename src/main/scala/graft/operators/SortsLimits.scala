@@ -34,6 +34,31 @@ object SortsLimits extends OpRegistry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
         .offset(100).limit(100)),
+
+    "limit_topk_with_ties" -> ((s, dir) => {
+      // FETCH FIRST .. WITH TIES semantics (argmax-with-ties per group):
+      // ALL rows achieving each (returnflag, linestatus) group's maximum
+      // quantity — the correctness difference WITH TIES exists for: a
+      // top-k report that silently drops tied rows (row_number) misstates
+      // every tied key. The naive plan is rank() <= 1 over a window
+      // partitioned by the group key — which sorts the ENTIRE fact inside
+      // ≤6 partitions, the skew shape that dies at 100 TB. For k=1 the
+      // rewrite is exact: group-max is a partial aggregate (map-side
+      // combine, groups-sized result), broadcast back, equality filter —
+      // no sort anywhere, one fact scan. The oracle keeps the RANK()=1
+      // form, so the rewrite's equivalence is differentially certified.
+      val li = t(s, dir)("lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_orderkey"), col("l_linenumber"))
+      val mx = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(max(col("qty")).as("qty_max"))
+      li.join(broadcast(mx), Seq("l_returnflag", "l_linestatus"))
+        .filter(col("qty") === col("qty_max"))
+        .select("l_returnflag", "l_linestatus", "qty", "l_orderkey",
+          "l_linenumber")
+        .orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -49,5 +74,14 @@ object SortsLimits extends OpRegistry {
     "limit_offset" -> """
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 100""",
+    "limit_topk_with_ties" -> """
+      SELECT l_returnflag, l_linestatus, qty, l_orderkey, l_linenumber
+      FROM (SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS BIGINT) AS qty, l_orderkey, l_linenumber,
+                   RANK() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY CAST(l_quantity AS BIGINT) DESC) AS rk
+            FROM lineitem)
+      WHERE rk = 1
+      ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""",
   )
 }

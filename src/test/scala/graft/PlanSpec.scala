@@ -268,9 +268,12 @@ class PlanSpec extends GraftSuite {
     // events_pareto_share (global user ranking is the op's semantics —
     // runs over the per-user AGGREGATE, the collapsed frame, and is the
     // single-sort shape any global decile/Pareto ranking needs),
-    // events_dau_wau (day-grain frame, ≤31 rows at any corpus size).
+    // events_dau_wau (day-grain frame, ≤31 rows at any corpus size),
+    // q_order_backlog_daily (r13: the running balance over the
+    // calendar-bounded day grid — ~2.5k rows at any SF, zero-filled by
+    // construction; a partitioned running balance would be wrong).
     val globalByDesign = Set("q_monthly_trend", "events_rfm_scores",
-      "events_pareto_share", "events_dau_wau")
+      "events_pareto_share", "events_dau_wau", "q_order_backlog_daily")
     val swept = SparkEntry.queries.keys
       .filter(k => (k.startsWith("events_") || k.startsWith("q_") ||
         k.startsWith("win_")) && !globalByDesign(k)).toSeq.sorted
@@ -490,5 +493,56 @@ class PlanSpec extends GraftSuite {
       s"busy-hour grid no longer broadcast (range join shape lost):\n$p")
     assert(!p.contains("CartesianProduct"),
       s"overlap degenerated to a cartesian product:\n$p")
+  }
+
+  test("limit_topk_with_ties: broadcast group-max filter — no rank window, no per-group sort") {
+    // The k=1 WITH TIES rewrite's whole point: a rank()<=1 window would
+    // sort the entire fact inside ≤6 group partitions. Lock: the plan has
+    // NO window operator over the fact and the group-max side comes back
+    // as a broadcast hash join (partial+final agg, groups-sized build).
+    val p = finalPlan("limit_topk_with_ties")
+    assert(!p.contains("Window"),
+      s"rank-window shape reappeared (per-group fact sort):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group-max frame no longer broadcast:\n$p")
+  }
+
+  test("vec_ivf_cell_stats: cell-bounded aggs; the heavy-cell probe is a broadcast, never a sort-merge") {
+    val p = finalPlan("vec_ivf_cell_stats")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-table stats probe is no longer broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a cell-bounded frame is being shuffle-joined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("merge_view_refresh_incremental: the refresh reads ONLY the delta partition plus the landed snapshot") {
+    // IVM's contract — refresh cost ∝ delta: the orders scan in the
+    // refresh plan must carry the pushed cutoff predicate (never a full
+    // base re-read) and the landed decimal snapshot must appear as a
+    // second parquet source.
+    val p = finalPlan("merge_view_refresh_incremental")
+    assert(p.contains("graft_ivm_snapshot"),
+      s"landed snapshot vanished from the refresh plan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+      .findFirstIn(p).isDefined,
+      s"delta cutoff no longer pushed to the orders scan (full base re-read):\n$p")
+  }
+
+  test("events_user_lifecycle: classification windows are user-partitioned, never global") {
+    val p = finalPlan("events_user_lifecycle")
+    assert("windowspecdefinition\\(user_id#\\d+L?, day#\\d+L?".r
+      .findFirstIn(p).isDefined,
+      s"per-user lag/lead window vanished:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row span frame stopped broadcasting:\n$p")
+  }
+
+  test("text_winnowing_fingerprints: the min-window runs per doc, never corpus-global") {
+    val p = finalPlan("text_winnowing_fingerprints")
+    assert("windowspecdefinition\\(doc_id#\\d+L?, i#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"per-doc winnowing window vanished:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 }

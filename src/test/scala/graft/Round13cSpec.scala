@@ -75,6 +75,123 @@ class Round13cSpec extends GraftSuite {
     out.foreach { r => assert(r._2 === r._3 + r._4 + r._5, s"identity: $r") }
   }
 
+  test("limit_topk_with_ties: every max-achieving row survives (the row_number-drop bug)") {
+    val dir = TestSpark.tempDir("graft_r13_ties_")
+    // group (R,F) has a TIE at qty 50: both rows must come back — a
+    // row_number()-based top-1 would arbitrarily drop one of them
+    Seq((1L, 1, 50.0, "R", "F"), (2L, 1, 50.0, "R", "F"), (3L, 1, 49.0, "R", "F"),
+        (4L, 1, 10.0, "N", "O"))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_linestatus")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("limit_topk_with_ties")(spark, dir)
+      .collect().map(r => (r.getAs[String]("l_returnflag"),
+        r.getAs[String]("l_linestatus"), r.getAs[Long]("qty"),
+        r.getAs[Long]("l_orderkey"))).toSeq
+    assert(out === Seq(("N", "O", 10L, 4L), ("R", "F", 50L, 1L),
+      ("R", "F", 50L, 2L)), s"rows: $out")
+  }
+
+  test("docs_mixture_epoch_plan: sqrt-temperature shares; tail source upsampled past 1 epoch") {
+    val dir = TestSpark.tempDir("graft_r13_mix_")
+    // A: 4 tokens, B: 1 token → w = 2000/1000 milli-sqrt; shares 2/3, 1/3;
+    // epochs = share·total/tokens = (2/3)·5/4 = 0.833333 and (1/3)·5/1 =
+    // 1.666667 — the tail repeats, the head is subsampled
+    Seq((1L, "a b c d", "en", "A"), (2L, "x", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("docs_mixture_epoch_plan")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("share_ppm"), r.getAs[Double]("epochs6")))).toMap
+    assert(out("A") === ((1L, 4L, 666666L, 0.833333)), s"A: $out")
+    assert(out("B") === ((1L, 1L, 333333L, 1.666667)), s"B: $out")
+  }
+
+  test("q_order_backlog_daily: open/close flows and the running balance over a zero-filled grid") {
+    val dir = TestSpark.tempDir("graft_r13_bk_")
+    val ts = (d: String) => java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    // order 1 opens d0, last line ships d2; order 2 opens d1, ships d1.
+    // backlog: d0 → 1, d1 → 1 (one opened, one closed), d2 → 0
+    Seq((1L, ts("1995-01-01")), (2L, ts("1995-01-02")))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1, ts("1995-01-01")), (1L, 2, ts("1995-01-03")),
+        (2L, 1, ts("1995-01-02")))
+      .toDF("l_orderkey", "l_linenumber", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_order_backlog_daily")(spark, dir)
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_opened"), r.getAs[Long]("n_closed"),
+        r.getAs[Long]("backlog"))).toSeq
+    assert(out === Seq(("1995-01-01", 1L, 0L, 1L),
+      ("1995-01-02", 1L, 1L, 1L), ("1995-01-03", 0L, 1L, 0L)), s"ledger: $out")
+  }
+
+  test("fn_try_arith: zero denominator, true overflow, and the no-overflow key-0 row all land as the contract says") {
+    val dir = TestSpark.tempDir("graft_r13_try_")
+    Seq((0L, 1, 25.0, 100.0, "R"), (7L, 1, 10.0, 50.0, "N"))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("fn_try_arith")(spark, dir)
+      .collect().map(r => r.getAs[Long]("l_orderkey") ->
+        ((Option(r.getAs[java.lang.Double]("cents_per_div25")),
+          Option(r.getAs[java.lang.Long]("add_overflow")),
+          r.getAs[Long]("mul_ok"),
+          Option(r.getAs[String]("elem_oob"))))).toMap
+    // qty 25 → zero denominator → NULL; orderkey 0 → MaxValue + 0 is fine
+    assert(out(0L) === ((None, Some(Long.MaxValue), 0L, None)), s"key0: $out")
+    // qty 10 → 5000 cents / -15; orderkey 7 → overflow → NULL
+    assert(out(7L) === ((Some(5000.0 / -15), None, 14L, None)), s"key7: $out")
+  }
+
+  test("text_winnowing_fingerprints: the w+k-1 shared-run guarantee fires; unique and tiny docs stay clean") {
+    val dir = TestSpark.tempDir("graft_r13_win_")
+    // docs 1 and 2 share the 8-token run "c d e f g h i j" (≥ w+k−1 = 6
+    // tokens) behind different prefixes — winnowing MUST select at least
+    // one shared fingerprint in both; doc 3 is all-unique; doc 4 is too
+    // short to shingle at all
+    Seq((1L, "p q c d e f g h i j", "en", "s0"),
+        (2L, "x y z c d e f g h i j", "en", "s0"),
+        (3L, "uu vv ww xx yy zz aa bb", "en", "s0"),
+        (4L, "t1 t2", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_winnowing_fingerprints")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_fps"),
+          r.getAs[Long]("n_shared"),
+          Option(r.getAs[java.lang.Long]("shared_ppm"))))).toMap
+    assert(out(1L)._1 === 8L && out(2L)._1 === 9L, s"shingle counts: $out")
+    assert(out(1L)._3 >= 1L, s"doc1 must share a fingerprint: $out")
+    assert(out(2L)._3 >= 1L, s"doc2 must share a fingerprint: $out")
+    assert(out(3L)._3 === 0L && out(3L)._4 === Some(0L), s"unique doc clean: $out")
+    assert(out(4L) === ((0L, 0L, 0L, None)), s"tiny doc: $out")
+    // fingerprints can never exceed window starts (n_shingles - w + 1)
+    out.values.foreach(v => assert(v._2 <= math.max(0L, v._1 - 3L), s"fp bound: $out"))
+  }
+
+  test("docs_curation_funnel: each stage drops exactly the planted casualties; ppm vs raw") {
+    val dir = TestSpark.tempDir("graft_r13_fn_")
+    // d4 dies at the quality gate (2 tokens); d2/d3 scrub to the same
+    // content (digits → <num>) so dedup keeps only d2; d1 sails through
+    Seq((1L, "alpha beta gamma delta epsilon", "en", "s0"),
+        (2L, "alpha beta gamma delta 123", "en", "s0"),
+        (3L, "alpha beta gamma delta 456", "en", "s0"),
+        (4L, "x y", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("docs_curation_funnel")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("stage"), r.getAs[String]("stage_name"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("kept_ppm"))).toSeq
+    assert(out === Seq((0L, "raw", 4L, 1000000L), (1L, "quality", 3L, 750000L),
+      (2L, "dedup", 2L, 500000L)), s"funnel: $out")
+  }
+
   test("vec_ivf_cell_stats: per-table row, vector conservation, cell bound, skew floor") {
     val rows = q("vec_ivf_cell_stats")
       .collect().map(r => (r.getAs[Long]("tbl"), r.getAs[Long]("n_vecs"),
