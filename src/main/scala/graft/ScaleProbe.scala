@@ -102,7 +102,10 @@ object ScaleProbe {
     "vec_cosine_histogram", "vec_ann_recall_curve",
     // round 13 batch 7: the cell-bounded index-health report (≤ 2^planes
     // rows per table after one scan)
-    "vec_ivf_cell_stats")
+    "vec_ivf_cell_stats",
+    // round 13 batch 11: the nprobe cost table (broadcast probe join;
+    // everything after is queries×radii-sized)
+    "vec_ivf_probe_cost")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
@@ -147,7 +150,10 @@ object ScaleProbe {
     "events_anomaly_seasonal", "events_cohort_ltv_curve",
     // round 13 batch 7: the growth-accounting ledger (one distinct
     // collapse + user-partitioned lag/lead + calendar-bounded grid)
-    "events_user_lifecycle")
+    "events_user_lifecycle",
+    // round 13 batch 11: the multi-window SLO burn table (one scan agg
+    // to the hour grid; everything after is calendar-bounded)
+    "events_slo_burn_rate")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,

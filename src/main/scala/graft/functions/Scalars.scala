@@ -167,24 +167,34 @@ object Scalars extends OpRegistry {
         md5(col("text")).as("md5h"))
         .orderBy("doc_id")),
 
-    "fn_try_arith" -> ((s, dir) =>
+    "fn_try_arith" -> ((s, dir) => {
       // ANSI-safe TRY arithmetic family: the error becomes NULL instead of
       // failing the job — the semantics a production pipeline needs when
-      // one poisoned row must not kill a 100 TB run (ANSI mode without TRY
-      // kills the stage; non-ANSI silently wraps, which is worse).
-      // try_divide hits a real zero denominator (qty = 25 centers it),
-      // try_add overflows on EVERY row (Long.MaxValue staging), and
-      // try_element_at probes past the array end. The oracle replays each
-      // with explicit CASE guards — DuckDB would raise where Spark TRY
-      // nulls, so the guard IS the cross-engine statement of the contract.
+      // one POISONED row must not kill a 100 TB run (ANSI mode without TRY
+      // kills the stage; non-ANSI silently wraps, which is worse). The
+      // poison is staged on the RARE rows (l_orderkey % 100000 == 0): TRY
+      // is exception-catch under the hood, so an always-failing expression
+      // turns the scan into an exception firehose — first bench of this op
+      // measured 25 s/600k rows from exactly that; rare poison is both the
+      // realistic distribution and the only shape that survives 100 TB.
+      // try_divide hits a staged zero denominator, try_add a staged
+      // Long.MaxValue overflow (key 0 does NOT overflow — the boundary
+      // row), try_element_at a staged out-of-bounds index. Oracle replays
+      // each with explicit CASE guards — DuckDB would raise where Spark
+      // TRY nulls, so the guard IS the cross-engine contract.
+      val poisoned = col("l_orderkey") % 100000 === 0
       t(s, dir)("lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         try_divide(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"),
-          col("l_quantity").cast("long") - 25).as("cents_per_div25"),
-        try_add(lit(Long.MaxValue), col("l_orderkey")).as("add_overflow"),
+          when(poisoned, lit(0L)).otherwise(col("l_quantity").cast("long")))
+          .as("cents_per_qty"),
+        try_add(when(poisoned, lit(Long.MaxValue)).otherwise(lit(0L)),
+          col("l_orderkey")).as("add_overflow"),
         try_multiply(col("l_orderkey"), lit(2L)).as("mul_ok"),
-        try_element_at(split(col("l_returnflag"), ""), lit(2)).as("elem_oob"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        try_element_at(split(col("l_returnflag"), ""),
+          when(poisoned, lit(2)).otherwise(lit(1))).as("elem_probe"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
 
     "fn_bitwise" -> ((s, dir) =>
       // Bitwise scalar family over 64-bit keys: AND/OR/XOR, shifts, bit
@@ -351,12 +361,15 @@ object Scalars extends OpRegistry {
       FROM documents ORDER BY doc_id""",
     "fn_try_arith" -> """
       SELECT l_orderkey, l_linenumber,
-             CASE WHEN CAST(l_quantity AS BIGINT) <> 25 THEN
+             CASE WHEN l_orderkey % 100000 <> 0 THEN
                CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
-                 / (CAST(l_quantity AS BIGINT) - 25) END AS cents_per_div25,
-             CASE WHEN l_orderkey = 0 THEN 9223372036854775807 END AS add_overflow,
+                 / CAST(l_quantity AS BIGINT) END AS cents_per_qty,
+             CASE WHEN l_orderkey = 0 THEN 9223372036854775807
+                  WHEN l_orderkey % 100000 = 0 THEN NULL
+                  ELSE l_orderkey END AS add_overflow,
              l_orderkey * 2 AS mul_ok,
-             CAST(NULL AS VARCHAR) AS elem_oob
+             CASE WHEN l_orderkey % 100000 <> 0 THEN substring(l_returnflag, 1, 1)
+               END AS elem_probe
       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "fn_bitwise" -> """
       SELECT event_id,

@@ -506,6 +506,53 @@ object VectorOps extends OpRegistry {
         .orderBy("tbl")
     }),
 
+    "vec_ivf_probe_cost" -> ((s, dir) => {
+      // nprobe COST table — the tuning pair of vec_ann_recall_curve
+      // (quality) and vec_ivf_cell_stats (balance): per query and probe
+      // radius (Hamming 0/1/2), how many index cells the multiprobe hits
+      // and how many distinct candidates it pulls — the table read when
+      // choosing the recall/latency point (knn_ivf_topk ships radius 2;
+      // this op shows what each radius buys). Same ivfCellsFrame kernel,
+      // flips tagged with their Hamming distance, candidates deduped at
+      // their MINIMUM reach distance so radius counts are cumulative by
+      // construction. Everything after the (broadcast) probe join is
+      // (queries × radii)-sized. Oracle replays masks+distances from the
+      // same generated plane literals.
+      val Planes = IvfPlanes
+      val cells = ivfCellsFrame(s, dir)
+      val q = cells.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("tbl").as("qtbl"),
+          col("cell").as("qcell"))
+      val flips: Seq[Column] =
+        struct(lit(0L).as("d"), col("qcell").as("cand_cell")) +:
+        ((0 until Planes).map(b => struct(lit(1L).as("d"),
+          col("qcell").bitwiseXOR(lit(1L << b)).as("cand_cell"))) ++
+         (for { a <- 0 until Planes; b <- a + 1 until Planes }
+           yield struct(lit(2L).as("d"),
+             col("qcell").bitwiseXOR(lit((1L << a) | (1L << b))).as("cand_cell"))))
+      val qx = q.withColumn("f", explode(array(flips: _*)))
+        .select(col("qid"), col("qtbl"), col("f.d").as("d"),
+          col("f.cand_cell").as("cand_cell"))
+      val hits = broadcast(qx).join(cells,
+        col("qtbl") === col("tbl") && col("cand_cell") === col("cell"))
+      val candMin = hits.filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id")).agg(min("d").as("dmin"))
+      val cellMin = hits.select(col("qid"), col("tbl"), col("cell"), col("d"))
+        .groupBy("qid", "tbl", "cell").agg(min("d").as("dmin"))
+      val radii = s.range(0, 3).select(col("id").as("radius"))
+      val candCnt = candMin.join(broadcast(radii), col("dmin") <= col("radius"))
+        .groupBy("qid", "radius").agg(count(lit(1)).as("n_candidates"))
+      val cellCnt = cellMin.join(broadcast(radii), col("dmin") <= col("radius"))
+        .groupBy("qid", "radius").agg(count(lit(1)).as("cells_hit"))
+      q.select("qid").distinct().crossJoin(broadcast(radii))
+        .join(cellCnt, Seq("qid", "radius"), "left")
+        .join(candCnt, Seq("qid", "radius"), "left")
+        .select(col("qid"), col("radius"),
+          coalesce(col("cells_hit"), lit(0L)).as("cells_hit"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy("qid", "radius")
+    }),
+
     "vec_ann_recall_curve" -> ((s, dir) => {
       // ANN quality-evaluation harness: recall@k (k = 1, 3, 5) of the IVF
       // index against the exact cosine top-5 — the acceptance gate any
@@ -1283,6 +1330,55 @@ object VectorOps extends OpRegistry {
       FROM st JOIN hv ON st.tbl = hv.tbl ORDER BY tbl"""
   }
 
+  /** Generated DuckDB twin of vec_ivf_probe_cost: cells from the same
+    * plane literals, masks tagged with their Hamming distance, min-reach
+    * dedup, cumulative radius counts. */
+  private def ivfProbeCostOracleSql: String = {
+    val dim = 64
+    val vals = (for { t <- 0 until IvfTables; p <- 0 until IvfPlanes } yield
+      s"($t, $p, [${planeComponents(t * IvfPlanes + p, dim).mkString(",")}])"
+    ).mkString(",\n        ")
+    val maskVals = ((Seq((0L, 0))
+      ++ (0 until IvfPlanes).map(b => (1L << b, 1))
+      ++ (for { a <- 0 until IvfPlanes; b <- a + 1 until IvfPlanes }
+           yield ((1L << a) | (1L << b), 2)))
+      .map { case (m, d) => s"($m, $d)" }).mkString(",")
+    s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      planes(tbl, p, comps) AS (VALUES
+        $vals),
+      proj AS (SELECT vec_id, tbl, p,
+                      list_sum(list_transform(range(1, ${dim + 1}), i -> qe[i] * comps[i])) AS pr
+               FROM q CROSS JOIN planes),
+      cells AS (SELECT vec_id, tbl,
+                       CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS cell
+                FROM proj GROUP BY vec_id, tbl),
+      qc AS (SELECT vec_id AS qid, tbl, cell AS qcell FROM cells WHERE vec_id < 10),
+      masks(mask, d) AS (VALUES $maskVals),
+      probe AS (SELECT qid, tbl, xor(qcell, m.mask) AS cand_cell,
+                       CAST(m.d AS BIGINT) AS d
+                FROM qc CROSS JOIN masks m),
+      hits AS (SELECT p.qid, c.vec_id AS vid, c.tbl, c.cell, p.d
+               FROM probe p JOIN cells c ON p.tbl = c.tbl AND p.cand_cell = c.cell),
+      candmin AS (SELECT qid, vid, MIN(d) AS dmin FROM hits
+                  WHERE vid <> qid GROUP BY 1, 2),
+      cellmin AS (SELECT qid, tbl, cell, MIN(d) AS dmin FROM hits GROUP BY 1, 2, 3),
+      radii AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS radius),
+      base AS (SELECT DISTINCT qid, radius FROM qc CROSS JOIN radii),
+      cc AS (SELECT qid, radius, COUNT(1) AS n_candidates
+             FROM candmin JOIN radii ON dmin <= radius GROUP BY 1, 2),
+      ch AS (SELECT qid, radius, COUNT(1) AS cells_hit
+             FROM cellmin JOIN radii ON dmin <= radius GROUP BY 1, 2)
+      SELECT b.qid, b.radius, COALESCE(ch.cells_hit, 0) AS cells_hit,
+             COALESCE(cc.n_candidates, 0) AS n_candidates
+      FROM base b
+        LEFT JOIN ch ON b.qid = ch.qid AND b.radius = ch.radius
+        LEFT JOIN cc ON b.qid = cc.qid AND b.radius = cc.radius
+      ORDER BY b.qid, b.radius"""
+  }
+
   /** Generated DuckDB twin of vec_pq_codes: the 8×16 codebook is emitted as
     * SQL literals and the encode — subvector slice, exact integer L2 argmin
     * with (dist, k) tie-break, code packing, total quantization error — is
@@ -1544,6 +1640,7 @@ object VectorOps extends OpRegistry {
       FROM best GROUP BY cl ORDER BY cluster""",
     "knn_ivf_topk" -> ivfOracleSql,
     "vec_ivf_cell_stats" -> ivfCellStatsOracleSql,
+    "vec_ivf_probe_cost" -> ivfProbeCostOracleSql,
     "vec_ann_recall_curve" -> s"""
       WITH ivf AS ($ivfOracleSql),
       brute AS ($bruteKnnSql),

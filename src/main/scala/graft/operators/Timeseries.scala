@@ -312,6 +312,46 @@ object Timeseries extends OpRegistry {
         .orderBy("day")
     }),
 
+    "events_slo_burn_rate" -> ((s, dir) => {
+      // Multi-window SLO burn rate — the SRE alerting shape (Google SRE
+      // workbook ch.5): error rate vs a 1% SLO on TWO windows, page only
+      // when BOTH burn fast (1h ≥ 14.4× AND 6h ≥ 6× — one spike doesn't
+      // page, a sustained burn does; the 14.4 = 2% of a 30-day budget in
+      // 1h, 6 = 5% in 6h). One fact-sized hourly agg; the grid is
+      // calendar-bounded and ZERO-FILLED (a silent hour is a 0-burn
+      // hour, and the 6h trailing frame must see it as 0, not skip it);
+      // the trailing sum is an exact 6-row frame on the grid. All-integer:
+      // burn_x1000 = err·1e6·1000 div (n·slo_ppm), NULL on empty hours.
+      val sloPpm = 10000L // 1%
+      val e = eventsUs(s, dir)
+      val hourly = e.groupBy(hourFloor(col("ts_us")).as("hour_us"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+      val span = e.agg(hourFloor(min("ts_us")).as("min_h"),
+        hourFloor(max("ts_us")).as("max_h"))
+      val grid = span.select(explode(sequence(col("min_h"), col("max_h"),
+        lit(usPerHour))).as("hour_us"))
+      val filled = grid.join(hourly, Seq("hour_us"), "left")
+        .select(col("hour_us"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+      val w6 = Window.orderBy("hour_us").rowsBetween(-5, 0)
+      def burn(err: Column, n: Column): Column =
+        when(n > 0, call_function("div", err * lit(1000000000L),
+          n * lit(sloPpm)))
+      filled
+        .withColumn("e6", sum("n_errors").over(w6))
+        .withColumn("n6", sum("n_events").over(w6))
+        .select(col("hour_us"), col("n_events"), col("n_errors"),
+          burn(col("n_errors"), col("n_events")).as("burn1_x1000"),
+          burn(col("e6"), col("n6")).as("burn6_x1000"),
+          (coalesce(burn(col("n_errors"), col("n_events")), lit(0L)) >= 14400L
+            && coalesce(burn(col("e6"), col("n6")), lit(0L)) >= 6000L)
+            .cast("int").as("page_alert"))
+        .orderBy("hour_us")
+    }),
+
     "events_user_lifecycle" -> ((s, dir) => {
       // Growth accounting — the new/retained/resurrected/churned ledger
       // every DAU chart decomposes into (the "quick ratio" inputs). One
@@ -1128,6 +1168,38 @@ object Timeseries extends OpRegistry {
       SELECT day, dau, wau
       FROM dau JOIN wau ON day = g_day
       ORDER BY day""",
+
+    "events_slo_burn_rate" -> """
+      WITH e AS (SELECT (epoch_ns(ts)//1000) AS ts_us, event_type FROM events),
+      hourly AS (SELECT (ts_us // 3600000000) * 3600000000 AS hour_us,
+                        COUNT(1) AS n_events,
+                        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_errors
+                 FROM e GROUP BY 1),
+      span AS (SELECT (MIN(ts_us) // 3600000000) * 3600000000 AS min_h,
+                      (MAX(ts_us) // 3600000000) * 3600000000 AS max_h FROM e),
+      grid AS (SELECT unnest(generate_series(min_h, max_h, 3600000000)) AS hour_us
+               FROM span),
+      filled AS (SELECT g.hour_us, COALESCE(n_events, 0) AS n_events,
+                        COALESCE(n_errors, 0) AS n_errors
+                 FROM grid g LEFT JOIN hourly h ON g.hour_us = h.hour_us),
+      win AS (SELECT hour_us, n_events, n_errors,
+                CAST(SUM(n_errors) OVER (ORDER BY hour_us
+                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS e6,
+                CAST(SUM(n_events) OVER (ORDER BY hour_us
+                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n6
+              FROM filled)
+      SELECT hour_us, n_events, n_errors,
+             CASE WHEN n_events > 0
+               THEN n_errors * 1000000000 // (n_events * 10000) END AS burn1_x1000,
+             CASE WHEN n6 > 0
+               THEN e6 * 1000000000 // (n6 * 10000) END AS burn6_x1000,
+             CAST((COALESCE(CASE WHEN n_events > 0
+                     THEN n_errors * 1000000000 // (n_events * 10000) END, 0) >= 14400
+                   AND COALESCE(CASE WHEN n6 > 0
+                     THEN e6 * 1000000000 // (n6 * 10000) END, 0) >= 6000)
+               AS INT) AS page_alert
+      FROM win ORDER BY hour_us""",
 
     "events_user_lifecycle" -> """
       WITH d AS (SELECT DISTINCT user_id,

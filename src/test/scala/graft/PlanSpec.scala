@@ -271,9 +271,13 @@ class PlanSpec extends GraftSuite {
     // events_dau_wau (day-grain frame, ≤31 rows at any corpus size),
     // q_order_backlog_daily (r13: the running balance over the
     // calendar-bounded day grid — ~2.5k rows at any SF, zero-filled by
-    // construction; a partitioned running balance would be wrong).
+    // construction; a partitioned running balance would be wrong),
+    // events_slo_burn_rate (r13: the 6-row trailing frame over the
+    // zero-filled HOUR grid — time-span-bounded; the multi-window burn
+    // is inherently a global time series).
     val globalByDesign = Set("q_monthly_trend", "events_rfm_scores",
-      "events_pareto_share", "events_dau_wau", "q_order_backlog_daily")
+      "events_pareto_share", "events_dau_wau", "q_order_backlog_daily",
+      "events_slo_burn_rate")
     val swept = SparkEntry.queries.keys
       .filter(k => (k.startsWith("events_") || k.startsWith("q_") ||
         k.startsWith("win_")) && !globalByDesign(k)).toSeq.sorted

@@ -129,22 +129,25 @@ class Round13cSpec extends GraftSuite {
       ("1995-01-02", 1L, 1L, 1L), ("1995-01-03", 0L, 1L, 0L)), s"ledger: $out")
   }
 
-  test("fn_try_arith: zero denominator, true overflow, and the no-overflow key-0 row all land as the contract says") {
+  test("fn_try_arith: the poisoned row nulls all three TRY paths except the key-0 no-overflow boundary") {
     val dir = TestSpark.tempDir("graft_r13_try_")
-    Seq((0L, 1, 25.0, 100.0, "R"), (7L, 1, 10.0, 50.0, "N"))
+    // key 0 is poisoned (0 % 100000 == 0): zero denominator and OOB index
+    // null out, but MaxValue + 0 does NOT overflow — the boundary row;
+    // key 100000 is poisoned AND overflows; key 7 is clean
+    Seq((0L, 1, 25.0, 100.0, "R"), (100000L, 1, 5.0, 20.0, "A"),
+        (7L, 1, 10.0, 50.0, "N"))
       .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_returnflag")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val out = SparkEntry.queries("fn_try_arith")(spark, dir)
       .collect().map(r => r.getAs[Long]("l_orderkey") ->
-        ((Option(r.getAs[java.lang.Double]("cents_per_div25")),
+        ((Option(r.getAs[java.lang.Double]("cents_per_qty")),
           Option(r.getAs[java.lang.Long]("add_overflow")),
           r.getAs[Long]("mul_ok"),
-          Option(r.getAs[String]("elem_oob"))))).toMap
-    // qty 25 → zero denominator → NULL; orderkey 0 → MaxValue + 0 is fine
+          Option(r.getAs[String]("elem_probe"))))).toMap
     assert(out(0L) === ((None, Some(Long.MaxValue), 0L, None)), s"key0: $out")
-    // qty 10 → 5000 cents / -15; orderkey 7 → overflow → NULL
-    assert(out(7L) === ((Some(5000.0 / -15), None, 14L, None)), s"key7: $out")
+    assert(out(100000L) === ((None, None, 200000L, None)), s"key100k: $out")
+    assert(out(7L) === ((Some(500.0), Some(7L), 14L, Some("N"))), s"key7: $out")
   }
 
   test("text_winnowing_fingerprints: the w+k-1 shared-run guarantee fires; unique and tiny docs stay clean") {
@@ -190,6 +193,47 @@ class Round13cSpec extends GraftSuite {
         r.getAs[Long]("n_docs"), r.getAs[Long]("kept_ppm"))).toSeq
     assert(out === Seq((0L, "raw", 4L, 1000000L), (1L, "quality", 3L, 750000L),
       (2L, "dedup", 2L, 500000L)), s"funnel: $out")
+  }
+
+  test("events_slo_burn_rate: hand-built burn ledger — page only on the double-window trip; silent hour reads NULL") {
+    val dir = TestSpark.tempDir("graft_r13_slo_")
+    val nsPerHour = 3600000000000L
+    // hour 0: 10 events, 2 errors (burn1 20.0x → trips both windows);
+    // hour 1: silent (zero-filled, burn NULL, no page);
+    // hour 2: 5 events, 0 errors (burn1 0; 6h window sees 2/15)
+    val rows = (0 until 8).map(i => (i.toLong, 0L * nsPerHour + i * 1000L, 1L,
+        if (i < 2) "error" else "view", 1.0)) ++
+      (10 until 15).map(i => (i.toLong, 2L * nsPerHour + i * 1000L, 1L, "view", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_slo_burn_rate")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("hour_us") / 3600000000L,
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_errors"),
+        Option(r.getAs[java.lang.Long]("burn1_x1000")),
+        Option(r.getAs[java.lang.Long]("burn6_x1000")),
+        r.getAs[Int]("page_alert"))).toSeq
+    assert(out === Seq(
+      (0L, 8L, 2L, Some(25000L), Some(25000L), 1),
+      (1L, 0L, 0L, None, Some(25000L), 0),
+      (2L, 5L, 0L, Some(0L), Some(15384L), 0)), s"ledger: $out")
+  }
+
+  test("vec_ivf_probe_cost: 30-row table, own cells at radius 0, cumulative in radius, probe bounds") {
+    val rows = q("vec_ivf_probe_cost")
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("radius"),
+        r.getAs[Long]("cells_hit"), r.getAs[Long]("n_candidates"))).toSeq
+    assert(rows.length === 30, s"10 queries x 3 radii: ${rows.length}")
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val byR = rs.sortBy(_._2)
+      assert(byR.map(_._2) === Seq(0L, 1L, 2L), s"radii for $qid: $byR")
+      // the query's own cell exists in each of the 4 tables
+      assert(byR.head._3 === 4L, s"radius-0 cells_hit must be 4: $byR")
+      // counts are cumulative in radius and bounded by probed cells
+      assert(byR.map(_._3) == byR.map(_._3).sorted, s"cells not monotone: $byR")
+      assert(byR.map(_._4) == byR.map(_._4).sorted, s"cands not monotone: $byR")
+      assert(byR(1)._3 <= 4L * 7 && byR(2)._3 <= 4L * 22, s"cell bound: $byR")
+    }
   }
 
   test("vec_ivf_cell_stats: per-table row, vector conservation, cell bound, skew floor") {
