@@ -85,7 +85,12 @@ object ScaleProbe {
     "text_winnowing_fingerprints",
     // round 13 batch 10: the stage-survivor funnel (one conditional-agg
     // scan + the kept frame's content-hash window)
-    "docs_curation_funnel")
+    "docs_curation_funnel",
+    // round 13 batch 12: the token-offset alignment table (per-doc
+    // cumulative window, token-grain output is the semantics)
+    "docs_tokenize_offsets",
+    // round 13 batch 13: the scan-shaped license/copyright screen
+    "docs_license_filter")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -153,7 +158,11 @@ object ScaleProbe {
     "events_user_lifecycle",
     // round 13 batch 11: the multi-window SLO burn table (one scan agg
     // to the hour grid; everything after is calendar-bounded)
-    "events_slo_burn_rate")
+    "events_slo_burn_rate",
+    // round 13 batch 12: the two-level user/day bot screen
+    "events_bot_screen",
+    // round 13 batch 14: the leakage-safe PIT feature snapshot
+    "events_feature_rollup_pit")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -209,7 +218,15 @@ object ScaleProbe {
     // round 13 batch 8: the day-grid running backlog (two fact aggs +
     // calendar-bounded window) and the argmax-with-ties broadcast-max
     // filter (no per-group sort — the k=1 WITH TIES rewrite)
-    "q_order_backlog_daily", "limit_topk_with_ties")
+    "q_order_backlog_daily", "limit_topk_with_ties",
+    // round 13 batch 12: the customer-year tier grid + lead matrix
+    "q_segment_migration",
+    // round 13 batch 13: the interpolated-percentile valueAtRanks twin
+    // and the flows-composed antisymmetric balance
+    "agg_percentile_interp", "q_nation_trade_balance",
+    // round 13 batch 14: the provenance symmetric diff (one full-outer on
+    // distinct key sets) and the 1996/1997 brand growth screen
+    "set_symmetric_diff", "q_top_growth_parts")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

@@ -591,6 +591,47 @@ object PipelineOps extends OpRegistry {
             .as("pii_ppm"))
         .orderBy("source")
     }),
+
+    "docs_license_filter" -> ((s, dir) => {
+      // License/copyright screen — the legal gate a pretraining corpus
+      // runs beside the PII monitor (docs carrying explicit copyright
+      // notices or restrictive license strings get routed to review, not
+      // training): per source, docs matching a copyright notice or a
+      // license declaration, and the combined integer-ppm rate. The
+      // fixture word-soup carries neither, so docs are augmented the
+      // docs_pii_rate_by_source way, SPARSELY and deterministically
+      // (doc_id % 13 == 0 gains a copyright line, % 17 == 0 a license
+      // declaration) — rates differ per source and both detectors'
+      // selectivity is exercised. Map-side flags + one source-bounded
+      // agg; scan-shaped at any corpus size.
+      val d = tWide(s, dir)("documents")
+      val aug = concat(col("text"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" copyright (c) 19"), (col("doc_id") % 100).cast("string"),
+            lit(" acme corp all rights reserved"))).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" licensed under the apache license version 2.0"))
+          .otherwise(lit("")))
+      d.select(col("source"), aug.as("t"))
+        .select(col("source"),
+          (size(regexp_extract_all(col("t"),
+            lit("copyright \\(c\\) [0-9]+|all rights reserved"), lit(0))) > 0)
+            .cast("long").as("has_copyright"),
+          (size(regexp_extract_all(col("t"),
+            lit("licensed under|license version [0-9.]+"), lit(0))) > 0)
+            .cast("long").as("has_license"))
+        .withColumn("has_any", greatest(col("has_copyright"), col("has_license")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("has_copyright")).as("docs_copyright"),
+          sum(col("has_license")).as("docs_license"),
+          sum(col("has_any")).as("docs_flagged"))
+        .select(col("source"), col("n_docs"), col("docs_copyright"),
+          col("docs_license"), col("docs_flagged"),
+          call_function("div", col("docs_flagged") * lit(1000000L),
+            col("n_docs")).as("flagged_ppm"))
+        .orderBy("source")
+    }),
   )
 
   /** Per-doc average bigram NLL under the corpus' own per-lang char-bigram
@@ -689,6 +730,34 @@ object PipelineOps extends OpRegistry {
              CAST(SUM(GREATEST(has_email, has_phone)) AS BIGINT) AS docs_any,
              CAST(SUM(GREATEST(has_email, has_phone)) * 1000000 // COUNT(1)
                   AS BIGINT) AS pii_ppm
+      FROM f GROUP BY source ORDER BY source""",
+    "docs_license_filter" -> """
+      WITH aug AS (SELECT source,
+             concat(text,
+               CASE WHEN doc_id % 13 = 0
+                    THEN concat(' copyright (c) 19',
+                                CAST(doc_id % 100 AS VARCHAR),
+                                ' acme corp all rights reserved')
+                    ELSE '' END,
+               CASE WHEN doc_id % 17 = 0
+                    THEN ' licensed under the apache license version 2.0'
+                    ELSE '' END) AS t
+           FROM documents),
+      f AS (SELECT source,
+             CASE WHEN len(regexp_extract_all(t,
+               'copyright \(c\) [0-9]+|all rights reserved', 0)) > 0
+               THEN 1 ELSE 0 END AS has_copyright,
+             CASE WHEN len(regexp_extract_all(t,
+               'licensed under|license version [0-9.]+', 0)) > 0
+               THEN 1 ELSE 0 END AS has_license
+           FROM aug)
+      SELECT source, COUNT(1) AS n_docs,
+             CAST(SUM(has_copyright) AS BIGINT) AS docs_copyright,
+             CAST(SUM(has_license) AS BIGINT) AS docs_license,
+             CAST(SUM(GREATEST(has_copyright, has_license)) AS BIGINT)
+               AS docs_flagged,
+             CAST(SUM(GREATEST(has_copyright, has_license)) * 1000000 // COUNT(1)
+                  AS BIGINT) AS flagged_ppm
       FROM f GROUP BY source ORDER BY source""",
     "docs_signal_corr" -> s"""
       WITH m AS (SELECT lang,

@@ -344,6 +344,29 @@ object TextOps extends OpRegistry {
         .orderBy("lang")
     }),
 
+    "docs_tokenize_offsets" -> ((s, dir) => {
+      // Token → character-offset alignment table — the structure every
+      // annotation/span-labeling pipeline needs next to its token stream
+      // (NER spans, citation attribution, highlight rendering all map
+      // token indices back to source text). With the corpus's
+      // single-space separator the offsets are exactly recoverable from
+      // token lengths: start(i) = Σ len(token_j<i) + i (the i separators),
+      // end = start + len — computed as ONE cumulative window per doc
+      // ordered by token index (the per-doc window class, linear at any
+      // corpus size). Output is token-grain (the table's purpose); spec
+      // pins substring(text, start+1, len) == token for every row.
+      val sh = tWide(s, dir)("documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("idx", "token")))
+      val w = Window.partitionBy("doc_id").orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sh.withColumn("cum_len", sum(length(col("token")).cast("long")).over(w))
+        .select(col("doc_id"), col("idx"), col("token"),
+          (col("cum_len") - length(col("token")) + col("idx")).as("start_off"),
+          (col("cum_len") + col("idx")).as("end_off"))
+        .orderBy("doc_id", "idx")
+    }),
+
     "text_winnowing_fingerprints" -> ((s, dir) => {
       // Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD'03,
       // the MOSS algorithm): per doc, POSITIONAL 3-token k-grams (order
@@ -1633,6 +1656,20 @@ object TextOps extends OpRegistry {
              CASE WHEN sum_ws_tokens > 0 THEN
                ${r4Sql("CAST(sum_chars AS DOUBLE) / sum_ws_tokens")} END AS chars_per_ws4
       FROM a ORDER BY lang""",
+    "docs_tokenize_offsets" -> """
+      WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+                         generate_subscripts(string_split(text, ' '), 1) - 1 AS idx
+                  FROM documents),
+      c AS (SELECT doc_id, idx, token,
+                   CAST(SUM(length(token)) OVER (PARTITION BY doc_id ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_len
+            FROM tk)
+      SELECT doc_id, CAST(idx AS INT) AS idx, token,
+             cum_len - length(token) + idx AS start_off,
+             cum_len + idx AS end_off
+      FROM c ORDER BY doc_id, idx""",
+
     "text_winnowing_fingerprints" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       pos AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i, tk

@@ -413,6 +413,39 @@ object Aggregations extends OpRegistry {
         .orderBy("o_orderpriority")
     }),
 
+    "agg_percentile_interp" -> ((s, dir) => {
+      // percentile_cont semantics — the INTERPOLATED percentile family
+      // (agg_median ships the lo/hi pair, agg_percentiles_exact the disc
+      // boundary value; BI tools want cont): pos = 1 + p(n−1)/100, result
+      // = lo + (hi − lo)·frac. Never an engine quantile_cont builtin —
+      // their interpolation conventions differ at the edges — both
+      // engines replay the SAME first-principles recipe: ranks and the
+      // fractional numerator are ALL-INTEGER ((n−1)p div/mod 100 — a
+      // double pos flips on rounding at e.g. n=15000, integers cannot),
+      // and the one interpolation is a fixed left-assoc IEEE sequence
+      // from exact inputs. Scale: the same two-pass distributed selection
+      // as agg_median (valueAtRanks) — never a per-group row sort.
+      def posLo(p: Int) = (n: Column) =>
+        lit(1L) + call_function("div", (n - 1) * lit(p.toLong), lit(100L))
+      def posHi(p: Int) = (n: Column) =>
+        posLo(p)(n) +
+          when(((n - 1) * lit(p.toLong)) % 100 > 0, lit(1L)).otherwise(lit(0L))
+      val ps = Seq(50, 90, 99)
+      val stats = valueAtRanks(pricedOrders(s, dir), "o_orderpriority",
+        ps.flatMap(p => Seq(s"lo_$p" -> posLo(p), s"hi_$p" -> posHi(p))))
+      val aggs = ps.flatMap(p => Seq(
+        max(when(col("name") === s"lo_$p", col("v"))).as(s"lo_$p"),
+        max(when(col("name") === s"hi_$p", col("v"))).as(s"hi_$p")))
+      val piv = stats.groupBy("o_orderpriority")
+        .agg(max("n").as("n_rows"), aggs: _*)
+      def interp(p: Int): Column =
+        col(s"lo_$p") + (col(s"hi_$p") - col(s"lo_$p")) *
+          (((col("n_rows") - 1) * lit(p.toLong)) % 100).cast("double") / lit(100.0)
+      piv.select(col("o_orderpriority"), col("n_rows"),
+          interp(50).as("p50c"), interp(90).as("p90c"), interp(99).as("p99c"))
+        .orderBy("o_orderpriority")
+    }),
+
     "agg_percentiles_exact" -> ((s, dir) => {
       // Exact p50/p90/p99 per group by the rank recipe (percentile_disc
       // semantics): the value at row ceil(p·n/100) of the per-group sort.
@@ -843,6 +876,33 @@ object Aggregations extends OpRegistry {
              MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS mid_lo,
              MAX(CASE WHEN rn = n // 2 + 1 THEN o_totalprice END) AS mid_hi
       FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "agg_percentile_interp" -> """
+      WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+               COUNT(1) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders),
+      pv AS (
+        SELECT o_orderpriority, MAX(n) AS n_rows,
+          MAX(CASE WHEN rn = 1 + ((n-1) * 50) // 100 THEN o_totalprice END) AS lo_50,
+          MAX(CASE WHEN rn = 1 + ((n-1) * 50) // 100
+            + CASE WHEN ((n-1) * 50) % 100 > 0 THEN 1 ELSE 0 END
+            THEN o_totalprice END) AS hi_50,
+          MAX(CASE WHEN rn = 1 + ((n-1) * 90) // 100 THEN o_totalprice END) AS lo_90,
+          MAX(CASE WHEN rn = 1 + ((n-1) * 90) // 100
+            + CASE WHEN ((n-1) * 90) % 100 > 0 THEN 1 ELSE 0 END
+            THEN o_totalprice END) AS hi_90,
+          MAX(CASE WHEN rn = 1 + ((n-1) * 99) // 100 THEN o_totalprice END) AS lo_99,
+          MAX(CASE WHEN rn = 1 + ((n-1) * 99) // 100
+            + CASE WHEN ((n-1) * 99) % 100 > 0 THEN 1 ELSE 0 END
+            THEN o_totalprice END) AS hi_99
+        FROM r GROUP BY o_orderpriority)
+      SELECT o_orderpriority, n_rows,
+             lo_50 + (hi_50 - lo_50) * CAST(((n_rows-1) * 50) % 100 AS DOUBLE) / 100.0 AS p50c,
+             lo_90 + (hi_90 - lo_90) * CAST(((n_rows-1) * 90) % 100 AS DOUBLE) / 100.0 AS p90c,
+             lo_99 + (hi_99 - lo_99) * CAST(((n_rows-1) * 99) % 100 AS DOUBLE) / 100.0 AS p99c
+      FROM pv ORDER BY o_orderpriority""",
 
     "agg_percentiles_exact" -> """
       WITH r AS (

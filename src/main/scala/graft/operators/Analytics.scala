@@ -14,6 +14,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Analytics extends OpRegistry {
 
+  /** The Q7 flows twin — shared by q_nation_trade_flows and (nested, the
+    * composition-oracle discipline) q_nation_trade_balance. */
+  private def nationFlowsSql: String = """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             COUNT(1) AS line_cnt
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND n1.n_name <> n2.n_name
+      GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+      ORDER BY supp_nation, cust_nation, l_year"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cross_sell_basket" -> ((s, dir) => {
       // Market-basket co-occurrence (round 12): pairs of parts bought in
@@ -136,6 +155,115 @@ object Analytics extends OpRegistry {
           call_function("div", col("retained") * lit(1000000L), col("active"))
             .as("retention_ppm"))
         .orderBy("year_from")
+    }),
+
+    "q_top_growth_parts" -> ((s, dir) => {
+      // Brand growth screen: 1996→1997 revenue growth per part brand,
+      // ordered by growth — the "what's taking off" merchandising report.
+      // Revenue lands as exact per-line cents (floor of the IEEE product,
+      // identical formula both engines — the only float touch), summed as
+      // integers; growth is integer ppm guarded on a positive base year
+      // (a new brand has no growth rate, it has a launch). Brand domain is
+      // bounded (25), so everything after the fact join is tiny; the
+      // ship-date filter is pushed to the lineitem scan. Headroom note:
+      // rev·1e6 stays inside BIGINT while a brand-year's revenue ≤ ~9e12
+      // currency units — beyond that, lift the ppm to DECIMAL.
+      val li = t(s, dir)("lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01")
+          && col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_partkey"),
+          year(col("l_shipdate")).cast("long").as("yr"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100
+            + lit(0.5)).cast("long").as("cents"))
+      li.join(t(s, dir)("part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(when(col("yr") === 1996L, col("cents")).otherwise(0L))
+          .as("rev96"),
+          sum(when(col("yr") === 1997L, col("cents")).otherwise(0L))
+            .as("rev97"))
+        .select(col("p_brand"), col("rev96"), col("rev97"),
+          // sign-safe integer ppm: div/​// disagree on negatives (trunc vs
+          // floor), so divide magnitudes and reapply the sign
+          when(col("rev96") > 0,
+            when(col("rev97") >= col("rev96"),
+              call_function("div",
+                (col("rev97") - col("rev96")) * lit(1000000L), col("rev96")))
+            .otherwise(-call_function("div",
+              (col("rev96") - col("rev97")) * lit(1000000L), col("rev96"))))
+            .as("growth_ppm"))
+        .orderBy(col("growth_ppm").desc_nulls_last, col("p_brand"))
+    }),
+
+    "q_nation_trade_balance" -> ((s, dir) => {
+      // Net trade BALANCE per nation pair — the antisymmetric view of
+      // q_nation_trade_flows (Q7 gives gross flows per direction; a trade
+      // economist wants net): invokes THE registry flows kernel verbatim
+      // (the vec_ann_recall_curve composition discipline — report and
+      // source query can never drift), folds its ≤ǀnationǀ²×2 frame to
+      // per-direction totals, and full-outer-joins the two orientations
+      // under the a<b canonical order. Revenue sides are each a decimal
+      // sum cast double (bit-identical per side cross-engine); the net is
+      // one IEEE subtraction of those — deterministic. Everything after
+      // the kernel is nation²-sized. Oracle nests the flows twin.
+      val flows = queries("q_nation_trade_flows")(s, dir)
+        .groupBy("supp_nation", "cust_nation")
+        .agg(sum(col("revenue")).as("rev"), sum(col("line_cnt")).as("lines"))
+      val ab = flows.filter(col("supp_nation") < col("cust_nation"))
+        .select(col("supp_nation").as("nation_a"),
+          col("cust_nation").as("nation_b"),
+          col("rev").as("rev_ab"), col("lines").as("lines_ab"))
+      val ba = flows.filter(col("supp_nation") > col("cust_nation"))
+        .select(col("cust_nation").as("nation_a"),
+          col("supp_nation").as("nation_b"),
+          col("rev").as("rev_ba"), col("lines").as("lines_ba"))
+      ab.join(ba, Seq("nation_a", "nation_b"), "full")
+        .select(col("nation_a"), col("nation_b"),
+          coalesce(col("rev_ab"), lit(0.0)).as("rev_ab"),
+          coalesce(col("rev_ba"), lit(0.0)).as("rev_ba"),
+          (coalesce(col("rev_ab"), lit(0.0)) - coalesce(col("rev_ba"), lit(0.0)))
+            .as("net_ab"),
+          (coalesce(col("lines_ab"), lit(0L)) + coalesce(col("lines_ba"), lit(0L)))
+            .as("total_lines"))
+        .orderBy("nation_a", "nation_b")
+    }),
+
+    "q_segment_migration" -> ((s, dir) => {
+      // Year-over-year SEGMENT MIGRATION matrix — the retention report's
+      // other half (q_customer_churn counts who left; this says who moved
+      // where): per customer-year, a value tier from exact centi-long
+      // revenue thresholds (high ≥ 1e8 cents, mid ≥ 5e7, low > 0, none =
+      // inactive — set at the fixture's p95/p50 so every tier is
+      // populated; at production scale the thresholds are config), then the (year, from_tier, to_tier) transition counts
+      // between consecutive years. The customer×year grid is zero-filled
+      // over the GLOBAL year span (an inactive year must read 'none', or
+      // churn/reactivation transitions vanish — the lifecycle-ledger
+      // discipline); grid size is customers × span-years, linear. One
+      // fact-sized agg; everything after is grid-sized; the output is
+      // years × 16 tier pairs. 'none'→'none' rows are kept — the matrix
+      // rows sum to ǀcustomersǀ per year, the spec-checked invariant.
+      val rev = t(s, dir)("orders")
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      val span = rev.agg(min("yr").as("min_y"), max("yr").as("max_y"))
+      val custs = rev.select("o_custkey").distinct()
+      val grid = custs.crossJoin(broadcast(
+        span.select(explode(sequence(col("min_y"), col("max_y"))).as("yr"))))
+      def tier(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(c.isNull || c === 0L, "none")
+          .when(c >= 100000000L, "high")
+          .when(c >= 50000000L, "mid")
+          .otherwise("low")
+      val tiers = grid.join(rev, Seq("o_custkey", "yr"), "left")
+        .select(col("o_custkey"), col("yr"), tier(col("cents")).as("t"))
+      val ord = Window.partitionBy("o_custkey").orderBy("yr")
+      tiers.withColumn("t_next", lead("t", 1).over(ord))
+        .filter(col("t_next").isNotNull)
+        .groupBy(col("yr").as("year_from"), col("t").as("from_tier"),
+          col("t_next").as("to_tier"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("year_from", "from_tier", "to_tier")
     }),
 
     "q_order_backlog_daily" -> ((s, dir) => {
@@ -905,22 +1033,49 @@ object Analytics extends OpRegistry {
         JOIN customer ON o_custkey = c_custkey
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 100""",
-    "q_nation_trade_flows" -> """
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(year(l_shipdate) AS INT) AS l_year,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
-             COUNT(1) AS line_cnt
-      FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate < TIMESTAMP '1998-01-01'
-        AND n1.n_name <> n2.n_name
-      GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
-      ORDER BY supp_nation, cust_nation, l_year""",
+    "q_top_growth_parts" -> """
+      WITH li AS (SELECT l_partkey, CAST(YEAR(l_shipdate) AS BIGINT) AS yr,
+                         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                           + 0.5) AS BIGINT) AS cents
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate < TIMESTAMP '1998-01-01'),
+      b AS (SELECT p_brand,
+                   CAST(SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS BIGINT)
+                     AS rev96,
+                   CAST(SUM(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS BIGINT)
+                     AS rev97
+            FROM li JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand)
+      SELECT p_brand, rev96, rev97,
+             CASE WHEN rev96 > 0 THEN
+               CASE WHEN rev97 >= rev96
+                 THEN (rev97 - rev96) * 1000000 // rev96
+                 ELSE -((rev96 - rev97) * 1000000 // rev96) END
+             END AS growth_ppm
+      FROM b ORDER BY growth_ppm DESC NULLS LAST, p_brand""",
+    "q_nation_trade_flows" -> nationFlowsSql,
+    "q_nation_trade_balance" -> s"""
+      WITH flows AS ($nationFlowsSql),
+      agg AS (SELECT supp_nation, cust_nation,
+                     CAST(SUM(revenue) AS DOUBLE) AS rev,
+                     CAST(SUM(line_cnt) AS BIGINT) AS lines
+              FROM flows GROUP BY 1, 2),
+      ab AS (SELECT supp_nation AS nation_a, cust_nation AS nation_b,
+                    rev AS rev_ab, lines AS lines_ab
+             FROM agg WHERE supp_nation < cust_nation),
+      ba AS (SELECT cust_nation AS nation_a, supp_nation AS nation_b,
+                    rev AS rev_ba, lines AS lines_ba
+             FROM agg WHERE supp_nation > cust_nation)
+      SELECT COALESCE(ab.nation_a, ba.nation_a) AS nation_a,
+             COALESCE(ab.nation_b, ba.nation_b) AS nation_b,
+             COALESCE(rev_ab, 0.0) AS rev_ab,
+             COALESCE(rev_ba, 0.0) AS rev_ba,
+             COALESCE(rev_ab, 0.0) - COALESCE(rev_ba, 0.0) AS net_ab,
+             COALESCE(lines_ab, 0) + COALESCE(lines_ba, 0) AS total_lines
+      FROM ab FULL OUTER JOIN ba
+        ON ab.nation_a = ba.nation_a AND ab.nation_b = ba.nation_b
+      ORDER BY nation_a, nation_b""",
     "q_nation_share_in_region" -> s"""
       WITH agg AS (
         SELECT r_name, n_name,
@@ -1155,6 +1310,31 @@ object Analytics extends OpRegistry {
              ${r6Sql("12.0 * CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)")}
                AS idx6
       FROM w ORDER BY p_brand, mth""",
+
+    "q_segment_migration" -> """
+      WITH rev AS (SELECT o_custkey, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+                          CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS cents
+                   FROM orders GROUP BY 1, 2),
+      span AS (SELECT MIN(yr) AS min_y, MAX(yr) AS max_y FROM rev),
+      grid AS (SELECT c.o_custkey, y.yr
+               FROM (SELECT DISTINCT o_custkey FROM rev) c
+               CROSS JOIN (SELECT unnest(generate_series(min_y, max_y)) AS yr
+                           FROM span) y),
+      tiers AS (SELECT g.o_custkey, g.yr,
+                  CASE WHEN r.cents IS NULL OR r.cents = 0 THEN 'none'
+                       WHEN r.cents >= 100000000 THEN 'high'
+                       WHEN r.cents >= 50000000 THEN 'mid'
+                       ELSE 'low' END AS t
+                FROM grid g LEFT JOIN rev r
+                  ON g.o_custkey = r.o_custkey AND g.yr = r.yr),
+      mov AS (SELECT o_custkey, yr, t,
+                     LEAD(t) OVER (PARTITION BY o_custkey ORDER BY yr) AS t_next
+              FROM tiers)
+      SELECT yr AS year_from, t AS from_tier, t_next AS to_tier,
+             COUNT(1) AS n_customers
+      FROM mov WHERE t_next IS NOT NULL
+      GROUP BY 1, 2, 3 ORDER BY year_from, from_tier, to_tier""",
 
     "q_order_backlog_daily" -> """
       WITH opened AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(1) AS n_opened

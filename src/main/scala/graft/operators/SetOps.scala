@@ -60,6 +60,27 @@ object SetOps extends OpRegistry {
       o.intersectAll(c).orderBy("custkey")
     }),
 
+    "set_symmetric_diff" -> ((s, dir) => {
+      // Symmetric difference (A △ B) with PROVENANCE — the reconciliation
+      // primitive (which keys exist on exactly one side, and which side):
+      // customers with AUTOMOBILE segment vs customers who placed a
+      // high-value order. One full-outer join on the two distinct key
+      // sets, keep single-sided rows — ONE shuffle, where the naive
+      // (A∪B)−(A∩B) rewrite pays three set operators and loses the
+      // side flag a reconciliation report needs.
+      val a = t(s, dir)("customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("custkey")).distinct()
+        .withColumn("in_a", lit(1))
+      val b = t(s, dir)("orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey")).distinct()
+        .withColumn("in_b", lit(1))
+      a.join(b, Seq("custkey"), "full")
+        .filter(col("in_a").isNull || col("in_b").isNull)
+        .select(col("custkey"),
+          when(col("in_a").isNotNull, "a_only").otherwise("b_only").as("side"))
+        .orderBy("custkey")
+    }),
+
     "distinct_rows" -> ((s, dir) =>
       t(s, dir)("orders").select("o_orderstatus", "o_orderpriority")
         .distinct().orderBy("o_orderstatus", "o_orderpriority")),
@@ -72,6 +93,16 @@ object SetOps extends OpRegistry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "set_symmetric_diff" -> """
+      WITH a AS (SELECT DISTINCT c_custkey AS custkey FROM customer
+                 WHERE c_mktsegment = 'AUTOMOBILE'),
+      b AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_totalprice > 400000)
+      SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+             CASE WHEN a.custkey IS NOT NULL THEN 'a_only' ELSE 'b_only' END AS side
+      FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+      WHERE a.custkey IS NULL OR b.custkey IS NULL
+      ORDER BY custkey""",
     "set_union_all" -> """
       SELECT * FROM (
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'

@@ -312,6 +312,74 @@ object Timeseries extends OpRegistry {
         .orderBy("day")
     }),
 
+    "events_feature_rollup_pit" -> ((s, dir) => {
+      // Point-in-time feature snapshot — the feature-store correctness
+      // primitive: training features for cutoff T may read ONLY events
+      // with ts < T (violating this leaks the future into the model; the
+      // most common silent ML bug). Cutoff = the 80% point of the global
+      // span in exact integer micros (a 1-row broadcast frame). Per user:
+      // volume, purchases, recency (integer days before cutoff), and the
+      // LAST event type under a total (ts, event_id) order — row_number,
+      // never max_by (tie nondeterminism); the oracle replays the same
+      // window. One filter + one user agg; scan-shaped.
+      val e = eventsUs(s, dir)
+      val span = e.agg(min("ts_us").as("mn"), max("ts_us").as("mx"))
+      val cut = e.join(broadcast(span))
+        .withColumn("cutoff_us",
+          col("mn") + call_function("div", (col("mx") - col("mn")) * 8, lit(10L)))
+        .filter(col("ts_us") < col("cutoff_us"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      cut.withColumn("rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          max("ts_us").as("last_ts_us"),
+          max(when(col("rn") === 1, col("event_type"))).as("last_type"),
+          max("cutoff_us").as("cutoff_us"))
+        .select(col("user_id"), col("n_events"), col("n_purchases"),
+          col("last_ts_us"),
+          call_function("div", col("cutoff_us") - col("last_ts_us"),
+            lit(usPerDay)).as("days_since_last"),
+          col("last_type"))
+        .orderBy("user_id")
+    }),
+
+    "events_bot_screen" -> ((s, dir) => {
+      // Behavioral bot screen — the user-level filter a behavioral-data
+      // pipeline runs before training on engagement signals (bots poison
+      // preference data the way boilerplate poisons text): per user,
+      // volume (events, active days, max single-day burst) and
+      // circadian shape (share of activity in the 00:00–05:59 UTC dead
+      // zone, integer ppm — humans sleep, scrapers don't). Flag = burst
+      // ≥ 50/day OR night share ≥ 500000 ppm with ≥ 10 events (the
+      // min-support guard keeps 2-event users from flagging on one
+      // night click). Two fact-sized aggs (per user-day, then per
+      // user), everything exact-integer; thresholds are the op's
+      // declared contract, mirrored in the oracle.
+      val e = eventsUs(s, dir)
+        .select(col("user_id"),
+          call_function("div", col("ts_us"), lit(usPerDay)).as("day"),
+          (call_function("div", col("ts_us"), lit(usPerHour)) % 24)
+            .as("hod"))
+      val perDay = e.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_day"),
+          sum(when(col("hod") < 6, 1L).otherwise(0L)).as("n_night"))
+      perDay.groupBy("user_id")
+        .agg(sum("n_day").as("n_events"), count(lit(1)).as("active_days"),
+          max("n_day").as("max_per_day"), sum("n_night").as("n_night"))
+        .select(col("user_id"), col("n_events"), col("active_days"),
+          col("max_per_day"),
+          call_function("div", col("n_night") * lit(1000000L), col("n_events"))
+            .as("night_ppm"),
+          (col("max_per_day") >= 50L ||
+            (col("n_events") >= 10L &&
+              call_function("div", col("n_night") * lit(1000000L),
+                col("n_events")) >= 500000L)).cast("int").as("is_bot"))
+        .orderBy("user_id")
+    }),
+
     "events_slo_burn_rate" -> ((s, dir) => {
       // Multi-window SLO burn rate — the SRE alerting shape (Google SRE
       // workbook ch.5): error rate vs a 1% SLO on TWO windows, page only
@@ -1168,6 +1236,41 @@ object Timeseries extends OpRegistry {
       SELECT day, dau, wau
       FROM dau JOIN wau ON day = g_day
       ORDER BY day""",
+
+    "events_feature_rollup_pit" -> """
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        (epoch_ns(ts)//1000) AS ts_us FROM events),
+      span AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM e),
+      cut AS (SELECT e.*, mn + ((mx - mn) * 8) // 10 AS cutoff_us
+              FROM e, span WHERE ts_us < mn + ((mx - mn) * 8) // 10),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts_us DESC, event_id DESC) AS rn FROM cut)
+      SELECT user_id, COUNT(1) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_purchases,
+             MAX(ts_us) AS last_ts_us,
+             (MAX(cutoff_us) - MAX(ts_us)) // 86400000000 AS days_since_last,
+             MAX(CASE WHEN rn = 1 THEN event_type END) AS last_type
+      FROM r GROUP BY user_id ORDER BY user_id""",
+
+    "events_bot_screen" -> """
+      WITH e AS (SELECT user_id,
+                        (epoch_ns(ts)//1000) // 86400000000 AS day,
+                        ((epoch_ns(ts)//1000) // 3600000000) % 24 AS hod
+                 FROM events),
+      pd AS (SELECT user_id, day, COUNT(1) AS n_day,
+                    CAST(SUM(CASE WHEN hod < 6 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_night
+             FROM e GROUP BY 1, 2),
+      pu AS (SELECT user_id, CAST(SUM(n_day) AS BIGINT) AS n_events,
+                    COUNT(1) AS active_days, MAX(n_day) AS max_per_day,
+                    CAST(SUM(n_night) AS BIGINT) AS n_night
+             FROM pd GROUP BY 1)
+      SELECT user_id, n_events, active_days, max_per_day,
+             n_night * 1000000 // n_events AS night_ppm,
+             CAST((max_per_day >= 50 OR (n_events >= 10
+               AND n_night * 1000000 // n_events >= 500000)) AS INT) AS is_bot
+      FROM pu ORDER BY user_id""",
 
     "events_slo_burn_rate" -> """
       WITH e AS (SELECT (epoch_ns(ts)//1000) AS ts_us, event_type FROM events),

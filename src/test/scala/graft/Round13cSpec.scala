@@ -236,6 +236,176 @@ class Round13cSpec extends GraftSuite {
     }
   }
 
+  test("q_segment_migration: hand-built transitions incl. churn-to-none; rows sum to the customer count") {
+    val dir = TestSpark.tempDir("graft_r13_mig_")
+    val ts = (d: String) => java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    // cust 1: 1995 $1.5M (high ≥ 1e8 cents), 1996 $600k (mid);
+    // cust 2: 1995 $100k (low), 1996 inactive (none)
+    Seq((1L, 1L, 1500000.0, ts("1995-03-01")),
+        (2L, 1L, 600000.0, ts("1996-03-01")),
+        (3L, 2L, 100000.0, ts("1995-06-01")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_segment_migration")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("year_from"),
+        r.getAs[String]("from_tier"), r.getAs[String]("to_tier"),
+        r.getAs[Long]("n_customers"))).toSeq
+    assert(out === Seq((1995L, "high", "mid", 1L), (1995L, "low", "none", 1L)),
+      s"matrix: $out")
+    assert(out.map(_._4).sum === 2L, "rows must sum to the customer count")
+  }
+
+  test("docs_tokenize_offsets: offsets reconstruct every token by substring") {
+    val dir = TestSpark.tempDir("graft_r13_off_")
+    Seq((1L, "ab c dd", "en", "s0"), (2L, "xyz", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("docs_tokenize_offsets")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("idx"),
+        r.getAs[String]("token"), r.getAs[Long]("start_off"),
+        r.getAs[Long]("end_off"))).toSeq
+    assert(out === Seq((1L, 0, "ab", 0L, 2L), (1L, 1, "c", 3L, 4L),
+      (1L, 2, "dd", 5L, 7L), (2L, 0, "xyz", 0L, 3L)), s"offsets: $out")
+    // the alignment contract on the real fixture: substring(start, len) == token
+    val probe = q("docs_tokenize_offsets").limit(500)
+      .join(Tables.load(spark, sfDir, "documents").select("doc_id", "text"), "doc_id")
+      .filter(expr("substring(text, cast(start_off + 1 as int), cast(end_off - start_off as int)) <> token"))
+      .count()
+    assert(probe === 0L, "every fixture offset must reconstruct its token")
+  }
+
+  test("events_bot_screen: burst bot, night bot, min-support guard, clean human") {
+    val dir = TestSpark.tempDir("graft_r13_bot_")
+    val nsPerHour = 3600000000000L
+    // u1: 60 events one day (burst bot); u2: 12 events all at 02:00 (night
+    // bot); u3: 5 daytime events (human); u4: 2 night events (min-support
+    // guard — NOT a bot despite 100% night share)
+    val rows =
+      (0 until 60).map(i => (100L + i, 12L * nsPerHour + i * 1000L, 1L, "view", 1.0)) ++
+      (0 until 12).map(i => (200L + i, 2L * nsPerHour + i * 1000L + 86400000000000L * i, 2L, "view", 1.0)) ++
+      (0 until 5).map(i => (300L + i, 15L * nsPerHour + 86400000000000L * i, 3L, "view", 1.0)) ++
+      (0 until 2).map(i => (400L + i, 3L * nsPerHour + 86400000000000L * i, 4L, "view", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_bot_screen")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("max_per_day"),
+          r.getAs[Long]("night_ppm"), r.getAs[Int]("is_bot")))).toMap
+    assert(out(1L) === ((60L, 60L, 0L, 1)), s"burst bot: $out")
+    assert(out(2L) === ((12L, 1L, 1000000L, 1)), s"night bot: $out")
+    assert(out(3L) === ((5L, 1L, 0L, 0)), s"human: $out")
+    assert(out(4L) === ((2L, 1L, 1000000L, 0)), s"guarded: $out")
+  }
+
+  test("agg_percentile_interp: hand-computed cont interpolation incl. the exact-rank frac-0 case") {
+    val dir = TestSpark.tempDir("graft_r13_pct_")
+    // priority A: [10,20,30,40,50] → p50 pos 3 exact = 30 (frac 0),
+    // p90 pos 4.6 = 46, p99 pos 4.96 = 49.6
+    (1 to 5).map(i => (i.toLong, "A", i * 10.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("agg_percentile_interp")(spark, dir)
+      .collect().map(r => (r.getAs[String]("o_orderpriority"),
+        r.getAs[Long]("n_rows"), r.getAs[Double]("p50c"),
+        r.getAs[Double]("p90c"), r.getAs[Double]("p99c"))).toSeq
+    assert(out === Seq(("A", 5L, 30.0, 46.0, 49.6)), s"interp: $out")
+  }
+
+  test("q_nation_trade_balance: canonical orientation, net identity, composition ties to the flows kernel") {
+    val bal = q("q_nation_trade_balance").collect()
+    assert(bal.nonEmpty, "balance matrix must be non-empty")
+    bal.foreach { r =>
+      assert(r.getAs[String]("nation_a") < r.getAs[String]("nation_b"),
+        s"canonical a<b violated: $r")
+      assert(math.abs(r.getAs[Double]("net_ab") -
+        (r.getAs[Double]("rev_ab") - r.getAs[Double]("rev_ba"))) == 0.0,
+        s"net identity violated: $r")
+    }
+    // composition: total lines across the matrix == total flow lines
+    val flowLines = q("q_nation_trade_flows")
+      .agg(sum("line_cnt")).head().getLong(0)
+    assert(bal.map(_.getAs[Long]("total_lines")).sum === flowLines,
+      "balance matrix must conserve the flows' line count")
+  }
+
+  test("docs_license_filter: sparse augmentation + a real in-text notice both fire") {
+    val dir = TestSpark.tempDir("graft_r13_lic_")
+    // ids 0..17: augmentation adds copyright at %13==0 (0,13) and license
+    // at %17==0 (0,17); id 1 carries a REAL in-text notice
+    val rows = (0L to 17L).map { i =>
+      val text = if (i == 1L) "this work all rights reserved today"
+                 else s"w$i soup words"
+      (i, text, "en", "s0")
+    }
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("docs_license_filter")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 18L, s"row: $r")
+    assert(r.getAs[Long]("docs_copyright") === 3L, s"copyright (0,13 aug + 1 real): $r")
+    assert(r.getAs[Long]("docs_license") === 2L, s"license (0,17): $r")
+    assert(r.getAs[Long]("docs_flagged") === 4L, s"flagged (0,1,13,17): $r")
+    assert(r.getAs[Long]("flagged_ppm") === 4L * 1000000L / 18L, s"ppm: $r")
+  }
+
+  test("set_symmetric_diff: single-sided keys with provenance") {
+    val dir = TestSpark.tempDir("graft_r13_sym_")
+    Seq((1L, "AUTOMOBILE"), (2L, "AUTOMOBILE"), (3L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 2L, 500000.0), (11L, 3L, 450000.0), (12L, 3L, 600000.0),
+        (13L, 4L, 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("set_symmetric_diff")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("custkey"), r.getAs[String]("side"))).toSeq
+    // a = {1,2}; b = {2,3} → 1 only in a, 3 only in b (2 in both, 4 in neither)
+    assert(out === Seq((1L, "a_only"), (3L, "b_only")), s"diff: $out")
+  }
+
+  test("events_feature_rollup_pit: post-cutoff events leak nothing; recency and last-type from the pre-cutoff slice") {
+    val dir = TestSpark.tempDir("graft_r13_pit_")
+    // span 0..10s → cutoff at 8s; u1's click at 10s is AFTER the cutoff
+    // and must not appear in any feature
+    val rows = Seq(
+      (1L, 0L, 1L, "view", 1.0),
+      (2L, 5000000000L, 1L, "purchase", 2.0),
+      (3L, 10000000000L, 1L, "click", 3.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_feature_rollup_pit")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_purchases"), r.getAs[Long]("last_ts_us"),
+        r.getAs[Long]("days_since_last"), r.getAs[String]("last_type"))).toSeq
+    assert(out === Seq((1L, 2L, 1L, 5000000L, 0L, "purchase")), s"features: $out")
+  }
+
+  test("q_top_growth_parts: positive, NEGATIVE (sign-safe div), and no-base-year rows order correctly") {
+    val dir = TestSpark.tempDir("graft_r13_gr_")
+    val ts = (d: String) => java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    Seq((1L, "BrandA"), (2L, "BrandB"), (3L, "BrandC"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((1L, ts("1996-05-01"), 100.0, 0.0), (1L, ts("1997-05-01"), 150.0, 0.0),
+        (2L, ts("1996-05-01"), 200.0, 0.0), (2L, ts("1997-05-01"), 100.0, 0.0),
+        (3L, ts("1997-05-01"), 50.0, 0.0))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_top_growth_parts")(spark, dir)
+      .collect().map(r => (r.getAs[String]("p_brand"), r.getAs[Long]("rev96"),
+        r.getAs[Long]("rev97"),
+        Option(r.getAs[java.lang.Long]("growth_ppm")))).toSeq
+    assert(out === Seq(
+      ("BrandA", 10000L, 15000L, Some(500000L)),
+      ("BrandB", 20000L, 10000L, Some(-500000L)),
+      ("BrandC", 0L, 5000L, None)), s"growth: $out")
+  }
+
   test("vec_ivf_cell_stats: per-table row, vector conservation, cell bound, skew floor") {
     val rows = q("vec_ivf_cell_stats")
       .collect().map(r => (r.getAs[Long]("tbl"), r.getAs[Long]("n_vecs"),
