@@ -162,7 +162,11 @@ object ScaleProbe {
     // round 13 batch 12: the two-level user/day bot screen
     "events_bot_screen",
     // round 13 batch 14: the leakage-safe PIT feature snapshot
-    "events_feature_rollup_pit")
+    "events_feature_rollup_pit",
+    // round 14 batch C: the four day/minute-grid collapses and the
+    // user-partitioned session-depth rollup
+    "events_drawdown", "events_rolling_median", "events_downtime_intervals",
+    "events_session_depth_hist", "events_weekly_seasonality_strength")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -226,7 +230,18 @@ object ScaleProbe {
     "agg_percentile_interp", "q_nation_trade_balance",
     // round 13 batch 14: the provenance symmetric diff (one full-outer on
     // distinct key sets) and the 1996/1997 brand growth screen
-    "set_symmetric_diff", "q_top_growth_parts")
+    "set_symmetric_diff", "q_top_growth_parts",
+    // round 14 batch A: the struct-ordered argmax agg, the 8-byte bitwise
+    // folds, struct min/max, printf projection, the first-seen
+    // running-distinct collapse, and the scalar-max ALL rewrite
+    "agg_arg_extremes", "agg_bit_ops", "fn_struct", "fn_format",
+    "win_running_countd", "sql_all_subquery",
+    // round 14 batch B: customer-collapse repeat rate, the two bounded
+    // value-histogram percentile/median shapes, the weekday grid, the
+    // broadcast-dim margin sums, and the day-grid lag/lead pattern
+    "q_customer_repeat_rate", "q_ship_lag_percentiles",
+    "q_order_weekday_profile", "q_part_margin_spread",
+    "q_customer_order_gap", "win_pattern_vshape")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

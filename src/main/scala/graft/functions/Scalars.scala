@@ -247,6 +247,47 @@ object Scalars extends OpRegistry {
           element_at(col("qs"), -1).as("max_q"))
         .orderBy("l_orderkey")
     }),
+
+    "fn_struct" -> ((s, dir) => {
+      // STRUCT construction, field access, and struct ORDERING (round 14):
+      // per part type, the lexicographically smallest and largest
+      // (size, brand) pair. Spark's min/max compare structs field-by-field
+      // left-to-right — the same total order the DuckDB twin spells out as
+      // two ROW_NUMBER directions. The struct never reaches the output
+      // schema (row-type bridges differ per engine; D-convention): fields
+      // are re-projected with dot access. Aggregating the struct beats a
+      // window: partial+final with a 2-field accumulator, no per-group sort.
+      t(s, dir)("part")
+        .select(col("p_type"),
+          struct(col("p_size").cast("long").as("sz"), col("p_brand").as("br"))
+            .as("sb"))
+        .groupBy("p_type")
+        .agg(min(col("sb")).as("mn"), max(col("sb")).as("mx"),
+          count(lit(1)).as("n_parts"))
+        .select(col("p_type"),
+          col("mn.sz").as("min_size"), col("mn.br").as("min_brand"),
+          col("mx.sz").as("max_size"), col("mx.br").as("max_brand"),
+          col("n_parts"))
+        .orderBy("p_type")
+    }),
+
+    "fn_format" -> ((s, dir) => {
+      // C-style formatting + padding (round 14). format_string is Spark's
+      // printf (java.util.Formatter), DuckDB's printf is C printf — for
+      // the pinned subset (%s, zero-padded %0Nd on integers) the two
+      // agree byte-for-byte; lpad/rpad (pad AND truncate-to-width
+      // semantics) and repeat agree directly. All codegen'd string
+      // builders — one narrow projection, no shuffle.
+      t(s, dir)("supplier")
+        .select(col("s_suppkey"),
+          format_string("SUP-%05d/%s", col("s_suppkey"), upper(col("s_name")))
+            .as("label"),
+          lpad(col("s_suppkey").cast("string"), 8, "0").as("padded"),
+          rpad(col("s_name"), 20, ".").as("ragged"),
+          concat(lit("|"), repeat(lit("*"), (col("s_suppkey") % 5).cast("int")),
+            lit("|")).as("bars"))
+        .orderBy("s_suppkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -389,5 +430,29 @@ object Scalars extends OpRegistry {
              unnest(string_split(text, ' ')) AS token
       FROM documents WHERE doc_id < 50
       ORDER BY doc_id, tok_pos""",
+
+    "fn_struct" -> """
+      WITH r AS (SELECT p_type, CAST(p_size AS BIGINT) AS sz, p_brand AS br,
+                        ROW_NUMBER() OVER (PARTITION BY p_type
+                          ORDER BY p_size ASC, p_brand ASC) AS ra,
+                        ROW_NUMBER() OVER (PARTITION BY p_type
+                          ORDER BY p_size DESC, p_brand DESC) AS rd,
+                        COUNT(1) OVER (PARTITION BY p_type) AS n
+                 FROM part)
+      SELECT p_type,
+             MAX(CASE WHEN ra = 1 THEN sz END) AS min_size,
+             MAX(CASE WHEN ra = 1 THEN br END) AS min_brand,
+             MAX(CASE WHEN rd = 1 THEN sz END) AS max_size,
+             MAX(CASE WHEN rd = 1 THEN br END) AS max_brand,
+             MAX(n) AS n_parts
+      FROM r GROUP BY p_type ORDER BY p_type""",
+
+    "fn_format" -> """
+      SELECT s_suppkey,
+             printf('SUP-%05d/%s', s_suppkey, upper(s_name)) AS label,
+             lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded,
+             rpad(s_name, 20, '.') AS ragged,
+             '|' || repeat('*', CAST(s_suppkey % 5 AS INT)) || '|' AS bars
+      FROM supplier ORDER BY s_suppkey""",
   )
 }

@@ -639,6 +639,50 @@ object Aggregations extends OpRegistry {
           sum(col("c")).as("n_orders"))
         .orderBy("month")
     }),
+
+    "agg_arg_extremes" -> ((s, dir) => {
+      // max_by / min_by (argmax aggregation, round 14): per nation, WHICH
+      // customer holds the extreme account balance — the "top entity per
+      // group" primitive without a window pass. Determinism on balance
+      // ties comes from the ordering VALUE being a (cents, custkey)
+      // struct: Spark compares structs lexicographically, so the order is
+      // total and the winner unique. One partial+final hash aggregate with
+      // a 2-field accumulator per direction — where the row_number
+      // formulation (the oracle twin) shuffles AND sorts every customer
+      // row, this shuffles one candidate per (partition, nation). At
+      // 100 TB that asymmetry is the whole ballgame for "top per group".
+      val c = t(s, dir)("customer")
+        .select(col("c_nationkey").cast("long").as("nation"), col("c_custkey"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      c.groupBy("nation")
+        .agg(count(lit(1)).as("n_cust"),
+          max_by(col("c_custkey"), struct(col("cents"), col("c_custkey")))
+            .as("rich_cust"),
+          max(col("cents")).as("rich_cents"),
+          min_by(col("c_custkey"), struct(col("cents"), col("c_custkey")))
+            .as("poor_cust"),
+          min(col("cents")).as("poor_cents"))
+        .orderBy("nation")
+    }),
+
+    "agg_bit_ops" -> ((s, dir) => {
+      // Bitwise aggregates (round 14): bit_and / bit_or / bit_xor folds of
+      // the partkey set per return flag — the fixed-width reductions used
+      // for permission masks, feature-flag unions, and XOR-checksum
+      // reconciliation (the xor of a key multiset detects a single
+      // missing/duplicated element across two copies of a table in one
+      // scan each). All three are associative AND commutative, so Spark
+      // runs them partial+final with 8-byte accumulators — shuffle traffic
+      // is one long per (partition, group) regardless of input size.
+      t(s, dir)("lineitem")
+        .select(col("l_returnflag"), col("l_partkey").cast("long").as("pk"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("bit_and(pk)").as("mask_and"),
+          expr("bit_or(pk)").as("mask_or"),
+          expr("bit_xor(pk)").as("checksum_xor"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -919,5 +963,33 @@ object Aggregations extends OpRegistry {
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              COUNT(DISTINCT o_custkey) AS n_cust, COUNT(1) AS n_orders
       FROM orders GROUP BY 1 ORDER BY month""",
+
+    // arg-extremes twin spells out the struct total order as two
+    // ROW_NUMBER directions: (cents, custkey) DESC-DESC picks Spark's
+    // max_by struct winner, ASC-ASC the min_by one
+    "agg_arg_extremes" -> """
+      WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey,
+                        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+                 FROM customer),
+      r AS (SELECT nation, c_custkey, cents,
+                   ROW_NUMBER() OVER (PARTITION BY nation
+                     ORDER BY cents DESC, c_custkey DESC) AS rd,
+                   ROW_NUMBER() OVER (PARTITION BY nation
+                     ORDER BY cents ASC, c_custkey ASC) AS ra,
+                   COUNT(1) OVER (PARTITION BY nation) AS n
+            FROM c)
+      SELECT nation, MAX(n) AS n_cust,
+             MAX(CASE WHEN rd = 1 THEN c_custkey END) AS rich_cust,
+             MAX(CASE WHEN rd = 1 THEN cents END) AS rich_cents,
+             MAX(CASE WHEN ra = 1 THEN c_custkey END) AS poor_cust,
+             MAX(CASE WHEN ra = 1 THEN cents END) AS poor_cents
+      FROM r GROUP BY nation ORDER BY nation""",
+
+    "agg_bit_ops" -> """
+      SELECT l_returnflag, COUNT(1) AS n,
+             bit_and(CAST(l_partkey AS BIGINT)) AS mask_and,
+             bit_or(CAST(l_partkey AS BIGINT)) AS mask_or,
+             bit_xor(CAST(l_partkey AS BIGINT)) AS checksum_xor
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

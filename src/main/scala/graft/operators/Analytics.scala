@@ -973,6 +973,148 @@ object Analytics extends OpRegistry {
         .select(col("s_name"), col("n_name"), col("n_strong_parts"))
         .orderBy("s_name")
     }),
+
+    "q_customer_repeat_rate" -> ((s, dir) => {
+      // Repeat-purchase rate per nation (round 14) — the loyalty KPI:
+      // share of buyers with ≥2 orders, in exact integer ppm (div
+      // truncates identically in both engines on non-negative operands).
+      // Plan: one fact-sized hash agg to (custkey, n_orders), a shuffle
+      // join to the customer dim on custkey, a broadcast nation join,
+      // then a 25-group rollup — the per-customer collapse happens BEFORE
+      // any join, so the join input is customers-sized, not orders-sized.
+      val tt = t(s, dir) _
+      tt("orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .join(tt("customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tt("nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_buyers"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+          sum("n_orders").as("n_orders_total"))
+        .withColumn("repeat_ppm",
+          call_function("div", col("n_repeat") * lit(1000000L), col("n_buyers")))
+        .orderBy("n_name")
+    }),
+
+    "q_ship_lag_percentiles" -> ((s, dir) => {
+      // Exact ship-lag percentiles per priority (round 14): p50/p90/p99 of
+      // days between order and line shipment — the fulfillment SLA table.
+      // The lag domain is BOUNDED (generator ships within ~1..121 days),
+      // so this uses the agg_weighted_median histogram discipline instead
+      // of agg_percentiles_exact's near-fact-sized per-group sort: one
+      // fact-sized hash agg to the (priority × lag_day) VALUE HISTOGRAM
+      // (≤5×122 rows at ANY SF), then cum-sum + nearest-rank selection on
+      // that bounded frame. Nearest-rank r_p = (n·p+99) div 100 — all
+      // integer, zero interpolation.
+      val tt = t(s, dir) _
+      val hist = tt("lineitem").select("l_orderkey", "l_shipdate")
+        .join(tt("orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
+        .groupBy("o_orderpriority", "lag_days")
+        .agg(count(lit(1)).as("f"))
+      val wc = Window.partitionBy("o_orderpriority").orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum("f").over(wc))
+        .withColumn("n", sum("f").over(Window.partitionBy("o_orderpriority")))
+        .groupBy("o_orderpriority")
+        .agg(max("n").as("n_lines"),
+          min(when(col("cum") >= call_function("div", col("n") * 50 + 99, lit(100L)),
+            col("lag_days"))).as("p50_days"),
+          min(when(col("cum") >= call_function("div", col("n") * 90 + 99, lit(100L)),
+            col("lag_days"))).as("p90_days"),
+          min(when(col("cum") >= call_function("div", col("n") * 99 + 99, lit(100L)),
+            col("lag_days"))).as("p99_days"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_order_weekday_profile" -> ((s, dir) => {
+      // Order-intake weekday profile (round 14): per ISO weekday × status,
+      // order count, exact decimal revenue, r4 average value, and the
+      // weekday's integer-ppm share WITHIN its status. Day-of-week is the
+      // §2.8-documented dialect trap: Spark weekday() is 0=Monday,
+      // DuckDB isodow() is 1=Monday — the +1 shim IS the declared
+      // correspondence. One fact agg to the 7×3 grid; the share window
+      // runs over 21 rows.
+      t(s, dir)("orders")
+        .select((expr("weekday(o_orderdate)") + lit(1)).cast("int").as("isodow"),
+          col("o_orderstatus"), dec(col("o_totalprice")).as("p"))
+        .groupBy("isodow", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("rev_dec"))
+        .withColumn("status_total",
+          sum("n_orders").over(Window.partitionBy("o_orderstatus")))
+        .select(col("isodow"), col("o_orderstatus"), col("n_orders"),
+          col("rev_dec").cast("double").as("revenue"),
+          avg4(col("rev_dec"), col("n_orders")).as("avg_value4"),
+          call_function("div", col("n_orders") * lit(1000000L), col("status_total"))
+            .as("dow_share_ppm"))
+        .orderBy("isodow", "o_orderstatus")
+    }),
+
+    "q_part_margin_spread" -> ((s, dir) => {
+      // Realized-vs-list revenue per brand (round 14): how deep does each
+      // brand actually discount? realized = Σ extprice·(1−disc), list =
+      // Σ retailprice·qty — both exact decimal sums of identical IEEE
+      // products (the D2 pattern the flows oracle uses), depth = r6 of the
+      // double ratio at the output boundary only. NO broadcast hint on
+      // part: it is an SF-SCALED dimension (200k×SF rows), so a forced
+      // broadcast would ship a multi-GB table to every executor at
+      // warehouse SF — AQE picks broadcast when it fits and shuffle-hash
+      // when it doesn't. The fact-side agg is partial+final on 25 brands.
+      val tt = t(s, dir) _
+      tt("lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(tt("part").select("p_partkey", "p_brand", "p_retailprice"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("real_dec"),
+          sum(dec(col("p_retailprice") * col("l_quantity"))).as("list_dec"))
+        .select(col("p_brand"), col("n_lines"),
+          col("real_dec").cast("double").as("realized_rev"),
+          col("list_dec").cast("double").as("list_rev"),
+          r6(lit(1.0) - col("real_dec").cast("double") / col("list_dec").cast("double"))
+            .as("discount_depth6"))
+        .orderBy("p_brand")
+    }),
+
+    "q_customer_order_gap" -> ((s, dir) => {
+      // Inter-order gap median per segment (round 14): days between a
+      // customer's consecutive orders — the purchase-cadence KPI. The gap
+      // multiset is tiebreak-invariant (equal dates yield the same sorted
+      // diffs under any permutation), but the lag ordering still carries
+      // the full (date, orderkey) tiebreak so both engines pair rows
+      // identically. Median via the bounded-histogram lo/hi recipe: gaps
+      // live in 0..~2400 (the fixture date span), so after the per-customer
+      // lag (user-partitioned, bounded frames) everything is a ≤5×2400
+      // histogram — no per-segment data-sized sort, no interpolation.
+      val tt = t(s, dir) _
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val gaps = tt("orders").select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("prev_d", lag("o_orderdate", 1).over(w))
+        .filter(col("prev_d").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), col("prev_d")).cast("long").as("gap"))
+        .join(tt("customer").select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+      val wc = Window.partitionBy("c_mktsegment").orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      gaps.groupBy("c_mktsegment", "gap").agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum("f").over(wc))
+        .withColumn("n", sum("f").over(Window.partitionBy("c_mktsegment")))
+        .groupBy("c_mktsegment")
+        .agg(max("n").as("n_gaps"),
+          min(when(col("cum") >= call_function("div", col("n") + 1, lit(2L)),
+            col("gap"))).as("med_lo"),
+          min(when(col("cum") >= call_function("div", col("n") + 2, lit(2L)),
+            col("gap"))).as("med_hi"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1457,5 +1599,89 @@ object Analytics extends OpRegistry {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
       ORDER BY s_name""",
+
+    "q_customer_repeat_rate" -> """
+      WITH pc AS (SELECT o_custkey, COUNT(1) AS n_orders
+                  FROM orders GROUP BY 1)
+      SELECT n_name, COUNT(1) AS n_buyers,
+             CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat,
+             CAST(SUM(n_orders) AS BIGINT) AS n_orders_total,
+             CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               * 1000000 // COUNT(1) AS repeat_ppm
+      FROM pc JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+
+    "q_ship_lag_percentiles" -> """
+      WITH lag AS (SELECT o_orderpriority,
+                          date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE)) AS lag_days
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      hist AS (SELECT o_orderpriority, lag_days, COUNT(1) AS f
+               FROM lag GROUP BY 1, 2),
+      c AS (SELECT o_orderpriority, lag_days,
+                   CAST(SUM(f) OVER (PARTITION BY o_orderpriority
+                     ORDER BY lag_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(SUM(f) OVER (PARTITION BY o_orderpriority)
+                     AS BIGINT) AS n
+            FROM hist)
+      SELECT o_orderpriority, MAX(n) AS n_lines,
+             MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lag_days END) AS p50_days,
+             MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lag_days END) AS p90_days,
+             MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lag_days END) AS p99_days
+      FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_order_weekday_profile" -> s"""
+      WITH g AS (SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS isodow,
+                        o_orderstatus, COUNT(1) AS n_orders,
+                        SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec
+                 FROM orders GROUP BY 1, 2),
+      t AS (SELECT *, CAST(SUM(n_orders) OVER (PARTITION BY o_orderstatus)
+                        AS BIGINT) AS status_total FROM g)
+      SELECT isodow, o_orderstatus, n_orders,
+             CAST(rev_dec AS DOUBLE) AS revenue,
+             ${avg4Sql("rev_dec", "n_orders")} AS avg_value4,
+             n_orders * 1000000 // status_total AS dow_share_ppm
+      FROM t ORDER BY isodow, o_orderstatus""",
+
+    "q_part_margin_spread" -> s"""
+      SELECT p_brand, COUNT(1) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(38,6))) AS DOUBLE) AS realized_rev,
+             CAST(SUM(CAST(p_retailprice * l_quantity
+               AS DECIMAL(38,6))) AS DOUBLE) AS list_rev,
+             ${r6Sql("1.0 - CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)" +
+               " AS DECIMAL(38,6))) AS DOUBLE)" +
+               " / CAST(SUM(CAST(p_retailprice * l_quantity" +
+               " AS DECIMAL(38,6))) AS DOUBLE)")} AS discount_depth6
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_customer_order_gap" -> """
+      WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d
+                 FROM orders),
+      g AS (SELECT o_custkey,
+                   date_diff('day',
+                     LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey),
+                     d) AS gap
+            FROM o),
+      j AS (SELECT c_mktsegment, gap
+            FROM g JOIN customer ON o_custkey = c_custkey
+            WHERE gap IS NOT NULL),
+      hist AS (SELECT c_mktsegment, gap, COUNT(1) AS f FROM j GROUP BY 1, 2),
+      c AS (SELECT c_mktsegment, gap,
+                   CAST(SUM(f) OVER (PARTITION BY c_mktsegment ORDER BY gap
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(SUM(f) OVER (PARTITION BY c_mktsegment)
+                     AS BIGINT) AS n
+            FROM hist)
+      SELECT c_mktsegment, MAX(n) AS n_gaps,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap END) AS med_lo,
+             MIN(CASE WHEN cum >= (n + 2) // 2 THEN gap END) AS med_hi
+      FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }

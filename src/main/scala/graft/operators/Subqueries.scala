@@ -125,6 +125,26 @@ object Subqueries extends OpRegistry {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
+
+    "sql_all_subquery" -> ((s, dir) =>
+      // ALL-quantified comparison (round 14). Spark SQL has no
+      // `> ALL (subquery)` syntax; over a NON-EMPTY, NULL-free subquery
+      // (both hold for the BUILDING segment — fixture segments are always
+      // populated, no NULL balances) the quantifier reduces to an
+      // aggregate: x > ALL S  ⟺  x > max(S). That rewrite is also the
+      // scale plan: max(S) is one scalar broadcast into the filter —
+      // Catalyst plans the scalar subquery as its own tiny aggregate and
+      // reuses it as a literal — where a quantified join would compare
+      // every (row, S-element) pair. DuckDB runs the genuine > ALL form,
+      // so the oracle differentially pins the equivalence.
+      sqlOn(s, dir, Seq("customer"), """
+        SELECT c_custkey, c_name,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer
+        WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) >
+              (SELECT MAX(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+               FROM customer WHERE c_mktsegment = 'BUILDING')
+        ORDER BY c_custkey""")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,5 +181,14 @@ object Subqueries extends OpRegistry {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    "sql_all_subquery" -> """
+      SELECT c_custkey, c_name,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+      WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > ALL
+            (SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+             FROM customer WHERE c_mktsegment = 'BUILDING')
+      ORDER BY c_custkey""",
   )
 }

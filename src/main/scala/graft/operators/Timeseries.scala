@@ -929,6 +929,150 @@ object Timeseries extends OpRegistry {
             .as("acf6"))
         .orderBy("lag")
     }),
+
+    "events_drawdown" -> ((s, dir) => {
+      // Max drawdown (round 14) — the peak-to-trough risk metric, run on
+      // the cumulative daily centi-value series per event type: drawdown
+      // at day d = running_max(cum) − cum(d); the op reports each type's
+      // worst drawdown and its (earliest) trough day. A silent day leaves
+      // cum unchanged, so zero-filling cannot alter any drawdown —
+      // observed-day grid is exact here by construction. One fact-sized
+      // agg to the calendar-bounded (type × day) grid; three windows and
+      // the final rollup all run on that bounded frame. All-integer.
+      val daily = eventsUs(s, dir)
+        .select(col("event_type"),
+          call_function("div", col("ts_us"), lit(usPerDay)).as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+        .groupBy("event_type", "day")
+        .agg(sum("vc").as("dvc"))
+      val wo = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum", sum("dvc").over(wo))
+        .withColumn("dd", max(col("cum")).over(wo) - col("cum"))
+        .withColumn("dd_max", max("dd").over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          max("dd").as("max_drawdown_c"),
+          min(when(col("dd") === col("dd_max"), col("day"))).as("trough_day"))
+        .orderBy("event_type")
+    }),
+
+    "events_rolling_median" -> ((s, dir) => {
+      // Rolling exact median (round 14): the 7-OBSERVED-DAY trailing
+      // median of daily event counts per type — the robust smoother that
+      // (unlike the EWMA twin) ignores a single spike day entirely.
+      // Neither engine has an exact median window; the frame is ≤7 rows,
+      // so collect-the-frame + sort is EXACT and O(7 log 7) per grid row
+      // — legitimate precisely because the input is the calendar-bounded
+      // day grid, never the raw stream. Even-count frames emit the lo/hi
+      // pair (no interpolation, §7.4 median trap); both engines index the
+      // same sorted list 1-based.
+      val daily = eventsUs(s, dir)
+        .select(col("event_type"),
+          call_function("div", col("ts_us"), lit(usPerDay)).as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("win", sort_array(collect_list(col("c")).over(w)))
+        .select(col("event_type"), col("day"), col("c"),
+          size(col("win")).as("k"),
+          element_at(col("win"), ((size(col("win")) + 1) / 2).cast("int"))
+            .as("med_lo"),
+          element_at(col("win"), (size(col("win")) / 2 + 1).cast("int"))
+            .as("med_hi"))
+        .orderBy("event_type", "day")
+    }),
+
+    "events_downtime_intervals" -> ((s, dir) => {
+      // Downtime detection (round 14): per event type, silent intervals
+      // ≥ 60 minutes between consecutive ACTIVE minutes — the uptime/SLA
+      // ledger. Scale shape: the only fact-sized pass is the DISTINCT
+      // collapse onto the (type × active-minute) grid (≤ types × span
+      // minutes at any SF — the events_dau_wau discipline); the lag runs
+      // on that bounded grid, never on raw events, so a billion events in
+      // one minute cost the same as one. gap = minutes strictly between
+      // active minutes; types with no qualifying outage are absent (inner
+      // semantics, mirrored by the twin).
+      val minutes = eventsUs(s, dir)
+        .select(col("event_type"),
+          call_function("div", col("ts_us"), lit(60000000L)).as("minute"))
+        .distinct()
+      val w = Window.partitionBy("event_type").orderBy("minute")
+      minutes
+        .withColumn("prev", lag("minute", 1).over(w))
+        .withColumn("gap", col("minute") - col("prev") - 1)
+        .filter(col("prev").isNotNull && col("gap") >= 60)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_outages"), sum("gap").as("down_minutes"),
+          max("gap").as("max_outage_min"),
+          min(col("prev") + 1).as("first_outage_start_min"))
+        .orderBy("event_type")
+    }),
+
+    "events_session_depth_hist" -> ((s, dir) => {
+      // Session-depth histogram (round 14): how many events do sessions
+      // contain? Composes the events_sessionize kernel VERBATIM (same
+      // >30-min break rule, same (ts, event_id) total order) and rolls the
+      // per-session counts into a depth histogram with a 20+ tail bucket
+      // (the bucket keeps the output domain bounded; raw depth is
+      // unbounded at scale). Both windows and the session agg key on
+      // user_id — ONE shuffle, per-user frames bounded.
+      val gapUs = 30L * 60L * 1000000L
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("is_new",
+          when(col("ts_us") - lag("ts_us", 1).over(wOrd) > gapUs, 1L)
+            .when(lag("ts_us", 1).over(wOrd).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("depth"))
+        .select(when(col("depth") >= 20, lit(20L)).otherwise(col("depth"))
+          .as("depth_bucket"))
+        .groupBy("depth_bucket")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("depth_bucket")
+    }),
+
+    "events_weekly_seasonality_strength" -> ((s, dir) => {
+      // Weekly-seasonality strength (round 14): one-way variance
+      // decomposition of the daily count series by ISO weekday —
+      // strength = SSB/SST, the share of daily variance the
+      // day-of-week pattern explains (the STL-seasonality diagnostic,
+      // computed exactly). All integer moments on the calendar-bounded
+      // day grid: SST_num = N·Σc² − S²; SSB_num = Σ_g (N·S_g²) div n_g
+      // − S², with the per-group div an exact integer truncation BOTH
+      // engines perform identically (declared quantization — ≤7 div
+      // truncations of ≤1 each). ISO dow from the epoch-day identity
+      // (day+3) mod 7 + 1 (1970-01-01 was a Thursday → 4) — no
+      // timezone, no date parsing, same arithmetic both engines.
+      val daily = eventsUs(s, dir)
+        .select(col("event_type"),
+          call_function("div", col("ts_us"), lit(usPerDay)).as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow", pmod(col("day") + 3, lit(7L)) + 1)
+      val perDow = daily.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_g"), sum("c").as("s_g"))
+      val perType = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("c").as("s"),
+          sum(col("c") * col("c")).as("q"))
+      perDow.join(perType, "event_type")
+        .groupBy(col("event_type"), col("n_days"), col("s"), col("q"))
+        .agg(sum(call_function("div",
+          col("n_days") * col("s_g") * col("s_g"), col("n_g"))).as("ssb_raw"))
+        .select(col("event_type"), col("n_days"),
+          (col("ssb_raw") - col("s") * col("s")).as("ssb_num"),
+          (col("n_days") * col("q") - col("s") * col("s")).as("sst_num"))
+        .withColumn("strength6",
+          when(col("sst_num") > 0,
+            r6(col("ssb_num").cast("double") / col("sst_num").cast("double"))))
+        .orderBy("event_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1479,5 +1623,107 @@ object Timeseries extends OpRegistry {
                AS BIGINT) AS n_anomalies
       FROM d JOIN mad ON d.event_type = mad.event_type
       GROUP BY d.event_type ORDER BY d.event_type""",
+
+    "events_drawdown" -> """
+      WITH daily AS (
+        SELECT event_type, (epoch_ns(ts)//1000)//86400000000 AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS dvc
+        FROM events GROUP BY 1, 2),
+      c AS (SELECT event_type, day,
+                   CAST(SUM(dvc) OVER w AS BIGINT) AS cum
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      d AS (SELECT event_type, day,
+                   CAST(MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) - cum AS dd
+            FROM c),
+      m AS (SELECT *, CAST(MAX(dd) OVER (PARTITION BY event_type) AS BIGINT)
+                        AS dd_max FROM d)
+      SELECT event_type, COUNT(1) AS n_days,
+             MAX(dd) AS max_drawdown_c,
+             MIN(CASE WHEN dd = dd_max THEN day END) AS trough_day
+      FROM m GROUP BY event_type ORDER BY event_type""",
+
+    "events_rolling_median" -> """
+      WITH daily AS (
+        SELECT event_type, (epoch_ns(ts)//1000)//86400000000 AS day,
+               COUNT(1) AS c
+        FROM events GROUP BY 1, 2),
+      f AS (SELECT event_type, day, c,
+                   list_sort(list(c) OVER (PARTITION BY event_type
+                     ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+            FROM daily)
+      SELECT event_type, day, c, CAST(len(win) AS INT) AS k,
+             win[CAST((len(win) + 1) // 2 AS INT)] AS med_lo,
+             win[CAST(len(win) // 2 + 1 AS INT)] AS med_hi
+      FROM f ORDER BY event_type, day""",
+
+    "events_downtime_intervals" -> """
+      WITH m AS (SELECT DISTINCT event_type,
+                        (epoch_ns(ts)//1000)//60000000 AS minute
+                 FROM events),
+      l AS (SELECT event_type, minute,
+                   LAG(minute) OVER (PARTITION BY event_type ORDER BY minute)
+                     AS prev
+            FROM m),
+      g AS (SELECT event_type, minute - prev - 1 AS gap, prev
+            FROM l WHERE prev IS NOT NULL AND minute - prev - 1 >= 60)
+      SELECT event_type, COUNT(1) AS n_outages,
+             CAST(SUM(gap) AS BIGINT) AS down_minutes,
+             MAX(gap) AS max_outage_min,
+             MIN(prev + 1) AS first_outage_start_min
+      FROM g GROUP BY event_type ORDER BY event_type""",
+
+    "events_session_depth_hist" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+                 FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1
+                    WHEN LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sess AS (
+        SELECT user_id,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM flagged),
+      depths AS (SELECT user_id, session_id, COUNT(1) AS depth
+                 FROM sess GROUP BY 1, 2)
+      SELECT CASE WHEN depth >= 20 THEN 20 ELSE depth END AS depth_bucket,
+             COUNT(1) AS n_sessions
+      FROM depths GROUP BY 1 ORDER BY depth_bucket""",
+
+    "events_weekly_seasonality_strength" -> s"""
+      WITH daily AS (
+        SELECT event_type, (epoch_ns(ts)//1000)//86400000000 AS day,
+               COUNT(1) AS c
+        FROM events GROUP BY 1, 2),
+      d2 AS (SELECT *, (day + 3) % 7 + 1 AS dow FROM daily),
+      per_dow AS (SELECT event_type, dow, COUNT(1) AS n_g,
+                         CAST(SUM(c) AS BIGINT) AS s_g
+                  FROM d2 GROUP BY 1, 2),
+      per_type AS (SELECT event_type, COUNT(1) AS n_days,
+                          CAST(SUM(c) AS BIGINT) AS s,
+                          CAST(SUM(c * c) AS BIGINT) AS q
+                   FROM d2 GROUP BY 1),
+      j AS (SELECT p.event_type, p.n_days, p.s, p.q,
+                   CAST(SUM((p.n_days * g.s_g * g.s_g) // g.n_g) AS BIGINT)
+                     AS ssb_raw
+            FROM per_dow g JOIN per_type p ON g.event_type = p.event_type
+            GROUP BY 1, 2, 3, 4)
+      SELECT event_type, n_days,
+             ssb_raw - s * s AS ssb_num,
+             n_days * q - s * s AS sst_num,
+             CASE WHEN n_days * q - s * s > 0 THEN
+               ${r6Sql("CAST(ssb_raw - s * s AS DOUBLE)" +
+                 " / CAST(n_days * q - s * s AS DOUBLE)")}
+             END AS strength6
+      FROM j ORDER BY event_type""",
   )
 }

@@ -185,6 +185,61 @@ object Windows extends OpRegistry {
           r6(cume_dist().over(w)).as("cd"))
         .orderBy("c_custkey")
     }),
+
+    "win_running_countd" -> ((s, dir) => {
+      // Running COUNT(DISTINCT) — round 14. Not a native window in either
+      // engine, and the naive frame formulation re-scans its whole prefix
+      // per row (O(n²) state). The scalable identity: a key is NEW only on
+      // its first appearance, so running-distinct = cumulative sum of
+      // first-seen counts. Shape here: the customer-acquisition curve per
+      // order priority — distinct customers ever seen by each order month.
+      // Plan: one hash agg to (priority, cust) → min month (map-side
+      // combined, the only fact-sized pass), one agg to the
+      // priority×month grid, then a cum-sum window over ≤ 5×84 rows.
+      // At 100 TB the window input is still calendar-bounded.
+      val monthly = t(s, dir)("orders")
+        .select(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+          col("o_custkey"))
+        .groupBy("o_orderpriority", "o_custkey")
+        .agg(min(col("month")).as("month"))
+        .groupBy("o_orderpriority", "month")
+        .agg(count(lit(1)).as("new_cust"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .withColumn("cum_cust", sum("new_cust").over(w).cast("long"))
+        .orderBy("o_orderpriority", "month")
+    }),
+
+    "win_pattern_vshape" -> ((s, dir) => {
+      // Row-pattern matching (MATCH_RECOGNIZE-lite, round 14): find
+      // V-shapes in the daily order-revenue series — two strictly-down
+      // days into a trough, then a rebound. Neither engine ships
+      // MATCH_RECOGNIZE; the fixed-length pattern compiles exactly to
+      // lag/lead offsets + a conjunctive filter, which is also how a
+      // 100 TB engine should run it: one fact-sized hash agg collapses
+      // orders to the CALENDAR-BOUNDED day grid (≤2400 rows at any SF —
+      // the q_order_backlog_daily discipline), and the global window runs
+      // on that bounded frame only. Pattern is defined over observed
+      // (trading) days; revenue is exact integer cents.
+      val daily = t(s, dir)("orders")
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("rev_c"))
+      val w = Window.orderBy("day")
+      daily
+        .select(col("day"), col("rev_c"),
+          lag("rev_c", 2).over(w).as("r2"), lag("rev_c", 1).over(w).as("r1"),
+          lead("rev_c", 1).over(w).as("f1"))
+        .filter(col("r2").isNotNull && col("f1").isNotNull &&
+          col("r1") < col("r2") && col("rev_c") < col("r1") &&
+          col("f1") > col("rev_c"))
+        .select(col("day"), col("rev_c"),
+          (col("r2") - col("rev_c")).as("depth_c"),
+          (col("f1") - col("rev_c")).as("rebound_c"))
+        .orderBy("day")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -304,5 +359,36 @@ object Windows extends OpRegistry {
       FROM customer
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       ORDER BY c_custkey""",
+
+    // HUGEINT trap: the windowed SUM is CAST AS BIGINT (r12 convention)
+    "win_running_countd" -> """
+      WITH f AS (SELECT o_orderpriority, o_custkey,
+                        MIN(CAST(date_trunc('month', o_orderdate) AS DATE))
+                          AS month
+                 FROM orders GROUP BY 1, 2),
+      m AS (SELECT o_orderpriority, month, COUNT(1) AS new_cust
+            FROM f GROUP BY 1, 2)
+      SELECT o_orderpriority, month, new_cust,
+             CAST(SUM(new_cust) OVER (PARTITION BY o_orderpriority
+               ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cust
+      FROM m ORDER BY o_orderpriority, month""",
+
+    "win_pattern_vshape" -> """
+      WITH daily AS (SELECT o_orderdate AS day,
+                            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS rev_c
+                     FROM orders GROUP BY 1),
+      l AS (SELECT day, rev_c,
+                   LAG(rev_c, 2) OVER (ORDER BY day) AS r2,
+                   LAG(rev_c, 1) OVER (ORDER BY day) AS r1,
+                   LEAD(rev_c, 1) OVER (ORDER BY day) AS f1
+            FROM daily)
+      SELECT day, rev_c, r2 - rev_c AS depth_c, f1 - rev_c AS rebound_c
+      FROM l
+      WHERE r2 IS NOT NULL AND f1 IS NOT NULL
+        AND r1 < r2 AND rev_c < r1 AND f1 > rev_c
+      ORDER BY day""",
   )
 }

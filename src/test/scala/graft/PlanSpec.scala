@@ -277,7 +277,10 @@ class PlanSpec extends GraftSuite {
     // is inherently a global time series).
     val globalByDesign = Set("q_monthly_trend", "events_rfm_scores",
       "events_pareto_share", "events_dau_wau", "q_order_backlog_daily",
-      "events_slo_burn_rate")
+      "events_slo_burn_rate",
+      // r14: lag/lead pattern over the calendar-bounded day grid (≤2400
+      // rows at any SF — the fact-sized agg collapses BEFORE the window)
+      "win_pattern_vshape")
     val swept = SparkEntry.queries.keys
       .filter(k => (k.startsWith("events_") || k.startsWith("q_") ||
         k.startsWith("win_")) && !globalByDesign(k)).toSeq.sorted
