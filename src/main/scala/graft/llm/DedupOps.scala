@@ -305,6 +305,24 @@ object DedupOps extends OpRegistry {
         .select(col("doc_id"), col("lang"), col("fp"))
         .orderBy("doc_id")
     }),
+
+    "dedup_prefix" -> ((s, dir) => {
+      // Prefix-key dedup (round 14): cluster docs by their first 40 chars
+      // — the cheap screen that catches templated/boilerplate-prefixed
+      // near-dups exact-hash dedup misses (same opening, divergent tails:
+      // wire-copy rewrites, mirrored articles with appended chrome).
+      // One hash agg on the prefix key — partial+final, no pairs, no
+      // shuffle of full texts (only the 40-char key + doc id move);
+      // canonical = min doc_id (the keep-first rule); clusters of 1 are
+      // dropped (they ARE the canonical set). 24/500 fixture docs share a
+      // prefix at sf0.01, so the output is exercised, not vacuous.
+      tWide(s, dir)("documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("prefix")
+    }),
   )
 
   /** Component labels over the near-dup graph, landed once per corpus
@@ -458,6 +476,13 @@ object DedupOps extends OpRegistry {
              (m.n_docs * 1000000) // tot.n_actual AS cell_ppm
       FROM m JOIN tot USING (actual_lang)
       ORDER BY m.actual_lang, m.pred_lang""",
+
+    "dedup_prefix" -> """
+      SELECT substring(text, 1, 40) AS prefix, COUNT(1) AS n_docs,
+             MIN(doc_id) AS canonical_doc
+      FROM documents
+      GROUP BY 1 HAVING COUNT(1) >= 2
+      ORDER BY prefix""",
   )
 
   /** The text_langid kernel's oracle CTE chain, shared with the r13

@@ -1290,6 +1290,40 @@ object TextOps extends OpRegistry {
         .withColumn("n_outliers", col("n_short") + col("n_long"))
         .orderBy("lang")
     }),
+
+    "docs_boilerplate_spans" -> ((s, dir) => {
+      // Cross-document boilerplate detection (round 14) — the C4-style
+      // span-dedup complement to the WITHIN-doc text_dup_ngram_rate and
+      // the chunk-granularity docs_chunk_dup_rate: a token TRIGRAM
+      // appearing in ≥5 DISTINCT docs is boilerplate (navigation chrome,
+      // legal footers, template scaffolding), and each source is scored
+      // by the ppm of its trigram OCCURRENCES that hit a boilerplate
+      // span. Two fact-sized passes over the exploded trigram stream
+      // (one for df, one for the per-source hit count via a broadcastable
+      // join against the boilerplate set — its size is df-thresholded,
+      // never corpus-proportional); occurrences keep multiplicity, df
+      // counts distinct docs, both exactly as the twin replays.
+      val toks = split(col("text"), " ")
+      val nTri = greatest(size(toks) - 2, lit(0))
+      val tris = when(nTri >= 1,
+        transform(sequence(lit(1), nTri), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2)))).otherwise(array())
+      val occ = tWide(s, dir)("documents")
+        .select(col("doc_id"), col("source"), explode(tris).as("tri"))
+      val boiler = occ.select("tri", "doc_id").distinct()
+        .groupBy("tri").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+        .select(col("tri").as("btri"))
+      occ.join(broadcast(boiler), col("tri") === col("btri"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("btri").isNotNull, 1L).otherwise(0L)).as("n_boiler_hits"))
+        .withColumn("boiler_ppm",
+          call_function("div", col("n_boiler_hits") * lit(1000000L),
+            col("n_spans")))
+        .orderBy("source")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2005,5 +2039,23 @@ object TextOps extends OpRegistry {
       SELECT lang, CAST(rk AS INT) AS rk, pair, n,
              CAST(n * 1000000 // lang_total AS BIGINT) AS share_ppm
       FROM rk WHERE rk <= 10 ORDER BY lang, rk""",
+
+    "docs_boilerplate_spans" -> """
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents),
+      occ AS (SELECT doc_id, source,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tri
+              FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+      boiler AS (SELECT tri FROM (
+                   SELECT tri, COUNT(DISTINCT doc_id) AS df
+                   FROM occ GROUP BY 1)
+                 WHERE df >= 5)
+      SELECT source, COUNT(1) AS n_spans,
+             CAST(SUM(CASE WHEN b.tri IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_boiler_hits,
+             CAST(SUM(CASE WHEN b.tri IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) * 1000000 // COUNT(1) AS boiler_ppm
+      FROM occ o LEFT JOIN boiler b ON o.tri = b.tri
+      GROUP BY source ORDER BY source""",
   )
 }

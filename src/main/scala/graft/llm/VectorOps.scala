@@ -1191,6 +1191,73 @@ object VectorOps extends OpRegistry {
           r4(col("dot_q").cast("double") / lit(1e12)).as("cos4"))
         .orderBy("id1", "id2")
     }),
+
+    "vec_pq_distortion" -> ((s, dir) => {
+      // PQ codebook diagnostics (round 14): per SUBSPACE, the corpus-level
+      // quantization health vec_pq_codes' per-vector qerr can't show —
+      // total reconstruction error, codebook utilization (distinct codes
+      // actually used, of 16), and the hottest code with its occupancy.
+      // A subspace with collapsed utilization or one dominant code is a
+      // mistrained codebook; this table is what you'd alert on before
+      // shipping an index. Same exact-integer encode kernel as
+      // vec_pq_codes (argmin over BIGINT distances, smallest-k ties);
+      // everything after the encode is a (8 × ≤16)-row aggregate.
+      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val subDim = dim / PqSubspaces
+      val e = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val perSub = (0 until PqSubspaces).map { m =>
+        val sub = slice(col("qe"), m * subDim + 1, subDim)
+        val subsq = dotQ(s, sub, sub)
+        val best = array_min(array((0 until PqCodebook).map { k =>
+          val c = pqCentroid(m, k, subDim)
+          val cSq = c.map(v => v * v).sum
+          struct((lit(cSq) - lit(2L) * dotQ(s, sub, lit(c))).as("s"), lit(k).as("k"))
+        }: _*))
+        struct((subsq + best.getField("s")).as("err"), best.getField("k").as("code"))
+      }
+      val assigned = e.select(posexplode(array(perSub: _*)).as(Seq("m0", "st")))
+        .select(col("m0").cast("long").as("m"), col("st.err").as("err"),
+          col("st.code").as("code"))
+      val perCode = assigned.groupBy("m", "code")
+        .agg(count(lit(1)).as("cnt"), sum("err").as("err_sum"))
+      perCode
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("m").orderBy(col("cnt").desc, col("code"))))
+        .groupBy("m")
+        .agg(sum("cnt").as("n_vecs"), count(lit(1)).as("n_codes_used"),
+          sum("err_sum").as("sum_qerr"),
+          max(when(col("rn") === 1, col("code"))).as("top_code"),
+          max(when(col("rn") === 1, col("cnt"))).as("top_code_n"))
+        .orderBy("m")
+    }),
+
+    "multimodal_bytes_entropy" -> ((s, dir) => {
+      // Byte-level Shannon entropy of the binary payload per lang (round
+      // 14) — the compression-potential / corruption screen a media
+      // pipeline runs before paying for decode (an already-compressed
+      // blob sits near 8 bits/byte; a stuck encoder near 0). The payload
+      // is the documents text as bytes (the multimodal_features stub
+      // convention — codec libs absent; plumbing real). Exact micro-nat
+      // recipe (events_user_entropy): every ln argument is an integer
+      // count, floor-quantized to µnats immediately, so the per-lang
+      // entropy is bit-identical cross-engine. One scan explode (linear)
+      // into the ≤ langs×256 histogram; everything after is bounded.
+      def lnq(x: Column): Column =
+        floor(log(x.cast("double")) * 1e6).cast("long")
+      val hist = tWide(s, dir)("documents")
+        .select(col("lang"), explode(split(col("text"), "")).as("ch"))
+        .select(col("lang"), ascii(col("ch")).cast("long").as("b"))
+        .groupBy("lang", "b").agg(count(lit(1)).as("c"))
+      hist.groupBy("lang")
+        .agg(sum("c").as("n_bytes"), count(lit(1)).as("n_distinct_bytes"),
+          sum(col("c") * lnq(col("c"))).as("sum_clnc_u"))
+        .select(col("lang"), col("n_bytes"), col("n_distinct_bytes"),
+          col("sum_clnc_u"),
+          r6((lnq(col("n_bytes")) * col("n_bytes") - col("sum_clnc_u"))
+            .cast("double") / (col("n_bytes").cast("double") * lit(1e6)))
+            .as("entropy6"))
+        .orderBy("lang")
+    }),
   )
 
   /** Generated DuckDB twin of vec_jl_projection: the ±1 sign vectors are
@@ -1406,6 +1473,43 @@ object VectorOps extends OpRegistry {
       SELECT vec_id, array_to_string(LIST(k ORDER BY m), ',') AS codes,
              CAST(SUM(dist) AS BIGINT) AS qerr
       FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
+  }
+
+  /** vec_pq_distortion twin — REGENERATED from the same pqCentroid seeds
+    * (the IVF-family discipline: extend by regeneration, never hand-copy):
+    * identical argmin assignment, then the per-subspace rollup. */
+  private def pqDistortionOracleSql: String = {
+    val dim = 64
+    val subDim = dim / PqSubspaces
+    val vals = (for { m <- 0 until PqSubspaces; k <- 0 until PqCodebook } yield
+      s"($m, $k, [${pqCentroid(m, k, subDim).mkString(",")}])"
+    ).mkString(",\n        ")
+    s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      cent(m, k, comps) AS (VALUES
+        $vals),
+      d AS (SELECT vec_id, m, k,
+                   list_sum(list_transform(range(1, ${subDim + 1}),
+                     i -> (qe[m * $subDim + i] - comps[i])
+                        * (qe[m * $subDim + i] - comps[i]))) AS dist
+            FROM q CROSS JOIN cent),
+      r AS (SELECT vec_id, m, k, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+            FROM d),
+      a AS (SELECT vec_id, CAST(m AS BIGINT) AS m, k, dist
+            FROM r WHERE rn = 1),
+      pc AS (SELECT m, k, COUNT(1) AS cnt, CAST(SUM(dist) AS BIGINT) AS err_sum
+             FROM a GROUP BY 1, 2),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY m
+                         ORDER BY cnt DESC, k) AS rn FROM pc)
+      SELECT m, CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+             COUNT(1) AS n_codes_used,
+             CAST(SUM(err_sum) AS BIGINT) AS sum_qerr,
+             MAX(CASE WHEN rn = 1 THEN k END) AS top_code,
+             MAX(CASE WHEN rn = 1 THEN cnt END) AS top_code_n
+      FROM rk GROUP BY m ORDER BY m"""
   }
 
   /** Generated DuckDB twin of knn_ivfpq_topk: re-derives the LSH cells, the
@@ -1968,5 +2072,25 @@ object VectorOps extends OpRegistry {
              ${r4Sql("CAST(a.dot_q AS DOUBLE) / 1000000000000")} AS cos4
       FROM k a JOIN k b ON a.qid = b.vid AND a.vid = b.qid
       WHERE a.qid < a.vid ORDER BY id1, id2""",
+
+    "vec_pq_distortion" -> pqDistortionOracleSql,
+
+    "multimodal_bytes_entropy" -> s"""
+      WITH ch AS (SELECT lang,
+                         unnest(list_transform(range(1, length(text) + 1),
+                           i -> CAST(ord(substring(text, i, 1)) AS BIGINT)))
+                           AS b
+                  FROM documents),
+      hist AS (SELECT lang, b, COUNT(1) AS c FROM ch GROUP BY 1, 2),
+      g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_bytes,
+                   COUNT(1) AS n_distinct_bytes,
+                   CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS sum_clnc_u
+            FROM hist GROUP BY 1)
+      SELECT lang, n_bytes, n_distinct_bytes, sum_clnc_u,
+             ${r6Sql("CAST(CAST(floor(ln(CAST(n_bytes AS DOUBLE)) * 1000000)" +
+               " AS BIGINT) * n_bytes - sum_clnc_u AS DOUBLE)" +
+               " / (CAST(n_bytes AS DOUBLE) * 1000000)")} AS entropy6
+      FROM g ORDER BY lang""",
   )
 }

@@ -513,7 +513,82 @@ object Profiling extends OpRegistry {
       dist.select(col("node"), coalesce(col("d"), lit(-1L)).as("dist"))
         .orderBy("node")
     }),
+
+    "graph_kcore_peel" -> ((s, dir) => {
+      // k-core decomposition (round 14), k=20, three unrolled peel
+      // rounds: repeatedly delete nodes of degree < k — the standard
+      // dense-subgraph extractor (community cores, spam rings, robust
+      // backbone). Each round is one node-sized degree agg + two
+      // semi-joins on the edge list (the dedup_components bounded-round
+      // discipline: FIXED shuffle-stage count, no driver iteration on
+      // data); rides the landed co-trade artifact, so no fact pass.
+      // Output: every node with its initial degree and core membership.
+      val e0 = directedCoTrade(s, dir)
+      val deg0 = e0.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg0"))
+      val core = kcorePeel(e0, k = 20, rounds = 3)
+        .select(col("src")).distinct().withColumnRenamed("src", "c_node")
+      deg0.join(core, col("node") === col("c_node"), "left_outer")
+        .select(col("node"), col("deg0"),
+          col("c_node").isNotNull.cast("int").as("in_core"))
+        .orderBy("node")
+    }),
+
+    "graph_reciprocity" -> ((s, dir) => {
+      // Directed-flow reciprocity (round 14): the goods-flow graph
+      // (supplier nation → customer nation, distinct arcs) and, per
+      // nation, how many of its outgoing trade arcs are reciprocated —
+      // the import/export symmetry screen (a nation that only exports to
+      // a partner never importing back is a structural trade imbalance
+      // the weighted q_nation_trade_balance quantifies in revenue; this
+      // is its topology twin). One fact pass collapses to the ≤nation²
+      // arc set (direction matters, so the undirected artifact can't
+      // serve); the reciprocation check is a self-join on that bounded
+      // set. Integer ppm per the div convention.
+      val tt = t(s, dir) _
+      val (liB, ooB) = graft.CorpusArtifacts.orderkeyFacts(s, dir)
+      val arcs = liB.select("l_orderkey", "l_suppkey")
+        .join(ooB.select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tt("customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(tt("supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .select(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .distinct()
+      val rev = arcs.select(col("dst").as("r_src"), col("src").as("r_dst"))
+      arcs.join(rev,
+          col("src") === col("r_src") && col("dst") === col("r_dst"),
+          "left_outer")
+        .groupBy(col("src").as("nation"))
+        .agg(count(lit(1)).as("out_deg"),
+          sum(when(col("r_src").isNotNull, 1L).otherwise(0L)).as("n_recip"))
+        .withColumn("recip_ppm",
+          call_function("div", col("n_recip") * lit(1000000L), col("out_deg")))
+        .orderBy("nation")
+    }),
   )
+
+  /** The peel kernel behind graph_kcore_peel, parameterized for the spec
+    * (the registry op runs k=20 on the co-trade graph; the spec plants a
+    * triangle + pendant chain and peels at k=2). Edges are the DIRECTED
+    * expansion (both arcs), so degree = COUNT per src and one round is
+    * degree-filter + two endpoint semi-joins. */
+  private[graft] def kcorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = edges0
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      edges = edges
+        .join(keep.withColumnRenamed("src", "ka"), col("src") === col("ka"))
+        .drop("ka")
+        .join(keep.withColumnRenamed("src", "kb"), col("dst") === col("kb"))
+        .drop("kb")
+    }
+    edges
+  }
 
   /** Weighted co-trade pairs (a<b): nations a and b traded iff some order
     * had a customer in one and a supplying supplier in the other; weight =
@@ -938,5 +1013,52 @@ object Profiling extends OpRegistry {
              COALESCE(d, CAST(-1 AS BIGINT)) AS dist
       FROM nation LEFT OUTER JOIN m ON CAST(n_nationkey AS BIGINT) = m.node
       ORDER BY node""",
+
+    // three unrolled peel rounds — identical bound to the Spark kernel
+    "graph_kcore_peel" -> """
+      WITH pairs AS (
+        SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                        greatest(c_nationkey, s_nationkey) AS b
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey),
+      dir2 AS (SELECT a AS src, b AS dst FROM pairs
+               UNION ALL SELECT b AS src, a AS dst FROM pairs),
+      d0 AS (SELECT src, COUNT(1) AS deg0 FROM dir2 GROUP BY 1),
+      k1 AS (SELECT src FROM d0 WHERE deg0 >= 20),
+      e1 AS (SELECT t.src, t.dst FROM dir2 t
+             JOIN k1 a ON t.src = a.src JOIN k1 b ON t.dst = b.src),
+      d2 AS (SELECT src, COUNT(1) AS deg FROM e1 GROUP BY 1),
+      k2 AS (SELECT src FROM d2 WHERE deg >= 20),
+      e2 AS (SELECT t.src, t.dst FROM e1 t
+             JOIN k2 a ON t.src = a.src JOIN k2 b ON t.dst = b.src),
+      d3 AS (SELECT src, COUNT(1) AS deg FROM e2 GROUP BY 1),
+      k3 AS (SELECT src FROM d3 WHERE deg >= 20),
+      e3 AS (SELECT t.src, t.dst FROM e2 t
+             JOIN k3 a ON t.src = a.src JOIN k3 b ON t.dst = b.src),
+      core AS (SELECT DISTINCT src FROM e3)
+      SELECT d0.src AS node, d0.deg0,
+             CAST(core.src IS NOT NULL AS INT) AS in_core
+      FROM d0 LEFT JOIN core ON d0.src = core.src
+      ORDER BY node""",
+
+    "graph_reciprocity" -> """
+      WITH arcs AS (
+        SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS src,
+                        CAST(c_nationkey AS BIGINT) AS dst
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey)
+      SELECT a.src AS nation, COUNT(1) AS out_deg,
+             CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_recip,
+             CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) * 1000000 // COUNT(1) AS recip_ppm
+      FROM arcs a LEFT JOIN arcs r ON a.src = r.dst AND a.dst = r.src
+      GROUP BY 1 ORDER BY nation""",
   )
 }
