@@ -90,7 +90,12 @@ object ScaleProbe {
     // cumulative window, token-grain output is the semantics)
     "docs_tokenize_offsets",
     // round 13 batch 13: the scan-shaped license/copyright screen
-    "docs_license_filter")
+    "docs_license_filter",
+    // round 14 batch D: the prefix-key hash agg, the two-pass trigram
+    // df/boilerplate-hit stream, and the per-byte entropy histogram
+    "dedup_prefix", "docs_boilerplate_spans", "multimodal_bytes_entropy",
+    // round 14 batch F: the lang-partitioned rank window + Gini agg
+    "docs_token_gini")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -110,7 +115,11 @@ object ScaleProbe {
     "vec_ivf_cell_stats",
     // round 13 batch 11: the nprobe cost table (broadcast probe join;
     // everything after is queries×radii-sized)
-    "vec_ivf_probe_cost")
+    "vec_ivf_probe_cost",
+    // round 14 batch D: the shared PQ encode + per-(m,code) rollup
+    "vec_pq_distortion",
+    // round 14 batch F: the two-stage RQ encode (map-side) + ≤16-row agg
+    "vec_residual_quantize")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
@@ -166,7 +175,10 @@ object ScaleProbe {
     // round 14 batch C: the four day/minute-grid collapses and the
     // user-partitioned session-depth rollup
     "events_drawdown", "events_rolling_median", "events_downtime_intervals",
-    "events_session_depth_hist", "events_weekly_seasonality_strength")
+    "events_session_depth_hist", "events_weekly_seasonality_strength",
+    // round 14 batch F: the user-agg → lifetime-histogram KM estimator,
+    // the day-grid split scan, and the minute-grid χ² screen
+    "events_survival_km", "events_changepoint", "events_uniformity_chi2")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -241,7 +253,12 @@ object ScaleProbe {
     // broadcast-dim margin sums, and the day-grid lag/lead pattern
     "q_customer_repeat_rate", "q_ship_lag_percentiles",
     "q_order_weekday_profile", "q_part_margin_spread",
-    "q_customer_order_gap", "win_pattern_vshape")
+    "q_customer_order_gap", "win_pattern_vshape",
+    // round 14 batch E: the 3-round degree peel and the directed-arc
+    // reciprocity self-join (both ride landed co-trade artifacts)
+    "graph_kcore_peel", "graph_reciprocity",
+    // round 14 batch F: 3 synchronous LPA rounds on the landed artifact
+    "graph_label_propagation")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

@@ -1303,26 +1303,73 @@ object TextOps extends OpRegistry {
       // join against the boilerplate set — its size is df-thresholded,
       // never corpus-proportional); occurrences keep multiplicity, df
       // counts distinct docs, both exactly as the twin replays.
+      // Trigram identity travels as xxhash64(tok,tok,tok) LONGS, never as
+      // concatenated strings: the 100× probe measured the string form at
+      // 212 s with the df distinct+agg+join chain costing +120 s over the
+      // bare explode; on 8-byte keys the same chain is ~free (97 s total,
+      // within noise of the explode itself — §4.2.19). The hash is
+      // injective modulo 2⁻⁶⁴ birthday collisions (~4e-5 probability of
+      // ONE collision at 40M distinct trigrams; a collision merges two
+      // trigram df counts — immaterial for a ≥5-docs screen, and the
+      // corpus-deterministic hash makes any effect reproducible, not
+      // flaky). The DuckDB twin works on the trigram strings themselves —
+      // same output, which is exactly what the differential gate checks.
       val toks = split(col("text"), " ")
       val nTri = greatest(size(toks) - 2, lit(0))
-      val tris = when(nTri >= 1,
+      val trisH = when(nTri >= 1,
         transform(sequence(lit(1), nTri), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2)))).otherwise(array())
+          xxhash64(element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2)))).otherwise(array().cast("array<long>"))
       val occ = tWide(s, dir)("documents")
-        .select(col("doc_id"), col("source"), explode(tris).as("tri"))
-      val boiler = occ.select("tri", "doc_id").distinct()
-        .groupBy("tri").agg(count(lit(1)).as("df"))
+        .select(col("doc_id"), col("source"), explode(trisH).as("h"))
+      val boiler = occ.select("h", "doc_id").distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 5)
-        .select(col("tri").as("btri"))
-      occ.join(broadcast(boiler), col("tri") === col("btri"), "left_outer")
+        .select(col("h").as("bh"))
+      // no broadcast hint: the boiler set is df-thresholded (≤ occ/5) and
+      // tiny on any realistic corpus, but a fully-templated corpus can
+      // make it distinct-trigram-sized — AQE picks broadcast at runtime
+      // from the ACTUAL post-filter size (the q_part_margin_spread
+      // forced-broadcast lesson, §4.2.19)
+      occ.join(boiler, col("h") === col("bh"), "left_outer")
         .groupBy("source")
         .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("btri").isNotNull, 1L).otherwise(0L)).as("n_boiler_hits"))
+          sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_boiler_hits"))
         .withColumn("boiler_ppm",
           call_function("div", col("n_boiler_hits") * lit(1000000L),
             col("n_spans")))
         .orderBy("source")
+    }),
+
+    "docs_token_gini" -> ((s, dir) => {
+      // Per-language Gini coefficient of doc token counts (round 14) —
+      // the inequality statistic behind corpus-balance audits: a lang
+      // whose token mass concentrates in a few giant docs packs, samples,
+      // and trains differently from one with uniform doc sizes, and the
+      // Gini is the single number curators compare across snapshots.
+      // Exact rank formula G = (2·Σi·x(i) − (n+1)·Σx) / (n·Σx) on the
+      // ASC-sorted counts (doc_id tiebreak): one lang-partitioned
+      // row_number + one agg — no pairwise |xi−xj| work. Output in MILLI
+      // (×1e3, the sqrt-weight precedent): the ppm form's numerator
+      // 2Σi·x·1e6 overflows int64 near 3e5 docs/lang; milli is exact to
+      // ~1e7 docs/lang × 80 tokens (declared bound). Numerator is
+      // non-negative by the Chebyshev sum inequality, so div never sees
+      // a sign (the signed-div dialect trap never arises).
+      val ranked = tWide(s, dir)("documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy("lang").orderBy(col("tok"), col("doc_id")))
+          .cast("long"))
+      ranked.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"),
+          sum(col("i") * col("tok")).as("siw"))
+        .withColumn("gini_milli", call_function("div",
+          (lit(2L) * col("siw") - (col("n_docs") + 1L) * col("sum_tokens"))
+            * lit(1000L),
+          col("n_docs") * col("sum_tokens")))
+        .select("lang", "n_docs", "sum_tokens", "gini_milli")
+        .orderBy("lang")
     }),
   )
 
@@ -2057,5 +2104,22 @@ object TextOps extends OpRegistry {
                AS BIGINT) * 1000000 // COUNT(1) AS boiler_ppm
       FROM occ o LEFT JOIN boiler b ON o.tri = b.tri
       GROUP BY source ORDER BY source""",
+
+    "docs_token_gini" -> """
+      WITH tok AS (SELECT lang, doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+                   FROM documents),
+      r AS (SELECT lang, tok,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY tok, doc_id) AS i
+            FROM tok),
+      g AS (SELECT lang, COUNT(1) AS n_docs,
+                   CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(i * tok) AS BIGINT) AS siw
+            FROM r GROUP BY 1)
+      SELECT lang, n_docs, sum_tokens,
+             ((2 * siw - (n_docs + 1) * sum_tokens) * 1000)
+               // (n_docs * sum_tokens) AS gini_milli
+      FROM g ORDER BY lang""",
   )
 }

@@ -1258,6 +1258,62 @@ object VectorOps extends OpRegistry {
             .as("entropy6"))
         .orderBy("lang")
     }),
+
+    "vec_residual_quantize" -> ((s, dir) => {
+      // Two-level residual quantization (round 14) — the RQ alternative
+      // to PQ's subspace split: level 1 coarse-quantizes the FULL vector
+      // against 16 centroids, level 2 quantizes the residual x − c1
+      // against a second codebook — additive refinement instead of
+      // dimension partitioning (what IVF-RQ / RabitQ-era indexes build
+      // on). Same exact-integer encode discipline as vec_pq_codes: both
+      // argmins over BIGINT ‖·‖² distances via ‖x‖²−2⟨x,c⟩+‖c‖²,
+      // smallest-k ties. Level-2 code 0 is the ZERO vector ("no
+      // correction"), which makes err2 ≤ err1 per row BY CONSTRUCTION —
+      // every div in the improvement math sees non-negative operands
+      // (the signed-div dialect trap never arises). Per-vector errs are
+      // floor-divided to kilo-units before the corpus sum (declared
+      // quantization; keeps sums ≤ ~1.7e16 at 100× — int64-safe), means
+      // per coarse cell, improvement in ppm of mean err removed. Two
+      // map-side encode passes + one ≤16-row agg — scan-bound at any SF.
+      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      def cbook(level: Int): IndexedSeq[Array[Long]] =
+        (0 until PqCodebook).map { k =>
+          if (level == 2 && k == 0) Array.fill(dim)(0L)
+          else pqCentroid(100 + level, k, dim)
+        }
+      val cb1 = cbook(1); val cb2 = cbook(2)
+      def best(v: Column, cb: IndexedSeq[Array[Long]]): Column =
+        array_min(array(cb.zipWithIndex.map { case (c, k) =>
+          val cSq = c.map(x => x * x).sum
+          struct((lit(cSq) - lit(2L) * dotQ(s, v, lit(c))).as("sc"),
+            lit(k).as("k"))
+        }: _*))
+      val b1 = best(col("qe"), cb1)
+      val a1 = e.select(col("vec_id"), col("qe"),
+        (dotQ(s, col("qe"), col("qe")) + b1.getField("sc")).as("err1"),
+        b1.getField("k").as("code1"))
+      val c1arr = element_at(
+        typedlit(cb1.map(_.toSeq)), col("code1") + 1)
+      val a2 = a1.withColumn("r", zip_with(col("qe"), c1arr, (a, b) => a - b))
+      val b2 = best(col("r"), cb2)
+      a2.select(col("code1"),
+          call_function("div", col("err1"), lit(1000L)).as("e1k"),
+          call_function("div", col("err1") + b2.getField("sc"), lit(1000L))
+            .as("e2k"))
+        .groupBy("code1")
+        .agg(count(lit(1)).as("n_vecs"), sum("e1k").as("s1"), sum("e2k").as("s2"))
+        .withColumn("mean_err1_k", call_function("div", col("s1"), col("n_vecs")))
+        .withColumn("mean_err2_k", call_function("div", col("s2"), col("n_vecs")))
+        .withColumn("improvement_ppm", when(col("mean_err1_k") > 0,
+          call_function("div",
+            (col("mean_err1_k") - col("mean_err2_k")) * lit(1000000L),
+            col("mean_err1_k"))))
+        .select("code1", "n_vecs", "mean_err1_k", "mean_err2_k",
+          "improvement_ppm")
+        .orderBy("code1")
+    }),
   )
 
   /** Generated DuckDB twin of vec_jl_projection: the ±1 sign vectors are
@@ -1510,6 +1566,60 @@ object VectorOps extends OpRegistry {
              MAX(CASE WHEN rn = 1 THEN k END) AS top_code,
              MAX(CASE WHEN rn = 1 THEN cnt END) AS top_code_n
       FROM rk GROUP BY m ORDER BY m"""
+  }
+
+  /** vec_residual_quantize twin — both codebooks REGENERATED from the same
+    * pqCentroid seeds (level-2 code 0 is the zero vector, exactly as the
+    * Spark side builds it); identical two-stage argmin + kilo-unit floor
+    * divs + per-cell rollup. */
+  private def rqOracleSql: String = {
+    val dim = 64
+    def rows(level: Int): String =
+      (0 until PqCodebook).map { k =>
+        val c = if (level == 2 && k == 0) Array.fill(dim)(0L)
+                else pqCentroid(100 + level, k, dim)
+        s"($k, [${c.mkString(",")}])"
+      }.mkString(",\n        ")
+    s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      c1(k, comps) AS (VALUES
+        ${rows(1)}),
+      c2(k, comps) AS (VALUES
+        ${rows(2)}),
+      d1 AS (SELECT vec_id, qe, c1.k,
+                    list_sum(list_transform(range(1, ${dim + 1}),
+                      i -> (qe[i] - comps[i]) * (qe[i] - comps[i]))) AS dist
+             FROM q CROSS JOIN c1),
+      a1 AS (SELECT vec_id, qe, k AS code1, dist AS err1
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY dist, k) AS rn FROM d1)
+             WHERE rn = 1),
+      res AS (SELECT a1.vec_id, a1.code1, a1.err1,
+                     list_transform(range(1, ${dim + 1}),
+                       i -> a1.qe[i] - c1.comps[i]) AS r
+              FROM a1 JOIN c1 ON a1.code1 = c1.k),
+      d2 AS (SELECT vec_id, code1, err1, c2.k,
+                    list_sum(list_transform(range(1, ${dim + 1}),
+                      i -> (r[i] - comps[i]) * (r[i] - comps[i]))) AS dist2
+             FROM res CROSS JOIN c2),
+      a2 AS (SELECT code1,
+                    CAST(err1 // 1000 AS BIGINT) AS e1k,
+                    CAST(dist2 // 1000 AS BIGINT) AS e2k
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY dist2, k) AS rn FROM d2)
+             WHERE rn = 1),
+      g AS (SELECT code1, COUNT(1) AS n_vecs,
+                   CAST(SUM(e1k) AS BIGINT) AS s1,
+                   CAST(SUM(e2k) AS BIGINT) AS s2
+            FROM a2 GROUP BY 1)
+      SELECT code1, n_vecs, s1 // n_vecs AS mean_err1_k,
+             s2 // n_vecs AS mean_err2_k,
+             CASE WHEN s1 // n_vecs > 0 THEN
+               ((s1 // n_vecs - s2 // n_vecs) * 1000000) // (s1 // n_vecs)
+             END AS improvement_ppm
+      FROM g ORDER BY code1"""
   }
 
   /** Generated DuckDB twin of knn_ivfpq_topk: re-derives the LSH cells, the
@@ -2074,6 +2184,8 @@ object VectorOps extends OpRegistry {
       WHERE a.qid < a.vid ORDER BY id1, id2""",
 
     "vec_pq_distortion" -> pqDistortionOracleSql,
+
+    "vec_residual_quantize" -> rqOracleSql,
 
     "multimodal_bytes_entropy" -> s"""
       WITH ch AS (SELECT lang,

@@ -4,6 +4,7 @@ import graft.OpRegistry
 import graft.Helpers._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** §2.14 Data-management utilities (round 4): table profiling, multi-dim
   * layout clustering, and graph analytics over the star schema.
@@ -569,7 +570,48 @@ object Profiling extends OpRegistry {
           call_function("div", col("n_recip") * lit(1000000L), col("out_deg")))
         .orderBy("nation")
     }),
+
+    "graph_label_propagation" -> ((s, dir) => {
+      // Weighted label propagation (round 14), 3 SYNCHRONOUS rounds: each
+      // node adopts the label carrying the max total edge weight among its
+      // neighbors, ties to the smallest label — the standard near-linear
+      // community detector (LPA), made deterministic by the full
+      // (weight desc, label asc) tiebreak and the fixed round count
+      // (free-running LPA is order-dependent and can oscillate; synchronous
+      // + bounded rounds is the distributed-engine form). Rides the landed
+      // weighted co-trade artifact (node-sized parquet, no fact pass);
+      // each round is one edge-label join + one argmax agg —
+      // dedup_components' bounded-round discipline, localCheckpoint
+      // truncating lineage so the stage count stays FIXED at any scale.
+      val w = coTradeWeights(s, dir)
+      val arcs = w.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(w.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      lpaRounds(arcs, rounds = 3)
+        .withColumn("comm_size",
+          count(lit(1)).over(Window.partitionBy("label")))
+        .orderBy("node")
+    }),
   )
+
+  /** The synchronous-LPA kernel behind graph_label_propagation,
+    * parameterized for the spec (the registry op runs 3 rounds on the
+    * weighted co-trade graph; the spec plants two triangles joined by a
+    * weak bridge). Arcs are the DIRECTED weighted expansion (src, dst, w);
+    * one round = one arc-label join + one argmax agg per node, labels
+    * localCheckpointed so the stage count stays fixed. */
+  private[graft] def lpaRounds(arcs: DataFrame, rounds: Int): DataFrame = {
+    var labels = arcs.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val scored = arcs.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(sum("w").as("sw"))
+      labels = keepFirst(scored, Seq(col("dst")),
+          Seq(col("sw").desc, col("label")))
+        .select(col("dst").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 
   /** The peel kernel behind graph_kcore_peel, parameterized for the spec
     * (the registry op runs k=20 on the co-trade graph; the spec plants a
@@ -1060,5 +1102,40 @@ object Profiling extends OpRegistry {
                AS BIGINT) * 1000000 // COUNT(1) AS recip_ppm
       FROM arcs a LEFT JOIN arcs r ON a.src = r.dst AND a.dst = r.src
       GROUP BY 1 ORDER BY nation""",
+
+    // three unrolled synchronous rounds, identical argmax tiebreak
+    "graph_label_propagation" -> """
+      WITH e AS (
+        SELECT l_orderkey,
+               CAST(least(c_nationkey, s_nationkey) AS BIGINT) AS a,
+               CAST(greatest(c_nationkey, s_nationkey) AS BIGINT) AS b
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey),
+      w AS (SELECT a, b, COUNT(DISTINCT l_orderkey) AS w FROM e GROUP BY 1, 2),
+      dw AS (SELECT a AS src, b AS dst, w FROM w
+             UNION ALL
+             SELECT b AS src, a AS dst, w FROM w),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM dw),
+      s1 AS (SELECT dw.dst, l0.label, CAST(SUM(dw.w) AS BIGINT) AS sw
+             FROM dw JOIN l0 ON dw.src = l0.node GROUP BY 1, 2),
+      l1 AS (SELECT dst AS node, label FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY dst
+                 ORDER BY sw DESC, label) AS rn FROM s1) WHERE rn = 1),
+      s2 AS (SELECT dw.dst, l1.label, CAST(SUM(dw.w) AS BIGINT) AS sw
+             FROM dw JOIN l1 ON dw.src = l1.node GROUP BY 1, 2),
+      l2 AS (SELECT dst AS node, label FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY dst
+                 ORDER BY sw DESC, label) AS rn FROM s2) WHERE rn = 1),
+      s3 AS (SELECT dw.dst, l2.label, CAST(SUM(dw.w) AS BIGINT) AS sw
+             FROM dw JOIN l2 ON dw.src = l2.node GROUP BY 1, 2),
+      l3 AS (SELECT dst AS node, label FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY dst
+                 ORDER BY sw DESC, label) AS rn FROM s3) WHERE rn = 1)
+      SELECT node, label,
+             COUNT(1) OVER (PARTITION BY label) AS comm_size
+      FROM l3 ORDER BY node""",
   )
 }

@@ -1073,6 +1073,120 @@ object Timeseries extends OpRegistry {
             r6(col("ssb_num").cast("double") / col("sst_num").cast("double"))))
         .orderBy("event_type")
     }),
+
+    "events_survival_km" -> ((s, dir) => {
+      // Kaplan-Meier survival curve (round 14) over user lifetimes — the
+      // censoring-correct churn statistic (a naive mean lifetime treats
+      // still-active users as churned and biases low; KM is the standard
+      // estimator every retention analysis reaches for). Lifetime = days
+      // between a user's first and last event; users whose last event
+      // falls in the corpus' final 3 days are CENSORED (still alive at
+      // observation end — they leave the risk set without counting as a
+      // death). One fact-sized user agg collapses to the per-user frame,
+      // then a lifetime histogram bounded by the corpus day span (≤31
+      // distinct lifetimes at any SF) carries everything: n_risk(t) is a
+      // suffix-sum window over that grid, and the product Π(1 − d/n) runs
+      // in µnat log space — each ln argument an INTEGER count, floor-
+      // quantized immediately (the events_user_entropy recipe), so the
+      // cumulative sum is exact int64 and survival6 is bit-identical
+      // cross-engine. A death time exhausting the risk set (n = d) zeroes
+      // survival from there on via a running flag (ln 0 never evaluated).
+      def lnq(x: Column): Column =
+        floor(log(x.cast("double")) * 1e6).cast("long")
+      val u = eventsUs(s, dir)
+        .select(col("user_id"),
+          call_function("div", col("ts_us"), lit(usPerDay)).as("day"))
+        .groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+      val maxd = u.agg(max("d1").as("maxd"))
+      val lt = u.crossJoin(broadcast(maxd))
+        .select((col("d1") - col("d0")).as("lt"),
+          when(col("d1") >= col("maxd") - 2, 1L).otherwise(0L).as("cens"))
+      val h = lt.groupBy("lt")
+        .agg(count(lit(1)).as("n_all"), sum(lit(1L) - col("cens")).as("d"))
+      val wDesc = Window.orderBy(col("lt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("lt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("n_risk", sum("n_all").over(wDesc))
+        .filter(col("d") > 0)
+        .withColumn("fu", when(col("n_risk") > col("d"),
+          lnq(col("n_risk") - col("d")) - lnq(col("n_risk"))).otherwise(0L))
+        .withColumn("z", when(col("n_risk") === col("d"), 1L).otherwise(0L))
+        .withColumn("cum", sum("fu").over(wAsc))
+        .withColumn("zz", max("z").over(wAsc))
+        .select(col("lt").as("lifetime_days"), col("n_risk"),
+          col("d").as("n_deaths"),
+          when(col("zz") === 1, lit(0.0))
+            .otherwise(r6(exp(col("cum").cast("double") / lit(1e6))))
+            .as("survival6"))
+        .orderBy("lifetime_days")
+    }),
+
+    "events_changepoint" -> ((s, dir) => {
+      // Best single mean-shift change-point (round 14) on the global
+      // daily-count series — the regime-shift locator (deploy broke
+      // traffic WHERE?) complementing events_cusum_drift's threshold
+      // alarm: cusum tells you drift exceeded a bound, this finds the
+      // SPLIT maximizing the mean contrast between the two segments.
+      // Candidate split after day-index i (min segment 3 days each side);
+      // means in exact integer ppm (div — both engines truncate
+      // identically on the non-negative counts), argmax by contrast with
+      // earliest-day tiebreak. One fact-sized day agg; every window runs
+      // on the calendar-bounded grid (≤2400 rows at any SF).
+      val daily = eventsUs(s, dir)
+        .select(call_function("div", col("ts_us"), lit(usPerDay)).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+      val wAsc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cand = daily
+        .withColumn("i", row_number().over(Window.orderBy("day")))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum("c").over(wAll))
+        .withColumn("s1", sum("c").over(wAsc))
+        .filter(col("i") >= 3 && col("n") - col("i") >= 3)
+        .withColumn("m1_ppm",
+          call_function("div", col("s1") * lit(1000000L), col("i")))
+        .withColumn("m2_ppm", call_function("div",
+          (col("s") - col("s1")) * lit(1000000L), col("n") - col("i")))
+        .withColumn("contrast_ppm", abs(col("m1_ppm") - col("m2_ppm")))
+      keepFirst(cand, Seq(), Seq(col("contrast_ppm").desc, col("day")))
+        .select(col("day").as("split_day"), col("i").cast("long").as("n_left"),
+          (col("n") - col("i")).as("n_right"),
+          col("m1_ppm").as("mean_left_ppm"), col("m2_ppm").as("mean_right_ppm"),
+          col("contrast_ppm"))
+    }),
+
+    "events_uniformity_chi2" -> ((s, dir) => {
+      // Minute-of-hour χ² uniformity test (round 14) per event type — the
+      // synthetic-traffic screen events_bot_screen's per-user rates can't
+      // catch: cron-driven bots fire at FIXED minutes, so their
+      // minute-of-hour histogram spikes where organic traffic is flat.
+      // χ² against uniform via the algebraic identity Σ(c−n/60)²/(n/60) =
+      // 60·Σc²/n − n — absent minutes contribute 0 to Σc², so NO zero-fill
+      // join is needed; the whole test is one partial+final agg to the
+      // ≤ types×60 grid (scan-bound at any SF). Exact integer milli units
+      // (div of non-negative operands — Cauchy-Schwarz gives 60Σc² ≥ n²;
+      // 60000·Σc² stays int64-safe to ~10M events/type, declared bound);
+      // is_uniform_95 compares against χ²(df=59, 0.95) = 77.931.
+      val m = eventsUs(s, dir)
+        .select(col("event_type"),
+          pmod(call_function("div", col("ts_us"), lit(60000000L)), lit(60L))
+            .as("moh"))
+        .groupBy("event_type", "moh").agg(count(lit(1)).as("c"))
+      m.groupBy("event_type")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_minutes_hit"),
+          sum(col("c") * col("c")).as("sumc2"))
+        .withColumn("chi2_milli",
+          call_function("div", lit(60000L) * col("sumc2"), col("n"))
+            - lit(1000L) * col("n"))
+        .withColumn("is_uniform_95",
+          (col("chi2_milli") <= 77931L).cast("int"))
+        .select("event_type", "n", "n_minutes_hit", "chi2_milli",
+          "is_uniform_95")
+        .orderBy("event_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1725,5 +1839,83 @@ object Timeseries extends OpRegistry {
                  " / CAST(n_days * q - s * s AS DOUBLE)")}
              END AS strength6
       FROM j ORDER BY event_type""",
+
+    "events_survival_km" -> s"""
+      WITH e AS (SELECT user_id,
+                        (epoch_ns(ts)//1000)//86400000000 AS day FROM events),
+      u AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY 1),
+      mx AS (SELECT MAX(d1) AS maxd FROM u),
+      lt AS (SELECT d1 - d0 AS lt,
+                    CASE WHEN d1 >= maxd - 2 THEN 1 ELSE 0 END AS cens
+             FROM u CROSS JOIN mx),
+      h AS (SELECT lt, COUNT(1) AS n_all,
+                   CAST(SUM(1 - cens) AS BIGINT) AS d
+            FROM lt GROUP BY 1),
+      r AS (SELECT lt, d,
+                   CAST(SUM(n_all) OVER (ORDER BY lt DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_risk
+            FROM h),
+      f AS (SELECT lt, d, n_risk,
+                   CASE WHEN n_risk > d THEN
+                     CAST(floor(ln(CAST(n_risk - d AS DOUBLE)) * 1000000)
+                       AS BIGINT)
+                     - CAST(floor(ln(CAST(n_risk AS DOUBLE)) * 1000000)
+                       AS BIGINT)
+                   ELSE 0 END AS fu,
+                   CASE WHEN n_risk = d THEN 1 ELSE 0 END AS z
+            FROM r WHERE d > 0),
+      c AS (SELECT lt, d, n_risk,
+                   CAST(SUM(fu) OVER (ORDER BY lt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   MAX(z) OVER (ORDER BY lt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zz
+            FROM f)
+      SELECT lt AS lifetime_days, n_risk, d AS n_deaths,
+             CASE WHEN zz = 1 THEN 0.0
+                  ELSE ${r6Sql("exp(CAST(cum AS DOUBLE) / 1000000)")}
+             END AS survival6
+      FROM c ORDER BY lifetime_days""",
+
+    "events_changepoint" -> """
+      WITH daily AS (
+        SELECT (epoch_ns(ts)//1000)//86400000000 AS day, COUNT(1) AS c
+        FROM events GROUP BY 1),
+      w AS (SELECT day,
+                   ROW_NUMBER() OVER (ORDER BY day) AS i,
+                   COUNT(1) OVER () AS n,
+                   CAST(SUM(c) OVER () AS BIGINT) AS s,
+                   CAST(SUM(c) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS s1
+            FROM daily),
+      cand AS (SELECT day, i, n, s1,
+                      (s1 * 1000000) // i AS m1_ppm,
+                      ((s - s1) * 1000000) // (n - i) AS m2_ppm
+               FROM w WHERE i >= 3 AND n - i >= 3),
+      rk AS (SELECT *,
+                    abs(m1_ppm - m2_ppm) AS contrast_ppm,
+                    ROW_NUMBER() OVER (ORDER BY abs(m1_ppm - m2_ppm) DESC,
+                      day) AS rn
+             FROM cand)
+      SELECT day AS split_day, i AS n_left, n - i AS n_right,
+             m1_ppm AS mean_left_ppm, m2_ppm AS mean_right_ppm, contrast_ppm
+      FROM rk WHERE rn = 1""",
+
+    "events_uniformity_chi2" -> """
+      WITH m AS (SELECT event_type,
+                        ((epoch_ns(ts)//1000)//60000000) % 60 AS moh,
+                        COUNT(1) AS c
+                 FROM events GROUP BY 1, 2),
+      g AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+                   COUNT(1) AS n_minutes_hit,
+                   CAST(SUM(c * c) AS BIGINT) AS sumc2
+            FROM m GROUP BY 1)
+      SELECT event_type, n, n_minutes_hit,
+             (60000 * sumc2) // n - 1000 * n AS chi2_milli,
+             CAST((60000 * sumc2) // n - 1000 * n <= 77931 AS INT)
+               AS is_uniform_95
+      FROM g ORDER BY event_type""",
   )
 }

@@ -280,7 +280,13 @@ class PlanSpec extends GraftSuite {
       "events_slo_burn_rate",
       // r14: lag/lead pattern over the calendar-bounded day grid (≤2400
       // rows at any SF — the fact-sized agg collapses BEFORE the window)
-      "win_pattern_vshape")
+      "win_pattern_vshape",
+      // r14 batch F: events_survival_km's risk-set suffix sum + KM
+      // cumulative product run on the lifetime histogram (≤ corpus day
+      // span rows at any SF — the user agg collapses BEFORE the windows);
+      // events_changepoint's cumulative/argmax windows run on the
+      // calendar-bounded day grid (≤2400 rows at any SF)
+      "events_survival_km", "events_changepoint")
     val swept = SparkEntry.queries.keys
       .filter(k => (k.startsWith("events_") || k.startsWith("q_") ||
         k.startsWith("win_")) && !globalByDesign(k)).toSeq.sorted
