@@ -178,7 +178,10 @@ object ScaleProbe {
     "events_session_depth_hist", "events_weekly_seasonality_strength",
     // round 14 batch F: the user-agg → lifetime-histogram KM estimator,
     // the day-grid split scan, and the minute-grid χ² screen
-    "events_survival_km", "events_changepoint", "events_uniformity_chi2")
+    "events_survival_km", "events_changepoint", "events_uniformity_chi2",
+    // round 14 batch G: the collected-day-grid Holt fold and the
+    // hour-grid island debouncer
+    "events_holt_linear", "events_alert_debounce")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -258,7 +261,12 @@ object ScaleProbe {
     // reciprocity self-join (both ride landed co-trade artifacts)
     "graph_kcore_peel", "graph_reciprocity",
     // round 14 batch F: 3 synchronous LPA rounds on the landed artifact
-    "graph_label_propagation")
+    "graph_label_propagation",
+    // round 14 batch G: the cohort-triangle double orders pass, the
+    // fact-dim moment agg, the backbone moment rollup, and the
+    // generate-then-PERMISSIVE-parse csv surface
+    "q_cohort_revenue_triangle", "q_discount_quantity_elasticity",
+    "graph_assortativity", "source_csv_badrecords")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

@@ -1304,22 +1304,25 @@ object TextOps extends OpRegistry {
       // never corpus-proportional); occurrences keep multiplicity, df
       // counts distinct docs, both exactly as the twin replays.
       // Trigram identity travels as xxhash64(tok,tok,tok) LONGS, never as
-      // concatenated strings: the 100× probe measured the string form at
-      // 212 s with the df distinct+agg+join chain costing +120 s over the
-      // bare explode; on 8-byte keys the same chain is ~free (97 s total,
-      // within noise of the explode itself — §4.2.19). The hash is
-      // injective modulo 2⁻⁶⁴ birthday collisions (~4e-5 probability of
-      // ONE collision at 40M distinct trigrams; a collision merges two
-      // trigram df counts — immaterial for a ≥5-docs screen, and the
-      // corpus-deterministic hash makes any effect reproducible, not
-      // flaky). The DuckDB twin works on the trigram strings themselves —
-      // same output, which is exactly what the differential gate checks.
+      // concatenated strings, and the trigram stream is generated by
+      // transforming an arrays_zip OF SLICES — the lambda touches ONLY its
+      // own element. The first formulation (transform over sequence(1,n)
+      // with element_at(toks, i) in the lambda) re-evaluated the free
+      // `toks` expression — the full split(text) — on EVERY element
+      // access: ~240 re-splits per doc, probe-measured at 189 s per pass
+      // pair at 100×; the zip form is 34 s (5.5×) with bit-identical
+      // output (§4.2.19 — lambda bodies must reference the lambda
+      // variable, never an expensive free expression). The hash key is
+      // injective modulo 2⁻⁶⁴ birthday collisions (~4e-5 at 40M distinct
+      // trigrams, corpus-deterministic — never flaky); the DuckDB twin
+      // works on the trigram strings themselves, so the differential gate
+      // checks exactly the output contract.
       val toks = split(col("text"), " ")
       val nTri = greatest(size(toks) - 2, lit(0))
-      val trisH = when(nTri >= 1,
-        transform(sequence(lit(1), nTri), i =>
-          xxhash64(element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2)))).otherwise(array().cast("array<long>"))
+      val trisH = transform(
+        arrays_zip(slice(toks, lit(1), nTri), slice(toks, lit(2), nTri),
+          slice(toks, lit(3), nTri)),
+        e => xxhash64(e.getField("0"), e.getField("1"), e.getField("2")))
       val occ = tWide(s, dir)("documents")
         .select(col("doc_id"), col("source"), explode(trisH).as("h"))
       val boiler = occ.select("h", "doc_id").distinct()

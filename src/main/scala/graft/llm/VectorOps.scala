@@ -1199,25 +1199,36 @@ object VectorOps extends OpRegistry {
       // actually used, of 16), and the hottest code with its occupancy.
       // A subspace with collapsed utilization or one dominant code is a
       // mistrained codebook; this table is what you'd alert on before
-      // shipping an index. Same exact-integer encode kernel as
-      // vec_pq_codes (argmin over BIGINT distances, smallest-k ties);
-      // everything after the encode is a (8 × ≤16)-row aggregate.
+      // shipping an index. Same exact-integer encode math as vec_pq_codes
+      // (argmin over BIGINT distances, smallest-k ties) but STAGED
+      // differently: the subspace slices explode FIRST, and the 16-way
+      // argmin runs on the exploded (m, subvector) rows with the centroid
+      // selected per-m via element_at on one flat literal — the
+      // all-subspaces-in-one-projection form generated a >64 KB codegen
+      // method (8×16 inlined dotQ trees), silently falling back to
+      // interpreted evaluation (probe: 18 s at 100×); the staged form
+      // keeps every stage inside whole-stage codegen at identical FLOPs.
       val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0)
       val subDim = dim / PqSubspaces
       val e = tWide(s, dir)("embeddings").select(col("vec_id"), quantize(col("embedding")).as("qe"))
-      val perSub = (0 until PqSubspaces).map { m =>
-        val sub = slice(col("qe"), m * subDim + 1, subDim)
-        val subsq = dotQ(s, sub, sub)
-        val best = array_min(array((0 until PqCodebook).map { k =>
-          val c = pqCentroid(m, k, subDim)
-          val cSq = c.map(v => v * v).sum
-          struct((lit(cSq) - lit(2L) * dotQ(s, sub, lit(c))).as("s"), lit(k).as("k"))
-        }: _*))
-        struct((subsq + best.getField("s")).as("err"), best.getField("k").as("code"))
-      }
-      val assigned = e.select(posexplode(array(perSub: _*)).as(Seq("m0", "st")))
-        .select(col("m0").cast("long").as("m"), col("st.err").as("err"),
-          col("st.code").as("code"))
+      val cents: Seq[Seq[Long]] =
+        for { m <- 0 until PqSubspaces; k <- 0 until PqCodebook }
+          yield pqCentroid(m, k, subDim).toSeq
+      val cSqs: Seq[Long] = cents.map(c => c.map(v => v * v).sum)
+      val centsLit = typedlit(cents); val cSqLit = typedlit(cSqs)
+      val subs = e.select(posexplode(array(
+          (0 until PqSubspaces).map(m =>
+            slice(col("qe"), m * subDim + 1, subDim)): _*)).as(Seq("m0", "sub")))
+        .select(col("m0").cast("long").as("m"), col("sub"))
+      val best = array_min(array((0 until PqCodebook).map { k =>
+        val idx = (col("m") * PqCodebook + k + 1).cast("int")
+        struct((element_at(cSqLit, idx)
+          - lit(2L) * dotQ(s, col("sub"), element_at(centsLit, idx))).as("s"),
+          lit(k).as("k"))
+      }: _*))
+      val assigned = subs.select(col("m"),
+        (dotQ(s, col("sub"), col("sub")) + best.getField("s")).as("err"),
+        best.getField("k").as("code"))
       val perCode = assigned.groupBy("m", "code")
         .agg(count(lit(1)).as("cnt"), sum("err").as("err_sum"))
       perCode

@@ -1115,6 +1115,60 @@ object Analytics extends OpRegistry {
             col("gap"))).as("med_hi"))
         .orderBy("c_mktsegment")
     }),
+
+    "q_cohort_revenue_triangle" -> ((s, dir) => {
+      // Acquisition-cohort revenue triangle (round 14): customers grouped
+      // by FIRST-order year, revenue unrolled by order year — the classic
+      // cohort retention-revenue sheet (does the 1995 class still buy in
+      // 1998?), the orders-side twin of events_cohort_ltv_curve. One
+      // orders agg pins each customer's cohort year; the custkey-keyed
+      // join back is the only fact-sized exchange; output is the bounded
+      // years² triangle. Revenue decimal-exact, double at the boundary.
+      val tt = t(s, dir) _
+      val first = tt("orders").groupBy("o_custkey")
+        .agg(min(year(col("o_orderdate"))).as("cohort_yr"))
+      tt("orders").join(first, "o_custkey")
+        .groupBy(col("cohort_yr"), year(col("o_orderdate")).as("order_yr"))
+        .agg(countDistinct("o_custkey").as("n_customers"),
+          decSumOut(col("o_totalprice")).as("revenue"))
+        .orderBy("cohort_yr", "order_yr")
+    }),
+
+    "q_discount_quantity_elasticity" -> ((s, dir) => {
+      // Discount→volume elasticity per brand (round 14): does discounting
+      // actually move quantity? Pearson corr + OLS slope of (discount
+      // centi-points, quantity units) per brand, from EXACT integer moment
+      // sums (the agg_corr_covar discipline: built-in corr() folds doubles
+      // in partition order — non-deterministic across engines; the five
+      // moments accumulate as BIGINT products in DECIMAL(38,0), and the
+      // double math runs once per ≤25-row brand group). One fact-dim join
+      // (part scales with SF — unhinted, AQE decides) + one partial+final
+      // agg; slope6 = quantity units gained per discount centi-point.
+      import org.apache.spark.sql.types.DecimalType
+      val d = DecimalType(38, 0)
+      val tt = t(s, dir) _
+      val g = tt("lineitem")
+        .select(col("l_partkey"),
+          floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("x"),
+          floor(col("l_quantity")).cast("long").as("y"))
+        .join(tt("part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d)).cast("double").as("sx"),
+          sum(col("y").cast(d)).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(d)).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast(d)).cast("double").as("syy"),
+          sum((col("x") * col("y")).cast(d)).cast("double").as("sxy"))
+      val nD = col("n").cast("double")
+      g.select(col("p_brand"), col("n").as("n_lines"),
+          r6((nD * col("sxy") - col("sx") * col("sy")) /
+            sqrt((nD * col("sxx") - col("sx") * col("sx"))
+              * (nD * col("syy") - col("sy") * col("sy")))).as("corr6"),
+          r6((nD * col("sxy") - col("sx") * col("sy")) /
+            (nD * col("sxx") - col("sx") * col("sx"))).as("slope6"))
+        .orderBy("p_brand")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1683,5 +1737,33 @@ object Analytics extends OpRegistry {
              MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap END) AS med_lo,
              MIN(CASE WHEN cum >= (n + 2) // 2 THEN gap END) AS med_hi
       FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_cohort_revenue_triangle" -> """
+      WITH f AS (SELECT o_custkey,
+                        CAST(MIN(year(o_orderdate)) AS INT) AS cohort_yr
+                 FROM orders GROUP BY 1)
+      SELECT cohort_yr, CAST(year(o.o_orderdate) AS INT) AS order_yr,
+             COUNT(DISTINCT o.o_custkey) AS n_customers,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+      FROM orders o JOIN f USING (o_custkey)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_discount_quantity_elasticity" -> s"""
+      WITH m AS (
+        SELECT p_brand,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+               CAST(floor(l_quantity) AS BIGINT) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      g AS (SELECT p_brand, COUNT(1) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x*x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y*y) AS DOUBLE) AS syy,
+                   CAST(SUM(x*y) AS DOUBLE) AS sxy
+            FROM m GROUP BY 1)
+      SELECT p_brand, n AS n_lines,
+             ${r6Sql("(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))")} AS corr6,
+             ${r6Sql("(n*sxy - sx*sy) / (n*sxx - sx*sx)")} AS slope6
+      FROM g ORDER BY p_brand""",
   )
 }

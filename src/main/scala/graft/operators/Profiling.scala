@@ -591,6 +591,50 @@ object Profiling extends OpRegistry {
           count(lit(1)).over(Window.partitionBy("label")))
         .orderBy("node")
     }),
+
+    "graph_assortativity" -> ((s, dir) => {
+      // Degree assortativity (round 14): Pearson correlation of endpoint
+      // degrees across all directed arcs — THE one-number answer to "do
+      // hubs link to hubs?" (positive: social/collab nets; negative:
+      // hub-and-spoke infrastructure). Computed over the top-3 TRADE
+      // BACKBONE (graph_bfs_distance's construction — strongest partners
+      // by weight, symmetrized): the raw co-trade graph saturates
+      // COMPLETE, where every degree is equal and assortativity is 0/0 —
+      // the backbone is where the statistic exists, and per-node top-k is
+      // the bounded-degree scale discipline anyway. Standard Newman form
+      // over the directed expansion; everything after the node-sized
+      // artifact read is ≤k·|V| rows with degrees ≤ |V|: five exact
+      // BIGINT moments, one sqrt + r6 at the boundary; a (defensive)
+      // zero-variance guard emits NULL rather than divide-by-zero.
+      val w = coTradeWeights(s, dir)
+      val dw = w.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(w.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val backbone = dw
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("w").desc, col("dst"))))
+        .filter(col("rn") <= 3).select("src", "dst")
+      val arcs = backbone
+        .unionAll(backbone.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val deg = arcs.groupBy("src").agg(count(lit(1)).as("deg"))
+      val j = arcs
+        .join(deg.withColumnRenamed("src", "n1"), col("src") === col("n1"))
+        .withColumnRenamed("deg", "dx").drop("n1")
+        .join(deg.withColumnRenamed("src", "n2").withColumnRenamed("deg", "dy"),
+          col("dst") === col("n2")).drop("n2")
+      val g = j.agg(count(lit(1)).as("m"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      val mD = col("m").cast("double")
+      val varProd = (mD * col("sxx") - col("sx").cast("double") * col("sx")) *
+        (mD * col("syy") - col("sy").cast("double") * col("sy"))
+      g.select(col("m").as("m_arcs"),
+        when(varProd > 0,
+          r6((mD * col("sxy") - col("sx").cast("double") * col("sy"))
+            / sqrt(varProd))).as("assortativity6"))
+    }),
   )
 
   /** The synchronous-LPA kernel behind graph_label_propagation,
@@ -1137,5 +1181,44 @@ object Profiling extends OpRegistry {
       SELECT node, label,
              COUNT(1) OVER (PARTITION BY label) AS comm_size
       FROM l3 ORDER BY node""",
+
+    "graph_assortativity" -> s"""
+      WITH e AS (
+        SELECT l_orderkey,
+               CAST(least(c_nationkey, s_nationkey) AS BIGINT) AS a,
+               CAST(greatest(c_nationkey, s_nationkey) AS BIGINT) AS b
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey),
+      w AS (SELECT a, b, COUNT(DISTINCT l_orderkey) AS w FROM e GROUP BY 1, 2),
+      dw AS (SELECT a AS src, b AS dst, w FROM w
+             UNION ALL SELECT b AS src, a AS dst, w FROM w),
+      tk AS (SELECT src, dst,
+                    ROW_NUMBER() OVER (PARTITION BY src
+                      ORDER BY w DESC, dst) AS rn
+             FROM dw),
+      bb AS (SELECT src, dst FROM tk WHERE rn <= 3),
+      arcs AS (SELECT src, dst FROM bb UNION SELECT dst, src FROM bb),
+      deg AS (SELECT src AS node, COUNT(1) AS deg FROM arcs GROUP BY 1),
+      j AS (SELECT d1.deg AS dx, d2.deg AS dy
+            FROM arcs e2 JOIN deg d1 ON e2.src = d1.node
+                         JOIN deg d2 ON e2.dst = d2.node),
+      g AS (SELECT COUNT(1) AS m,
+                   CAST(SUM(dx) AS BIGINT) AS sx,
+                   CAST(SUM(dy) AS BIGINT) AS sy,
+                   CAST(SUM(dx*dx) AS BIGINT) AS sxx,
+                   CAST(SUM(dy*dy) AS BIGINT) AS syy,
+                   CAST(SUM(dx*dy) AS BIGINT) AS sxy
+            FROM j)
+      SELECT m AS m_arcs,
+             CASE WHEN (CAST(m AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                       * (CAST(m AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy) > 0
+             THEN ${r6Sql("(CAST(m AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)" +
+               " / sqrt((CAST(m AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)" +
+               " * (CAST(m AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))")}
+             END AS assortativity6
+      FROM g""",
   )
 }

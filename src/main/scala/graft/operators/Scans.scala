@@ -56,6 +56,49 @@ object Scans extends OpRegistry {
         .agg(count(lit(1)).as("cnt")).orderBy("n_regionkey")
     }),
 
+    "source_csv_badrecords" -> ((s, dir) => {
+      // Malformed-CSV ingestion (round 14) — the PERMISSIVE-mode surface
+      // every real ingest needs (crawled/exported CSVs always carry broken
+      // lines; failing the job on line 1 billion is not an option): a CSV
+      // is generated from orders with every 100th key's price field
+      // poisoned to a non-numeric token, read back under an explicit
+      // schema with PERMISSIVE + columnNameOfCorruptRecord, and the op
+      // reports good/corrupt counts and the decimal-exact sum over the
+      // rows that SURVIVED parsing. The oracle never parses the file — it
+      // recomputes the expected outcome from the same orders table and
+      // poison rule (the sink_csv_roundtrip discipline: WE generate the
+      // file, so the table is the ground truth of what parsing must
+      // yield). Corrupt rows park in the side column (never dropped rows,
+      // never a job failure); the scan stays splittable/distributed.
+      import org.apache.spark.sql.types._
+      val out = "/tmp/graft_src_csv_bad"
+      t(s, dir)("orders")
+        .select(concat_ws(",", col("o_orderkey"),
+          when(col("o_orderkey") % 100 === 0, lit("notanumber"))
+            .otherwise(col("o_totalprice").cast("string"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("price", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      val back = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+      // cache: Spark 4 refuses a filter on ONLY the corrupt-record column
+      // of a lazy csv relation (SPARK-21610 guard); materializing first is
+      // the documented workaround and also what a real pipeline does
+      // before splitting good/quarantine
+      back.cache()
+      back.agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull,
+            col("price").cast(DecimalType(38, 6))))
+            .cast("double").as("sum_price_good"))
+    }),
+
     "scan_schema_merge" -> ((s, dir) => {
       // Schema-evolution read (round 11): two parquet snapshots of the
       // same table written under DIFFERENT schemas (snap2 adds
@@ -408,6 +451,17 @@ object Scans extends OpRegistry {
     "sink_csv_roundtrip" -> """
       SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(1) AS cnt
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    // recomputed from the source table + poison rule, never by parsing
+    "source_csv_badrecords" -> """
+      SELECT CAST(SUM(CASE WHEN o_orderkey % 100 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_good,
+             CAST(SUM(CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_corrupt,
+             CAST(SUM(CASE WHEN o_orderkey % 100 <> 0
+               THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE)
+               AS sum_price_good
+      FROM orders""",
     "sink_json_roundtrip" -> """
       SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
       FROM region ORDER BY r_regionkey""",

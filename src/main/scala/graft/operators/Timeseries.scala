@@ -1187,6 +1187,74 @@ object Timeseries extends OpRegistry {
           "is_uniform_95")
         .orderBy("event_type")
     }),
+
+    "events_holt_linear" -> ((s, dir) => {
+      // Holt linear-trend smoothing (round 14) of the global daily-count
+      // series, α = β = ½ — the level+trend forecaster one notch above
+      // q_forecast_revenue's OLS line (Holt adapts to recent regime, OLS
+      // fits all history equally). The recurrence is inherently
+      // sequential, so it runs where sequential is FREE: the day grid is
+      // calendar-bounded (≤2400 rows at any SF), collected into ONE
+      // sorted array and folded with aggregate() — the fact-sized work is
+      // only the day agg. All state in exact milli int64; the halving is
+      // div (TRUNCATING division — measured: DuckDB's integer // also
+      // truncates on negatives, (-333)//2 = -166, so div matches it
+      // exactly on NEGATIVE trends where shiftright — floor — was off by
+      // one). Contract: l₀ = x₀, b₀ = x₁ − x₀ (applied from the t=1
+      // step); lₜ = div(xₜ + lₜ₋₁ + bₜ₋₁, 2), bₜ = div(lₜ − lₜ₋₁ + bₜ₋₁,
+      // 2); forecast7 = l + 7b. Oracle replays via a recursive CTE.
+      val daily = eventsUs(s, dir)
+        .select(call_function("div", col("ts_us"), lit(usPerDay)).as("day"))
+        .groupBy("day").agg((count(lit(1)) * lit(1000L)).as("x"))
+      val arr = daily.agg(
+        sort_array(collect_list(struct(col("day"), col("x")))).as("ser"))
+      val init = struct(lit(0L).as("i"), lit(0L).as("l"), lit(0L).as("b"),
+        lit(0L).as("prevx"))
+      val folded = aggregate(col("ser"), init, (st, e) => {
+        val x = e.getField("x")
+        val i = st.getField("i")
+        val b0 = when(i === 1, x - st.getField("prevx"))
+          .otherwise(st.getField("b"))
+        val l2 = call_function("div", x + st.getField("l") + b0, lit(2L))
+        val b2 = call_function("div", l2 - st.getField("l") + b0, lit(2L))
+        struct((i + 1).as("i"),
+          when(i === 0, x).otherwise(l2).as("l"),
+          when(i === 0, lit(0L)).otherwise(b2).as("b"),
+          x.as("prevx"))
+      })
+      arr.select(size(col("ser")).cast("long").as("n_days"),
+          folded.getField("l").as("level_milli"),
+          folded.getField("b").as("trend_milli"))
+        .withColumn("forecast7_milli",
+          col("level_milli") + lit(7L) * col("trend_milli"))
+    }),
+
+    "events_alert_debounce" -> ((s, dir) => {
+      // Debounced alerting (round 14): an alert EPISODE is ≥3 consecutive
+      // above-mean hours of error traffic — the de-flapped paging rule
+      // (one hot hour is noise; three in a row is an incident), the batch
+      // twin of stream_threshold_alerts. Hot = hourly count strictly
+      // above the global hourly mean, compared in pure integers
+      // (c·n_hours > total — no division at all). Consecutiveness via the
+      // hour − row_number island trick ON THE HOT ROWS: an unobserved or
+      // cold hour breaks the run because the hour VALUE jumps. One fact
+      // agg to the calendar-bounded hour grid; the global window runs on
+      // that bounded frame (globalByDesign).
+      val hourly = eventsUs(s, dir)
+        .filter(col("event_type") === "error")
+        .select(call_function("div", col("ts_us"), lit(usPerHour)).as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("c"))
+      val tot = hourly.agg(sum("c").as("tot"), count(lit(1)).as("nh"))
+      hourly.crossJoin(broadcast(tot))
+        .filter(col("c") * col("nh") > col("tot"))
+        .withColumn("grp", col("hr") - row_number().over(Window.orderBy("hr")))
+        .groupBy("grp")
+        .agg(min("hr").as("start_hr"), count(lit(1)).as("n_hours"),
+          max("c").as("peak_count"))
+        .filter(col("n_hours") >= 3)
+        .select("start_hr", "n_hours", "peak_count")
+        .orderBy("start_hr")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1917,5 +1985,43 @@ object Timeseries extends OpRegistry {
              CAST((60000 * sumc2) // n - 1000 * n <= 77931 AS INT)
                AS is_uniform_95
       FROM g ORDER BY event_type""",
+
+    // recursive-CTE replay of the identical floor-halving recurrence
+    "events_holt_linear" -> """
+      WITH RECURSIVE daily AS (
+        SELECT (epoch_ns(ts)//1000)//86400000000 AS day,
+               CAST(COUNT(1) * 1000 AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      idx AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+      rec(i, l, b, prevx) AS (
+        SELECT CAST(1 AS BIGINT), x, CAST(0 AS BIGINT), x FROM idx WHERE i = 1
+        UNION ALL
+        SELECT t.i + 1, t.l2, (t.l2 - t.l + t.b0) // 2, t.x FROM (
+          SELECT rec.i, rec.l, ix.x,
+                 CASE WHEN rec.i = 1 THEN ix.x - rec.prevx
+                      ELSE rec.b END AS b0,
+                 (ix.x + rec.l
+                  + CASE WHEN rec.i = 1 THEN ix.x - rec.prevx
+                         ELSE rec.b END) // 2 AS l2
+          FROM rec JOIN idx ix ON ix.i = rec.i + 1) t)
+      SELECT (SELECT COUNT(1) FROM idx) AS n_days,
+             l AS level_milli, b AS trend_milli,
+             l + 7 * b AS forecast7_milli
+      FROM rec WHERE i = (SELECT COUNT(1) FROM idx)""",
+
+    "events_alert_debounce" -> """
+      WITH hourly AS (
+        SELECT (epoch_ns(ts)//1000)//3600000000 AS hr, COUNT(1) AS c
+        FROM events WHERE event_type = 'error' GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot, COUNT(1) AS nh
+              FROM hourly),
+      hot AS (SELECT hr, c,
+                     hr - ROW_NUMBER() OVER (ORDER BY hr) AS grp
+              FROM hourly CROSS JOIN tot WHERE c * nh > tot),
+      ep AS (SELECT grp, MIN(hr) AS start_hr, COUNT(1) AS n_hours,
+                    MAX(c) AS peak_count
+             FROM hot GROUP BY 1)
+      SELECT start_hr, n_hours, peak_count
+      FROM ep WHERE n_hours >= 3 ORDER BY start_hr""",
   )
 }

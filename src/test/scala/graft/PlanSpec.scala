@@ -286,7 +286,11 @@ class PlanSpec extends GraftSuite {
       // span rows at any SF — the user agg collapses BEFORE the windows);
       // events_changepoint's cumulative/argmax windows run on the
       // calendar-bounded day grid (≤2400 rows at any SF)
-      "events_survival_km", "events_changepoint")
+      "events_survival_km", "events_changepoint",
+      // r14 batch G: events_alert_debounce's island row_number runs on
+      // the HOT subset of the calendar-bounded hour grid (≤58k rows at
+      // any SF — the fact-sized agg collapses BEFORE the window)
+      "events_alert_debounce")
     val swept = SparkEntry.queries.keys
       .filter(k => (k.startsWith("events_") || k.startsWith("q_") ||
         k.startsWith("win_")) && !globalByDesign(k)).toSeq.sorted
