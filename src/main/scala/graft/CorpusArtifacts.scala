@@ -74,7 +74,10 @@ object CorpusArtifacts {
     }
     val li = bucketed(s, "li_okey", dir, "l_orderkey", 32)(
       pruned("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey",
-        "l_extendedprice", "l_discount")))
+        "l_extendedprice", "l_discount",
+        // r14: q_supplier_late_wilson's lateness predicate (consumers
+        // that don't read it prune it at the scan)
+        "l_shipdate")))
     val oo = bucketed(s, "ord_okey", dir, "o_orderkey", 32)(
       pruned("orders", Seq("o_orderkey", "o_custkey", "o_orderdate")))
     (li, oo)

@@ -95,7 +95,9 @@ object ScaleProbe {
     // df/boilerplate-hit stream, and the per-byte entropy histogram
     "dedup_prefix", "docs_boilerplate_spans", "multimodal_bytes_entropy",
     // round 14 batch F: the lang-partitioned rank window + Gini agg
-    "docs_token_gini")
+    "docs_token_gini",
+    // round 14 batch H: the prefix-count window + 4-cell contingency
+    "docs_dup_quality_contingency")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -119,7 +121,9 @@ object ScaleProbe {
     // round 14 batch D: the shared PQ encode + per-(m,code) rollup
     "vec_pq_distortion",
     // round 14 batch F: the two-stage RQ encode (map-side) + ≤16-row agg
-    "vec_residual_quantize")
+    "vec_residual_quantize",
+    // round 14 batch H: the broadcast-query kNN vote classifier
+    "vec_knn_label_predict")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
@@ -181,7 +185,9 @@ object ScaleProbe {
     "events_survival_km", "events_changepoint", "events_uniformity_chi2",
     // round 14 batch G: the collected-day-grid Holt fold and the
     // hour-grid island debouncer
-    "events_holt_linear", "events_alert_debounce")
+    "events_holt_linear", "events_alert_debounce",
+    // round 14 batch H: the VARIANT parse/extract projection
+    "fn_variant")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -266,7 +272,10 @@ object ScaleProbe {
     // fact-dim moment agg, the backbone moment rollup, and the
     // generate-then-PERMISSIVE-parse csv surface
     "q_cohort_revenue_triangle", "q_discount_quantity_elasticity",
-    "graph_assortativity", "source_csv_badrecords")
+    "graph_assortativity", "source_csv_badrecords",
+    // round 14 batch H: the Wilson (n,k) collapse and the nation-month
+    // volatility grid
+    "q_supplier_late_wilson", "q_nation_revenue_volatility")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

@@ -109,6 +109,27 @@ object Scalars extends OpRegistry {
         .orderBy("event_id")
     }),
 
+    "fn_variant" -> ((s, dir) => {
+      // The Spark-4 VARIANT surface (round 14) — the open-schema
+      // semi-structured type replacing stringly-JSON hot paths: parse
+      // once into the binary variant encoding, then typed `variant_get`
+      // extractions run WITHOUT re-parsing the JSON text per field (the
+      // reason variant beats get_json_object when several fields are
+      // read). parse_json → variant_get (typed path hit), try_variant_get
+      // on a MISSING path (NULL, never an exception), is_variant_null.
+      // Output is plain typed columns, so the DuckDB twin reads the same
+      // fields with its own JSON operators — the contract is the values,
+      // not the encoding.
+      val v = parse_json(col("props"))
+      t(s, dir)("events").select(
+        col("event_id"),
+        variant_get(v, "$.k", "int").as("k_int"),
+        variant_get(v, "$.k", "string").as("k_str"),
+        try_variant_get(v, "$.missing", "int").as("miss"),
+        is_variant_null(v).cast("int").as("is_null_variant"))
+        .orderBy("event_id")
+    }),
+
     "fn_url" -> ((s, dir) => {
       // URL parsing surface (round 11) — the crawl-record primitive every
       // web-corpus pipeline runs before host-level filtering: synthesize a
@@ -362,6 +383,14 @@ object Scalars extends OpRegistry {
              (CAST(to_json({'k': CAST(props->>'$.k' AS INT)})->>'$.k' AS INT)
                IS NOT DISTINCT FROM CAST(props->>'$.k' AS INT)) AS roundtrip_ok
       FROM events ORDER BY event_id""",
+    "fn_variant" -> """
+      SELECT event_id,
+             CAST(props->>'$.k' AS INT) AS k_int,
+             CAST(props->>'$.k' AS VARCHAR) AS k_str,
+             CAST(NULL AS INT) AS miss,
+             CAST(0 AS INT) AS is_null_variant
+      FROM events ORDER BY event_id""",
+
     "fn_url" -> """
       WITH u AS (SELECT doc_id, lang, n_chars,
                    'https://' || source || '.example.com/' || lang ||

@@ -323,6 +323,39 @@ object DedupOps extends OpRegistry {
         .filter(col("n_docs") >= 2)
         .orderBy("prefix")
     }),
+
+    "docs_dup_quality_contingency" -> ((s, dir) => {
+      // Dup × quality contingency (round 14): are duplicated docs also
+      // the low-quality ones? The 2×2 table + odds ratio behind the
+      // curation-policy question "does dedup double as a quality
+      // filter?" — if the odds ratio ≈ 1, dedup and quality gating are
+      // independent signals and you need BOTH. Dup = shares a 40-char
+      // prefix with another doc (dedup_prefix's key — exercised on this
+      // corpus where exact-hash dup is vacuously zero); quality proxy =
+      // length at-or-above the corpus mean, compared by integer
+      // cross-multiplication (n_chars·n_docs ≥ Σchars — no division).
+      // One prefix-count window over the doc frame + one 4-cell agg;
+      // odds ratio in milli, integer-exact, NULL when a margin is empty.
+      val d = tWide(s, dir)("documents")
+        .select(col("doc_id"), col("n_chars"),
+          substring(col("text"), 1, 40).as("prefix"))
+        .withColumn("pn", count(lit(1)).over(Window.partitionBy("prefix")))
+      val tot = d.agg(count(lit(1)).as("nd"), sum("n_chars").as("tc"))
+      d.crossJoin(broadcast(tot))
+        .select(
+          (col("pn") >= 2).as("is_dup"),
+          (col("n_chars") * col("nd") >= col("tc")).as("above"))
+        .agg(
+          sum(when(col("is_dup") && col("above"), 1L).otherwise(0L)).as("a_dup_hi"),
+          sum(when(col("is_dup") && !col("above"), 1L).otherwise(0L)).as("b_dup_lo"),
+          sum(when(!col("is_dup") && col("above"), 1L).otherwise(0L)).as("c_uni_hi"),
+          sum(when(!col("is_dup") && !col("above"), 1L).otherwise(0L)).as("d_uni_lo"))
+        .withColumn("odds_milli",
+          when(col("b_dup_lo") * col("c_uni_hi") > 0,
+            call_function("div",
+              col("a_dup_hi") * col("d_uni_lo") * lit(1000L),
+              col("b_dup_lo") * col("c_uni_hi"))))
+    }),
   )
 
   /** Component labels over the near-dup graph, landed once per corpus
@@ -483,6 +516,29 @@ object DedupOps extends OpRegistry {
       FROM documents
       GROUP BY 1 HAVING COUNT(1) >= 2
       ORDER BY prefix""",
+
+    "docs_dup_quality_contingency" -> """
+      WITH d AS (SELECT doc_id, n_chars,
+                        COUNT(1) OVER (PARTITION BY substring(text, 1, 40))
+                          AS pn
+                 FROM documents),
+      tot AS (SELECT COUNT(1) AS nd, CAST(SUM(n_chars) AS BIGINT) AS tc
+              FROM d),
+      cells AS (SELECT
+          CAST(SUM(CASE WHEN pn >= 2 AND n_chars * nd >= tc
+            THEN 1 ELSE 0 END) AS BIGINT) AS a_dup_hi,
+          CAST(SUM(CASE WHEN pn >= 2 AND NOT (n_chars * nd >= tc)
+            THEN 1 ELSE 0 END) AS BIGINT) AS b_dup_lo,
+          CAST(SUM(CASE WHEN pn < 2 AND n_chars * nd >= tc
+            THEN 1 ELSE 0 END) AS BIGINT) AS c_uni_hi,
+          CAST(SUM(CASE WHEN pn < 2 AND NOT (n_chars * nd >= tc)
+            THEN 1 ELSE 0 END) AS BIGINT) AS d_uni_lo
+        FROM d CROSS JOIN tot)
+      SELECT a_dup_hi, b_dup_lo, c_uni_hi, d_uni_lo,
+             CASE WHEN b_dup_lo * c_uni_hi > 0 THEN
+               (a_dup_hi * d_uni_lo * 1000) // (b_dup_lo * c_uni_hi)
+             END AS odds_milli
+      FROM cells""",
   )
 
   /** The text_langid kernel's oracle CTE chain, shared with the r13

@@ -1325,6 +1325,43 @@ object VectorOps extends OpRegistry {
           "improvement_ppm")
         .orderBy("code1")
     }),
+
+    "vec_knn_label_predict" -> ((s, dir) => {
+      // kNN majority-vote classification accuracy (round 14) — the
+      // embedding-quality eval every labeled corpus runs (if 5-NN can't
+      // recover the label, the embedding doesn't separate the classes;
+      // the per-class table exposes WHICH classes bleed). Leave-one-out
+      // over a bounded query set (vec_id < 100 — the knn_cosine_topk
+      // discipline: queries broadcast, ONE corpus scan, linear in the
+      // corpus at any SF; at full scale the identical shape runs per IVF
+      // cell). Exact integer dots; vote = argmax neighbor-label count
+      // with (count desc, label asc) tiebreak; output per TRUE label:
+      // queries, correct, accuracy ppm.
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"),
+          col("label").cast("long").as("label"))
+      val q = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("qe").as("qv"),
+          col("label").as("true_label"))
+      val pairs = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("true_label"), col("label"),
+          dotQ(s, col("qv"), col("qe")).as("dot_q"), col("vec_id"))
+      val top5 = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+      val votes = top5.groupBy("qid", "true_label", "label")
+        .agg(count(lit(1)).as("v"))
+      val pred = keepFirst(votes, Seq(col("qid")),
+          Seq(col("v").desc, col("label")))
+        .select(col("qid"), col("true_label"), col("label").as("pred_label"))
+      pred.groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("acc_ppm", call_function("div",
+          col("n_correct") * lit(1000000L), col("n_queries")))
+        .orderBy("true_label")
+    }),
   )
 
   /** Generated DuckDB twin of vec_jl_projection: the ±1 sign vectors are
@@ -2197,6 +2234,33 @@ object VectorOps extends OpRegistry {
     "vec_pq_distortion" -> pqDistortionOracleSql,
 
     "vec_residual_quantize" -> rqOracleSql,
+
+    "vec_knn_label_predict" -> s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe,
+                   CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+      d AS (SELECT a.vec_id AS qid, a.label AS true_label,
+                   b.label AS label, b.vec_id AS vid,
+                   list_sum(list_transform(range(1, len(a.qe) + 1),
+                     i -> a.qe[i] * b.qe[i])) AS dot_q
+            FROM q a JOIN q b ON a.vec_id < 100 AND a.vec_id <> b.vec_id),
+      t5 AS (SELECT qid, true_label, label FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY dot_q DESC, vid) AS rn FROM d)
+             WHERE rn <= 5),
+      votes AS (SELECT qid, true_label, label, COUNT(1) AS v
+                FROM t5 GROUP BY 1, 2, 3),
+      pred AS (SELECT qid, true_label, label AS pred_label FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY v DESC, label) AS rn FROM votes)
+               WHERE rn = 1)
+      SELECT true_label, COUNT(1) AS n_queries,
+             CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+             CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+               AS BIGINT) * 1000000 // COUNT(1) AS acc_ppm
+      FROM pred GROUP BY 1 ORDER BY true_label""",
 
     "multimodal_bytes_entropy" -> s"""
       WITH ch AS (SELECT lang,

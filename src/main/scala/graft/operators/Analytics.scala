@@ -1169,6 +1169,77 @@ object Analytics extends OpRegistry {
             (nD * col("sxx") - col("sx") * col("sx"))).as("slope6"))
         .orderBy("p_brand")
     }),
+
+    "q_supplier_late_wilson" -> ((s, dir) => {
+      // Supplier delivery-risk ranking by WILSON LOWER BOUND (round 14) —
+      // the ranking-under-uncertainty primitive: a supplier late on 1 of
+      // 1 shipments must not outrank one late on 90 of 100, which is
+      // exactly what raw-rate ranking gets wrong; the Wilson score's
+      // lower confidence limit penalizes thin evidence. Late = shipped
+      // >90 days after the order date. One fact-fact equi-join (rides
+      // the co-bucketed orderkey artifact — zero hash exchange) collapses
+      // to the supplier-sized (n, k) table; the Wilson arithmetic is
+      // fixed-structure double math from those two exact integers (the
+      // corr6 determinism discipline — identical expression tree both
+      // engines), z = 1.96 hardcoded. Top-25 riskiest via
+      // TakeOrderedAndProject, full (lb desc, suppkey) order.
+      val (liB, ooB) = graft.CorpusArtifacts.orderkeyFacts(s, dir)
+      val g = liB.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ooB.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").cast("long").as("suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, 1L)
+            .otherwise(0L)).as("k"))
+      val nD = col("n").cast("double"); val kD = col("k").cast("double")
+      val z = lit(1.96); val z2 = lit(1.96 * 1.96)
+      val p = kD / nD
+      val lbNum = p + z2 / (lit(2.0) * nD) -
+        z * sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD))
+      val lb = lbNum / (lit(1.0) + z2 / nD)
+      g.select(col("suppkey"), col("n"), col("k"),
+          call_function("div", col("k") * lit(1000000L), col("n"))
+            .as("late_ppm"),
+          r6(lb).as("wilson_lb6"))
+        .orderBy(col("wilson_lb6").desc, col("suppkey"))
+        .limit(25)
+    }),
+
+    "q_nation_revenue_volatility" -> ((s, dir) => {
+      // Revenue volatility per customer nation (round 14): coefficient of
+      // variation of MONTHLY revenue — the demand-stability screen
+      // (planning treats a steady nation and a spiky one differently even
+      // at equal totals); complements q_seasonal_index (seasonal SHAPE)
+      // with dispersion. Monthly revenue exact in cents, then
+      // kilo-dollar-quantized (div 1e5) before squaring so the moment
+      // sums stay int64 (m ≤ 1e8 at 100×, Σm² ≤ 1e18 over the ≤84-month
+      // grid — declared bound; rescale the quantum past that). One fact
+      // agg to the bounded nation×month grid; moments + one sqrt per
+      // ≤25-row group.
+      val tt = t(s, dir) _
+      val monthly = tt("orders")
+        .join(tt("customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tt("nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .as("ym"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+        .withColumn("m", call_function("div", col("cents"), lit(100000L)))
+      val g = monthly.groupBy("n_name")
+        .agg(count(lit(1)).as("n_months"), sum("m").as("sx"),
+          sum(col("m") * col("m")).as("sxx"))
+      val nD = col("n_months").cast("double")
+      g.select(col("n_name"), col("n_months"),
+          call_function("div", col("sx"), lit(10L)).as("total_kusd_approx"),
+          when(col("n_months") >= 2 && col("sx") > 0,
+            r6(sqrt((nD * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx"))
+              / (nD * (nD - 1))) * nD / col("sx"))).as("cv6"))
+        .orderBy("n_name")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1765,5 +1836,44 @@ object Analytics extends OpRegistry {
              ${r6Sql("(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))")} AS corr6,
              ${r6Sql("(n*sxy - sx*sy) / (n*sxx - sx*sx)")} AS slope6
       FROM g ORDER BY p_brand""",
+
+    "q_supplier_late_wilson" -> s"""
+      WITH g AS (
+        SELECT CAST(l_suppkey AS BIGINT) AS suppkey, COUNT(1) AS n,
+               CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                 CAST(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS k
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1),
+      w AS (SELECT suppkey, n, k, (k * 1000000) // n AS late_ppm,
+                   ${r6Sql("(CAST(k AS DOUBLE)/n + (1.96*1.96)/(2.0*n)" +
+                     " - 1.96*sqrt((CAST(k AS DOUBLE)/n)*(1.0 - CAST(k AS DOUBLE)/n)/n" +
+                     " + (1.96*1.96)/(4.0*n*n))) / (1.0 + (1.96*1.96)/n)")} AS wilson_lb6
+            FROM g)
+      SELECT suppkey, n, k, late_ppm, wilson_lb6
+      FROM w ORDER BY wilson_lb6 DESC, suppkey LIMIT 25""",
+
+    "q_nation_revenue_volatility" -> s"""
+      WITH monthly AS (
+        SELECT n_name,
+               year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+               (CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT)) // 100000 AS m
+        FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      g AS (SELECT n_name, COUNT(1) AS n_months,
+                   CAST(SUM(m) AS BIGINT) AS sx,
+                   CAST(SUM(m * m) AS BIGINT) AS sxx
+            FROM monthly GROUP BY 1)
+      SELECT n_name, n_months, sx // 10 AS total_kusd_approx,
+             CASE WHEN n_months >= 2 AND sx > 0 THEN
+               ${r6Sql("sqrt((CAST(n_months AS DOUBLE)*sxx" +
+                 " - CAST(sx AS DOUBLE)*sx)" +
+                 " / (CAST(n_months AS DOUBLE)*(CAST(n_months AS DOUBLE)-1)))" +
+                 " * CAST(n_months AS DOUBLE) / sx")}
+             END AS cv6
+      FROM g ORDER BY n_name""",
   )
 }
