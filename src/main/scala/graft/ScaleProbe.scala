@@ -187,7 +187,10 @@ object ScaleProbe {
     // hour-grid island debouncer
     "events_holt_linear", "events_alert_debounce",
     // round 14 batch H: the VARIANT parse/extract projection
-    "fn_variant")
+    "fn_variant",
+    // round 14 batch I: the sessionize-kernel conversion rollup and the
+    // week-grid mix-drift table
+    "events_session_conversion", "events_mix_drift_weekly")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -275,7 +278,10 @@ object ScaleProbe {
     "graph_assortativity", "source_csv_badrecords",
     // round 14 batch H: the Wilson (n,k) collapse and the nation-month
     // volatility grid
-    "q_supplier_late_wilson", "q_nation_revenue_volatility")
+    "q_supplier_late_wilson", "q_nation_revenue_volatility",
+    // round 14 batch I: the snapshot aging buckets, the bloom-indexed
+    // sink roundtrip, and the collated grouping surface
+    "q_open_order_aging", "sink_parquet_bloom", "fn_collate")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

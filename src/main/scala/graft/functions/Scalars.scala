@@ -109,6 +109,26 @@ object Scalars extends OpRegistry {
         .orderBy("event_id")
     }),
 
+    "fn_collate" -> ((s, dir) => {
+      // The Spark-4 COLLATION surface (round 14): case-insensitive
+      // grouping via a UTF8_LCASE-collated key — collation-aware
+      // comparison pushed into the engine's binary comparators instead of
+      // lower()-normalizing every row (on a sorted/grouped 100 TB path
+      // the collated comparison avoids materializing a second string per
+      // row). The fixture is single-case, so the op PLANTS the case
+      // variance: each part name unioned with its initcap form must
+      // collapse back to ONE group of 2 under the collation. The collated
+      // key itself never reaches the output (which variant survives as
+      // the group key is engine-internal): the representative is min(raw)
+      // — binary min, deterministic in both engines.
+      val names = t(s, dir)("part").select(col("p_name").as("v"))
+      val mixed = names.unionAll(names.select(initcap(col("v")).as("v")))
+      mixed.groupBy(collate(col("v"), "UTF8_LCASE").as("ck"))
+        .agg(min(col("v")).as("repr"), count(lit(1)).as("n_variants"))
+        .select("repr", "n_variants")
+        .orderBy("repr")
+    }),
+
     "fn_variant" -> ((s, dir) => {
       // The Spark-4 VARIANT surface (round 14) — the open-schema
       // semi-structured type replacing stringly-JSON hot paths: parse
@@ -383,6 +403,17 @@ object Scalars extends OpRegistry {
              (CAST(to_json({'k': CAST(props->>'$.k' AS INT)})->>'$.k' AS INT)
                IS NOT DISTINCT FROM CAST(props->>'$.k' AS INT)) AS roundtrip_ok
       FROM events ORDER BY event_id""",
+    "fn_collate" -> """
+      WITH mixed AS (
+        SELECT p_name AS v FROM part
+        UNION ALL
+        -- initcap twin: DuckDB has no initcap; title-case each word
+        SELECT array_to_string(list_transform(string_split(p_name, ' '),
+                 w -> upper(w[1]) || w[2:]), ' ') AS v
+        FROM part)
+      SELECT MIN(v) AS repr, COUNT(1) AS n_variants
+      FROM mixed GROUP BY lower(v) ORDER BY repr""",
+
     "fn_variant" -> """
       SELECT event_id,
              CAST(props->>'$.k' AS INT) AS k_int,

@@ -1240,6 +1240,29 @@ object Analytics extends OpRegistry {
               / (nD * (nD - 1))) * nD / col("sx"))).as("cv6"))
         .orderBy("n_name")
     }),
+
+    "q_open_order_aging" -> ((s, dir) => {
+      // Open-order aging report (round 14): unfilled orders bucketed by
+      // age at the snapshot (= max order date in the corpus — the "as of
+      // now" every ops dashboard means) — the receivables-style aging
+      // sheet q_order_backlog_daily's time SERIES doesn't give (that op
+      // answers "how did backlog evolve", this answers "how stale is
+      // what's open TODAY"). Buckets 0–29/30–59/60–89/90+ days; counts
+      // exact, value decimal-exact → double. One scan + broadcast scalar
+      // + 4-row agg — scan-bound at any SF.
+      val o = t(s, dir)("orders")
+      val snap = o.agg(max(col("o_orderdate")).as("snap"))
+      o.filter(col("o_orderstatus") =!= "F")
+        .crossJoin(broadcast(snap))
+        .withColumn("age", datediff(col("snap"), col("o_orderdate")))
+        .withColumn("bucket",
+          when(col("age") < 30, "00-29").when(col("age") < 60, "30-59")
+            .when(col("age") < 90, "60-89").otherwise("90+"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          decSumOut(col("o_totalprice")).as("open_value"))
+        .orderBy("bucket")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1875,5 +1898,19 @@ object Analytics extends OpRegistry {
                  " * CAST(n_months AS DOUBLE) / sx")}
              END AS cv6
       FROM g ORDER BY n_name""",
+
+    "q_open_order_aging" -> """
+      WITH snap AS (SELECT MAX(o_orderdate) AS snap FROM orders),
+      aged AS (SELECT o_totalprice,
+                      date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(snap AS DATE)) AS age
+               FROM orders CROSS JOIN snap
+               WHERE o_orderstatus <> 'F')
+      SELECT CASE WHEN age < 30 THEN '00-29' WHEN age < 60 THEN '30-59'
+                  WHEN age < 90 THEN '60-89' ELSE '90+' END AS bucket,
+             COUNT(1) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS open_value
+      FROM aged GROUP BY 1 ORDER BY bucket""",
   )
 }

@@ -99,6 +99,32 @@ object Scans extends OpRegistry {
             .cast("double").as("sum_price_good"))
     }),
 
+    "sink_parquet_bloom" -> ((s, dir) => {
+      // Parquet bloom-filter sink (round 14) — the file-level point-lookup
+      // accelerator: blooms written per column let a needle-in-haystack
+      // scan skip whole row groups whose filter says "definitely absent"
+      // (zone maps can't help on a high-cardinality key with full min/max
+      // span — exactly the customer-id lookup shape). Write orders with a
+      // bloom on o_custkey + small row groups (so skipping has granularity
+      // to act on), read back with a point predicate, and report count +
+      // decimal-exact value. Blooms are TRANSPARENT to results — the
+      // oracle is the same predicate on the source table, which is the
+      // correctness contract of a skipping index.
+      import org.apache.spark.sql.types.DecimalType
+      val out = "/tmp/graft_sink_bloom"
+      t(s, dir)("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.block.size", (1 << 20).toString)
+        .parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_custkey") === 7L)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+            .as("value_sum"))
+    }),
+
     "scan_schema_merge" -> ((s, dir) => {
       // Schema-evolution read (round 11): two parquet snapshots of the
       // same table written under DIFFERENT schemas (snap2 adds
@@ -451,6 +477,12 @@ object Scans extends OpRegistry {
     "sink_csv_roundtrip" -> """
       SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(1) AS cnt
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "sink_parquet_bloom" -> """
+      SELECT COUNT(1) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS value_sum
+      FROM orders WHERE o_custkey = 7""",
 
     // recomputed from the source table + poison rule, never by parsing
     "source_csv_badrecords" -> """

@@ -1255,6 +1255,41 @@ object Timeseries extends OpRegistry {
         .select("start_hr", "n_hours", "peak_count")
         .orderBy("start_hr")
     }),
+
+    "events_mix_drift_weekly" -> ((s, dir) => {
+      // Weekly event-type MIX drift (round 14): per 7-day bucket, the
+      // total-variation distance between that week's event-type
+      // distribution and the corpus-wide mix — the input-drift monitor an
+      // ML feature pipeline alarms on (the VALUE anomaly screens can't
+      // see a silent shift in the view/click/purchase composition).
+      // Weeks are calendar-agnostic 7-day epoch buckets (pure integer
+      // div). Shares in exact integer ppm (div), TV = Σ|diff| div 2 —
+      // all-integer end to end; abs of a ppm DIFFERENCE is sign-free in
+      // both engines. Two scan aggs to the ≤weeks×types and ≤types
+      // grids; everything after is bounded.
+      val wt = eventsUs(s, dir)
+        .select(call_function("div", col("ts_us"), lit(7L * usPerDay))
+          .as("week"), col("event_type"))
+        .groupBy("week", "event_type").agg(count(lit(1)).as("c"))
+      val wTot = wt.groupBy("week").agg(sum("c").as("nw"))
+      val corpus = wt.groupBy("event_type").agg(sum("c").as("ct"))
+      val corpusTot = corpus.agg(sum("ct").as("n"))
+      val shares = wt.join(wTot, "week")
+        .join(broadcast(corpus), "event_type")
+        .crossJoin(broadcast(corpusTot))
+        .select(col("week"), col("event_type"), col("nw"),
+          (call_function("div", col("c") * lit(1000000L), col("nw"))
+            - call_function("div", col("ct") * lit(1000000L), col("n")))
+            .as("d_ppm"))
+      shares.groupBy("week")
+        .agg(max("nw").as("n_events"),
+          call_function("div", sum(abs(col("d_ppm"))), lit(2L)).as("tv_ppm"),
+          // argmax |diff| with smallest-type tiebreak: struct min over
+          // (−absdiff, type) — the agg_argmax pattern
+          min(struct((-abs(col("d_ppm"))).as("na"),
+            col("event_type").as("t"))).getField("t").as("top_drift_type"))
+        .orderBy("week")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2023,5 +2058,25 @@ object Timeseries extends OpRegistry {
              FROM hot GROUP BY 1)
       SELECT start_hr, n_hours, peak_count
       FROM ep WHERE n_hours >= 3 ORDER BY start_hr""",
+
+    "events_mix_drift_weekly" -> """
+      WITH wt AS (SELECT (epoch_ns(ts)//1000)//604800000000 AS week,
+                         event_type, COUNT(1) AS c
+                  FROM events GROUP BY 1, 2),
+      wtot AS (SELECT week, CAST(SUM(c) AS BIGINT) AS nw FROM wt GROUP BY 1),
+      corpus AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS ct
+                 FROM wt GROUP BY 1),
+      ctot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM corpus),
+      shares AS (SELECT wt.week, wt.event_type, wtot.nw,
+                        (wt.c * 1000000) // wtot.nw
+                          - (corpus.ct * 1000000) // ctot.n AS d_ppm
+                 FROM wt JOIN wtot ON wt.week = wtot.week
+                         JOIN corpus ON wt.event_type = corpus.event_type
+                         CROSS JOIN ctot)
+      SELECT week, MAX(nw) AS n_events,
+             CAST(SUM(abs(d_ppm)) AS BIGINT) // 2 AS tv_ppm,
+             MIN(struct_pack(na := -abs(d_ppm), t := event_type)).t
+               AS top_drift_type
+      FROM shares GROUP BY week ORDER BY week""",
   )
 }

@@ -110,6 +110,38 @@ object Windows extends OpRegistry {
         .withColumn("dur_us", col("end_us") - col("start_us"))
         .orderBy("user_id", "session_id")
     }),
+
+    "events_session_conversion" -> ((s, dir) => {
+      // In-session conversion (round 14): of sessions that saw a view,
+      // how many converted — a purchase strictly AFTER the session's
+      // first view — the product-analytics number a cross-session funnel
+      // (events_funnel) overstates, because intent decays at the session
+      // boundary. Same one-shuffle sessionize kernel (lag→flag→running
+      // sum, all windows + the groupBy share the user_id exchange); the
+      // conversion test is pure per-session aggregation: min(view ts) <
+      // max(purchase ts). Output is ONE row of corpus-level counts +
+      // exact-integer ppm.
+      val gapUs = 30L * 60L * 1000000L
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = t(s, dir)("events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          tsDivMicros(col("ts")).as("ts_us"))
+        .withColumn("is_new",
+          when(col("ts_us") - lag("ts_us", 1).over(wOrd) > gapUs, 1L)
+            .when(lag("ts_us", 1).over(wOrd).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(min(when(col("event_type") === "view", col("ts_us"))).as("v_us"),
+          max(when(col("event_type") === "purchase", col("ts_us"))).as("p_us"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("v_us").isNotNull, 1L).otherwise(0L)).as("n_with_view"),
+          sum(when(col("v_us").isNotNull && col("p_us") > col("v_us"), 1L)
+            .otherwise(0L)).as("n_converted"))
+        .withColumn("cvr_ppm", when(col("n_with_view") > 0,
+          call_function("div", col("n_converted") * lit(1000000L),
+            col("n_with_view"))))
+    }),
     "events_anomaly_zscore" -> ((s, dir) => {
       // Outlier detection on the event stream: per-type mean/stddev from
       // EXACT cent-quantized moment sums (the agg_corr_covar technique), z
@@ -302,6 +334,39 @@ object Windows extends OpRegistry {
              MAX(ts_us) - MIN(ts_us) AS dur_us
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id""",
+
+    "events_session_conversion" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        epoch_ns(ts) // 1000 AS ts_us FROM events),
+      flagged AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1
+                    WHEN LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sess AS (
+        SELECT user_id, event_type, ts_us,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM flagged),
+      per AS (SELECT user_id, session_id,
+                     MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS v_us,
+                     MAX(CASE WHEN event_type = 'purchase' THEN ts_us END)
+                       AS p_us
+              FROM sess GROUP BY 1, 2)
+      SELECT COUNT(1) AS n_sessions,
+             CAST(SUM(CASE WHEN v_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_view,
+             CAST(SUM(CASE WHEN v_us IS NOT NULL AND p_us > v_us
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+             CASE WHEN SUM(CASE WHEN v_us IS NOT NULL THEN 1 ELSE 0 END) > 0
+               THEN CAST(SUM(CASE WHEN v_us IS NOT NULL AND p_us > v_us
+                      THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+                    // CAST(SUM(CASE WHEN v_us IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT)
+             END AS cvr_ppm
+      FROM per""",
     "win_rank_dense_row" -> """
       SELECT c_custkey, c_mktsegment, c_acctbal,
              CAST(RANK() OVER w AS INT) AS rnk, CAST(DENSE_RANK() OVER w AS INT) AS drnk, CAST(ROW_NUMBER() OVER w AS INT) AS rn
