@@ -97,7 +97,9 @@ object ScaleProbe {
     // round 14 batch F: the lang-partitioned rank window + Gini agg
     "docs_token_gini",
     // round 14 batch H: the prefix-count window + 4-cell contingency
-    "docs_dup_quality_contingency")
+    "docs_dup_quality_contingency",
+    // round 14 batch J: the explode → tf → vocab-rollup posting build
+    "text_inverted_postings")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -190,7 +192,9 @@ object ScaleProbe {
     "fn_variant",
     // round 14 batch I: the sessionize-kernel conversion rollup and the
     // week-grid mix-drift table
-    "events_session_conversion", "events_mix_drift_weekly")
+    "events_session_conversion", "events_mix_drift_weekly",
+    // round 14 batch J: the two-proportion z collapse
+    "events_error_rate_ztest")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -281,7 +285,10 @@ object ScaleProbe {
     "q_supplier_late_wilson", "q_nation_revenue_volatility",
     // round 14 batch I: the snapshot aging buckets, the bloom-indexed
     // sink roundtrip, and the collated grouping surface
-    "q_open_order_aging", "sink_parquet_bloom", "fn_collate")
+    "q_open_order_aging", "sink_parquet_bloom", "fn_collate",
+    // round 14 batch J: the calendar-arithmetic projection and the
+    // anti-join insert-if-absent with landed write-back
+    "fn_interval", "merge_insert_ignore")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming
@@ -303,7 +310,9 @@ object ScaleProbe {
     // stream-stream join (state = open click windows, watermark-evicted)
     "stream_static_join", "stream_outer_join_watermark",
     // the shared-checkpoint incremental restart (two runs, state resumed)
-    "stream_restart_checkpoint")
+    "stream_restart_checkpoint",
+    // round 14 batch J: the 4-file maxFilesPerTrigger backfill replay
+    "stream_backfill_batches")
 
   /** o_orderdate(k): deterministic day in 1995-01-01..2001-07-second, the
     * fixture's span — shared by synthOrders and synthLineitem so each

@@ -109,6 +109,26 @@ object Scalars extends OpRegistry {
         .orderBy("event_id")
     }),
 
+    "fn_interval" -> ((s, dir) => {
+      // Calendar-interval arithmetic (round 14) — the date-math surface
+      // fn_date's extraction family doesn't cover: month arithmetic with
+      // END-OF-MONTH CLAMPING (Jan 31 + 1 month = Feb 28 in BOTH engines
+      // — the clamp is the cross-dialect contract worth pinning),
+      // last-day-of-month, strictly-next-weekday, plain day offsets, and
+      // the epoch-day number. All pure calendar functions — no timezone
+      // in the path (dates, not instants).
+      t(s, dir)("orders")
+        .withColumn("d", col("o_orderdate").cast("date"))
+        .select(col("o_orderkey"), col("d"),
+          add_months(col("d"), 3).as("plus_3m"),
+          last_day(col("d")).as("last_dom"),
+          next_day(col("d"), "Mon").as("next_mon"),
+          date_add(col("d"), 45).as("plus_45d"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long")
+            .as("epoch_day"))
+        .orderBy("o_orderkey")
+    }),
+
     "fn_collate" -> ((s, dir) => {
       // The Spark-4 COLLATION surface (round 14): case-insensitive
       // grouping via a UTF8_LCASE-collated key — collation-aware
@@ -403,6 +423,21 @@ object Scalars extends OpRegistry {
              (CAST(to_json({'k': CAST(props->>'$.k' AS INT)})->>'$.k' AS INT)
                IS NOT DISTINCT FROM CAST(props->>'$.k' AS INT)) AS roundtrip_ok
       FROM events ORDER BY event_id""",
+    "fn_interval" -> """
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus_3m,
+             last_day(CAST(o_orderdate AS DATE)) AS last_dom,
+             CAST(o_orderdate AS DATE)
+               + CAST((CASE WHEN (8 - isodow(CAST(o_orderdate AS DATE))) % 7
+                            = 0 THEN 7
+                       ELSE (8 - isodow(CAST(o_orderdate AS DATE))) % 7
+                       END) AS INT) AS next_mon,
+             CAST(o_orderdate AS DATE) + 45 AS plus_45d,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS epoch_day
+      FROM orders ORDER BY o_orderkey""",
+
     "fn_collate" -> """
       WITH mixed AS (
         SELECT p_name AS v FROM part

@@ -1344,6 +1344,27 @@ object TextOps extends OpRegistry {
         .orderBy("source")
     }),
 
+    "text_inverted_postings" -> ((s, dir) => {
+      // Inverted-index posting-list statistics (round 14) — the IR-index
+      // build sheet: per word, document frequency (df), collection
+      // frequency (cf), and the heaviest posting (top doc by tf, doc-asc
+      // ties) — what sizes posting lists, picks compression schemes, and
+      // flags stopword-like terms before an index build. One explode →
+      // (word, doc) tf agg → vocab-sized rollup with the struct-min
+      // argmax (no per-word sort); top-200 by cf via
+      // TakeOrderedAndProject, full (cf desc, word) order.
+      val tf = tWide(s, dir)("documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+      tf.groupBy("word")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+          min(struct((-col("tf")).as("nt"), col("doc_id").as("d"))).as("m"))
+        .select(col("word"), col("df"), col("cf"),
+          col("m.d").as("top_doc"), (-col("m.nt")).as("top_tf"))
+        .orderBy(col("cf").desc, col("word"))
+        .limit(200)
+    }),
+
     "docs_token_gini" -> ((s, dir) => {
       // Per-language Gini coefficient of doc token counts (round 14) —
       // the inequality statistic behind corpus-balance audits: a lang
@@ -2107,6 +2128,16 @@ object TextOps extends OpRegistry {
                AS BIGINT) * 1000000 // COUNT(1) AS boiler_ppm
       FROM occ o LEFT JOIN boiler b ON o.tri = b.tri
       GROUP BY source ORDER BY source""",
+
+    "text_inverted_postings" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+      tf AS (SELECT word, doc_id, COUNT(1) AS tf FROM toks GROUP BY 1, 2),
+      p AS (SELECT word, COUNT(1) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+                   MIN(struct_pack(nt := -tf, d := doc_id)) AS m
+            FROM tf GROUP BY 1)
+      SELECT word, df, cf, m.d AS top_doc, CAST(-m.nt AS BIGINT) AS top_tf
+      FROM p ORDER BY cf DESC, word LIMIT 200""",
 
     "docs_token_gini" -> """
       WITH tok AS (SELECT lang, doc_id,

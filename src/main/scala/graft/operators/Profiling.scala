@@ -592,6 +592,33 @@ object Profiling extends OpRegistry {
         .orderBy("node")
     }),
 
+    "merge_insert_ignore" -> ((s, dir) => {
+      // INSERT-IF-ABSENT merge (round 14) — the idempotent-append mode
+      // MERGE WHEN NOT MATCHED THEN INSERT (and nothing on match): the
+      // nightly reference-data feed where re-delivered rows must be
+      // DROPPED, not update the target (merge_upsert's update-on-match is
+      // the wrong tool when the target is the system of record). Batch =
+      // 25 nation-seeded NEW customers (absent keys by construction) ∪
+      // existing customers re-delivered WITH DIFFERENT BALANCES — the
+      // rows the ignore contract must leave untouched. One LEFT ANTI join
+      // (key-hashed; AQE broadcasts the batch while small) + union +
+      // landed write-back; the output certifies n_inserted and that the
+      // re-delivered rows changed NOTHING (total balance = original +
+      // seeds only). Spec asserts idempotence: re-applying the batch
+      // inserts zero.
+      val tt = t(s, dir) _
+      val customer = tt("customer").select("c_custkey", "c_name",
+        "c_nationkey", "c_acctbal")
+      val merged = insertIgnore(customer, insertBatch(s, dir))
+      val out = "/tmp/graft_merge_insert_ignore"
+      merged.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("c_custkey") >= 10000000L, 1L).otherwise(0L))
+            .as("n_inserted"),
+          decSumOut(col("c_acctbal")).as("total_bal"))
+    }),
+
     "graph_assortativity" -> ((s, dir) => {
       // Degree assortativity (round 14): Pearson correlation of endpoint
       // degrees across all directed arcs — THE one-number answer to "do
@@ -636,6 +663,31 @@ object Profiling extends OpRegistry {
             / sqrt(varProd))).as("assortativity6"))
     }),
   )
+
+  /** The change batch for merge_insert_ignore, shared with its spec: 25
+    * genuinely-new nation-seeded customers (keys ≥ 10M, absent from any
+    * SF's customer table) plus the lowest 10 EXISTING customers
+    * re-delivered with poisoned balances (the rows the ignore contract
+    * must drop). */
+  private[graft] def insertBatch(s: SparkSession, dir: String): DataFrame = {
+    val tt = t(s, dir) _
+    val seeds = tt("nation").select(
+      (col("n_nationkey").cast("long") + 10000000L).as("c_custkey"),
+      concat(lit("Seed#"), col("n_nationkey")).as("c_name"),
+      col("n_nationkey").cast("int").as("c_nationkey"),
+      ((col("n_nationkey").cast("double") + 1.0) * 100.0).as("c_acctbal"))
+    val redelivered = tt("customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey").limit(10)
+      .withColumn("c_acctbal", lit(-999999.0))
+    seeds.unionByName(redelivered)
+  }
+
+  /** INSERT-IF-ABSENT kernel: target ∪ (batch ⟕anti target on the key). */
+  private[graft] def insertIgnore(target: DataFrame, batch: DataFrame): DataFrame =
+    target.unionByName(
+      batch.join(target.select(col("c_custkey").as("t_key")),
+        batch("c_custkey") === col("t_key"), "left_anti"))
 
   /** The synchronous-LPA kernel behind graph_label_propagation,
     * parameterized for the spec (the registry op runs 3 rounds on the
@@ -1181,6 +1233,20 @@ object Profiling extends OpRegistry {
       SELECT node, label,
              COUNT(1) OVER (PARTITION BY label) AS comm_size
       FROM l3 ORDER BY node""",
+
+    // recomputed from the source tables + batch rule: inserts = the 25
+    // nation seeds (absent keys), re-delivered rows change nothing
+    "merge_insert_ignore" -> """
+      WITH seeds AS (SELECT CAST(n_nationkey AS BIGINT) + 10000000 AS k,
+                            (CAST(n_nationkey AS DOUBLE) + 1.0) * 100.0 AS bal
+                     FROM nation)
+      SELECT (SELECT COUNT(1) FROM customer) + (SELECT COUNT(1) FROM seeds)
+               AS n_total,
+             (SELECT COUNT(1) FROM seeds) AS n_inserted,
+             CAST((SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                   FROM customer)
+               + (SELECT SUM(CAST(bal AS DECIMAL(38,6))) FROM seeds)
+               AS DOUBLE) AS total_bal""",
 
     "graph_assortativity" -> s"""
       WITH e AS (

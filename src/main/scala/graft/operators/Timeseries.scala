@@ -1290,6 +1290,45 @@ object Timeseries extends OpRegistry {
             col("event_type").as("t"))).getField("t").as("top_drift_type"))
         .orderBy("week")
     }),
+
+    "events_error_rate_ztest" -> ((s, dir) => {
+      // Two-proportion z-test on the error rate (round 14), first half of
+      // the corpus days vs second — the release-comparison statistic
+      // ("did the deploy change the error rate, or is the diff noise?")
+      // that a raw rate diff can't answer. Split day = div(min+max+1, 2)
+      // (pure integer midpoint); per half: exact (n, k); z from the four
+      // integers via the pooled-variance formula — fixed-structure double
+      // math, the corr6 determinism discipline. One scan agg + one
+      // broadcast scalar; output is a single row with exact ppm rates, z,
+      // and the |z| > 1.96 flag.
+      val e = eventsUs(s, dir)
+        .select(call_function("div", col("ts_us"), lit(usPerDay)).as("day"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
+      val split = e.agg(call_function("div",
+        min("day") + max("day") + lit(1L), lit(2L)).as("mid"))
+      val g = e.crossJoin(broadcast(split))
+        .withColumn("h", when(col("day") < col("mid"), 1).otherwise(2))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n"), sum("is_err").as("k"))
+      val p = g.groupBy()
+        .pivot("h", Seq(1, 2))
+        .agg(first("n").as("n"), first("k").as("k"))
+        .select(col("1_n").as("n1"), col("1_k").as("k1"),
+          col("2_n").as("n2"), col("2_k").as("k2"))
+      val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+      val pp = (col("k1") + col("k2")).cast("double") /
+        (col("n1") + col("n2")).cast("double")
+      val z = (col("k1").cast("double") / n1 - col("k2").cast("double") / n2) /
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2))
+      p.select(col("n1"), col("k1"), col("n2"), col("k2"),
+          call_function("div", col("k1") * lit(1000000L), col("n1"))
+            .as("rate1_ppm"),
+          call_function("div", col("k2") * lit(1000000L), col("n2"))
+            .as("rate2_ppm"),
+          when(pp > 0 && pp < 1, r6(z)).as("z6"))
+        .withColumn("significant",
+          when(col("z6").isNotNull, (abs(col("z6")) > 1.96).cast("int")))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2078,5 +2117,40 @@ object Timeseries extends OpRegistry {
              MIN(struct_pack(na := -abs(d_ppm), t := event_type)).t
                AS top_drift_type
       FROM shares GROUP BY week ORDER BY week""",
+
+    "events_error_rate_ztest" -> s"""
+      WITH e AS (SELECT (epoch_ns(ts)//1000)//86400000000 AS day,
+                        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                          AS is_err
+                 FROM events),
+      sp AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e),
+      g AS (SELECT CASE WHEN day < mid THEN 1 ELSE 2 END AS h,
+                   COUNT(1) AS n, CAST(SUM(is_err) AS BIGINT) AS k
+            FROM e CROSS JOIN sp GROUP BY 1),
+      p AS (SELECT MAX(CASE WHEN h = 1 THEN n END) AS n1,
+                   MAX(CASE WHEN h = 1 THEN k END) AS k1,
+                   MAX(CASE WHEN h = 2 THEN n END) AS n2,
+                   MAX(CASE WHEN h = 2 THEN k END) AS k2
+            FROM g),
+      zc AS (SELECT *,
+                    CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp
+             FROM p)
+      SELECT n1, k1, n2, k2,
+             (k1 * 1000000) // n1 AS rate1_ppm,
+             (k2 * 1000000) // n2 AS rate2_ppm,
+             CASE WHEN pp > 0 AND pp < 1 THEN
+               ${r6Sql("(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
+                 " - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))" +
+                 " / sqrt(pp * (1.0 - pp)" +
+                 " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))")}
+             END AS z6,
+             CASE WHEN pp > 0 AND pp < 1 THEN
+               CAST(abs(${r6Sql("(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
+                 " - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))" +
+                 " / sqrt(pp * (1.0 - pp)" +
+                 " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))")})
+                 > 1.96 AS INT)
+             END AS significant
+      FROM zc""",
   )
 }

@@ -25,6 +25,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
 object Streaming extends OpRegistry {
 
   private val usPerHour = 3600000000L
+  private val usPerDay = 86400000000L
   private val usPer15m = 900000000L
 
   /** Batch `events` with ts_us (epoch micros, integer-exact). */
@@ -251,6 +252,33 @@ object Streaming extends OpRegistry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_backfill_batches" -> ((s, dir) => {
+      // Bounded-batch backfill (round 14): replay a historical store
+      // through the streaming engine in CONTROLLED increments —
+      // maxFilesPerTrigger=1 over a 4-file staging copy + AvailableNow,
+      // so the run is 4 micro-batches instead of one giant one. This is
+      // THE production backfill pattern: each batch checkpoints, so a
+      // 100 TB replay survives restarts at batch granularity and the
+      // state store grows stepwise instead of absorbing the whole history
+      // in one commit (a single-batch replay of 100 TB is one giant
+      // un-resumable transaction). Complete-mode day-grid counts; the
+      // final table must equal the all-at-once batch answer — exactly
+      // what the oracle states; the spec asserts the run really took ≥4
+      // micro-batches (lastStateStats._3).
+      val staged = "/tmp/graft_stream_backfill"
+      graft.Tables.rawLoad(s, dir, "events").repartition(4)
+        .write.mode("overwrite").parquet(staged)
+      val schema = graft.Tables.rawLoad(s, dir, "events").schema
+      val raw = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val agg = graft.Tables.normalizeTs(raw)
+        .withColumn("ts_us", tsDivMicros(col("ts")))
+        .groupBy(call_function("div", col("ts_us"), lit(usPerDay)).as("day"))
+        .agg(count(lit(1)).as("cnt"), decSumOut(col("value")).as("sum_value"))
+      runToMemory(s, agg, "backfill", OutputMode.Complete())
+        .orderBy("day")
+    }),
+
     "stream_tumbling_1h" -> ((s, dir) =>
       eventsUs(s, dir)
         .groupBy((call_function("div", col("ts_us"), lit(usPerHour)) * usPerHour).as("win_us"),
@@ -709,6 +737,12 @@ object Streaming extends OpRegistry {
       HAVING (win_us + 3600000000) // 1000 <=
              (SELECT MAX(ts_us) // 1000 - 600000 FROM e)
       ORDER BY win_us, event_type""",
+    "stream_backfill_batches" -> """
+      SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day,
+             COUNT(1) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY day""",
+
     "stream_tumbling_1h" -> """
       SELECT (epoch_ns(ts) // 1000) // 3600000000 * 3600000000 AS win_us,
              event_type, COUNT(1) AS cnt,
