@@ -1152,9 +1152,17 @@ object Profiling extends OpRegistry {
       FROM nation LEFT OUTER JOIN m ON CAST(n_nationkey AS BIGINT) = m.node
       ORDER BY node""",
 
-    // three unrolled peel rounds — identical bound to the Spark kernel
+    // three unrolled peel rounds — identical bound to the Spark kernel.
+    // AS MATERIALIZED throughout: DuckDB inlines multiply-referenced CTEs,
+    // and the e3→e2→e1→dir2→pairs chain references each level TWICE (once
+    // via the degree filter, once as the edge stream), so inlining
+    // re-evaluates the fact-sized DISTINCT join ~2^4 times — the sf0.1
+    // sweep measured it spilling >60 GB of DuckDB temp before ENOSPC.
+    // Materialization pins each level to one evaluation (node-sized after
+    // dir2), which is also exactly what the Spark side's localCheckpoint
+    // does.
     "graph_kcore_peel" -> """
-      WITH pairs AS (
+      WITH pairs AS MATERIALIZED (
         SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
                         greatest(c_nationkey, s_nationkey) AS b
         FROM lineitem
@@ -1162,15 +1170,15 @@ object Profiling extends OpRegistry {
           JOIN customer ON o_custkey = c_custkey
           JOIN supplier ON l_suppkey = s_suppkey
         WHERE c_nationkey <> s_nationkey),
-      dir2 AS (SELECT a AS src, b AS dst FROM pairs
+      dir2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
                UNION ALL SELECT b AS src, a AS dst FROM pairs),
-      d0 AS (SELECT src, COUNT(1) AS deg0 FROM dir2 GROUP BY 1),
+      d0 AS MATERIALIZED (SELECT src, COUNT(1) AS deg0 FROM dir2 GROUP BY 1),
       k1 AS (SELECT src FROM d0 WHERE deg0 >= 20),
-      e1 AS (SELECT t.src, t.dst FROM dir2 t
+      e1 AS MATERIALIZED (SELECT t.src, t.dst FROM dir2 t
              JOIN k1 a ON t.src = a.src JOIN k1 b ON t.dst = b.src),
       d2 AS (SELECT src, COUNT(1) AS deg FROM e1 GROUP BY 1),
       k2 AS (SELECT src FROM d2 WHERE deg >= 20),
-      e2 AS (SELECT t.src, t.dst FROM e1 t
+      e2 AS MATERIALIZED (SELECT t.src, t.dst FROM e1 t
              JOIN k2 a ON t.src = a.src JOIN k2 b ON t.dst = b.src),
       d3 AS (SELECT src, COUNT(1) AS deg FROM e2 GROUP BY 1),
       k3 AS (SELECT src FROM d3 WHERE deg >= 20),
@@ -1183,7 +1191,7 @@ object Profiling extends OpRegistry {
       ORDER BY node""",
 
     "graph_reciprocity" -> """
-      WITH arcs AS (
+      WITH arcs AS MATERIALIZED (
         SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS src,
                         CAST(c_nationkey AS BIGINT) AS dst
         FROM lineitem
@@ -1210,8 +1218,9 @@ object Profiling extends OpRegistry {
           JOIN customer ON o_custkey = c_custkey
           JOIN supplier ON l_suppkey = s_suppkey
         WHERE c_nationkey <> s_nationkey),
-      w AS (SELECT a, b, COUNT(DISTINCT l_orderkey) AS w FROM e GROUP BY 1, 2),
-      dw AS (SELECT a AS src, b AS dst, w FROM w
+      w AS MATERIALIZED (
+        SELECT a, b, COUNT(DISTINCT l_orderkey) AS w FROM e GROUP BY 1, 2),
+      dw AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM w
              UNION ALL
              SELECT b AS src, a AS dst, w FROM w),
       l0 AS (SELECT DISTINCT src AS node, src AS label FROM dw),
@@ -1258,7 +1267,8 @@ object Profiling extends OpRegistry {
           JOIN customer ON o_custkey = c_custkey
           JOIN supplier ON l_suppkey = s_suppkey
         WHERE c_nationkey <> s_nationkey),
-      w AS (SELECT a, b, COUNT(DISTINCT l_orderkey) AS w FROM e GROUP BY 1, 2),
+      w AS MATERIALIZED (
+        SELECT a, b, COUNT(DISTINCT l_orderkey) AS w FROM e GROUP BY 1, 2),
       dw AS (SELECT a AS src, b AS dst, w FROM w
              UNION ALL SELECT b AS src, a AS dst, w FROM w),
       tk AS (SELECT src, dst,
@@ -1266,7 +1276,8 @@ object Profiling extends OpRegistry {
                       ORDER BY w DESC, dst) AS rn
              FROM dw),
       bb AS (SELECT src, dst FROM tk WHERE rn <= 3),
-      arcs AS (SELECT src, dst FROM bb UNION SELECT dst, src FROM bb),
+      arcs AS MATERIALIZED (
+        SELECT src, dst FROM bb UNION SELECT dst, src FROM bb),
       deg AS (SELECT src AS node, COUNT(1) AS deg FROM arcs GROUP BY 1),
       j AS (SELECT d1.deg AS dx, d2.deg AS dy
             FROM arcs e2 JOIN deg d1 ON e2.src = d1.node
