@@ -1253,9 +1253,17 @@ object VectorOps extends OpRegistry {
       // count, floor-quantized to µnats immediately, so the per-lang
       // entropy is bit-identical cross-engine. One scan explode (linear)
       // into the ≤ langs×256 histogram; everything after is bounded.
+      // Empty docs are excluded EXPLICITLY on both sides: Spark's
+      // split("", "") yields [""] (a phantom code-0 element) where
+      // DuckDB's range(1, 0+1) yields no rows. Character iteration is
+      // Spark split-per-UTF16-unit vs DuckDB per-codepoint — identical on
+      // the BMP-only fixture; non-BMP payloads are out of this op's
+      // declared byte-model contract (real binary goes through the
+      // multimodal_features byte path, not text chars).
       def lnq(x: Column): Column =
         floor(log(x.cast("double")) * 1e6).cast("long")
       val hist = tWide(s, dir)("documents")
+        .filter(length(col("text")) > 0)
         .select(col("lang"), explode(split(col("text"), "")).as("ch"))
         .select(col("lang"), ascii(col("ch")).cast("long").as("b"))
         .groupBy("lang", "b").agg(count(lit(1)).as("c"))
@@ -2267,7 +2275,7 @@ object VectorOps extends OpRegistry {
                          unnest(list_transform(range(1, length(text) + 1),
                            i -> CAST(ord(substring(text, i, 1)) AS BIGINT)))
                            AS b
-                  FROM documents),
+                  FROM documents WHERE length(text) > 0),
       hist AS (SELECT lang, b, COUNT(1) AS c FROM ch GROUP BY 1, 2),
       g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_bytes,
                    COUNT(1) AS n_distinct_bytes,

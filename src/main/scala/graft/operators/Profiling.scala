@@ -610,7 +610,7 @@ object Profiling extends OpRegistry {
       val customer = tt("customer").select("c_custkey", "c_name",
         "c_nationkey", "c_acctbal")
       val merged = insertIgnore(customer, insertBatch(s, dir))
-      val out = "/tmp/graft_merge_insert_ignore"
+      val out = s"/tmp/graft_merge_insert_ignore_${s.sparkContext.applicationId}"
       merged.write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .agg(count(lit(1)).as("n_total"),
@@ -665,12 +665,18 @@ object Profiling extends OpRegistry {
   )
 
   /** The change batch for merge_insert_ignore, shared with its spec: 25
-    * genuinely-new nation-seeded customers (keys ≥ 10M, absent from any
-    * SF's customer table) plus the lowest 10 EXISTING customers
-    * re-delivered with poisoned balances (the rows the ignore contract
-    * must drop). */
+    * genuinely-new nation-seeded customers (keys ≥ 10M — TPC-H c_custkey
+    * reaches 150,000·SF, so the seeds are absent for SF < 67; the guard
+    * below fails LOUDLY past that bound instead of letting the anti-join
+    * silently eat the seeds and the >=10M inserted-count drift) plus the
+    * lowest 10 EXISTING customers re-delivered with poisoned balances
+    * (the rows the ignore contract must drop). */
   private[graft] def insertBatch(s: SparkSession, dir: String): DataFrame = {
     val tt = t(s, dir) _
+    val maxKey = tt("customer").agg(max(col("c_custkey"))).first().getLong(0)
+    require(maxKey < 10000000L,
+      s"merge_insert_ignore seed keys collide with real customers " +
+        s"(max c_custkey = $maxKey >= 10M); re-derive the seed offset")
     val seeds = tt("nation").select(
       (col("n_nationkey").cast("long") + 10000000L).as("c_custkey"),
       concat(lit("Seed#"), col("n_nationkey")).as("c_name"),

@@ -71,7 +71,7 @@ object Scans extends OpRegistry {
       // yield). Corrupt rows park in the side column (never dropped rows,
       // never a job failure); the scan stays splittable/distributed.
       import org.apache.spark.sql.types._
-      val out = "/tmp/graft_src_csv_bad"
+      val out = s"/tmp/graft_src_csv_bad_${s.sparkContext.applicationId}"
       t(s, dir)("orders")
         .select(concat_ws(",", col("o_orderkey"),
           when(col("o_orderkey") % 100 === 0, lit("notanumber"))
@@ -111,7 +111,7 @@ object Scans extends OpRegistry {
       // oracle is the same predicate on the source table, which is the
       // correctness contract of a skipping index.
       import org.apache.spark.sql.types.DecimalType
-      val out = "/tmp/graft_sink_bloom"
+      val out = s"/tmp/graft_sink_bloom_${s.sparkContext.applicationId}"
       t(s, dir)("orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite")

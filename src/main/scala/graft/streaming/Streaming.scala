@@ -265,7 +265,7 @@ object Streaming extends OpRegistry {
       // final table must equal the all-at-once batch answer — exactly
       // what the oracle states; the spec asserts the run really took ≥4
       // micro-batches (lastStateStats._3).
-      val staged = "/tmp/graft_stream_backfill"
+      val staged = s"/tmp/graft_stream_backfill_${s.sparkContext.applicationId}"
       graft.Tables.rawLoad(s, dir, "events").repartition(4)
         .write.mode("overwrite").parquet(staged)
       val schema = graft.Tables.rawLoad(s, dir, "events").schema
