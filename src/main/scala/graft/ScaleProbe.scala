@@ -43,7 +43,7 @@ object ScaleProbe {
   /** Documents-only registry ops that exercise the shapes at risk:
     * candidate self-join, LSH banding, iterative CC, broadcast-LM scoring,
     * df-broadcast tf-idf. */
-  private val Probed = Seq(
+  private[graft] val Probed = Seq(
     "jaccard_pairs", "dedup_near_minhash", "dedup_components",
     "text_tfidf_top", "docs_lm_quality_filter", "text_repetition_signals",
     "text_entropy", "docs_quality_percentile_gate", "docs_temperature_resample",
@@ -99,12 +99,16 @@ object ScaleProbe {
     // round 14 batch H: the prefix-count window + 4-cell contingency
     "docs_dup_quality_contingency",
     // round 14 batch J: the explode → tf → vocab-rollup posting build
-    "text_inverted_postings")
+    "text_inverted_postings",
+    // round 15 (retro probe sweep): the salted two-level per-lang top-k
+    // and the two-level-scan greedy packer — both re-planned off the
+    // 5-value-lang data-sized window this round
+    "docs_topk_quality_per_lang", "docs_pack_greedy")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
     * sign-LSH multiprobe, IVF-PQ ADC, and LSH-bucketed semantic dedup. */
-  private val ProbedVec = Seq(
+  private[graft] val ProbedVec = Seq(
     "knn_cosine_topk", "knn_ivf_topk", "knn_ivfpq_topk", "dedup_near_embedding",
     "vec_hamming_recall", "vec_pca_deflate", "vec_rank_fusion",
     "vec_centroid_drift",
@@ -148,7 +152,7 @@ object ScaleProbe {
     * the DAU/WAU band join, sessionization, and the per-user lag/agg
     * shapes. The fixture events table is pinned at 100k rows, so like the
     * docs/vecs above these need a synthetic corpus to show growth. */
-  private val ProbedEvents = Seq(
+  private[graft] val ProbedEvents = Seq(
     "events_burst_detect", "events_dau_wau", "events_sessionize",
     "events_interarrival_hist", "events_rfm_scores", "events_markov_transitions",
     "events_top_paths", "events_user_overlap", "events_streaks",
@@ -222,7 +226,7 @@ object ScaleProbe {
     * SF-proportional dims (customer/supplier/part) scale with the mult,
     * exactly as TPC-H SF does; nation/region are schema-bounded and copied
     * from the fixture. */
-  private val ProbedRel = Seq(
+  private[graft] val ProbedRel = Seq(
     "q_waiting_suppliers", "q_min_cost_supplier", "q_local_supplier_volume",
     "q_market_share", "q_product_profit", "agg_histogram",
     // round 12 (VERDICT r11 #4): the exact order-statistics family sorts
@@ -288,7 +292,13 @@ object ScaleProbe {
     "q_open_order_aging", "sink_parquet_bloom", "fn_collate",
     // round 14 batch J: the calendar-arithmetic projection and the
     // anti-join insert-if-absent with landed write-back
-    "fn_interval", "merge_insert_ignore")
+    "fn_interval", "merge_insert_ignore",
+    // round 15 (VERDICT r14 #1): the five re-planned §2.5 window demos —
+    // 3-round broadcast-max tournament, stats-broadcast first/last/nth,
+    // the two-pass value-cell rank (×2), and the o_custkey-re-keyed
+    // RANGE frame
+    "win_topk_per_group", "win_first_last_nth", "win_rank_dense_row",
+    "win_ntile_pctrank", "win_range_frame")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming
@@ -299,7 +309,7 @@ object ScaleProbe {
     * grows faster than the keyspace is the failure this guards against
     * (session merge state, stream-stream join buffers, watermark
     * eviction). */
-  private val ProbedStream = Seq(
+  private[graft] val ProbedStream = Seq(
     "stream_watermark_late", "stream_session_builtin", "stream_stream_join",
     "stream_tws_running_max", "stream_stateful_count", "stream_dedup",
     // round 12: the ListState leaderboard (O(k) state per key) and the
@@ -313,6 +323,101 @@ object ScaleProbe {
     "stream_restart_checkpoint",
     // round 14 batch J: the 4-file maxFilesPerTrigger backfill replay
     "stream_backfill_batches")
+
+  /** Retroactive scale-classification ledger (r15, VERDICT r14 #2): the
+    * "no op ships unprobed" protocol only covered ops added since r12, and
+    * that gap is exactly how the five low-cardinality window demos shipped
+    * unexamined. This map closes it: EVERY registry op not in a Probed*
+    * list carries an explicit scale class + one-line reason, and
+    * Round15Spec enforces Probed ∪ Classified == registry (disjointly), so
+    * a new op cannot ship without either a measured 1×/100× ratio or a
+    * written classification. Classes:
+    *  - scan: one map-side pass (projection / filter / per-row kernel /
+    *    fixed-width featurization); no data-sized shuffle at all.
+    *  - agg: partial+final aggregation onto schema- or value-domain-bounded
+    *    groups (≤ nations × priorities × statuses…); shuffle carries groups.
+    *  - key: one exchange on an SF-proportional key (user_id / custkey /
+    *    vocab hash / fingerprint); per-group work bounded by the data model
+    *    (orders/customer ≈ 10, events/user ≈ 67, cells are tie-groups).
+    *  - frame: all post-collapse work on calendar / value-domain / schema-
+    *    bounded frames (the globalByDesign discipline, PlanSpec allowlist).
+    *  - rep: same kernel or landed artifact as a named PROBED op — the rep
+    *    pays and measures the build; this op is a marginal consumer.
+    *  - demo: declared id-capped / candidate-bounded surface demo; the §2
+    *    row names the probed op that is the at-scale path.
+    *  - sketch: fixed-size sketch or driver model state (HLL / CMS / GK /
+    *    simhash / k-centroids); the data pass is scan-shaped.
+    *  - io: source/sink/layout/merge round-trip — partitioned, splittable
+    *    read/write; cost is IO-bound and linear by construction.
+    *  - stream: Structured Streaming surface whose STATE class (windowed
+    *    agg / session merge / TWS / join buffer) is probed via ProbedStream.
+    */
+  private[graft] val Classified: Map[String, String] = Seq(
+    "scan" -> Seq("filter_pred", "filter_in_like", "filter_null3vl",
+      "project_expr", "fn_array", "fn_bitwise", "fn_cast", "fn_conditional",
+      "fn_date", "fn_hash", "fn_hof", "fn_json", "fn_map", "fn_math",
+      "fn_string", "fn_try_arith", "fn_url", "udf_scalar", "udtf_generator",
+      "text_pii_scrub", "text_scrub", "text_quality_score",
+      "text_quality_filter", "text_token_count", "text_fingerprint",
+      "text_dup_ngram_rate", "text_hashed_features", "pipeline_clean_corpus",
+      "docs_split_assign", "docs_sample_stratified", "multimodal_features",
+      "multimodal_chunks", "multimodal_resample", "multimodal_label_text",
+      "vec_int8_quantize", "vec_jl_projection", "vec_norm_stats",
+      "vec_dim_stats", "vec_centroid_by_label", "limit_topk_global",
+      "limit_offset", "sort_multi_nulls"),
+    "agg" -> Seq("agg_pricing_summary", "agg_weighted_avg",
+      "agg_geometric_mean", "agg_groupby_multi", "agg_having",
+      "agg_distinct_count", "agg_multi_distinct", "agg_rollup", "agg_cube",
+      "agg_grouping_sets", "agg_minmax_stats", "agg_pivot_status",
+      "agg_unpivot", "agg_corr_covar", "agg_bool", "agg_mode",
+      "agg_string_agg", "agg_udaf_sumsq", "typed_agg_orders",
+      "text_lang_profile", "text_langid", "text_wordcount", "text_ngram_freq",
+      "docs_length_buckets", "docs_domain_mix", "events_hourly_profile",
+      "events_anomaly_zscore", "profile_table_stats", "q_revenue_by_region", "q_parts_share",
+      "q_nation_share_in_region", "q_nation_trade_flows",
+      "q_small_qty_revenue", "q_special_promo_revenue",
+      "q_priority_class_late", "q_returned_by_customer", "q_important_parts",
+      "q_promo_part_suppliers", "q_top_unshipped", "q_top_supplier",
+      "q_idle_rich_customers", "q_large_volume_customers",
+      "q_order_priority_late", "q_customer_distribution", "q_customer_ltv",
+      "q_supplier_part_breadth", "q_yoy_growth", "sql_scalar_subquery",
+      "sql_exists_subquery", "sql_in_subquery", "sql_filtered_agg"),
+    "key" -> Seq("agg_sorted_collect", "agg_listagg_ordered", "win_lead_lag",
+      "win_running_sum", "win_sliding_frame", "events_attribution_first_touch",
+      "events_attribution_last_touch", "events_concurrency",
+      "events_conversion_lag", "events_ewma", "events_gapfill",
+      "events_funnel", "events_retention_cohorts", "scd2_type_history",
+      "join_lateral_topn", "join_inner_hash", "join_sortmerge",
+      "join_broadcast", "join_left_outer", "join_right_outer",
+      "join_full_outer", "join_left_semi", "join_left_anti",
+      "join_null_safe", "join_skew_salted", "join_bucketed_noshuffle",
+      "join_bloom_prefilter", "join_dpp_partition_prune", "multimodal_join",
+      "dedup_exact", "dedup_by_key", "distinct_rows", "dedup_incremental",
+      "docs_decontaminate", "set_union_all", "set_union_distinct",
+      "set_intersect", "set_intersect_all", "set_except", "set_except_all", "text_ngram_novelty", "text_zipf_slope",
+      "text_bpe_pair_stats", "docs_char_lm"),
+    "frame" -> Seq("q_monthly_trend", "q_forecast_revenue",
+      "events_pareto_share", "events_anomaly_mad", "sql_recursive_cte"),
+    "rep" -> Seq("dedup_assign_canonical", "dedup_cluster_stats",
+      "graph_degree_stats", "graph_triangles", "graph_jaccard_neighbors",
+      "graph_pagerank_iter", "vec_pq_codes", "docs_token_budget_fill"),
+    "demo" -> Seq("join_cross", "join_theta_band", "join_range_interval",
+      "join_asof", "join_asof_forward", "sim_threshold_pairs",
+      "vec_knn_graph", "vec_matryoshka_recall", "text_fuzzy_pairs"),
+    "sketch" -> Seq("agg_approx_distinct", "agg_approx_quantile",
+      "agg_hll_custom", "dedup_simhash", "sketch_cms_topk", "vec_kmeans_iter",
+      "vec_power_iter"),
+    "io" -> Seq("scan_parquet", "scan_projection", "scan_pushdown",
+      "scan_schema", "scan_schema_merge", "scan_describe_history",
+      "scan_snapshot_changes", "scan_time_travel", "scan_zone_map_prune",
+      "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
+      "sink_partitioned_pruned", "source_jsonlines", "source_text_raw",
+      "layout_compact_small_files", "layout_zorder", "maintenance_vacuum",
+      "merge_delete_cow", "merge_upsert"),
+    "stream" -> Seq("stream_tumbling_1h", "stream_sliding_1h_15m",
+      "stream_session_30m", "stream_threshold_alerts",
+      "stream_sink_foreachBatch"),
+  ).flatMap { case (cls, ops) => ops.map(_ -> cls) }.toMap
 
   /** o_orderdate(k): deterministic day in 1995-01-01..2001-07-second, the
     * fixture's span — shared by synthOrders and synthLineitem so each

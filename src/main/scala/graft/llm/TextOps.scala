@@ -26,7 +26,7 @@ object TextOps extends OpRegistry {
     * pipeline — one copy so the composed pipeline cannot drift from the
     * unit ops it claims to compose (their oracle twins list the same words
     * literally). */
-  private[llm] val StopWords = Seq("the", "of", "and", "a", "to", "in", "is", "data")
+  private[graft] val StopWords = Seq("the", "of", "and", "a", "to", "in", "is", "data")
 
   /** Shared scrub/normalize kernel: digit runs → `<num>`, whitespace
     * collapsed — used by text_scrub and pipeline_clean_corpus. */
@@ -552,6 +552,17 @@ object TextOps extends OpRegistry {
       // dialect-proof). The per-group top-k is a rank window: one shuffle
       // on lang, partial sort per partition — the shape that holds when
       // "per language" is 10 TB each.
+      // r15 re-plan (retro probe sweep, VERDICT r14 #2): the single
+      // rank window partitioned by the 5-value lang sorted the WHOLE doc
+      // frame in ≤5 tasks — the limit_topk_with_ties scale-killer shape.
+      // k=10 is bounded, so the two-level top-k applies: a deterministic
+      // 64-way salt (hash of doc_id — no spark_partition_id
+      // nondeterminism) makes the first rank window partition on
+      // (lang, salt) = 320 balanced groups that GROW with nothing (fixed
+      // fan-out, each ~N/320); its survivors are ≤ langs×64×k = 3,200
+      // rows at ANY corpus size, and only that bounded frame meets the
+      // final per-lang window. Output provably identical: the global
+      // top-10 of each lang survives its salt's local top-10.
       val toks = split(col("text"), " ")
       val scored = tWide(s, dir)("documents").select(
         col("doc_id"), col("lang"),
@@ -559,8 +570,13 @@ object TextOps extends OpRegistry {
           - size(filter(toks, x => x.isin(StopWords: _*))).cast("long") * 5
           - length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
           .as("quality"))
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(64L)))
+      val wLocal = Window.partitionBy("lang", "salt")
+        .orderBy(col("quality").desc, col("doc_id"))
       val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
-      scored.withColumn("rk", row_number().over(w))
+      scored.withColumn("lrk", row_number().over(wLocal))
+        .filter(col("lrk") <= 10)
+        .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"), col("quality"))
         .orderBy("lang", "rk")
@@ -692,13 +708,36 @@ object TextOps extends OpRegistry {
       // both key on lang: one shuffle, prefix sums run locally per
       // partition — the shape that survives per-language corpora of
       // billions of docs.
+      // r15 re-plan (retro probe sweep, VERDICT r14 #2): the prefix sum
+      // ran in ONE window partitioned by the 5-value lang — the whole doc
+      // frame sorted sequentially in ≤5 tasks. A prefix sum distributes
+      // as the classic two-level scan: docs fold into doc_id-contiguous
+      // BLOCKS (div(doc_id, 65536) — order-preserving), level 1 is one
+      // map-side hash agg to per-(lang, block) token totals, level 2
+      // cumulates those totals per lang (a window over the 65,536×-
+      // collapsed block frame — the declared bound; the pattern recurses
+      // if a corpus ever outgrows it), level 3 is the block-LOCAL running
+      // sum — a window partitioned by (lang, block), high-cardinality,
+      // each group ≤ 65,536 rows by construction. cum = block offset +
+      // local running sum, identical to the single-window form.
       val budget = 2000L
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tWide(s, dir)("documents")
+      val blk = call_function("div", col("doc_id"), lit(65536L))
+      val docs = tWide(s, dir)("documents")
         .select(col("lang"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("blk", blk)
+      val wOff = Window.partitionBy("lang").orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy("lang", "blk")
+        .agg(sum(col("n_tokens")).as("blk_tok"))
+        .withColumn("off", coalesce(sum(col("blk_tok")).over(wOff), lit(0L)))
+        .select("lang", "blk", "off")
+      val wLoc = Window.partitionBy("lang", "blk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("loc_cum", sum(col("n_tokens")).over(wLoc))
+        .join(offsets, Seq("lang", "blk"))
+        .withColumn("cum", col("off") + col("loc_cum"))
         .withColumn("batch_id", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
         .groupBy("lang", "batch_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),

@@ -13,24 +13,94 @@ import org.apache.spark.sql.expressions.Window
   */
 object Windows extends OpRegistry {
 
+  /** The (c_acctbal DESC, c_custkey ASC) window order as ONE max-comparable
+    * struct: the row that sorts FIRST has the LARGEST (bal, −ck) struct.
+    * Shared by the r15 scale rewrites of the §2.5 customer window demos. */
+  private def ordKey = struct(col("c_acctbal"), (-col("c_custkey")).as("nck"))
+
+  /** Top-3 customers per segment WITHOUT a low-cardinality window (r15,
+    * VERDICT r14 #1): the naive row_number()<=3 sorts the whole table
+    * inside ≤5 segment partitions — the limit_topk_with_ties shape that
+    * dies at 100 TB. k=3 is fixed, so the k=1 broadcast-max rewrite
+    * unrolls into a 3-round tournament: each round is ONE partial+final
+    * aggregate (map-side combined, 5-row result) + a broadcast equality
+    * filter excluding prior winners. Zero sorts, zero fact shuffles; the
+    * fact is scanned 4× column-pruned (3 rounds + the final winner pick) —
+    * at any scale that is 4 cheap scans vs one full-table skewed sort.
+    * Output (rn ∈ 1..3) is provably identical to the window form; the
+    * oracle keeps ROW_NUMBER() ≤ 3, certifying the rewrite differentially
+    * (the limit_topk_with_ties precedent, SURVEY §2.6). */
+  private[graft] def customerTop3(customer: DataFrame): DataFrame = {
+    val base = customer.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal"), ordKey.as("k"))
+    val s1 = base.groupBy("c_mktsegment").agg(max(col("k")).as("k1"))
+    val s2 = base.join(broadcast(s1), "c_mktsegment")
+      .filter(!(col("k") <=> col("k1")))
+      .groupBy("c_mktsegment").agg(max(col("k")).as("k2"))
+    val s3 = base.join(broadcast(s1.join(s2, "c_mktsegment")), "c_mktsegment")
+      .filter(!(col("k") <=> col("k1")) && !(col("k") <=> col("k2")))
+      .groupBy("c_mktsegment").agg(max(col("k")).as("k3"))
+    val winners = s1.join(s2, Seq("c_mktsegment"), "left")
+      .join(s3, Seq("c_mktsegment"), "left")
+    base.join(broadcast(winners), "c_mktsegment")
+      .filter(col("k") <=> col("k1") || col("k") <=> col("k2") ||
+        col("k") <=> col("k3"))
+      .withColumn("rn",
+        when(col("k") <=> col("k1"), 1)
+          .when(col("k") <=> col("k2"), 2).otherwise(3))
+      .select("c_custkey", "c_mktsegment", "c_acctbal", "rn")
+  }
+
+  /** Distributed per-segment ranking via the VALUE-CELL two-pass (r15,
+    * VERDICT r14 #1): rank every customer within its segment under
+    * (c_acctbal DESC, c_custkey ASC) without sorting the table inside ≤5
+    * segment partitions. acctbal is 2-decimal, so cents-quantization is an
+    * injective order-preserving key (the vc discipline): (1) one fact agg
+    * collapses to the (segment × cents) CELL table — bounded by the VALUE
+    * DOMAIN (≤5×~1.1M cells at ANY corpus size), never by rows; (2)
+    * cnt_above = suffix count over cells (a window partitioned by segment
+    * — over the domain-bounded cell frame only, the q_order_backlog_daily
+    * bounded-frame discipline); (3) each row's intra-cell tiebreak rank is
+    * a window partitioned by (segment, vc) — HIGH-cardinality, cells are
+    * tie-groups and stay tiny; (4) global rn = cnt_above + rcell, n from
+    * the 5-row segment totals broadcast. The one data-sized exchange hashes
+    * on (segment, vc) — balanced at any SF. Returns every row + rn + n. */
+  private[graft] def segmentRanked(customer: DataFrame): DataFrame = {
+    val rows = customer.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal"),
+      floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("vc"))
+    val cells = rows.groupBy("c_mktsegment", "vc").agg(count(lit(1)).as("c"))
+    val wAbove = Window.partitionBy("c_mktsegment").orderBy(col("vc").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellsAbove = cells
+      .withColumn("cnt_above", coalesce(sum(col("c")).over(wAbove), lit(0L)))
+      .select("c_mktsegment", "vc", "cnt_above")
+    val nSeg = cells.groupBy("c_mktsegment").agg(sum(col("c")).as("n"))
+    val wCell = Window.partitionBy("c_mktsegment", "vc")
+      .orderBy(col("c_custkey"))
+    rows
+      .withColumn("rcell", row_number().over(wCell).cast("long"))
+      .join(cellsAbove, Seq("c_mktsegment", "vc"))
+      .join(broadcast(nSeg), "c_mktsegment")
+      .withColumn("rn", (col("cnt_above") + col("rcell")).cast("int"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank_dense_row" -> ((s, dir) => {
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      t(s, dir)("customer")
+      // r15 re-plan (VERDICT r14 #1): the 5-value-segment window became
+      // the two-pass value-cell rank. Under the D1 determinism discipline
+      // the window ORDER is unique (custkey tiebreak), so RANK =
+      // DENSE_RANK = ROW_NUMBER is an identity — the oracle still
+      // computes all three natively and the hash-match certifies it.
+      segmentRanked(t(s, dir)("customer"))
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          row_number().over(w).as("rn"))
+          col("rn").as("rnk"), col("rn").as("drnk"), col("rn"))
         .orderBy("c_mktsegment", "rn")
     }),
     "win_topk_per_group" -> ((s, dir) => {
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      t(s, dir)("customer")
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") <= 3)
+      // r15 re-plan (VERDICT r14 #1): 3-round broadcast-max tournament —
+      // see customerTop3. Oracle unchanged (ROW_NUMBER() <= 3 form).
+      customerTop3(t(s, dir)("customer"))
         .orderBy("c_mktsegment", "rn")
     }),
     "win_running_sum" -> ((s, dir) => {
@@ -52,16 +122,22 @@ object Windows extends OpRegistry {
         .orderBy("o_custkey", "o_orderkey")
     }),
     "win_range_frame" -> ((s, dir) => {
-      // Value-range frame: all orders within 1000.0 below the current price.
-      // Frame membership depends only on values, so ties are harmless.
-      val w = Window.partitionBy("o_orderpriority")
+      // Value-range frame: all of the same customer's orders within 1000.0
+      // below the current price. Frame membership depends only on values,
+      // so ties are harmless. r15 re-key (VERDICT r14 #1): a RANGE frame
+      // is inherently per-partition-sequential, so the demo's partition
+      // key moved from the 5-value o_orderpriority (whole fact sorted in
+      // ≤5 tasks — the scale-killer shape) to o_custkey — SF-proportional
+      // cardinality, per-partition work stays bounded at any corpus size,
+      // and the frame semantics exercised are IDENTICAL.
+      val w = Window.partitionBy("o_custkey")
         .orderBy("o_totalprice")
         .rangeBetween(-1000, 0)
       t(s, dir)("orders")
-        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           sum(dec(col("o_totalprice"))).over(w).cast("double").as("range_sum"),
           count(lit(1)).over(w).as("range_cnt"))
-        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
     }),
     "win_lead_lag" -> ((s, dir) => {
       // D4: epoch MICROS at the boundary — DuckDB reads TIMESTAMP(NANOS)
@@ -76,14 +152,24 @@ object Windows extends OpRegistry {
         .orderBy("event_id")
     }),
     "win_first_last_nth" -> ((s, dir) => {
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      t(s, dir)("customer")
+      // r15 re-plan (VERDICT r14 #1): over the FULL-partition frame,
+      // first/last/nth are per-segment CONSTANTS — k-bounded group stats,
+      // not per-row window state. first = argmax of the order struct,
+      // last = argmin (both ONE partial+final max_by/min_by aggregate),
+      // third = rank-3 of the customerTop3 tournament; the 5-row stats
+      // table broadcasts back onto every row. Zero sorts, no
+      // low-cardinality window anywhere. Output identical to the window
+      // form; oracle keeps FIRST_VALUE/LAST_VALUE/NTH_VALUE.
+      val cust = t(s, dir)("customer")
+      val fl = cust.groupBy("c_mktsegment").agg(
+        max_by(col("c_custkey"), ordKey).as("first_k"),
+        min_by(col("c_custkey"), ordKey).as("last_k"))
+      val third = customerTop3(cust).filter(col("rn") === 3)
+        .select(col("c_mktsegment"), col("c_custkey").as("third_k"))
+      val stats = fl.join(third, Seq("c_mktsegment"), "left")
+      cust.join(broadcast(stats), "c_mktsegment")
         .select(col("c_custkey"), col("c_mktsegment"),
-          first(col("c_custkey")).over(w).as("first_k"),
-          last(col("c_custkey")).over(w).as("last_k"),
-          nth_value(col("c_custkey"), 3).over(w).as("third_k"))
+          col("first_k"), col("last_k"), col("third_k"))
         .orderBy("c_custkey")
     }),
     "events_sessionize" -> ((s, dir) => {
@@ -208,13 +294,29 @@ object Windows extends OpRegistry {
         .orderBy("user_id")
     }),
     "win_ntile_pctrank" -> ((s, dir) => {
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      t(s, dir)("customer")
+      // r15 re-plan (VERDICT r14 #1): the two-pass distributed rank
+      // (segmentRanked) replaces the 5-value-partition window. Under the
+      // D1 unique window order, every ranking function is a pure formula
+      // of (rn, n): PERCENT_RANK = (rn−1)/(n−1) (0 when n=1), CUME_DIST =
+      // rn/n, and NTILE(4) = the standard first-(n mod 4)-buckets-get-
+      // ceil(n/4) fill computed with integer div — all map-side after the
+      // rank. The oracle keeps the native NTILE/PERCENT_RANK/CUME_DIST
+      // window functions, certifying the formulas differentially.
+      val ranked = segmentRanked(t(s, dir)("customer"))
+      val rnL = col("rn").cast("long")
+      val qt = call_function("div", col("n"), lit(4L))
+      val rm = pmod(col("n"), lit(4L))
+      val tile = when(rnL <= rm * (qt + 1),
+        call_function("div", rnL - 1, qt + 1) + 1)
+        .otherwise(rm + call_function("div", rnL - rm * (qt + 1) - 1,
+          greatest(qt, lit(1L))) + 1)
+      ranked
         .select(col("c_custkey"), col("c_mktsegment"),
-          ntile(4).over(w).as("tile"),
-          r6(percent_rank().over(w)).as("pr"),
-          r6(cume_dist().over(w)).as("cd"))
+          tile.cast("int").as("tile"),
+          when(col("n") > 1,
+            r6((rnL - 1).cast("double") / (col("n") - 1).cast("double")))
+            .otherwise(lit(0.0d)).as("pr"),
+          r6(rnL.cast("double") / col("n").cast("double")).as("cd"))
         .orderBy("c_custkey")
     }),
 
@@ -393,13 +495,13 @@ object Windows extends OpRegistry {
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3
       FROM orders ORDER BY o_custkey, o_orderkey""",
     "win_range_frame" -> """
-      SELECT o_orderkey, o_orderpriority, o_totalprice,
+      SELECT o_orderkey, o_custkey, o_totalprice,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
-               OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+               OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum,
-             COUNT(1) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             COUNT(1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS range_cnt
-      FROM orders ORDER BY o_orderpriority, o_totalprice, o_orderkey""",
+      FROM orders ORDER BY o_custkey, o_totalprice, o_orderkey""",
     "win_lead_lag" -> """
       SELECT event_id, user_id, ts_us,
              LAG(ts_us, 1) OVER w AS prev_ts, LEAD(ts_us, 1) OVER w AS next_ts,

@@ -47,6 +47,179 @@ class Round15Spec extends GraftSuite {
         s"${SparkEntry.queries.size - SparkEntry.oracleSql.size}")
   }
 
+  // ——— §2.5 window re-plans (VERDICT r14 #1): differential certification.
+  // Each rewrite must be OUTPUT-IDENTICAL to the naive low-cardinality
+  // window it replaced; the planted fixture forces the edge paths (ties
+  // broken by custkey, a segment smaller than k, n<4 ntile buckets).
+
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  private lazy val plantedDir: String = {
+    val dir = TestSpark.tempDir("graft_r15_win_")
+    import spark.implicits._
+    // seg A: 3-way acctbal tie at the top + one below; seg B: only 2 rows
+    // (third_k must be NULL, top-3 returns 2); seg C: single row (n=1 —
+    // percent_rank 0, ntile 1); negative balances exercise the signed
+    // cents quantization.
+    Seq(
+      (1L, "A", 100.00), (2L, "A", 100.00), (3L, "A", 100.00),
+      (4L, "A", 50.25), (5L, "A", -999.99), (6L, "A", 0.00),
+      (7L, "B", 10.50), (8L, "B", 10.50),
+      (9L, "C", 7777.77))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  private def naiveW = Window.partitionBy("c_mktsegment")
+    .orderBy(col("c_acctbal").desc, col("c_custkey"))
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("win_topk_per_group tournament ≡ naive row_number()<=3 window (planted + sf0.001)") {
+    for (dir <- Seq(plantedDir, sfDir)) {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val naive = cust
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          row_number().over(naiveW).as("rn"))
+        .filter(col("rn") <= 3).orderBy("c_mktsegment", "rn")
+      assert(rowsOf(SparkEntry.queries("win_topk_per_group")(spark, dir))
+        === rowsOf(naive), s"tournament != naive window at $dir")
+    }
+  }
+
+  test("win_first_last_nth stats-broadcast ≡ naive full-frame window (planted + sf0.001)") {
+    for (dir <- Seq(plantedDir, sfDir)) {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val w = naiveW.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val naive = cust.select(col("c_custkey"), col("c_mktsegment"),
+        first(col("c_custkey")).over(w).as("first_k"),
+        last(col("c_custkey")).over(w).as("last_k"),
+        nth_value(col("c_custkey"), 3).over(w).as("third_k"))
+        .orderBy("c_custkey")
+      assert(rowsOf(SparkEntry.queries("win_first_last_nth")(spark, dir))
+        === rowsOf(naive), s"stats-broadcast != naive window at $dir")
+    }
+  }
+
+  test("win_rank_dense_row two-pass cell rank ≡ naive ranking window (planted + sf0.001)") {
+    for (dir <- Seq(plantedDir, sfDir)) {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val naive = cust.select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal"), rank().over(naiveW).as("rnk"),
+        dense_rank().over(naiveW).as("drnk"),
+        row_number().over(naiveW).as("rn"))
+        .orderBy("c_mktsegment", "rn")
+      assert(rowsOf(SparkEntry.queries("win_rank_dense_row")(spark, dir))
+        === rowsOf(naive), s"cell rank != naive window at $dir")
+    }
+  }
+
+  test("win_ntile_pctrank formulas ≡ naive ntile/percent_rank/cume_dist (planted + sf0.001)") {
+    for (dir <- Seq(plantedDir, sfDir)) {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val naive = cust.select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(naiveW).as("tile"),
+        Helpers.r6(percent_rank().over(naiveW)).as("pr"),
+        Helpers.r6(cume_dist().over(naiveW)).as("cd"))
+        .orderBy("c_custkey")
+      assert(rowsOf(SparkEntry.queries("win_ntile_pctrank")(spark, dir))
+        === rowsOf(naive), s"rank formulas != naive window at $dir")
+    }
+  }
+
+  test("win re-plans: no low-cardinality-partition window in any §2.5 customer demo plan") {
+    // The scale lock itself: topk/first_last_nth have NO window operator
+    // at all; rank_dense_row/ntile_pctrank may window only (a) with a
+    // multi-column (segment, vc) high-cardinality partition over the row
+    // stream or (b) single-column over an Aggregate (the domain-bounded
+    // cell frame); range_frame must partition by the SF-proportional
+    // o_custkey, never o_orderpriority.
+    import org.apache.spark.sql.catalyst.plans.logical
+    for (name <- Seq("win_topk_per_group", "win_first_last_nth")) {
+      val wins = q(name).queryExecution.optimizedPlan.collect {
+        case w: logical.Window => w }
+      assert(wins.isEmpty, s"$name: window reappeared:\n${wins.mkString("\n")}")
+      val ex = q(name).queryExecution.executedPlan.toString
+      assert(ex.contains("BroadcastHashJoin"),
+        s"$name: winners/stats side no longer broadcast:\n$ex")
+    }
+    for (name <- Seq("win_rank_dense_row", "win_ntile_pctrank")) {
+      val bad = q(name).queryExecution.optimizedPlan.collect {
+        case w: logical.Window
+          if w.partitionSpec.size < 2 &&
+            !w.child.exists(_.isInstanceOf[logical.Aggregate]) => w
+      }
+      assert(bad.isEmpty,
+        s"$name: single-key window over a non-aggregated (data-sized) frame:\n${bad.mkString("\n")}")
+    }
+    val rangeWins = q("win_range_frame").queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w.partitionSpec.map(_.sql).mkString(",") }
+    assert(rangeWins.nonEmpty && rangeWins.forall(_.contains("o_custkey")),
+      s"win_range_frame: partition key is not o_custkey: $rangeWins")
+  }
+
+  test("docs_topk_quality_per_lang salted two-level ≡ naive per-lang rank window (sf0.001)") {
+    // same quality formula, single naive window — the rewrite must be
+    // output-identical (the global top-10 survives its salt's local top-10)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = split(col("text"), " ")
+    val scored = docs.select(col("doc_id"), col("lang"),
+      (size(toks).cast("long") * 10
+        - size(filter(toks, x => x.isin(llm.TextOps.StopWords: _*))).cast("long") * 5
+        - length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
+        .as("quality"))
+    val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    val naive = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"),
+        col("quality"))
+      .orderBy("lang", "rk")
+    assert(rowsOf(SparkEntry.queries("docs_topk_quality_per_lang")(spark, sfDir))
+      === rowsOf(naive))
+  }
+
+  test("docs_pack_greedy two-level scan ≡ naive single-window prefix sum (sf0.001)") {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("batch_id", floor((col("cum") - col("n_tokens")) / 2000L).cast("long"))
+      .groupBy("lang", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "batch_id")
+    assert(rowsOf(SparkEntry.queries("docs_pack_greedy")(spark, sfDir))
+      === rowsOf(naive))
+  }
+
+  test("probe ledger is total: every registry op is probed or scale-classified, disjointly") {
+    // VERDICT r14 #2: the no-op-ships-unprobed protocol only covered
+    // post-r12 ops — this closes it retroactively and keeps it closed.
+    val probed = (ScaleProbe.Probed ++ ScaleProbe.ProbedVec ++
+      ScaleProbe.ProbedEvents ++ ScaleProbe.ProbedRel ++
+      ScaleProbe.ProbedStream).toSet
+    val classified = ScaleProbe.Classified.keySet
+    val registry = SparkEntry.queries.keySet
+    val unknownProbed = probed -- registry
+    val unknownClassified = classified -- registry
+    val overlap = probed intersect classified
+    val gap = registry -- probed -- classified
+    assert(unknownProbed.isEmpty,
+      s"probed ops not in registry: ${unknownProbed.toSeq.sorted.mkString(", ")}")
+    assert(unknownClassified.isEmpty,
+      s"classified ops not in registry: ${unknownClassified.toSeq.sorted.mkString(", ")}")
+    assert(overlap.isEmpty,
+      s"ops both probed and classified: ${overlap.toSeq.sorted.mkString(", ")}")
+    assert(gap.isEmpty,
+      s"ops with neither probe nor classification: ${gap.toSeq.sorted.mkString(", ")}")
+  }
+
   test("no stale §2 table rows: every §2 row-leading op id is registered") {
     // A §2 table row leads with "| `op_id`" — ids in prose are fine, but a
     // row whose op no longer exists in the registry is a stale claim.
