@@ -103,7 +103,11 @@ object ScaleProbe {
     // round 15 (retro probe sweep): the salted two-level per-lang top-k
     // and the two-level-scan greedy packer — both re-planned off the
     // 5-value-lang data-sized window this round
-    "docs_topk_quality_per_lang", "docs_pack_greedy")
+    "docs_topk_quality_per_lang", "docs_pack_greedy",
+    // round 15 batch B: the landed-band-store incremental dedup (store
+    // build + batch probe + re-land), the id-capped LSH eval, and the
+    // 8-gram df + island-merge span coverage
+    "dedup_incremental_bands", "dedup_lsh_eval", "dedup_span_repeats")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -411,6 +415,7 @@ object ScaleProbe {
       "scan_schema", "scan_schema_merge", "scan_describe_history",
       "scan_snapshot_changes", "scan_time_travel", "scan_zone_map_prune",
       "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
+      "sink_xml_roundtrip",
       "sink_partitioned_pruned", "source_jsonlines", "source_text_raw",
       "layout_compact_small_files", "layout_zorder", "maintenance_vacuum",
       "merge_delete_cow", "merge_upsert"),

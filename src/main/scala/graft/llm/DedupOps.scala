@@ -35,6 +35,75 @@ object DedupOps extends OpRegistry {
     * keeps the cluster connected in O(B) pairs. */
   private[graft] val MaxBandBucket = 200
 
+  // ——— Portable arithmetic minhash (r15, VERDICT r14 #5) ———
+  /** 8-row minhash whose every constant is a LITERAL and whose token hash
+    * is the seedless portable char fold ([[PipelineOps.rollingHash31]]) —
+    * so the DuckDB oracle replays the signature bit-for-bit, unlike the
+    * xxhash64 signature below (Spark-private seeds force
+    * self-verification). Universal-hash rows (a_j·h + b_j) mod (2^31−1):
+    * h < 2^31 and a_j < 2^32 keep every product under 2^63 on BOTH engines
+    * (DuckDB errors on BIGINT overflow rather than wrapping), and the
+    * 31-bit PRIME modulus makes the product wrap ~2^32 times — proper
+    * Carter-Wegman mixing. (The first cut modded by 2^61−1: the product
+    * wraps at most 3× there, the map stays piecewise-monotone in h, every
+    * row's min collapses onto the globally-smallest token hash, and the
+    * whole corpus shared ~20 band keys — measured, not hypothetical.) */
+  private[graft] val PortableRows = 8
+  private[graft] val PortA = Seq(2654435761L, 2246822519L, 3266489917L,
+    668265263L, 374761393L, 2869860233L, 3203477941L, 1640531527L)
+  private[graft] val PortB = Seq(97L, 193L, 389L, 769L, 1543L, 3079L,
+    6151L, 12289L)
+  private[graft] val PortP = 2147483647L // 2^31 − 1 (prime)
+  private[graft] val M31 = 2147483648L
+
+  /** The r15 incremental/eval doc universe: the fixture corpus with
+    * PLANTED re-delivered near-dups (the fn_collate self-planting
+    * discipline — the word-soup fixture has no natural cross-batch dups,
+    * so without planting the reject path would never execute): every doc
+    * with doc_id % 50 = 7 (a batch doc under the % 10 = 7 split) carries
+    * the TEXT of its base-corpus neighbor doc_id − 1. Mirrored verbatim
+    * in the oracles' `d` CTE. */
+  private[graft] def plantedDocs(docs: DataFrame): DataFrame = {
+    val neighbor = docs.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("prev_text"))
+    docs.join(neighbor, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(50L)) === 7 && col("prev_text").isNotNull,
+          col("prev_text")).otherwise(col("text")).as("text"))
+  }
+
+  /** (doc_id, pm0..pm7): the portable signature — one shingle explode +
+    * ONE map-side-combined aggregate of 8 mins. Minhash runs over 3-token
+    * SHINGLES (the repo-wide dedup granularity), not unigrams: the fixture
+    * corpus has only 31 distinct tokens, so unigram Jaccard averages 0.61
+    * and a unigram signature calls everything a near-dup (measured — 49/50
+    * batch docs rejected); trigram identity is what separates documents. */
+  private[graft] def portableSignature(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(Shingling.shingleArray(col("text"), hashed = false)(
+        docs.sparkSession)).as("sh"))
+      .select(col("doc_id"), PipelineOps.rollingHash31(col("sh")).as("h"))
+    val aggs = (0 until PortableRows).map(j =>
+      min((col("h") * lit(PortA(j)) + lit(PortB(j))) % lit(PortP)).as(s"pm$j"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band, bh): 2 bands × 4 rows; the band hash folds the four
+    * (pm mod 2^31) values through the same portable 31-fold, so a band
+    * matches iff all four of its minhash rows match (modulo the 2^-31
+    * fold collision, mirrored exactly in the oracle). */
+  private[graft] def portableBands(sig: DataFrame): DataFrame = {
+    def fold(cols: Seq[Column]): Column =
+      cols.foldLeft(lit(17L): Column)((acc, c) =>
+        (acc * lit(31L) + c % lit(M31)) % lit(M31))
+    val bands = (0 until PortableRows / 4).map { b =>
+      struct(lit(b).cast("int").as("band"),
+        fold((0 until 4).map(i => col(s"pm${b * 4 + i}"))).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
   /** Distinct hashed 3-token shingles per doc: (doc_id, h) with
     * h = xxhash64(shingle) straight from the fused kernel
     * ([[Shingling.shingleArray]] hashed=true) — no string shingles
@@ -356,6 +425,145 @@ object DedupOps extends OpRegistry {
               col("a_dup_hi") * col("d_uni_lo") * lit(1000L),
               col("b_dup_lo") * col("c_uni_hi"))))
     }),
+
+    "dedup_incremental_bands" -> ((s, dir) => {
+      // THE production dedup loop (r15, VERDICT r14 #5): tonight's batch
+      // (doc_id % 10 = 7 — dedup_incremental's split) is admitted only if
+      // NO LSH band of its minhash signature already exists in the LANDED
+      // fingerprint store built from the base corpus — then the store is
+      // re-landed with the admitted docs' bands, ready for tomorrow's
+      // batch. The signature is the PORTABLE arithmetic minhash (all
+      // literal constants + the seedless char fold), so unlike
+      // dedup_near_minhash this op is fully DuckDB-oracle-checked. Cost
+      // model at 100 TB: the store build is the once-per-corpus landed
+      // artifact (amortized across nights — in production it IS last
+      // night's output); the nightly marginal cost is batch hashing + one
+      // AQE-sized probe join on (band, bh) — it scales with the BATCH,
+      // not the corpus. Output is the one-row ingest receipt.
+      val docs = plantedDocs(tWide(s, dir)("documents").select("doc_id", "text"))
+      // land the per-doc band keys ONCE (production stores signatures — it
+      // never re-derives them per consumer): without this the shingle +
+      // signature pipeline re-executes under every downstream branch
+      // (store build, batch probe, re-land) — the first probe measured
+      // ratio 21.4 at 100× from exactly that triple build; landed-once it
+      // runs a single occurrence-sized pass.
+      val keysPath = s"/tmp/graft_band_keys_${s.sparkContext.applicationId}"
+      portableBands(portableSignature(docs))
+        .write.mode("overwrite").parquet(keysPath)
+      val keys = s.read.parquet(keysPath)
+      val storePath = s"/tmp/graft_band_store_${s.sparkContext.applicationId}"
+      keys.filter(pmod(col("doc_id"), lit(10L)) =!= 7)
+        .select("band", "bh").distinct()
+        .write.mode("overwrite").parquet(storePath)
+      val store = s.read.parquet(storePath)
+      val batchKeys = keys.filter(pmod(col("doc_id"), lit(10L)) === 7)
+      val rejected = batchKeys.join(store, Seq("band", "bh"), "left_semi")
+        .select("doc_id").distinct()
+      val batchDocs = docs.filter(pmod(col("doc_id"), lit(10L)) === 7)
+        .select("doc_id")
+      val admitted = batchDocs.join(rejected, Seq("doc_id"), "left_anti")
+      val updated = store.unionByName(
+        batchKeys.join(admitted, Seq("doc_id"), "left_semi")
+          .select("band", "bh")).distinct()
+      batchDocs.agg(count(lit(1)).as("n_batch"))
+        .crossJoin(rejected.agg(count(lit(1)).as("n_rejected")))
+        .crossJoin(admitted.agg(count(lit(1)).as("n_admitted")))
+        .crossJoin(store.agg(count(lit(1)).as("n_store_before")))
+        .crossJoin(updated.agg(count(lit(1)).as("n_store_after")))
+    }),
+
+    "dedup_lsh_eval" -> ((s, dir) => {
+      // LSH quality eval (r15): on an id-capped doc universe (< 200 — the
+      // vec-family demo discipline; the at-scale candidate generator is
+      // the banded store / candidate artifact), the confusion table of
+      // the portable 2-band×4-row LSH predictor vs EXACT shingle Jaccard
+      // ≥ 0.5: TP/FP/FN/TN + integer-ppm precision/recall — the measured
+      // evidence behind a band-geometry choice, the minhash analog of
+      // vec_ann_recall_curve. The threshold compares as 2·|∩| ≥ |∪| in
+      // exact integers, so no float boundary can flip a pair.
+      val docs = plantedDocs(tWide(s, dir)("documents")
+        .select(col("doc_id"), col("text"))).filter(col("doc_id") < 200)
+      val sh = docs.select(col("doc_id"),
+        Shingling.shingleArray(col("text"), hashed = true)(s).as("shs"))
+      val bnd = portableBands(portableSignature(docs))
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("band"), col("bh"))).as("bnds"))
+      val side = sh.join(bnd, "doc_id")
+      val a = side.select(col("doc_id").as("id1"), col("shs").as("sh1"),
+        col("bnds").as("b1"))
+      val b = side.select(col("doc_id").as("id2"), col("shs").as("sh2"),
+        col("bnds").as("b2"))
+      val pairs = a.join(broadcast(b), col("id1") < col("id2"))
+        .select(
+          (size(array_intersect(col("sh1"), col("sh2"))) * 2 >=
+            size(col("sh1")) + size(col("sh2")) -
+              size(array_intersect(col("sh1"), col("sh2"))) &&
+            size(col("sh1")) + size(col("sh2")) > 0).as("pos"),
+          arrays_overlap(col("b1"), col("b2")).as("pred"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred"),
+          sum(when(col("pos") && col("pred"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("pos") && col("pred"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("pos") && !col("pred"), 1L).otherwise(0L)).as("fn"))
+        .withColumn("precision_ppm", when(col("n_pred") > 0,
+          call_function("div", col("tp") * lit(1000000L), col("n_pred"))))
+        .withColumn("recall_ppm", when(col("n_pos") > 0,
+          call_function("div", col("tp") * lit(1000000L), col("n_pos"))))
+    }),
+
+    "dedup_span_repeats" -> ((s, dir) => {
+      // Exact substring dedup at SPAN granularity (r15, VERDICT r14 #6 —
+      // the Lee-et-al complement to dedup_prefix and
+      // docs_boilerplate_spans): per doc, the tokens covered by MAXIMAL
+      // cross-document repeated 8-token spans — "how much of this doc
+      // would exact substring dedup remove". An 8-gram is repeated iff it
+      // occurs in ≥ 2 distinct docs; repeated positions ≤ 7 apart merge
+      // into maximal spans, so coverage is the EXACT union of [p, p+7]
+      // windows (adjacent windows stay contiguous). The fixture corpus is
+      // word-soup with no natural cross-doc 8-grams, so the op PLANTS its
+      // signal (the fn_collate discipline): docs with doc_id % 20 = 3
+      // carry a fixed 12-token boilerplate footer. Gram identity travels
+      // as one xxhash64 over the 8 zip-sliced token slots (§4.2.19 — no
+      // string 8-grams materialize); the oracle replays string 8-grams
+      // (the jaccard 2^-64 trade). One explode + df agg (map-side
+      // combined), AQE join-back of the df≥2 set, islands via per-doc
+      // (high-cardinality) windows.
+      val footer = "copyright footer terms of service all rights " +
+        "reserved contact us legal notice"
+      val docs = tWide(s, dir)("documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(20L)) === 3,
+          concat(col("text"), lit(" " + footer)))
+          .otherwise(col("text")).as("text"))
+      val toks = split(col("text"), " ")
+      val base = docs
+        .select(col("doc_id"), toks.as("ts"), size(toks).cast("long").as("n_tok"))
+        .filter(col("n_tok") >= 8)
+      val grams = base.select(col("doc_id"), col("n_tok"),
+        posexplode(arrays_zip((1 to 8).map(k =>
+          slice(col("ts"), lit(k), (col("n_tok") - 7).cast("int"))): _*)))
+        .select(col("doc_id"), col("n_tok"),
+          (col("pos") + 1).cast("long").as("p"),
+          xxhash64((0 to 7).map(i => col("col").getField(i.toString)): _*).as("g"))
+      val rep = grams.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select("g")
+      val hits = grams.join(rep, Seq("g"), "left_semi")
+      val wd = Window.partitionBy("doc_id").orderBy("p")
+      val wRun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hits
+        .withColumn("ni", when(col("p") - lag("p", 1).over(wd) > 7, 1L)
+          .when(lag("p", 1).over(wd).isNull, 1L).otherwise(0L))
+        .withColumn("isl", sum(col("ni")).over(wRun))
+        .groupBy(col("doc_id"), col("n_tok"), col("isl"))
+        .agg((max(col("p")) - min(col("p")) + 8).as("cov"))
+        .groupBy("doc_id", "n_tok")
+        .agg(count(lit(1)).as("n_spans"), max(col("cov")).as("max_span_tok"),
+          sum(col("cov")).as("covered_tok"))
+        .withColumn("covered_ppm",
+          call_function("div", col("covered_tok") * lit(1000000L), col("n_tok")))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Component labels over the near-dup graph, landed once per corpus
@@ -444,7 +652,147 @@ object DedupOps extends OpRegistry {
   // minhash/simhash stay self-verified (xxhash64 is Spark-private), but
   // text_langid is pure deterministic SQL logic since the r2 rewrite — the
   // doc-frequency profile and argmax scoring mirror exactly in DuckDB.
+  /** The portable-minhash CTE chain (token char-fold → 8 universal-hash
+    * rows → 2 band folds), shared by the r15 store/eval oracles so the
+    * two can never drift. Every constant mirrors PortA/PortB/PortP/M31.
+    * `docFilter` narrows the doc universe (the eval op is id-capped). */
+  private def portableBandCtes(docFilter: String) = s"""
+      d AS MATERIALIZED (
+        SELECT a.doc_id,
+               CASE WHEN a.doc_id % 50 = 7 AND b.text IS NOT NULL
+                 THEN b.text ELSE a.text END AS text
+        FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1),
+      tok AS MATERIALIZED (
+        SELECT doc_id, list_reduce(list_prepend(CAST(17 AS BIGINT),
+               list_transform(range(1, length(sh) + 1),
+                 i -> CAST(ord(substring(sh, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483648) AS h
+        FROM (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS sh
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM d $docFilter)))),
+      sig AS MATERIALIZED (
+        SELECT doc_id, t.j,
+               MIN((h * ([2654435761,2246822519,3266489917,668265263,
+                          374761393,2869860233,3203477941,1640531527])[t.j + 1]
+                 + ([97,193,389,769,1543,3079,6151,12289])[t.j + 1])
+                 % 2147483647) AS mh
+        FROM tok CROSS JOIN range(0, 8) t(j)
+        GROUP BY 1, 2),
+      piv AS MATERIALIZED (
+        SELECT doc_id, CAST(j // 4 AS INT) AS band,
+               list_reduce(list_prepend(CAST(17 AS BIGINT),
+                 list(mh % 2147483648 ORDER BY j)),
+                 (acc, v) -> (acc * 31 + v) % 2147483648) AS bh
+        FROM sig GROUP BY doc_id, j // 4)"""
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_incremental_bands" -> s"""
+      WITH ${portableBandCtes("")},
+      store AS MATERIALIZED (
+        SELECT DISTINCT band, bh FROM piv WHERE doc_id % 10 <> 7),
+      batch AS MATERIALIZED (
+        SELECT doc_id, band, bh FROM piv WHERE doc_id % 10 = 7),
+      rejected AS MATERIALIZED (
+        SELECT DISTINCT b.doc_id FROM batch b JOIN store s USING (band, bh)),
+      batchdocs AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+      admitted AS MATERIALIZED (
+        SELECT doc_id FROM batchdocs
+        WHERE doc_id NOT IN (SELECT doc_id FROM rejected)),
+      updated AS (SELECT DISTINCT band, bh FROM (
+        SELECT band, bh FROM store
+        UNION ALL
+        SELECT band, bh FROM batch
+        WHERE doc_id IN (SELECT doc_id FROM admitted)))
+      SELECT (SELECT COUNT(1) FROM batchdocs) AS n_batch,
+             (SELECT COUNT(1) FROM rejected) AS n_rejected,
+             (SELECT COUNT(1) FROM admitted) AS n_admitted,
+             (SELECT COUNT(1) FROM store) AS n_store_before,
+             (SELECT COUNT(1) FROM updated) AS n_store_after""",
+
+    "dedup_lsh_eval" -> s"""
+      WITH ${portableBandCtes("WHERE doc_id < 200")},
+      ts0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ts
+                           FROM d WHERE doc_id < 200),
+      shs AS MATERIALIZED (
+        SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM ts0)),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM shs GROUP BY 1),
+      ix AS MATERIALIZED (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
+        FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      bm AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM piv a JOIN piv b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      pairs AS MATERIALIZED (
+        SELECT d1.doc_id AS id1, d2.doc_id AS id2,
+               COALESCE(ix.inter, 0) AS inter,
+               COALESCE(s1.n, 0) + COALESCE(s2.n, 0) - COALESCE(ix.inter, 0)
+                 AS uni,
+               (bm.id1 IS NOT NULL) AS pred
+        FROM ts0 d1
+        JOIN ts0 d2 ON d1.doc_id < d2.doc_id
+        LEFT JOIN ix ON ix.id1 = d1.doc_id AND ix.id2 = d2.doc_id
+        LEFT JOIN sz s1 ON s1.doc_id = d1.doc_id
+        LEFT JOIN sz s2 ON s2.doc_id = d2.doc_id
+        LEFT JOIN bm ON bm.id1 = d1.doc_id AND bm.id2 = d2.doc_id),
+      lab AS (SELECT (2 * inter >= uni AND uni > 0) AS pos, pred FROM pairs),
+      agg AS (SELECT COUNT(1) AS n_pairs,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+               CAST(SUM(CASE WHEN pos AND pred THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tp,
+               CAST(SUM(CASE WHEN NOT pos AND pred THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN pos AND NOT pred THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn
+              FROM lab)
+      SELECT n_pairs, n_pos, n_pred, tp, fp, fn,
+             CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred END
+               AS precision_ppm,
+             CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos END AS recall_ppm
+      FROM agg""",
+
+    "dedup_span_repeats" -> """
+      WITH d AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN doc_id % 20 = 3 THEN text ||
+                 ' copyright footer terms of service all rights reserved contact us legal notice'
+               ELSE text END AS text
+        FROM documents),
+      t0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+      g AS MATERIALIZED (
+        SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok, p,
+               array_to_string(ts[p:p+7], ' ') AS gram
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS p
+              FROM t0 WHERE len(ts) >= 8)),
+      rep AS MATERIALIZED (SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        WHERE df >= 2),
+      hits AS MATERIALIZED (
+        SELECT doc_id, n_tok, p FROM g
+        WHERE gram IN (SELECT gram FROM rep)),
+      flagged AS (
+        SELECT doc_id, n_tok, p,
+               CASE WHEN p - LAG(p) OVER w > 7 THEN 1
+                    WHEN LAG(p) OVER w IS NULL THEN 1 ELSE 0 END AS ni
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+      isl AS (
+        SELECT doc_id, n_tok, p,
+               CAST(SUM(ni) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS isl
+        FROM flagged),
+      spans AS (SELECT doc_id, n_tok, isl, MAX(p) - MIN(p) + 8 AS cov
+                FROM isl GROUP BY 1, 2, 3)
+      SELECT doc_id, n_tok, COUNT(1) AS n_spans,
+             CAST(MAX(cov) AS BIGINT) AS max_span_tok,
+             CAST(SUM(cov) AS BIGINT) AS covered_tok,
+             CAST(SUM(cov) AS BIGINT) * 1000000 // n_tok AS covered_ppm
+      FROM spans GROUP BY 1, 2 ORDER BY doc_id""",
+
     "dedup_incremental" -> """
       WITH f AS (
         SELECT doc_id, lang,

@@ -253,6 +253,34 @@ object Scans extends OpRegistry {
         .orderBy("s_nationkey")
     }),
 
+    "sink_xml_roundtrip" -> ((s, dir) => {
+      // Spark-4 built-in XML source/sink round-trip (r15, VERDICT r14 #7
+      // — Avro's connector jar does not ship in the offline container;
+      // XML landed in sql/core in Spark 4 and does): write supplier rows
+      // as XML elements, read back under an EXPLICIT schema (inference
+      // would widen/narrow types), aggregate with decimal-exact sums.
+      // The oracle never parses XML — it recomputes from the source
+      // table (the sink_csv_roundtrip discipline: we generate the file,
+      // so the table is ground truth for what parsing must yield). The
+      // XML reader splits by rowTag, so the scan stays distributed.
+      import org.apache.spark.sql.types._
+      val out = s"/tmp/graft_sink_xml_${s.sparkContext.applicationId}"
+      t(s, dir)("supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").option("rowTag", "supplier")
+        .format("xml").save(out)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).option("rowTag", "supplier").format("xml").load(out)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          graft.Helpers.decSumOut(col("s_acctbal")).as("sum_bal"),
+          min(col("s_suppkey")).as("min_key"), max(col("s_suppkey")).as("max_key"))
+        .orderBy("s_nationkey")
+    }),
+
     "sink_partitioned_pruned" -> ((s, dir) => {
       // Hive-style partitioned layout + partition pruning — the mechanism
       // that lets a 100 TB table answer a partition-selective query by
@@ -473,6 +501,11 @@ object Scans extends OpRegistry {
     "sink_orc_roundtrip" -> """
       SELECT s_nationkey, COUNT(1) AS cnt,
              CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "sink_xml_roundtrip" -> """
+      SELECT s_nationkey, COUNT(1) AS cnt,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal,
+             MIN(s_suppkey) AS min_key, MAX(s_suppkey) AS max_key
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "sink_csv_roundtrip" -> """
       SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(1) AS cnt
