@@ -107,7 +107,10 @@ object ScaleProbe {
     // round 15 batch B: the landed-band-store incremental dedup (store
     // build + batch probe + re-land), the id-capped LSH eval, and the
     // 8-gram df + island-merge span coverage
-    "dedup_incremental_bands", "dedup_lsh_eval", "dedup_span_repeats")
+    "dedup_incremental_bands", "dedup_lsh_eval", "dedup_span_repeats",
+    // round 15 batch C: the band-store occupancy report (one signature
+    // pass + bounded rollups)
+    "dedup_band_occupancy")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -377,6 +380,7 @@ object ScaleProbe {
       "agg_string_agg", "agg_udaf_sumsq", "typed_agg_orders",
       "text_lang_profile", "text_langid", "text_wordcount", "text_ngram_freq",
       "docs_length_buckets", "docs_domain_mix", "events_hourly_profile",
+      "text_token_length_profile", "events_dow_hod_heatmap",
       "events_anomaly_zscore", "profile_table_stats", "q_revenue_by_region", "q_parts_share",
       "q_nation_share_in_region", "q_nation_trade_flows",
       "q_small_qty_revenue", "q_special_promo_revenue",
@@ -401,13 +405,15 @@ object ScaleProbe {
       "set_intersect", "set_intersect_all", "set_except", "set_except_all", "text_ngram_novelty", "text_zipf_slope",
       "text_bpe_pair_stats", "docs_char_lm"),
     "frame" -> Seq("q_monthly_trend", "q_forecast_revenue",
-      "events_pareto_share", "events_anomaly_mad", "sql_recursive_cte"),
+      "events_pareto_share", "events_anomaly_mad", "sql_recursive_cte",
+      "events_seasonal_decompose"),
     "rep" -> Seq("dedup_assign_canonical", "dedup_cluster_stats",
       "graph_degree_stats", "graph_triangles", "graph_jaccard_neighbors",
       "graph_pagerank_iter", "vec_pq_codes", "docs_token_budget_fill"),
     "demo" -> Seq("join_cross", "join_theta_band", "join_range_interval",
       "join_asof", "join_asof_forward", "sim_threshold_pairs",
-      "vec_knn_graph", "vec_matryoshka_recall", "text_fuzzy_pairs"),
+      "vec_knn_graph", "vec_matryoshka_recall", "text_fuzzy_pairs",
+      "dedup_minhash_estimate_error"),
     "sketch" -> Seq("agg_approx_distinct", "agg_approx_quantile",
       "agg_hll_custom", "dedup_simhash", "sketch_cms_topk", "vec_kmeans_iter",
       "vec_power_iter"),

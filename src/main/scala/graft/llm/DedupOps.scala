@@ -512,6 +512,63 @@ object DedupOps extends OpRegistry {
           call_function("div", col("tp") * lit(1000000L), col("n_pos"))))
     }),
 
+    "dedup_minhash_estimate_error" -> ((s, dir) => {
+      // Minhash estimator calibration (r15): per matching-row count k
+      // (0..8), how far is the signature's Jaccard estimate k/8 from the
+      // EXACT shingle Jaccard — the variance table you read before
+      // trusting an 8-row signature for threshold decisions (more rows =
+      // tighter; this measures how much). Same id-capped planted universe
+      // as dedup_lsh_eval; estimates and errors in exact integer ppm
+      // (est = k·125000); output ≤ 9 rows. The pm-row melt self-joins on
+      // the row index — 8 rows/doc, pairs bounded by the id cap.
+      val docs = plantedDocs(tWide(s, dir)("documents")
+        .select(col("doc_id"), col("text"))).filter(col("doc_id") < 200)
+      val sh = docs.select(col("doc_id"),
+        Shingling.shingleArray(col("text"), hashed = true)(s).as("shs"))
+        .filter(size(col("shs")) > 0)
+      val sig = portableSignature(docs)
+      val side = sh.join(sig, "doc_id")
+      def sideAs(n: Int) = side.select(col("doc_id").as(s"id$n"),
+        col("shs").as(s"sh$n"),
+        struct((0 until PortableRows).map(j => col(s"pm$j")): _*).as(s"s$n"))
+      val pairs = sideAs(1).join(broadcast(sideAs(2)), col("id1") < col("id2"))
+        .select(
+          (0 until PortableRows).map(j =>
+            when(col("s1").getField(s"pm$j") === col("s2").getField(s"pm$j"),
+              1L).otherwise(0L)).reduce(_ + _).as("k"),
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+          (size(col("sh1")) + size(col("sh2"))).cast("long").as("szsum"))
+        .withColumn("exact_ppm", call_function("div",
+          col("inter") * lit(1000000L), col("szsum") - col("inter")))
+        .withColumn("abs_err_ppm",
+          abs(col("k") * lit(125000L) - col("exact_ppm")))
+      pairs.groupBy(col("k").cast("int").as("k_rows"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("exact_ppm")).as("sum_exact"),
+          sum(col("abs_err_ppm")).as("sum_abs_err"))
+        .select(col("k_rows"), col("n_pairs"),
+          call_function("div", col("sum_exact"), col("n_pairs"))
+            .as("mean_exact_ppm"),
+          call_function("div", col("sum_abs_err"), col("n_pairs"))
+            .as("mean_abs_err_ppm"))
+        .orderBy("k_rows")
+    }),
+
+    "dedup_band_occupancy" -> ((s, dir) => {
+      // Band-store health report (r15): the occupancy histogram of the
+      // (band, bh) buckets — the table an operator reads BEFORE a nightly
+      // dedup run, because one giant bucket is the operational risk the
+      // MaxBandBucket star-cap exists for (a bucket of B docs means B
+      // probe hits per matching batch doc). One signature pass + two
+      // bounded aggregates; output is ≤ distinct-occupancy rows.
+      val docs = plantedDocs(tWide(s, dir)("documents")
+        .select(col("doc_id"), col("text")))
+      portableBands(portableSignature(docs))
+        .groupBy("band", "bh").agg(count(lit(1)).as("occ"))
+        .groupBy("occ").agg(count(lit(1)).as("n_buckets"))
+        .orderBy("occ")
+    }),
+
     "dedup_span_repeats" -> ((s, dir) => {
       // Exact substring dedup at SPAN granularity (r15, VERDICT r14 #6 —
       // the Lee-et-al complement to dedup_prefix and
@@ -754,6 +811,43 @@ object DedupOps extends OpRegistry {
                AS precision_ppm,
              CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos END AS recall_ppm
       FROM agg""",
+
+    "dedup_minhash_estimate_error" -> s"""
+      WITH ${portableBandCtes("WHERE doc_id < 200")},
+      ts0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ts
+                           FROM d WHERE doc_id < 200),
+      shs AS MATERIALIZED (
+        SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM ts0)),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM shs GROUP BY 1),
+      ix AS MATERIALIZED (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
+        FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      km AS MATERIALIZED (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+                 AS k
+        FROM sig a JOIN sig b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT km.k, COALESCE(ix.inter, 0) AS inter,
+               s1.n + s2.n - COALESCE(ix.inter, 0) AS uni
+        FROM sz s1 JOIN sz s2 ON s1.doc_id < s2.doc_id
+        JOIN km ON km.id1 = s1.doc_id AND km.id2 = s2.doc_id
+        LEFT JOIN ix ON ix.id1 = s1.doc_id AND ix.id2 = s2.doc_id),
+      e AS (SELECT k, inter * 1000000 // uni AS exact_ppm,
+                   abs(k * 125000 - inter * 1000000 // uni) AS abs_err
+            FROM pairs)
+      SELECT CAST(k AS INT) AS k_rows, COUNT(1) AS n_pairs,
+             CAST(SUM(exact_ppm) AS BIGINT) // COUNT(1) AS mean_exact_ppm,
+             CAST(SUM(abs_err) AS BIGINT) // COUNT(1) AS mean_abs_err_ppm
+      FROM e GROUP BY 1 ORDER BY k_rows""",
+
+    "dedup_band_occupancy" -> s"""
+      WITH ${portableBandCtes("")},
+      o AS (SELECT band, bh, COUNT(1) AS occ FROM piv GROUP BY 1, 2)
+      SELECT occ, COUNT(1) AS n_buckets FROM o GROUP BY 1 ORDER BY occ""",
 
     "dedup_span_repeats" -> """
       WITH d AS MATERIALIZED (

@@ -996,6 +996,40 @@ object TextOps extends OpRegistry {
         .orderBy("lang", "rk")
     }),
 
+    "text_token_length_profile" -> ((s, dir) => {
+      // Token-length profile per language (r15) — the table a tokenizer
+      // designer reads before picking vocab/merge budgets: token count,
+      // mean length (integer ppm), exact p50/p90 via the bounded value
+      // histogram (length domain, never a row sort — the
+      // q_ship_lag_percentiles discipline), and the long-token (≥15
+      // chars) rate that flags unsegmented scripts / URLs / code. One
+      // explode + one (lang × len) domain-bounded agg; everything after
+      // is histogram-sized. Nearest-rank: smallest len with
+      // 100·cum ≥ n·pct (the repo convention).
+      val toks = tWide(s, dir)("documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .select(col("lang"), length(col("w")).cast("long").as("len"))
+      val hist = toks.groupBy("lang", "len").agg(count(lit(1)).as("c"))
+      val tot = hist.groupBy("lang").agg(sum(col("c")).as("n"),
+        sum(col("len") * col("c")).as("sum_len"),
+        sum(when(col("len") >= 15, col("c")).otherwise(0L)).as("n_long"))
+      val wcum = Window.partitionBy("lang").orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def pick(pct: Int) =
+        min(when(col("cum") * 100 >= col("n") * pct, col("len"))).as(s"p$pct")
+      hist.withColumn("cum", sum(col("c")).over(wcum))
+        .join(broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(max(col("n")).as("n_tokens"), pick(50), pick(90),
+          max(col("sum_len")).as("sum_len"), max(col("n_long")).as("n_long"))
+        .select(col("lang"), col("n_tokens"), col("p50"), col("p90"),
+          call_function("div", col("sum_len") * lit(1000000L), col("n_tokens"))
+            .as("mean_len_ppm"),
+          call_function("div", col("n_long") * lit(1000000L), col("n_tokens"))
+            .as("long_ppm"))
+        .orderBy("lang")
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       // Content-defined fingerprint: hash of the sorted distinct token bag.
       tWide(s, dir)("documents").select(
@@ -2131,6 +2165,30 @@ object TextOps extends OpRegistry {
                                      ORDER BY p6 DESC, bg) AS rk
         FROM scored)
       WHERE rk <= 5 ORDER BY lang, rk""",
+    "text_token_length_profile" -> """
+      WITH tok AS (SELECT lang, CAST(length(w) AS BIGINT) AS len
+                   FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                         FROM documents)),
+      hist AS (SELECT lang, len, COUNT(1) AS c FROM tok GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(SUM(len * c) AS BIGINT) AS sum_len,
+                     CAST(SUM(CASE WHEN len >= 15 THEN c ELSE 0 END)
+                       AS BIGINT) AS n_long
+              FROM hist GROUP BY 1),
+      cum AS (SELECT lang, len,
+                     CAST(SUM(c) OVER (PARTITION BY lang ORDER BY len
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM hist)
+      SELECT lang, t.n AS n_tokens,
+             MIN(CASE WHEN cum * 100 >= t.n * 50 THEN len END) AS p50,
+             MIN(CASE WHEN cum * 100 >= t.n * 90 THEN len END) AS p90,
+             t.sum_len * 1000000 // t.n AS mean_len_ppm,
+             t.n_long * 1000000 // t.n AS long_ppm
+      FROM cum JOIN tot t USING (lang)
+      GROUP BY lang, t.n, t.sum_len, t.n_long
+      ORDER BY lang""",
+
     "text_fingerprint" -> """
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow,

@@ -230,6 +230,56 @@ object Timeseries extends OpRegistry {
         .agg(count(lit(1)).as("n_events"), decSumOut(col("value")).as("sum_value"))
         .orderBy("event_type", "hour_of_day")
     }),
+    "events_dow_hod_heatmap" -> ((s, dir) => {
+      // Weekday × hour-of-day activity heatmap (r15) — the 7×24 load grid
+      // behind on-call staffing and bot screens, the two-dimensional
+      // extension of events_hourly_profile. Both axes are PURE integer
+      // math on epoch micros: hod = (us div 3600e6) mod 24, dow =
+      // (epoch_day + 3) mod 7 with 0 = Monday (1970-01-01 was a Thursday
+      // — no calendar/timezone library in the path, so both engines
+      // bucket identically; the §2.8 day-of-week dialect shim is not even
+      // needed). One partial+final aggregate straight off the scan to the
+      // SF-invariant ≤168-row grid, plus exact distinct users per cell.
+      val e = eventsUs(s, dir)
+      e.groupBy(
+          ((call_function("div", col("ts_us"), lit(usPerDay)) + 3) % 7)
+            .as("dow"),
+          (call_function("div", col("ts_us"), lit(usPerHour)) % 24)
+            .as("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          decSumOut(col("value")).as("sum_value"))
+        .orderBy("dow", "hod")
+    }),
+
+    "events_seasonal_decompose" -> ((s, dir) => {
+      // Additive seasonal decomposition on the daily count series (r15):
+      // trend = centered 7-day moving sum (kept at 7× scale — NO division
+      // anywhere, so every number is an exact integer), residual7 =
+      // 7·count − trend on full-window days only, weekday seasonal factor
+      // = mean residual7 per dow — the classic STL-lite a metrics
+      // pipeline runs before alerting on "unusual for a Tuesday". One
+      // fact agg collapses to the calendar-bounded day grid (the
+      // q_order_backlog_daily discipline); the moving window and the
+      // final 7-row agg run on that bounded frame only.
+      val e = eventsUs(s, dir)
+      val daily = e.groupBy(
+          call_function("div", col("ts_us"), lit(usPerDay)).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      daily
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("trend7", sum(col("cnt")).over(w))
+        .filter(col("win_n") === 7)
+        .withColumn("resid7", col("cnt") * 7 - col("trend7"))
+        .groupBy(((col("day") + 3) % 7).as("dow"))  // 0 = Monday
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("resid7")).as("sum_resid7"))
+        .withColumn("seasonal7_milli",
+          call_function("div", col("sum_resid7") * lit(1000L), col("n_days")))
+        .orderBy("dow")
+    }),
+
     "events_interarrival_hist" -> ((s, dir) => {
       // Inter-arrival-time histogram: per-user consecutive event gaps,
       // bucketed by decimal digit count of the gap in micros (an
@@ -1585,6 +1635,33 @@ object Timeseries extends OpRegistry {
       FROM events
       GROUP BY event_type, (epoch_ns(ts)//1000 // 3600000000) % 24
       ORDER BY event_type, hour_of_day""",
+
+    "events_dow_hod_heatmap" -> """
+      SELECT ((epoch_ns(ts)//1000 // 86400000000) + 3) % 7 AS dow,
+             (epoch_ns(ts)//1000 // 3600000000) % 24 AS hod,
+             COUNT(1) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY dow, hod""",
+
+    "events_seasonal_decompose" -> """
+      WITH daily AS (
+        SELECT epoch_ns(ts)//1000 // 86400000000 AS day, COUNT(1) AS cnt
+        FROM events GROUP BY 1),
+      mov AS (
+        SELECT day, cnt,
+               COUNT(1) OVER w AS win_n,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS trend7
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      r AS (SELECT (day + 3) % 7 AS dow, cnt * 7 - trend7 AS resid7
+            FROM mov WHERE win_n = 7)
+      SELECT dow, COUNT(1) AS n_days,
+             CAST(SUM(resid7) AS BIGINT) AS sum_resid7,
+             CAST(SUM(resid7) AS BIGINT) * 1000 // COUNT(1) AS seasonal7_milli
+      FROM r GROUP BY dow ORDER BY dow""",
 
     "events_interarrival_hist" -> """
       WITH g AS (

@@ -290,7 +290,11 @@ class PlanSpec extends GraftSuite {
       // r14 batch G: events_alert_debounce's island row_number runs on
       // the HOT subset of the calendar-bounded hour grid (≤58k rows at
       // any SF — the fact-sized agg collapses BEFORE the window)
-      "events_alert_debounce")
+      "events_alert_debounce",
+      // r15: the 7-day moving window runs on the calendar-bounded day
+      // grid (≤2400 rows at any SF — the fact agg collapses BEFORE the
+      // window; the q_order_backlog_daily discipline)
+      "events_seasonal_decompose")
     val swept = SparkEntry.queries.keys
       .filter(k => (k.startsWith("events_") || k.startsWith("q_") ||
         k.startsWith("win_")) && !globalByDesign(k)).toSeq.sorted

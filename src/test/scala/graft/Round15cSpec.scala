@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 batch C: estimator calibration, band occupancy, token-length
+  * profile, dow×hod heatmap, seasonal decomposition. */
+class Round15cSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("dedup_minhash_estimate_error: replica pair lands in k=8 with zero error; counts cover all pairs") {
+    val dir = TestSpark.tempDir("graft_r15_est_")
+    (0L until 12L).map(i =>
+        (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_minhash_estimate_error")(spark, dir)
+      .collect().map(r => r.getAs[Int]("k_rows") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("mean_exact_ppm"),
+          r.getAs[Long]("mean_abs_err_ppm"))).toMap
+    // doc 7 carries doc 6's text (plantedDocs): identical signature AND
+    // identical shingles → k=8 with exact J = 1e6 ppm, abs err 0
+    assert(rows(8) === ((1L, 1000000L, 0L)))
+    // all C(12,2)=66 pairs accounted for across the k buckets
+    assert(rows.values.map(_._1).sum === 66L)
+    // unrelated planted docs share no shingles: k=0 bucket has exact 0
+    assert(rows(0)._2 === 0L)
+  }
+
+  test("dedup_band_occupancy: bucket counts reconcile with the corpus key count") {
+    val dir = TestSpark.tempDir("graft_r15_occ_")
+    (0L until 10L).map(i =>
+        (i, s"a$i b$i c$i d$i e$i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dedup_band_occupancy")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("occ"), r.getAs[Long]("n_buckets")))
+    // Σ occ·n_buckets = total keys = 2 bands × 10 docs (doc 7 duplicates
+    // doc 6's signature → its 2 keys collapse into occupancy-2 buckets)
+    assert(out.map { case (o, n) => o * n }.sum === 20L)
+    assert(out.toMap.getOrElse(2L, 0L) >= 2L,
+      "the planted replica must produce occupancy-2 buckets")
+  }
+
+  test("text_token_length_profile: exact percentiles and rates on a planted histogram") {
+    val dir = TestSpark.tempDir("graft_r15_tlp_")
+    // lang x: tokens of lengths 1,2,3,4 (p50 = 2: cum 2/4 ≥ 50%;
+    // p90 = 4), one 16-char token in lang y → long_ppm = 500000
+    Seq(("x", "a bb ccc dddd"), ("y", "aaaaaaaaaaaaaaaa b"))
+      .toDF("lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_token_length_profile")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("p50"), r.getAs[Long]("p90"),
+          r.getAs[Long]("mean_len_ppm"), r.getAs[Long]("long_ppm"))).toMap
+    assert(out("x") === ((4L, 2L, 4L, 2500000L, 0L)))
+    assert(out("y") === ((2L, 1L, 16L, 8500000L, 500000L)))
+  }
+
+  test("events_dow_hod_heatmap: dow anchored to a known Monday (2024-01-01 -> 0)") {
+    // The op's contract is dow = (epoch_day + 3) % 7 with 0 = Monday
+    // (epoch day 0 = Thursday → 3); pinned concretely:
+    // 2024-01-01 (epoch day 19723) was a MONDAY → dow must be 0.
+    val dir = TestSpark.tempDir("graft_r15_dow_")
+    val mondayUs = 19723L * 86400000000L + 5L * 3600000000L // 05:00 Monday
+    Seq((1L, mondayUs * 1000L, 10L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("events_dow_hod_heatmap")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("dow") === 0L, "2024-01-01 is a Monday → dow 0")
+    assert(r.getAs[Long]("hod") === 5L)
+    assert(r.getAs[Long]("n_events") === 1L)
+    assert(r.getAs[Long]("n_users") === 1L)
+  }
+
+  test("events_seasonal_decompose: planted weekly pattern recovered exactly") {
+    val dir = TestSpark.tempDir("graft_r15_seas_")
+    // 28 days, baseline 1 event/day, dow 0 (Mondays) get 8 events —
+    // the spike must surface as a positive Monday factor. Build events:
+    // one event per (day, i) pair.
+    val rows = for {
+      day <- 0L until 28L
+      dow = (19723L + day + 3L) % 7L
+      i <- 0L until (if (dow == 0L) 8L else 1L)
+    } yield (day * 100 + i, ((19723L + day) * 86400000000L + i) * 1000L,
+      i, "view", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_seasonal_decompose")(spark, dir)
+      .collect().map(r => r.getAs[Long]("dow") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("sum_resid7"),
+          r.getAs[Long]("seasonal7_milli"))).toMap
+    // every full 7-day window contains exactly one Monday: trend7 = 14
+    // (6·1 + 8); Monday resid7 = 8·7−14 = 42, others 1·7−14 = −7
+    assert(out(0L)._3 === 42000L, s"Monday factor: ${out(0L)}")
+    assert(out(1L)._3 === -7000L, s"weekday factor: ${out(1L)}")
+    assert(out.values.forall(v => v._3 == 42000L || v._3 == -7000L))
+  }
+}
