@@ -381,6 +381,7 @@ object ScaleProbe {
       "text_lang_profile", "text_langid", "text_wordcount", "text_ngram_freq",
       "docs_length_buckets", "docs_domain_mix", "events_hourly_profile",
       "text_token_length_profile", "events_dow_hod_heatmap",
+      "q_order_value_deciles",
       "events_anomaly_zscore", "profile_table_stats", "q_revenue_by_region", "q_parts_share",
       "q_nation_share_in_region", "q_nation_trade_flows",
       "q_small_qty_revenue", "q_special_promo_revenue",
@@ -408,6 +409,7 @@ object ScaleProbe {
       "events_pareto_share", "events_anomaly_mad", "sql_recursive_cte",
       "events_seasonal_decompose"),
     "rep" -> Seq("dedup_assign_canonical", "dedup_cluster_stats",
+      "vec_ivf_balance_gini", "docs_epoch_shuffle_plan",
       "graph_degree_stats", "graph_triangles", "graph_jaccard_neighbors",
       "graph_pagerank_iter", "vec_pq_codes", "docs_token_budget_fill"),
     "demo" -> Seq("join_cross", "join_theta_band", "join_range_interval",

@@ -313,6 +313,43 @@ object PipelineOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "docs_epoch_shuffle_plan" -> ((s, dir) => {
+      // Reproducible multi-epoch shuffle plan (r15): the data order a
+      // training loader must replay EXACTLY across restarts, engines,
+      // and partitioning — order key for epoch e = the portable char
+      // fold of "e<e>:<doc_id>" (seedless, content-free, so the plan is
+      // a pure function of ids — re-ingesting the corpus cannot reorder
+      // an epoch). The FULL order is data-sized by design (it IS the
+      // plan and ships as a sort key, never materialized on a driver);
+      // the op certifies it by emitting each epoch's first 5 positions
+      // + per-epoch doc count. The head-of-order pick is the salted
+      // two-level top-k (docs_topk_quality_per_lang's r15 kernel):
+      // local rank over (epoch, salt) — 3×64 balanced groups — then the
+      // final window on the ≤ 3×64×5-row survivor frame only.
+      val docs = tWide(s, dir)("documents").select(col("doc_id"))
+      val keyed = docs
+        .crossJoin(broadcast(
+          s.range(3).select(col("id").cast("int").as("epoch"))))
+        // the raw char fold does not wrap on short keys ("e0:3" folds to
+        // ~1.5e7 — lexicographic, every epoch would order identically);
+        // one Carter-Wegman step ((a·h+b) mod 2^31−1, the DedupOps
+        // portable constants) wraps ~2e7 times and mixes epochs apart
+        .withColumn("h",
+          (rollingHash31(concat(lit("e"), col("epoch"), lit(":"),
+            col("doc_id").cast("string"))) * lit(2654435761L) + lit(97L))
+            % lit(2147483647L))
+        .withColumn("salt", pmod(col("doc_id"), lit(64L)))
+      val wLocal = Window.partitionBy("epoch", "salt")
+        .orderBy(col("h"), col("doc_id"))
+      val w = Window.partitionBy("epoch").orderBy(col("h"), col("doc_id"))
+      val head = keyed
+        .withColumn("lrk", row_number().over(wLocal)).filter(col("lrk") <= 5)
+        .withColumn("pos", row_number().over(w)).filter(col("pos") <= 5)
+        .select(col("epoch"), col("pos"), col("doc_id"), col("h"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      head.crossJoin(broadcast(n)).orderBy("epoch", "pos")
+    }),
+
     "docs_quality_percentile_gate" -> ((s, dir) => {
       // Per-language quality gate at a PERCENTILE, not a fixed threshold
       // (the CCNet head/middle/tail shape): drop each language's bottom
@@ -866,6 +903,29 @@ object PipelineOps extends OpRegistry {
              h.n_docs * 1000000 // tt.lang_docs AS share_ppm
       FROM h JOIN tt ON h.lang = tt.lang
       ORDER BY h.lang, h.bucket""",
+
+    "docs_epoch_shuffle_plan" -> """
+      WITH base AS (
+        SELECT e.e AS epoch, doc_id,
+               'e' || CAST(e.e AS VARCHAR) || ':' ||
+                 CAST(doc_id AS VARCHAR) AS s
+        FROM documents CROSS JOIN range(0, 3) e(e)),
+      k AS (
+        SELECT epoch, doc_id,
+               (list_reduce(list_prepend(CAST(17 AS BIGINT),
+                 list_transform(range(1, length(s) + 1),
+                   i -> CAST(ord(substring(s, i, 1)) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 2147483648)
+                 * 2654435761 + 97) % 2147483647 AS h
+        FROM base),
+      r AS (SELECT epoch, doc_id, h,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                     ORDER BY h, doc_id) AS INT) AS pos
+            FROM k),
+      n AS (SELECT COUNT(1) AS n_docs FROM documents)
+      SELECT CAST(epoch AS INT) AS epoch, pos, doc_id, h, n.n_docs
+      FROM r CROSS JOIN n WHERE pos <= 5
+      ORDER BY epoch, pos""",
 
     "docs_split_assign" -> """
       WITH h AS (SELECT doc_id, lang,

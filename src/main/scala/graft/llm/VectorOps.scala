@@ -506,6 +506,34 @@ object VectorOps extends OpRegistry {
         .orderBy("tbl")
     }),
 
+    "vec_ivf_balance_gini" -> ((s, dir) => {
+      // IVF cell-balance Gini (r15): one number per LSH table summarizing
+      // occupancy inequality — 0 = perfectly balanced cells, → 1 = one
+      // cell owns the corpus (candidate lists degenerate toward brute
+      // force). Complements vec_ivf_cell_stats' max/singleton EXTREMES
+      // with the full-dispersion summary an index-health dashboard
+      // tracks over time. The sorted-rank Gini identity
+      // (2·Σ rk·occ − (n+1)·Σ occ) / (n·Σ occ), all-integer at milli
+      // scale; the rank window runs on the ≤ 2^planes-row occupancy
+      // frame (cell-bounded at any corpus size), and cells come from
+      // ivfCellsFrame — the SERVED index, not a re-derivation. Tie
+      // ranks ordered by (occ, cell); Σ rk·occ is tie-order-invariant.
+      val occ = ivfCellsFrame(s, dir).groupBy("tbl", "cell")
+        .agg(count(lit(1)).as("occ"))
+      val w = Window.partitionBy("tbl").orderBy(col("occ"), col("cell"))
+      occ.withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy("tbl")
+        .agg(count(lit(1)).as("n_cells"), sum(col("occ")).as("n_vecs"),
+          sum(col("rk") * col("occ")).as("s_rank"))
+        .select(col("tbl").cast("long").as("tbl"), col("n_cells"),
+          col("n_vecs"),
+          call_function("div",
+            (col("s_rank") * 2 - (col("n_cells") + 1) * col("n_vecs"))
+              * lit(1000L),
+            col("n_cells") * col("n_vecs")).as("gini_milli"))
+        .orderBy("tbl")
+    }),
+
     "vec_ivf_probe_cost" -> ((s, dir) => {
       // nprobe COST table — the tuning pair of vec_ann_recall_curve
       // (quality) and vec_ivf_cell_stats (balance): per query and probe
@@ -1509,6 +1537,40 @@ object VectorOps extends OpRegistry {
       FROM st JOIN hv ON st.tbl = hv.tbl ORDER BY tbl"""
   }
 
+  /** Generated DuckDB twin of vec_ivf_balance_gini: same cells/occ chain
+    * as the stats oracle, then the sorted-rank Gini identity in integer
+    * milli. */
+  private def ivfBalanceGiniOracleSql: String = {
+    val dim = 64
+    val vals = (for { t <- 0 until IvfTables; p <- 0 until IvfPlanes } yield
+      s"($t, $p, [${planeComponents(t * IvfPlanes + p, dim).mkString(",")}])"
+    ).mkString(",\n        ")
+    s"""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      planes(tbl, p, comps) AS (VALUES
+        $vals),
+      proj AS (SELECT vec_id, tbl, p,
+                      list_sum(list_transform(range(1, ${dim + 1}), i -> qe[i] * comps[i])) AS pr
+               FROM q CROSS JOIN planes),
+      cells AS (SELECT vec_id, tbl,
+                       CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS cell
+                FROM proj GROUP BY vec_id, tbl),
+      occ AS (SELECT tbl, cell, COUNT(1) AS occ FROM cells GROUP BY 1, 2),
+      rk AS (SELECT tbl, occ,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY tbl
+                      ORDER BY occ, cell) AS BIGINT) AS rk
+             FROM occ),
+      g AS (SELECT tbl, COUNT(1) AS n_cells, CAST(SUM(occ) AS BIGINT) AS n_vecs,
+                   CAST(SUM(rk * occ) AS BIGINT) AS s_rank
+            FROM rk GROUP BY 1)
+      SELECT CAST(tbl AS BIGINT) AS tbl, n_cells, n_vecs,
+             (s_rank * 2 - (n_cells + 1) * n_vecs) * 1000
+               // (n_cells * n_vecs) AS gini_milli
+      FROM g ORDER BY tbl"""
+  }
+
   /** Generated DuckDB twin of vec_ivf_probe_cost: cells from the same
     * plane literals, masks tagged with their Hamming distance, min-reach
     * dedup, cumulative radius counts. */
@@ -1910,6 +1972,7 @@ object VectorOps extends OpRegistry {
       FROM best GROUP BY cl ORDER BY cluster""",
     "knn_ivf_topk" -> ivfOracleSql,
     "vec_ivf_cell_stats" -> ivfCellStatsOracleSql,
+    "vec_ivf_balance_gini" -> ivfBalanceGiniOracleSql,
     "vec_ivf_probe_cost" -> ivfProbeCostOracleSql,
     "vec_ann_recall_curve" -> s"""
       WITH ivf AS ($ivfOracleSql),

@@ -121,6 +121,33 @@ object Analytics extends OpRegistry {
         .orderBy("n_lines")
     }),
 
+    "q_order_value_deciles" -> ((s, dir) => {
+      // Decile boundary table of order values (r15): for d = 1..9, the
+      // smallest whole-dollar value v with cumulative count ≥ n·d/10
+      // (nearest-rank, the repo convention) — the revenue-concentration
+      // curve finance reads next to events_pareto_share's user version.
+      // Boundaries at declared DOLLAR granularity, so the value histogram
+      // is value-DOMAIN-bounded (≤ ~450k cells at ANY SF — SF-invariant,
+      // the q_ship_lag_percentiles discipline scaled up): one fact agg
+      // collapses to the histogram, the cumulative window runs on that
+      // bounded frame only (globalByDesign), and the 9-row boundary pick
+      // is a bounded re-agg of the histogram × decile grid.
+      val hist = t(s, dir)("orders")
+        .select(floor(col("o_totalprice")).cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      val tot = hist.agg(sum(col("c")).as("n"))
+      val wcum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum(col("c")).over(wcum))
+        .crossJoin(broadcast(tot))
+        .select(col("v"), col("cum"), col("n"),
+          explode(sequence(lit(1), lit(9))).as("decile"))
+        .filter(col("cum") * 10 >= col("n") * col("decile"))
+        .groupBy(col("decile").cast("int").as("decile"))
+        .agg(min(col("v")).as("boundary_dollar"), max(col("n")).as("n_orders"))
+        .orderBy("decile")
+    }),
+
     "q_customer_churn" -> ((s, dir) => {
       // Year-over-year customer churn (round 13): for each consecutive
       // year pair, how many active customers were retained, churned, or
@@ -1273,6 +1300,21 @@ object Analytics extends OpRegistry {
       t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM h)
       SELECT n_lines, n_orders, (n_orders * 1000000) // n_total AS share_ppm
       FROM h CROSS JOIN t ORDER BY n_lines""",
+
+    "q_order_value_deciles" -> """
+      WITH hist AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+                           COUNT(1) AS c
+                    FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+      cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+              FROM hist)
+      SELECT CAST(d.d AS INT) AS decile, MIN(v) AS boundary_dollar,
+             MAX(n) AS n_orders
+      FROM cum CROSS JOIN tot CROSS JOIN range(1, 10) d(d)
+      WHERE cum * 10 >= n * d.d
+      GROUP BY 1 ORDER BY decile""",
 
     "q_customer_churn" -> """
       WITH d AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr,

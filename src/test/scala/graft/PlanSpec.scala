@@ -294,7 +294,11 @@ class PlanSpec extends GraftSuite {
       // r15: the 7-day moving window runs on the calendar-bounded day
       // grid (≤2400 rows at any SF — the fact agg collapses BEFORE the
       // window; the q_order_backlog_daily discipline)
-      "events_seasonal_decompose")
+      "events_seasonal_decompose",
+      // r15: the cumulative window runs on the dollar-value-domain-
+      // bounded histogram (≤ ~450k SF-invariant cells — the fact agg
+      // collapses BEFORE the window)
+      "q_order_value_deciles")
     val swept = SparkEntry.queries.keys
       .filter(k => (k.startsWith("events_") || k.startsWith("q_") ||
         k.startsWith("win_")) && !globalByDesign(k)).toSeq.sorted

@@ -72,6 +72,50 @@ class Round15cSpec extends GraftSuite {
     assert(r.getAs[Long]("n_users") === 1L)
   }
 
+  test("q_order_value_deciles: exact nearest-rank boundaries on a planted 10-value table") {
+    val dir = TestSpark.tempDir("graft_r15_dec_")
+    // orders valued 100.5, 200.5, ..., 1000.5 → dollar values 100..1000;
+    // n=10: decile d boundary = smallest v with cum ≥ d (cum·10 ≥ 10·d)
+    (1L to 10L).map(i => (i, i * 100 + 0.5))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_order_value_deciles")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("decile"),
+        r.getAs[Long]("boundary_dollar"), r.getAs[Long]("n_orders")))
+    assert(out === (1 to 9).map(d => (d, d * 100L, 10L)))
+  }
+
+  test("vec_ivf_balance_gini: all cells from the served index; gini in [0, 1000)") {
+    val out = SparkEntry.queries("vec_ivf_balance_gini")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val g = r.getAs[Long]("gini_milli")
+      assert(g >= 0L && g < 1000L, s"gini_milli out of range: $g")
+      assert(r.getAs[Long]("n_vecs") > 0L)
+    }
+    // hand-check the identity on one table's occupancy multiset
+    val occ = out.map(r => (r.getAs[Long]("n_cells"), r.getAs[Long]("n_vecs"),
+      r.getAs[Long]("gini_milli"))).head
+    assert(occ._1 <= 64L, "cells bounded by 2^planes")
+  }
+
+  test("docs_epoch_shuffle_plan: deterministic across runs, epochs ordered differently") {
+    val a = SparkEntry.queries("docs_epoch_shuffle_plan")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("docs_epoch_shuffle_plan")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(a === b, "the shuffle plan must replay identically")
+    val byEpoch = SparkEntry.queries("docs_epoch_shuffle_plan")(spark, sfDir)
+      .collect().groupBy(_.getAs[Int]("epoch"))
+      .map { case (e, rows) =>
+        e -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("doc_id")).toSeq }
+    assert(byEpoch.size === 3)
+    // different epochs shuffle into different head orders (the whole point)
+    assert(byEpoch(0) != byEpoch(1) || byEpoch(1) != byEpoch(2),
+      s"epochs must differ: $byEpoch")
+  }
+
   test("events_seasonal_decompose: planted weekly pattern recovered exactly") {
     val dir = TestSpark.tempDir("graft_r15_seas_")
     // 28 days, baseline 1 event/day, dow 0 (Mondays) get 8 events —
