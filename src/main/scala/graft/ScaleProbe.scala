@@ -402,6 +402,7 @@ object ScaleProbe {
       "join_null_safe", "join_skew_salted", "join_bucketed_noshuffle",
       "join_bloom_prefilter", "join_dpp_partition_prune", "multimodal_join",
       "dedup_exact", "dedup_by_key", "distinct_rows", "dedup_incremental",
+      "vec_dedup_exact", "profile_referential_integrity",
       "docs_decontaminate", "set_union_all", "set_union_distinct",
       "set_intersect", "set_intersect_all", "set_except", "set_except_all", "text_ngram_novelty", "text_zipf_slope",
       "text_bpe_pair_stats", "docs_char_lm"),
@@ -410,6 +411,7 @@ object ScaleProbe {
       "events_seasonal_decompose"),
     "rep" -> Seq("dedup_assign_canonical", "dedup_cluster_stats",
       "vec_ivf_balance_gini", "docs_epoch_shuffle_plan",
+      "docs_dedup_rate_by_source",
       "graph_degree_stats", "graph_triangles", "graph_jaccard_neighbors",
       "graph_pagerank_iter", "vec_pq_codes", "docs_token_budget_fill"),
     "demo" -> Seq("join_cross", "join_theta_band", "join_range_interval",

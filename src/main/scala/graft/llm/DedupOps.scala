@@ -426,6 +426,27 @@ object DedupOps extends OpRegistry {
               col("b_dup_lo") * col("c_uni_hi"))))
     }),
 
+    "docs_dedup_rate_by_source" -> ((s, dir) => {
+      // Near-dup rate per source (r15): the curation view that decides
+      // which crawls/feeds to renegotiate — share of each source's docs
+      // sitting in a ≥2-doc near-dup cluster, exact integer ppm. After
+      // the shared CC artifact nothing fact-sized runs: one
+      // component-sized agg, a label join, and a ≤|sources| rollup.
+      val labels = componentLabels(s, dir)
+      val sizes = labels.groupBy("component_id")
+        .agg(count(lit(1)).as("csz"))
+      val flag = labels.join(sizes, "component_id")
+        .select(col("doc_id"), (col("csz") >= 2).as("is_dup"))
+      tWide(s, dir)("documents").select(col("doc_id"), col("source"))
+        .join(flag, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_ppm",
+          call_function("div", col("n_dup") * lit(1000000L), col("n_docs")))
+        .orderBy("source")
+    }),
+
     "dedup_incremental_bands" -> ((s, dir) => {
       // THE production dedup loop (r15, VERDICT r14 #5): tonight's batch
       // (doc_id % 10 = 7 — dedup_incremental's split) is admitted only if
@@ -916,6 +937,19 @@ object DedupOps extends OpRegistry {
              1000000 // s.cluster_size AS weight_ppm
       FROM comp c JOIN csz s USING (component_id)
       ORDER BY c.doc_id""",
+    "docs_dedup_rate_by_source" -> s"""
+      WITH RECURSIVE $CcCteSql,
+      csz AS (SELECT component_id, COUNT(1) AS csz
+              FROM comp GROUP BY 1)
+      SELECT d.source, COUNT(1) AS n_docs,
+             CAST(SUM(CASE WHEN s.csz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+             CAST(SUM(CASE WHEN s.csz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               * 1000000 // COUNT(1) AS dup_ppm
+      FROM comp c JOIN csz s USING (component_id)
+                  JOIN documents d ON d.doc_id = c.doc_id
+      GROUP BY d.source ORDER BY d.source""",
+
     "dedup_cluster_stats" -> s"""
       WITH RECURSIVE $CcCteSql,
       csz AS (SELECT component_id, COUNT(1) AS cluster_size

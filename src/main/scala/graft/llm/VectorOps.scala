@@ -534,6 +534,34 @@ object VectorOps extends OpRegistry {
         .orderBy("tbl")
     }),
 
+    "vec_dedup_exact" -> ((s, dir) => {
+      // Exact-duplicate embedding census (r15): identical vectors (after
+      // the shared exact-integer micro-quantization) grouped on the
+      // quantized array itself — the screen a vector store runs before
+      // indexing, because exact dupes waste index cells and skew ANN
+      // candidate lists. One hash agg keyed on the quantized array (the
+      // array IS the key — no float compare, no hash seed, so both
+      // engines group identically), then a 1-row census. The fixture has
+      // no natural exact-dup embeddings, so the op plants re-delivered
+      // vectors (vec_id % 50 = 7 carries vec_id−1's embedding — the
+      // plantedDocs discipline applied to the vector table).
+      val raw = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val nb = raw.select((col("vec_id") + 1).as("vec_id"),
+        col("qe").as("prev"))
+      val v = raw.join(nb, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(50L)) === 7 && col("prev").isNotNull,
+            col("prev")).otherwise(col("qe")).as("qe"))
+      v.groupBy("qe").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("n")).as("n_vectors"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup_groups"),
+          max(col("n")).as("max_group"),
+          sum(when(col("n") >= 2, col("n") - 1).otherwise(0L))
+            .as("n_redundant"))
+    }),
+
     "vec_ivf_probe_cost" -> ((s, dir) => {
       // nprobe COST table — the tuning pair of vec_ann_recall_curve
       // (quality) and vec_ivf_cell_stats (balance): per query and probe
@@ -1973,6 +2001,24 @@ object VectorOps extends OpRegistry {
     "knn_ivf_topk" -> ivfOracleSql,
     "vec_ivf_cell_stats" -> ivfCellStatsOracleSql,
     "vec_ivf_balance_gini" -> ivfBalanceGiniOracleSql,
+    "vec_dedup_exact" -> """
+      WITH q0 AS (SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT)) AS qe
+                  FROM embeddings),
+      v AS (SELECT a.vec_id,
+                   CASE WHEN a.vec_id % 50 = 7 AND b.qe IS NOT NULL
+                     THEN b.qe ELSE a.qe END AS qe
+            FROM q0 a LEFT JOIN q0 b ON b.vec_id = a.vec_id - 1),
+      g AS (SELECT qe, COUNT(1) AS n FROM v GROUP BY qe)
+      SELECT COUNT(1) AS n_distinct,
+             CAST(SUM(n) AS BIGINT) AS n_vectors,
+             CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+             MAX(n) AS max_group,
+             CAST(SUM(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END) AS BIGINT)
+               AS n_redundant
+      FROM g""",
     "vec_ivf_probe_cost" -> ivfProbeCostOracleSql,
     "vec_ann_recall_curve" -> s"""
       WITH ivf AS ($ivfOracleSql),

@@ -198,6 +198,37 @@ object Profiling extends OpRegistry {
         .orderBy("c_custkey")
     }),
 
+    "profile_referential_integrity" -> ((s, dir) => {
+      // Referential-integrity audit (r15): the data-quality receipt a
+      // warehouse runs after every load — childless orders (no lines),
+      // orphan line orderkeys (no parent order), customers with no
+      // orders, orders pointing at missing customers. Every check is a
+      // DISTINCT-collapse-then-anti-join, so the shuffles carry unique
+      // keys (key-sized), never fact multiplicity; output is one row of
+      // exact counts. On the TPC-H-shaped fixture orphans/missing are 0
+      // and customer-without-orders is ~1/3 — both directions exercised.
+      val tt = t(s, dir) _
+      val o = tt("orders").select(col("o_orderkey"), col("o_custkey"))
+      val lk = tt("lineitem").select(col("l_orderkey")).distinct()
+      val ck = tt("customer").select(col("c_custkey"))
+      val ok = o.select(col("o_orderkey"))
+      val oc = o.select(col("o_custkey")).distinct()
+      val childless = ok.join(lk, ok("o_orderkey") === lk("l_orderkey"),
+        "left_anti")
+      val orphans = lk.join(ok, lk("l_orderkey") === ok("o_orderkey"),
+        "left_anti")
+      val custNoOrders = ck.join(oc, ck("c_custkey") === oc("o_custkey"),
+        "left_anti")
+      val missingCust = oc.join(ck, oc("o_custkey") === ck("c_custkey"),
+        "left_anti")
+      ok.agg(count(lit(1)).as("n_orders"))
+        .crossJoin(lk.agg(count(lit(1)).as("n_line_orders")))
+        .crossJoin(childless.agg(count(lit(1)).as("n_childless_orders")))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_line_orders")))
+        .crossJoin(custNoOrders.agg(count(lit(1)).as("n_cust_no_orders")))
+        .crossJoin(missingCust.agg(count(lit(1)).as("n_missing_custkeys")))
+    }),
+
     "profile_join_skew_report" -> ((s, dir) => {
       // Join-key skew report — the "should I salt this join" table read
       // before planning any fact-fact shuffle (join_skew_salted is the
@@ -945,6 +976,28 @@ object Profiling extends OpRegistry {
              CAST(MIN(by) AS BIGINT) AS by_min, CAST(MAX(by) AS BIGINT) AS by_max
       FROM z GROUP BY 1 ORDER BY zbucket"""
     },
+
+    "profile_referential_integrity" -> """
+      WITH lk AS (SELECT DISTINCT l_orderkey FROM lineitem),
+      oc AS (SELECT DISTINCT o_custkey FROM orders)
+      SELECT (SELECT COUNT(1) FROM orders) AS n_orders,
+             (SELECT COUNT(1) FROM lk) AS n_line_orders,
+             (SELECT COUNT(1) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lk
+                                WHERE lk.l_orderkey = o.o_orderkey))
+               AS n_childless_orders,
+             (SELECT COUNT(1) FROM lk
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = lk.l_orderkey))
+               AS n_orphan_line_orders,
+             (SELECT COUNT(1) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM oc
+                                WHERE oc.o_custkey = c.c_custkey))
+               AS n_cust_no_orders,
+             (SELECT COUNT(1) FROM oc
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = oc.o_custkey))
+               AS n_missing_custkeys""",
 
     "profile_join_skew_report" -> """
       WITH c1 AS (SELECT l_orderkey AS k, COUNT(1) AS cnt FROM lineitem GROUP BY 1),

@@ -116,6 +116,53 @@ class Round15cSpec extends GraftSuite {
       s"epochs must differ: $byEpoch")
   }
 
+  test("vec_dedup_exact: planted re-delivered vector is the sole dup group") {
+    val dir = TestSpark.tempDir("graft_r15_vde_")
+    // 10 distinct unit-ish vectors; vec 7 will carry vec 6's embedding
+    (0L until 10L).map(i => (i, Array.tabulate(4)(d => (i * 10 + d) / 100.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("vec_dedup_exact")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_vectors") === 10L)
+    assert(r.getAs[Long]("n_distinct") === 9L)
+    assert(r.getAs[Long]("n_dup_groups") === 1L)
+    assert(r.getAs[Long]("max_group") === 2L)
+    assert(r.getAs[Long]("n_redundant") === 1L)
+  }
+
+  test("profile_referential_integrity: planted orphans and childless rows counted exactly") {
+    val dir = TestSpark.tempDir("graft_r15_ri_")
+    import spark.implicits._
+    // orders 1..4 (custkeys 10,10,20,99); order 4 has no lines; line for
+    // order 77 is orphan; customers 10,20,30 (30 orderless; 99 missing)
+    Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(1L, 1L, 2L, 3L, 77L).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(10L, 20L, 30L).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = SparkEntry.queries("profile_referential_integrity")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_orders") === 4L)
+    assert(r.getAs[Long]("n_line_orders") === 4L) // 1,2,3,77 distinct
+    assert(r.getAs[Long]("n_childless_orders") === 1L) // order 4
+    assert(r.getAs[Long]("n_orphan_line_orders") === 1L) // 77
+    assert(r.getAs[Long]("n_cust_no_orders") === 1L) // cust 30
+    assert(r.getAs[Long]("n_missing_custkeys") === 1L) // 99
+  }
+
+  test("docs_dedup_rate_by_source: rates reconcile with the corpus dup census") {
+    val out = SparkEntry.queries("docs_dedup_rate_by_source")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, d, ppm) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup"),
+        r.getAs[Long]("dup_ppm"))
+      assert(d <= n && ppm === d * 1000000L / n)
+    }
+  }
+
   test("events_seasonal_decompose: planted weekly pattern recovered exactly") {
     val dir = TestSpark.tempDir("graft_r15_seas_")
     // 28 days, baseline 1 event/day, dow 0 (Mondays) get 8 events —
