@@ -110,7 +110,11 @@ object ScaleProbe {
     "dedup_incremental_bands", "dedup_lsh_eval", "dedup_span_repeats",
     // round 15 batch C: the band-store occupancy report (one signature
     // pass + bounded rollups)
-    "dedup_band_occupancy")
+    "dedup_band_occupancy",
+    // round 15 batches C-E: the length-domain-bounded token profile, the
+    // Carter-Wegman epoch head pick, and the CC-artifact source rollup
+    "text_token_length_profile", "docs_epoch_shuffle_plan",
+    "docs_dedup_rate_by_source")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -136,7 +140,10 @@ object ScaleProbe {
     // round 14 batch F: the two-stage RQ encode (map-side) + ≤16-row agg
     "vec_residual_quantize",
     // round 14 batch H: the broadcast-query kNN vote classifier
-    "vec_knn_label_predict")
+    "vec_knn_label_predict",
+    // round 15: the cell-bounded occupancy Gini and the array-keyed
+    // exact-dup census
+    "vec_ivf_balance_gini", "vec_dedup_exact")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in
@@ -205,7 +212,9 @@ object ScaleProbe {
     // week-grid mix-drift table
     "events_session_conversion", "events_mix_drift_weekly",
     // round 14 batch J: the two-proportion z collapse
-    "events_error_rate_ztest")
+    "events_error_rate_ztest",
+    // round 15: the 7x24 grid collapse and the day-grid STL-lite
+    "events_dow_hod_heatmap", "events_seasonal_decompose")
 
   /** Deterministic synthetic events at the fixture shape: ~67 events/user
     * (users scale WITH the corpus — the per-user partition stays bounded,
@@ -305,7 +314,10 @@ object ScaleProbe {
     // the two-pass value-cell rank (×2), and the o_custkey-re-keyed
     // RANGE frame
     "win_topk_per_group", "win_first_last_nth", "win_rank_dense_row",
-    "win_ntile_pctrank", "win_range_frame")
+    "win_ntile_pctrank", "win_range_frame",
+    // round 15 batches D-E: the dollar-histogram decile pick and the
+    // distinct-collapse referential audit
+    "q_order_value_deciles", "profile_referential_integrity")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming
@@ -380,9 +392,7 @@ object ScaleProbe {
       "agg_string_agg", "agg_udaf_sumsq", "typed_agg_orders",
       "text_lang_profile", "text_langid", "text_wordcount", "text_ngram_freq",
       "docs_length_buckets", "docs_domain_mix", "events_hourly_profile",
-      "text_token_length_profile", "events_dow_hod_heatmap",
-      "q_order_value_deciles",
-      "events_anomaly_zscore", "profile_table_stats", "q_revenue_by_region", "q_parts_share",
+            "events_anomaly_zscore", "profile_table_stats", "q_revenue_by_region", "q_parts_share",
       "q_nation_share_in_region", "q_nation_trade_flows",
       "q_small_qty_revenue", "q_special_promo_revenue",
       "q_priority_class_late", "q_returned_by_customer", "q_important_parts",
@@ -402,16 +412,12 @@ object ScaleProbe {
       "join_null_safe", "join_skew_salted", "join_bucketed_noshuffle",
       "join_bloom_prefilter", "join_dpp_partition_prune", "multimodal_join",
       "dedup_exact", "dedup_by_key", "distinct_rows", "dedup_incremental",
-      "vec_dedup_exact", "profile_referential_integrity",
       "docs_decontaminate", "set_union_all", "set_union_distinct",
       "set_intersect", "set_intersect_all", "set_except", "set_except_all", "text_ngram_novelty", "text_zipf_slope",
       "text_bpe_pair_stats", "docs_char_lm"),
     "frame" -> Seq("q_monthly_trend", "q_forecast_revenue",
-      "events_pareto_share", "events_anomaly_mad", "sql_recursive_cte",
-      "events_seasonal_decompose"),
+      "events_pareto_share", "events_anomaly_mad", "sql_recursive_cte"),
     "rep" -> Seq("dedup_assign_canonical", "dedup_cluster_stats",
-      "vec_ivf_balance_gini", "docs_epoch_shuffle_plan",
-      "docs_dedup_rate_by_source",
       "graph_degree_stats", "graph_triangles", "graph_jaccard_neighbors",
       "graph_pagerank_iter", "vec_pq_codes", "docs_token_budget_fill"),
     "demo" -> Seq("join_cross", "join_theta_band", "join_range_interval",
