@@ -1445,22 +1445,33 @@ object TextOps extends OpRegistry {
       // and trains differently from one with uniform doc sizes, and the
       // Gini is the single number curators compare across snapshots.
       // Exact rank formula G = (2·Σi·x(i) − (n+1)·Σx) / (n·Σx) on the
-      // ASC-sorted counts (doc_id tiebreak): one lang-partitioned
-      // row_number + one agg — no pairwise |xi−xj| work. Output in MILLI
-      // (×1e3, the sqrt-weight precedent): the ppm form's numerator
-      // 2Σi·x·1e6 overflows int64 near 3e5 docs/lang; milli is exact to
-      // ~1e7 docs/lang × 80 tokens (declared bound). Numerator is
-      // non-negative by the Chebyshev sum inequality, so div never sees
-      // a sign (the signed-div dialect trap never arises).
-      val ranked = tWide(s, dir)("documents")
-        .select(col("lang"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("tok"))
-        .withColumn("i", row_number().over(
-          Window.partitionBy("lang").orderBy(col("tok"), col("doc_id")))
-          .cast("long"))
-      ranked.groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"),
-          sum(col("i") * col("tok")).as("siw"))
+      // ASC-sorted counts. r15 re-plan (the tiny-domain window detector's
+      // first catch): the r14 form ranked the FULL doc frame in a 5-value
+      // lang window — the ≤5-task sort that dies at 100 TB. Within a tie
+      // group (equal tok) Σi·x is rank-order-invariant, so the rank sum
+      // is exactly computable from the (lang × tok) VALUE HISTOGRAM:
+      // a cell with c docs at value tok after cb smaller-valued docs
+      // contributes tok·(c·cb + c(c+1)/2). One fact agg collapses to the
+      // domain-bounded cell table; the cumulative window runs on that
+      // frame only (the segmentRanked discipline). Output identical.
+      // Output in MILLI (×1e3, the sqrt-weight precedent): the ppm form's
+      // numerator 2Σi·x·1e6 overflows int64 near 3e5 docs/lang; milli is
+      // exact to ~1e7 docs/lang × 80 tokens (declared bound). Numerator
+      // is non-negative by the Chebyshev sum inequality, so div never
+      // sees a sign (the signed-div dialect trap never arises).
+      val cells = tWide(s, dir)("documents")
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val wBefore = Window.partitionBy("lang").orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells
+        .withColumn("cb", coalesce(sum(col("c")).over(wBefore), lit(0L)))
+        .withColumn("cell_siw", col("tok") * (col("c") * col("cb") +
+          call_function("div", col("c") * (col("c") + 1L), lit(2L))))
+        .groupBy("lang")
+        .agg(sum(col("c")).as("n_docs"),
+          sum(col("tok") * col("c")).as("sum_tokens"),
+          sum(col("cell_siw")).as("siw"))
         .withColumn("gini_milli", call_function("div",
           (lit(2L) * col("siw") - (col("n_docs") + 1L) * col("sum_tokens"))
             * lit(1000L),

@@ -220,6 +220,44 @@ class Round15Spec extends GraftSuite {
       s"ops with neither probe nor classification: ${gap.toSeq.sorted.mkString(", ")}")
   }
 
+  test("no data-sized window partitioned on a tiny-domain key in the swept registry") {
+    // The sharper form of the unpartitioned-window sweep: the r15 class
+    // (VERDICT r14 #1) was a window partitioned on a ≤5-value categorical
+    // over a DATA-SIZED frame — the whole table sorts in ≤5 tasks. This
+    // detector flags any single-key window on a known tiny-domain column
+    // whose input frame is neither (a) an aggregate (the bounded-frame
+    // discipline) nor (b) the survivor set of a ≥2-key window (the salted
+    // two-level pattern, whose final frame is keys×salts×k-bounded).
+    import org.apache.spark.sql.catalyst.plans.logical
+    // "label" is deliberately absent: the embeddings table's 10-value
+    // label shares its name with LPA's NODE label (|V|-cardinality) —
+    // name-based detection cannot tell them apart
+    val tiny = Set("c_mktsegment", "o_orderpriority", "o_orderstatus",
+      "l_returnflag", "l_linestatus", "lang", "event_type", "source",
+      "r_name")
+    // sweep everything whose lambda is construction-pure; the excluded
+    // prefixes stage files / run streams / write tables at build time
+    val sideEffecting = Seq("stream_", "sink_", "merge_", "layout_",
+      "maintenance_", "scan_", "source_")
+    val swept = SparkEntry.queries.keys
+      .filterNot(k => sideEffecting.exists(k.startsWith))
+      .toSeq.sorted
+    val bad = for {
+      name <- swept
+      w <- q(name).queryExecution.optimizedPlan.collect {
+        case w: logical.Window => w }
+      if w.partitionSpec.size == 1
+      keyCol = w.partitionSpec.head.references.map(_.name).mkString(",")
+      if tiny(keyCol)
+      if !w.child.exists(_.isInstanceOf[logical.Aggregate])
+      if !w.child.exists {
+        case w2: logical.Window => w2.partitionSpec.size >= 2
+        case _ => false
+      }
+    } yield s"$name: single-key window on tiny-domain '$keyCol' over a data-sized frame"
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("no stale §2 table rows: every §2 row-leading op id is registered") {
     // A §2 table row leads with "| `op_id`" — ids in prose are fine, but a
     // row whose op no longer exists in the registry is a stale claim.

@@ -163,6 +163,27 @@ class Round15cSpec extends GraftSuite {
     }
   }
 
+  test("docs_token_gini histogram rank-sum ≡ naive per-lang ranked window (sf0.001)") {
+    import org.apache.spark.sql.expressions.Window
+    val naive = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("lang").orderBy(col("tok"), col("doc_id")))
+        .cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"),
+        sum(col("i") * col("tok")).as("siw"))
+      .withColumn("gini_milli", call_function("div",
+        (lit(2L) * col("siw") - (col("n_docs") + 1L) * col("sum_tokens"))
+          * lit(1000L),
+        col("n_docs") * col("sum_tokens")))
+      .select("lang", "n_docs", "sum_tokens", "gini_milli")
+      .orderBy("lang")
+    assert(SparkEntry.queries("docs_token_gini")(spark, sfDir)
+      .collect().map(_.toString).toSeq === naive.collect().map(_.toString).toSeq)
+  }
+
   test("events_seasonal_decompose: planted weekly pattern recovered exactly") {
     val dir = TestSpark.tempDir("graft_r15_seas_")
     // 28 days, baseline 1 event/day, dow 0 (Mondays) get 8 events —
