@@ -114,7 +114,9 @@ object ScaleProbe {
     // round 15 batches C-E: the length-domain-bounded token profile, the
     // Carter-Wegman epoch head pick, and the CC-artifact source rollup
     "text_token_length_profile", "docs_epoch_shuffle_plan",
-    "docs_dedup_rate_by_source")
+    "docs_dedup_rate_by_source",
+    // round 15 batch F: the count-level coverage-target pick
+    "text_ngram_coverage_target")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -317,7 +319,9 @@ object ScaleProbe {
     "win_ntile_pctrank", "win_range_frame",
     // round 15 batches D-E: the dollar-histogram decile pick and the
     // distinct-collapse referential audit
-    "q_order_value_deciles", "profile_referential_integrity")
+    "q_order_value_deciles", "profile_referential_integrity",
+    // round 15 batch F: the returns cents rollup
+    "q_returns_impact")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming
@@ -423,7 +427,7 @@ object ScaleProbe {
     "demo" -> Seq("join_cross", "join_theta_band", "join_range_interval",
       "join_asof", "join_asof_forward", "sim_threshold_pairs",
       "vec_knn_graph", "vec_matryoshka_recall", "text_fuzzy_pairs",
-      "dedup_minhash_estimate_error"),
+      "dedup_minhash_estimate_error", "docs_dup_threshold_curve"),
     "sketch" -> Seq("agg_approx_distinct", "agg_approx_quantile",
       "agg_hll_custom", "dedup_simhash", "sketch_cms_topk", "vec_kmeans_iter",
       "vec_power_iter"),
@@ -431,7 +435,7 @@ object ScaleProbe {
       "scan_schema", "scan_schema_merge", "scan_describe_history",
       "scan_snapshot_changes", "scan_time_travel", "scan_zone_map_prune",
       "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc_roundtrip",
-      "sink_xml_roundtrip",
+      "sink_xml_roundtrip", "scan_ignore_corrupt_files",
       "sink_partitioned_pruned", "source_jsonlines", "source_text_raw",
       "layout_compact_small_files", "layout_zorder", "maintenance_vacuum",
       "merge_delete_cow", "merge_upsert"),

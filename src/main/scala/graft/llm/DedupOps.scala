@@ -590,6 +590,39 @@ object DedupOps extends OpRegistry {
         .orderBy("occ")
     }),
 
+    "docs_dup_threshold_curve" -> ((s, dir) => {
+      // Dup-rate threshold curve (r15): for τ ∈ {30,…,90} percent, how
+      // many pairs and how many distinct docs sit at exact shingle
+      // Jaccard ≥ τ — the curve a curator reads to PICK a dedup
+      // threshold (the integral view dedup_lsh_eval's single-τ confusion
+      // can't give). Same id-capped planted universe; the threshold
+      // compares as 100·|∩| ≥ τ·|∪| in exact integers, so no pair can
+      // flip on a float boundary; output is 7 rows.
+      val docs = plantedDocs(tWide(s, dir)("documents")
+        .select(col("doc_id"), col("text"))).filter(col("doc_id") < 200)
+      val sh = docs.select(col("doc_id"),
+        Shingling.shingleArray(col("text"), hashed = true)(s).as("shs"))
+        .filter(size(col("shs")) > 0)
+      val a = sh.select(col("doc_id").as("id1"), col("shs").as("sh1"))
+      val b = sh.select(col("doc_id").as("id2"), col("shs").as("sh2"))
+      val pairs = a.join(broadcast(b), col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+          (size(col("sh1")) + size(col("sh2"))).cast("long").as("szsum"))
+        .withColumn("uni", col("szsum") - col("inter"))
+        .filter(col("inter") > 0)
+      val byTau = pairs
+        .select(col("id1"), col("id2"), col("inter"), col("uni"),
+          explode(sequence(lit(30), lit(90), lit(10))).as("tau"))
+        .filter(col("inter") * 100 >= col("tau") * col("uni"))
+      byTau.select(col("tau"), col("id1").as("d")).unionByName(
+          byTau.select(col("tau"), col("id2").as("d")))
+        .groupBy(col("tau").cast("int").as("tau"))
+        .agg(call_function("div", count(lit(1)), lit(2L)).as("n_pairs"),
+          countDistinct(col("d")).as("n_docs"))
+        .orderBy("tau")
+    }),
+
     "dedup_span_repeats" -> ((s, dir) => {
       // Exact substring dedup at SPAN granularity (r15, VERDICT r14 #6 —
       // the Lee-et-al complement to dedup_prefix and
@@ -869,6 +902,35 @@ object DedupOps extends OpRegistry {
       WITH ${portableBandCtes("")},
       o AS (SELECT band, bh, COUNT(1) AS occ FROM piv GROUP BY 1, 2)
       SELECT occ, COUNT(1) AS n_buckets FROM o GROUP BY 1 ORDER BY occ""",
+
+    "docs_dup_threshold_curve" -> """
+      WITH d AS MATERIALIZED (
+        SELECT a.doc_id,
+               CASE WHEN a.doc_id % 50 = 7 AND b.text IS NOT NULL
+                 THEN b.text ELSE a.text END AS text
+        FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1),
+      ts0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ts
+                           FROM d WHERE doc_id < 200),
+      shs AS MATERIALIZED (
+        SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM ts0)),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM shs GROUP BY 1),
+      ix AS MATERIALIZED (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
+        FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p AS (SELECT id1, id2, inter, s1.n + s2.n - inter AS uni
+            FROM ix JOIN sz s1 ON id1 = s1.doc_id
+                    JOIN sz s2 ON id2 = s2.doc_id
+            WHERE inter > 0),
+      bt AS (SELECT t.t AS tau, id1, id2 FROM p
+             CROSS JOIN range(30, 100, 10) t(t)
+             WHERE inter * 100 >= t.t * uni),
+      u AS (SELECT tau, id1 AS dd FROM bt
+            UNION ALL SELECT tau, id2 FROM bt)
+      SELECT CAST(tau AS INT) AS tau, COUNT(1) // 2 AS n_pairs,
+             COUNT(DISTINCT dd) AS n_docs
+      FROM u GROUP BY 1 ORDER BY tau""",
 
     "dedup_span_repeats" -> """
       WITH d AS MATERIALIZED (

@@ -1030,6 +1030,45 @@ object TextOps extends OpRegistry {
         .orderBy("lang")
     }),
 
+    "text_ngram_coverage_target" -> ((s, dir) => {
+      // Vocab sizing by coverage TARGET (r15) — the inverse of
+      // text_vocab_coverage's fixed-K mass: the smallest vocabulary K
+      // covering 95% of token occurrences per language, the number that
+      // actually sizes a tokenizer budget. Same COUNT-LEVEL histogram
+      // discipline: every word at one count level carries identical
+      // mass, so the boundary level is the unique level where the
+      // descending cumulative mass crosses target = ceil(95%·total), and
+      // K95 = words above it + ceil(remaining/level) — all exact integer
+      // arithmetic, the window runs on the level histogram (bounded by
+      // distinct count VALUES, not vocab), never a vocab-wide rank.
+      val lev = tWide(s, dir)("documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .groupBy("lang", "c").agg(count(lit(1)).as("n_words"))
+      val tot = lev.groupBy("lang").agg(
+        sum(col("c") * col("n_words")).as("total_occ"),
+        sum(col("n_words")).as("vocab"))
+      val wAbove = Window.partitionBy("lang").orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      lev
+        .withColumn("mass_above",
+          coalesce(sum(col("c") * col("n_words")).over(wAbove), lit(0L)))
+        .withColumn("words_above",
+          coalesce(sum(col("n_words")).over(wAbove), lit(0L)))
+        .join(broadcast(tot), "lang")
+        .withColumn("target",
+          call_function("div", col("total_occ") * 95 + 99, lit(100L)))
+        .filter(col("mass_above") < col("target") &&
+          col("mass_above") + col("c") * col("n_words") >= col("target"))
+        .select(col("lang"), col("vocab"), col("total_occ"),
+          (col("words_above") + call_function("div",
+            col("target") - col("mass_above") + col("c") - 1, col("c")))
+            .as("k95"))
+        .withColumn("k95_ppm",
+          call_function("div", col("k95") * lit(1000000L), col("vocab")))
+        .orderBy("lang")
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       // Content-defined fingerprint: hash of the sorted distinct token bag.
       tWide(s, dir)("documents").select(
@@ -2176,6 +2215,34 @@ object TextOps extends OpRegistry {
                                      ORDER BY p6 DESC, bg) AS rk
         FROM scored)
       WHERE rk <= 5 ORDER BY lang, rk""",
+    "text_ngram_coverage_target" -> """
+      WITH cnt AS (SELECT lang, w, COUNT(1) AS c FROM (
+                     SELECT lang, unnest(string_split(text, ' ')) AS w
+                     FROM documents) GROUP BY 1, 2),
+      lev AS (SELECT lang, c, COUNT(1) AS n_words FROM cnt GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(SUM(c * n_words) AS BIGINT) AS total_occ,
+                     CAST(SUM(n_words) AS BIGINT) AS vocab
+              FROM lev GROUP BY 1),
+      cum AS (SELECT lang, c, n_words,
+                     CAST(COALESCE(SUM(c * n_words) OVER w, 0) AS BIGINT)
+                       AS mass_above,
+                     CAST(COALESCE(SUM(n_words) OVER w, 0) AS BIGINT)
+                       AS words_above
+              FROM lev
+              WINDOW w AS (PARTITION BY lang ORDER BY c DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      b AS (SELECT cum.lang, vocab, total_occ,
+                   (total_occ * 95 + 99) // 100 AS target,
+                   mass_above, words_above, c
+            FROM cum JOIN tot ON cum.lang = tot.lang
+            WHERE mass_above < (total_occ * 95 + 99) // 100
+              AND mass_above + c * n_words >= (total_occ * 95 + 99) // 100)
+      SELECT lang, vocab, total_occ,
+             words_above + (target - mass_above + c - 1) // c AS k95,
+             (words_above + (target - mass_above + c - 1) // c) * 1000000
+               // vocab AS k95_ppm
+      FROM b ORDER BY lang""",
+
     "text_token_length_profile" -> """
       WITH tok AS (SELECT lang, CAST(length(w) AS BIGINT) AS len
                    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w

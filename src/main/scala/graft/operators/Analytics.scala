@@ -148,6 +148,41 @@ object Analytics extends OpRegistry {
         .orderBy("decile")
     }),
 
+    "q_returns_impact" -> ((s, dir) => {
+      // Returned-revenue impact per customer nation (r15): share of
+      // gross discounted revenue lost to returns (l_returnflag = 'R'),
+      // corpus-wide — the merchandising-risk view next to
+      // q_returned_by_customer's one-quarter per-customer Q10 shape.
+      // Exact per-line cents (floor of the IEEE product — identical
+      // formula both engines, the q_top_growth_parts discipline); the
+      // lineitem→orders join rides the co-bucketed orderkey pair, the
+      // customer join collapses AFTER the per-customer cents rollup
+      // (customers-sized, AQE-decided), nation broadcast; share in
+      // exact integer ppm over non-negative operands.
+      val tt = t(s, dir) _
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100 + lit(0.5)).cast("long")
+      val byCust = tt("lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), cents.as("rc"))
+        .join(tt("orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("rc")).as("gross_c"),
+          sum(when(col("l_returnflag") === "R", col("rc")).otherwise(0L))
+            .as("ret_c"))
+      byCust
+        .join(tt("customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tt("nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("gross_c")).as("gross_cents"),
+          sum(col("ret_c")).as("returned_cents"))
+        .withColumn("ret_ppm", call_function("div",
+          col("returned_cents") * lit(1000000L), col("gross_cents")))
+        .orderBy("n_name")
+    }),
+
     "q_customer_churn" -> ((s, dir) => {
       // Year-over-year customer churn (round 13): for each consecutive
       // year pair, how many active customers were retained, churned, or
@@ -1315,6 +1350,26 @@ object Analytics extends OpRegistry {
       FROM cum CROSS JOIN tot CROSS JOIN range(1, 10) d(d)
       WHERE cum * 10 >= n * d.d
       GROUP BY 1 ORDER BY decile""",
+
+    "q_returns_impact" -> """
+      WITH lc AS (SELECT l_orderkey, l_returnflag,
+                         CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                           + 0.5) AS BIGINT) AS rc
+                  FROM lineitem),
+      bc AS (SELECT o.o_custkey,
+                    CAST(SUM(rc) AS BIGINT) AS gross_c,
+                    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN rc ELSE 0 END)
+                      AS BIGINT) AS ret_c
+             FROM lc JOIN orders o ON lc.l_orderkey = o.o_orderkey
+             GROUP BY 1)
+      SELECT n.n_name,
+             CAST(SUM(gross_c) AS BIGINT) AS gross_cents,
+             CAST(SUM(ret_c) AS BIGINT) AS returned_cents,
+             CAST(SUM(ret_c) AS BIGINT) * 1000000
+               // CAST(SUM(gross_c) AS BIGINT) AS ret_ppm
+      FROM bc JOIN customer c ON bc.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name ORDER BY n.n_name""",
 
     "q_customer_churn" -> """
       WITH d AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr,

@@ -184,6 +184,69 @@ class Round15cSpec extends GraftSuite {
       .collect().map(_.toString).toSeq === naive.collect().map(_.toString).toSeq)
   }
 
+  test("q_returns_impact: planted returns yield exact cents and ppm") {
+    val dir = TestSpark.tempDir("graft_r15_ret_")
+    Seq((1L, 100L), (2L, 200L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // cust 100 (nation 1): 100.00 gross of which 25.00 returned;
+    // cust 200 (nation 2): 50.00 gross, nothing returned
+    Seq((1L, "R", 25.0, 0.0), (1L, "N", 75.0, 0.0), (2L, "N", 50.0, 0.0))
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((100L, 1), (200L, 2)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1, "ALPHA"), (2, "BETA")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val out = SparkEntry.queries("q_returns_impact")(spark, dir)
+      .collect().map(r => (r.getAs[String]("n_name"),
+        r.getAs[Long]("gross_cents"), r.getAs[Long]("returned_cents"),
+        r.getAs[Long]("ret_ppm")))
+    assert(out === Seq(("ALPHA", 10000L, 2500L, 250000L),
+      ("BETA", 5000L, 0L, 0L)))
+  }
+
+  test("docs_dup_threshold_curve: planted replica pair survives every tau") {
+    // bandDir from Round15bSpec's shape: rebuild locally — 20 distinct
+    // texts, doc 7 planted as doc 6's replica → the (6,7) pair has J=1
+    // and is the ONLY pair at every threshold
+    val dir = TestSpark.tempDir("graft_r15_tc_")
+    (0L until 20L).map(i =>
+        (i, s"p$i q$i r$i s$i t$i u$i v$i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("docs_dup_threshold_curve")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("tau"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs")))
+    assert(out === (30 to 90 by 10).map(t => (t, 1L, 2L)))
+  }
+
+  test("scan_ignore_corrupt_files: resilient read equals the direct source aggregate") {
+    val resilient = SparkEntry.queries("scan_ignore_corrupt_files")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val direct = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("cnt"), Helpers.decSumOut(col("s_acctbal")).as("sum_bal"))
+      .orderBy("s_nationkey")
+      .collect().map(_.toString).toSeq
+    assert(resilient === direct)
+  }
+
+  test("text_ngram_coverage_target: boundary-level arithmetic exact on a planted histogram") {
+    val dir = TestSpark.tempDir("graft_r15_cov_")
+    // lang z: 'a'×19 + 'b'×1 → total 20, target ceil(19) = 19 →
+    // k95 = 1 of vocab 2 (ppm 500000); lang y: 4 words ×1 → target 4,
+    // boundary level c=1 covers all → k95 = 4 of 4
+    Seq(("z", ("a " * 19) + "b"), ("y", "w x y z"))
+      .toDF("lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_ngram_coverage_target")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("vocab"), r.getAs[Long]("total_occ"),
+          r.getAs[Long]("k95"), r.getAs[Long]("k95_ppm"))).toMap
+    assert(out("z") === ((2L, 20L, 1L, 500000L)))
+    assert(out("y") === ((4L, 4L, 4L, 1000000L)))
+  }
+
   test("events_seasonal_decompose: planted weekly pattern recovered exactly") {
     val dir = TestSpark.tempDir("graft_r15_seas_")
     // 28 days, baseline 1 event/day, dow 0 (Mondays) get 8 events —
