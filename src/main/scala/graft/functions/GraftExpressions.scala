@@ -682,6 +682,17 @@ object GraftExpressions {
     ColumnBridge.column(RollingHash31(ColumnBridge.expression(c)))
   }
 
+  /** Column form of the fused portable shingle-hash kernel (r16):
+    * rollingHash31 of every 3-token shingle in ONE eval — no shingle
+    * strings materialize. `distinct=true` = the minhash path's
+    * array_distinct semantics; `distinct=false` = positional (winnowing).
+    * Built via ColumnBridge: the boolean flag has no SQL-literal-free
+    * registry form worth keeping registry state for. */
+  def shingleRolling31(c: Column, distinct: Boolean): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ShingleRolling31(ColumnBridge.expression(c), distinct))
+  }
+
   /** Column form of the native per-query ADC lookup-table builder. */
   def pqAdcLut(qv: Column, codebook: Array[Array[Array[Long]]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge

@@ -79,10 +79,15 @@ object DedupOps extends OpRegistry {
     * and a unigram signature calls everything a near-dup (measured — 49/50
     * batch docs rejected); trigram identity is what separates documents. */
   private[graft] def portableSignature(docs: DataFrame): DataFrame = {
+    // r16 (VERDICT r15 #1): the shingle hash rides the FUSED native kernel
+    // ([[graft.functions.ShingleRolling31]]) — bit-identical to the r15
+    // declarative explode(shingleArray(hashed=false)) → rollingHash31 chain
+    // (Round16Spec differential), but no shingle strings materialize and
+    // each token's chars fold once instead of three times. This was the
+    // measured cost center of the portable family's 100× probes.
     val sh = docs.select(col("doc_id"),
-      explode(Shingling.shingleArray(col("text"), hashed = false)(
-        docs.sparkSession)).as("sh"))
-      .select(col("doc_id"), PipelineOps.rollingHash31(col("sh")).as("h"))
+      explode(graft.functions.GraftExpressions.shingleRolling31(
+        col("text"), distinct = true)).as("h"))
     val aggs = (0 until PortableRows).map(j =>
       min((col("h") * lit(PortA(j)) + lit(PortB(j))) % lit(PortP)).as(s"pm$j"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)

@@ -384,14 +384,14 @@ object TextOps extends OpRegistry {
       // identical fold + frame in SQL.
       val w = 4
       val docs = tWide(s, dir)("documents")
-      val toks = split(col("text"), " ")
-      val sh = docs.select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), explode(when(size(col("toks")) >= 3,
-            sequence(lit(0), size(col("toks")) - 3))
-          .otherwise(array().cast("array<int>"))).as("i"), col("toks"))
-        .select(col("doc_id"), col("i"),
-          graft.llm.PipelineOps.rollingHash31(
-            array_join(slice(col("toks"), col("i") + 1, lit(3)), " ")).as("h"))
+      // r16: positional k-gram hashes via the fused native kernel
+      // (distinct=false keeps order + duplicates — winnowing needs the
+      // positional stream); bit-identical to the r15 per-shingle
+      // slice/array_join/rollingHash31 chain (Round16Spec differential),
+      // posexplode's pos = the old sequence(0, n-3) index.
+      val sh = docs.select(col("doc_id"),
+          posexplode(graft.functions.GraftExpressions.shingleRolling31(
+            col("text"), distinct = false)).as(Seq("i", "h")))
       val wspec = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
       val fps = sh.withColumn("fp", min("h").over(wspec))
         .withColumn("nf", count(lit(1)).over(wspec))
@@ -402,7 +402,8 @@ object TextOps extends OpRegistry {
         .agg(count(lit(1)).as("n_fps"),
           sum(when(col("n_docs_fp") >= 2, 1L).otherwise(0L)).as("n_shared"))
       docs.select(col("doc_id"),
-          greatest(size(toks) - 2, lit(0)).cast("long").as("n_shingles"))
+          greatest(size(split(col("text"), " ")) - 2, lit(0))
+            .cast("long").as("n_shingles"))
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_shingles"),
           coalesce(col("n_fps"), lit(0L)).as("n_fps"),
