@@ -116,7 +116,11 @@ object ScaleProbe {
     "text_token_length_profile", "docs_epoch_shuffle_plan",
     "docs_dedup_rate_by_source",
     // round 15 batch F: the count-level coverage-target pick
-    "text_ngram_coverage_target")
+    "text_ngram_coverage_target",
+    // round 16: the iterative BPE merge loop (word-dict collapse + 6
+    // vocab-sized rounds) and the incremental CC-label merge (landed base
+    // labels + batch-scaled sub-CC)
+    "text_bpe_merge_train", "dedup_components_incremental")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -321,7 +325,9 @@ object ScaleProbe {
     // distinct-collapse referential audit
     "q_order_value_deciles", "profile_referential_integrity",
     // round 15 batch F: the returns cents rollup
-    "q_returns_impact")
+    "q_returns_impact",
+    // round 16: the NFD bin-pack over the deterministic file ledger
+    "maintenance_compaction_plan")
 
   /** Streaming stateful shapes (VERDICT r11 #3): none of the stream_* ops
     * had a measured growth ratio. These run REAL Structured Streaming

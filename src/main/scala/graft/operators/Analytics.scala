@@ -127,7 +127,7 @@ object Analytics extends OpRegistry {
       // (nearest-rank, the repo convention) — the revenue-concentration
       // curve finance reads next to events_pareto_share's user version.
       // Boundaries at declared DOLLAR granularity, so the value histogram
-      // is value-DOMAIN-bounded (≤ ~450k cells at ANY SF — SF-invariant,
+      // is value-DOMAIN-bounded (≤ ~550k cells at ANY SF — SF-invariant; 499k measured,
       // the q_ship_lag_percentiles discipline scaled up): one fact agg
       // collapses to the histogram, the cumulative window runs on that
       // bounded frame only (globalByDesign), and the 9-row boundary pick

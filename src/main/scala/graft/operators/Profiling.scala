@@ -140,6 +140,49 @@ object Profiling extends OpRegistry {
         .orderBy("o_orderstatus")
     }),
 
+    "maintenance_compaction_plan" -> ((s, dir) => {
+      // Small-file compaction PLANNER (r16, VERDICT r15 #4) — the weekly
+      // lakehouse maintenance primitive layout_compact_small_files
+      // executes blindly: given a per-file stats ledger, which small
+      // files merge into which target-size output groups. Packing is the
+      // deterministic greedy the repo already distributes for token
+      // batches (docs_pack_greedy): within each partition, files below
+      // the small-file threshold order by (bytes DESC, file_id) —
+      // next-fit-DECREASING — and bin_id = exclusive-prefix-sum div
+      // target, so a bin overflows by at most one file and the whole
+      // plan is closed-form window math (classic first-fit keeps
+      // per-bin driver state and serializes; NFD's ≤2× bin bound is the
+      // price of a plan that computes in one window over the ledger).
+      // The ledger here derives deterministically from the fixture (one
+      // "file" per (status, order-week) granule, bytes = rows × 64) so
+      // the DuckDB oracle replays the plan bit-for-bit; production
+      // feeds the same planner from _metadata.file_size (the
+      // scan_zone_map_prune stats idiom) — the packing math is the op.
+      // Scale: ledger is file-count-sized; the window partitions by the
+      // table's partition key over the already-collapsed ledger frame.
+      val target = 65536L
+      val smallThresh = 16384L
+      val files = t(s, dir)("orders")
+        .groupBy(col("o_orderstatus").as("part"),
+          call_function("div",
+            datediff(col("o_orderdate").cast("date"),
+              lit("1995-01-01").cast("date")).cast("long"), lit(7L))
+            .as("file_id"))
+        .agg((count(lit(1)) * lit(64L)).as("bytes"))
+      val w = Window.partitionBy("part")
+        .orderBy(col("bytes").desc, col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      files.filter(col("bytes") < smallThresh)
+        .withColumn("c", sum(col("bytes")).over(w))
+        .withColumn("bin_id",
+          call_function("div", col("c") - col("bytes"), lit(target)))
+        .groupBy("part", "bin_id")
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+          min(col("file_id")).as("first_file"),
+          max(col("file_id")).as("last_file"))
+        .orderBy("part", "bin_id")
+    }),
+
     "layout_zorder" -> ((s, dir) => {
       // Z-order (Morton) clustering key over (customer, order-day):
       // equi-width 8-bit binning from table stats — NOT a global ntile
@@ -925,6 +968,23 @@ object Profiling extends OpRegistry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "maintenance_compaction_plan" -> """
+      WITH files AS (
+        SELECT o_orderstatus AS part,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                 // 7 AS file_id,
+               CAST(COUNT(1) * 64 AS BIGINT) AS bytes
+        FROM orders GROUP BY 1, 2),
+      cum AS (SELECT part, file_id, bytes,
+                CAST(SUM(bytes) OVER (PARTITION BY part
+                  ORDER BY bytes DESC, file_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+              FROM files WHERE bytes < 16384)
+      SELECT part, (c - bytes) // 65536 AS bin_id,
+             COUNT(1) AS n_files, CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+             MIN(file_id) AS first_file, MAX(file_id) AS last_file
+      FROM cum GROUP BY 1, 2 ORDER BY part, bin_id""",
+
     // post-vacuum, the directory read = manifest read = v0 + the shifted
     // v1 append (the c_failed orphans at region >= 200 must be gone)
     "merge_insert_overwrite_dynamic" -> """

@@ -296,7 +296,7 @@ class PlanSpec extends GraftSuite {
       // window; the q_order_backlog_daily discipline)
       "events_seasonal_decompose",
       // r15: the cumulative window runs on the dollar-value-domain-
-      // bounded histogram (≤ ~450k SF-invariant cells — the fact agg
+      // bounded histogram (≤ ~550k SF-invariant cells — the fact agg
       // collapses BEFORE the window)
       "q_order_value_deciles")
     val swept = SparkEntry.queries.keys

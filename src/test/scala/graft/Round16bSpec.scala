@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 batch B: the three VERDICT-r15 pipeline ops — iterative BPE
+  * merge training, incremental CC-label maintenance, and the compaction
+  * planner — each on a planted corpus small enough to verify by hand.
+  */
+class Round16bSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** "banana banana bandana": the classic BPE walkthrough — every merge
+    * round (and both tiebreak and count paths) is hand-computable.
+    * r1: (a,n) x6; r2: tie at 3 between (an,a) and (b,an) -> lexicographic
+    * lhs "an" < "b" picks (an,a); r3: (b,an) x3; r4: (ban,ana) x2 fuses
+    * the full word; r5: tie at 1 -> (ban,d); r6: (band,ana). */
+  private lazy val bpeDir: String = {
+    val dir = TestSpark.tempDir("graft_r16_bpe_")
+    Seq((0L, "banana banana bandana"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("text_bpe_merge_train replays the hand-computed banana merge sequence") {
+    val rows = SparkEntry.queries("text_bpe_merge_train")(spark, bpeDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (1, "a", "n", "an", 6L),
+      (2, "an", "a", "ana", 3L),   // tie with (b,an): "an" < "b"
+      (3, "b", "an", "ban", 3L),
+      (4, "ban", "ana", "banana", 2L),
+      (5, "ban", "d", "band", 1L), // tie with (d,ana): "ban" < "d"
+      (6, "band", "ana", "bandana", 1L)))
+  }
+
+  /** 20 docs, all ≥5 tokens pairwise distinct, except: docs 4 and 5 share
+    * their full text (a natural BASE-BASE pair → base component {4,5});
+    * doc 17 (batch, unplanted) carries doc 6's text too, and doc 7 (batch,
+    * planted — % 50 = 7) picks up doc 6's text via plantedDocs → the
+    * merged component {6, 7, 17} exercises base-batch AND batch-batch
+    * merging THROUGH the contracted label. */
+  private lazy val ccDir: String = {
+    val dir = TestSpark.tempDir("graft_r16_cc_")
+    (0L until 20L).map { i =>
+      val t =
+        if (i == 5) "alpha4 beta4 gamma4 delta4 epsilon4 zeta4 eta4"
+        else if (i == 17) "alpha6 beta6 gamma6 delta6 epsilon6 zeta6 eta6"
+        else s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"
+      (i, t)
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_components_incremental merges batch docs into landed base labels") {
+    val out = SparkEntry.queries("dedup_components_incremental")(spark, ccDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size === 20)
+    assert(out(4) === ((4L, false)) && out(5) === ((4L, false)),
+      "natural base-base pair must keep its base label")
+    assert(out(6) === ((6L, false)), "base anchor of the merged component")
+    assert(out(7) === ((6L, true)), "planted batch doc joins doc 6's component")
+    assert(out(17) === ((6L, true)),
+      "batch-batch merge must route through the contracted base label")
+    // everything else is a singleton labeled by itself
+    (0L until 20L).filterNot(Set(4L, 5L, 6L, 7L, 17L)).foreach(i =>
+      assert(out(i)._1 === i, s"doc $i must stay a singleton"))
+  }
+
+  test("dedup_components_incremental equals a full CC rebuild over the planted union") {
+    val docs = llm.DedupOps.plantedDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"))
+    val edges = llm.DedupOps.plantedJaccardEdges(spark, docs)
+    val nodes = docs.select(col("doc_id").as("node"))
+    val (full, _) = llm.DedupOps.connectedComponents(nodes, edges)
+    val expected = full.select(col("node").as("doc_id"),
+      col("label").as("component_id"))
+    val got = SparkEntry.queries("dedup_components_incremental")(spark, sfDir)
+      .select("doc_id", "component_id")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "incremental labels diverged from the full rebuild")
+  }
+
+  test("maintenance_compaction_plan bins are contiguous, complete and bounded") {
+    val target = 65536L; val smallThresh = 16384L
+    val plan = SparkEntry.queries("maintenance_compaction_plan")(spark, sfDir)
+      .collect()
+    assert(plan.nonEmpty)
+    // bins partition exactly the small files of the deterministic ledger
+    val nSmall = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_orderstatus"),
+        call_function("div",
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long"), lit(7L)))
+      .agg((count(lit(1)) * lit(64L)).as("bytes"))
+      .filter(col("bytes") < smallThresh).count()
+    assert(plan.map(_.getAs[Long]("n_files")).sum === nSmall)
+    // a bin overflows by at most one (small) file
+    plan.foreach { r =>
+      assert(r.getAs[Long]("bin_bytes") < target + smallThresh,
+        s"bin over budget: $r")
+      assert(r.getAs[Long]("n_files") >= 1)
+    }
+    // bin ids dense from 0 within each part
+    plan.groupBy(_.getAs[String]("part")).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("bin_id")).sorted.toSeq
+      assert(ids === (0L until ids.length.toLong),
+        s"bin ids not dense: ${ids.mkString(",")}")
+    }
+  }
+}
