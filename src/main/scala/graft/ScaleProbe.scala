@@ -120,7 +120,9 @@ object ScaleProbe {
     // round 16: the iterative BPE merge loop (word-dict collapse + 6
     // vocab-sized rounds) and the incremental CC-label merge (landed base
     // labels + batch-scaled sub-CC)
-    "text_bpe_merge_train", "dedup_components_incremental")
+    "text_bpe_merge_train", "dedup_components_incremental",
+    // and the dict-join apply pass it feeds
+    "text_bpe_apply")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,

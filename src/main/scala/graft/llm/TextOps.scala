@@ -148,6 +148,54 @@ object TextOps extends OpRegistry {
       .filter(col("inter") * 2 > least(col("n1"), col("n2")))
   }
 
+  /** Shared BPE trainer (r16): 6 merge rounds over the word-frequency
+    * dict. Returns (merge table rows, final vocab (w, s, n) with s the
+    * guard-delimited symbol string after all merges) — text_bpe_merge_train
+    * ships the former, text_bpe_apply consumes the latter. Loop
+    * discipline = vec_kmeans_iter: the only corpus-sized pass is the word
+    * collapse; rounds run on the vocab-sized checkpointed frame with ONE
+    * argmax row collected per round. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val Rounds = 6
+    val words = tWide(s, dir)("documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var vocab = words.select(col("w"),
+      regexp_replace(col("w"), "(.)", "($1)").as("s"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= Rounds && !exhausted) {
+      val ls = split(regexp_replace(col("s"), "^\\(|\\)$", ""), "\\)\\(")
+      val top = vocab.select(ls.as("ls"), col("n"))
+        .select(explode(when(size(col("ls")) >= 2,
+            zip_with(slice(col("ls"), lit(1), size(col("ls")) - 1),
+              slice(col("ls"), lit(2), size(col("ls")) - 1),
+              (a, b) => struct(a.as("lhs"), b.as("rhs"))))
+          .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
+          .as("p"), col("n"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a: String = top.head.getString(0)
+        val b: String = top.head.getString(1)
+        val pn: Long = top.head.getLong(2)
+        merges += ((r, a, b, pn))
+        vocab = vocab.select(col("w"),
+          call_function("replace", col("s"), lit(s"($a)($b)"),
+            lit(s"($a$b)")).as("s"), col("n"))
+        r += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_containment" -> ((s, dir) =>
       // Sub-document duplication screen (round 12): shingle-set
@@ -1021,47 +1069,45 @@ object TextOps extends OpRegistry {
       // change). Determinism: exact integer pair counts; ties break
       // lexicographically on (lhs, rhs) — same ASCII order both engines.
       import s.implicits._
-      val Rounds = 6
-      val words = tWide(s, dir)("documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("w").agg(count(lit(1)).as("n"))
-      var vocab = words.select(
-        regexp_replace(col("w"), "(.)", "($1)").as("s"), col("n"))
-        .localCheckpoint()
-      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-      var r = 1
-      var exhausted = false
-      while (r <= Rounds && !exhausted) {
-        val ls = split(regexp_replace(col("s"), "^\\(|\\)$", ""), "\\)\\(")
-        val top = vocab.select(ls.as("ls"), col("n"))
-          .select(explode(when(size(col("ls")) >= 2,
-              zip_with(slice(col("ls"), lit(1), size(col("ls")) - 1),
-                slice(col("ls"), lit(2), size(col("ls")) - 1),
-                (a, b) => struct(a.as("lhs"), b.as("rhs"))))
-            .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
-            .as("p"), col("n"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum(col("n")).as("pair_count"))
-          .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val a: String = top.head.getString(0)
-          val b: String = top.head.getString(1)
-          val pn: Long = top.head.getLong(2)
-          merges += ((r, a, b, pn))
-          vocab = vocab.select(
-            call_function("replace", col("s"), lit(s"($a)($b)"),
-              lit(s"($a$b)")).as("s"), col("n"))
-          r += 1
-        }
-      }
-      merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+      val (merges, _) = bpeTrain(s, dir)
+      merges.toDF("merge_round", "lhs", "rhs", "pair_count")
         .select(col("merge_round").cast("int").as("merge_round"),
           col("lhs"), col("rhs"),
           concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
         .orderBy("merge_round")
+    }),
+
+    "text_bpe_apply" -> ((s, dir) => {
+      // Tokenizer APPLY (r16) — the other half of the train→apply story:
+      // encode the corpus with the merge table text_bpe_merge_train just
+      // learned and report per-lang compression (tokens per 1000 words,
+      // chars per token in ppm) — the fertility sheet that decides if a
+      // tokenizer ships, the BPE analog of docs_token_fertility. Scale
+      // shape: the trained dict already carries each word's post-merge
+      // symbol count, so applying is ONE (lang, word) collapse over the
+      // corpus joined to the dict — word-dict-sized build side (AQE
+      // decides broadcast), no per-occurrence re-tokenization ever runs.
+      // Same [a-z0-9]+/len≥2 word universe as training (documented: the
+      // tokenizer only covers what it trained on).
+      val (_, finalVocab) = bpeTrain(s, dir)
+      val nSym = finalVocab.select(col("w"),
+        size(split(regexp_replace(col("s"), "^\\(|\\)$", ""), "\\)\\("))
+          .cast("long").as("n_sym"),
+        length(col("w")).cast("long").as("n_char"))
+      val lw = tWide(s, dir)("documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      lw.join(nSym, "w")
+        .groupBy("lang")
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_char")).as("n_chars"),
+          sum(col("cnt") * col("n_sym")).as("n_tokens"))
+        .withColumn("tokens_per_kword",
+          call_function("div", col("n_tokens") * lit(1000L), col("n_words")))
+        .withColumn("chars_per_token_ppm",
+          call_function("div", col("n_chars") * lit(1000000L), col("n_tokens")))
+        .orderBy("lang")
     }),
 
     "text_token_length_profile" -> ((s, dir) => {
@@ -1587,6 +1633,30 @@ object TextOps extends OpRegistry {
         .orderBy("lang")
     }),
   )
+
+  /** The shared BPE CTE chain (word dict → v0 → 6×(pair census p_r,
+    * argmax m_r, rewrite v_r)), mirrored from [[bpeTrain]] — the train
+    * oracle reads the m_r rows, the apply oracle reads v6, and sharing the
+    * chain means the two can never drift. */
+  private val BpeCtes: String =
+    """wrd AS (
+        SELECT w, CAST(COUNT(1) AS BIGINT) AS n FROM (
+          SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$')
+        GROUP BY 1),
+      v0 AS (SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS s, n FROM wrd),
+      """ +
+    (1 to 6).map(r =>
+      s"""p$r AS (SELECT ls[i] AS lhs, ls[i+1] AS rhs,
+             CAST(SUM(n) AS BIGINT) AS pair_count
+           FROM (SELECT string_split(trim(s, '()'), ')(') AS ls, n
+                 FROM v${r - 1}) t,
+                unnest(range(1, len(ls))) AS u(i)
+           GROUP BY 1, 2),
+      m$r AS (SELECT lhs, rhs, pair_count FROM p$r
+              ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+      v$r AS (SELECT w, replace(s, '('||lhs||')('||rhs||')', '('||lhs||rhs||')')
+                AS s, n FROM v${r - 1}, m$r)""").mkString(",\n      ")
 
   def oracleSql: Map[String, String] = Map(
     "docs_length_outliers" -> """
@@ -2358,30 +2428,33 @@ object TextOps extends OpRegistry {
     // rewrite alternation); each round = pair census over the current
     // symbol strings -> deterministic argmax -> guarded string replace.
     "text_bpe_merge_train" -> (
-      """WITH wrd AS (
-        SELECT w, CAST(COUNT(1) AS BIGINT) AS n FROM (
-          SELECT unnest(string_split(text,' ')) AS w FROM documents)
-        WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$')
-        GROUP BY 1),
-      v0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s, n FROM wrd),
-      """ +
-      (1 to 6).map(r =>
-        s"""p$r AS (SELECT ls[i] AS lhs, ls[i+1] AS rhs,
-               CAST(SUM(n) AS BIGINT) AS pair_count
-             FROM (SELECT string_split(trim(s, '()'), ')(') AS ls, n
-                   FROM v${r - 1}) t,
-                  unnest(range(1, len(ls))) AS u(i)
-             GROUP BY 1, 2),
-      m$r AS (SELECT lhs, rhs, pair_count FROM p$r
-              ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
-      v$r AS (SELECT replace(s, '('||lhs||')('||rhs||')', '('||lhs||rhs||')')
-                AS s, n FROM v${r - 1}, m$r)""").mkString(",\n      ") +
-      "\n      " +
+      "WITH " + BpeCtes + "\n      " +
       (1 to 6).map(r =>
         s"""SELECT CAST($r AS INT) AS merge_round, lhs, rhs,
               lhs||rhs AS merged, pair_count FROM m$r""")
         .mkString(" UNION ALL ") +
       " ORDER BY merge_round"),
+
+    "text_bpe_apply" -> (
+      "WITH " + BpeCtes + """,
+      ns AS (SELECT w,
+               CAST(len(string_split(trim(s, '()'), ')(')) AS BIGINT)
+                 AS n_sym,
+               CAST(length(w) AS BIGINT) AS n_char FROM v6),
+      lw AS (SELECT lang, w, CAST(COUNT(1) AS BIGINT) AS cnt FROM (
+               SELECT lang, unnest(string_split(text,' ')) AS w
+               FROM documents)
+             WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$')
+             GROUP BY 1, 2)
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(SUM(cnt * n_char) AS BIGINT) AS n_chars,
+             CAST(SUM(cnt * n_sym) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * n_sym) * 1000 // SUM(cnt) AS BIGINT)
+               AS tokens_per_kword,
+             CAST(SUM(cnt * n_char) * 1000000 // SUM(cnt * n_sym) AS BIGINT)
+               AS chars_per_token_ppm
+      FROM lw JOIN ns USING (w)
+      GROUP BY lang ORDER BY lang"""),
 
     "docs_boilerplate_spans" -> """
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t

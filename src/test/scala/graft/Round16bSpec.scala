@@ -16,8 +16,8 @@ class Round16bSpec extends GraftSuite {
     * the full word; r5: tie at 1 -> (ban,d); r6: (band,ana). */
   private lazy val bpeDir: String = {
     val dir = TestSpark.tempDir("graft_r16_bpe_")
-    Seq((0L, "banana banana bandana"))
-      .toDF("doc_id", "text")
+    Seq((0L, "banana banana bandana", "xx"))
+      .toDF("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
@@ -33,6 +33,20 @@ class Round16bSpec extends GraftSuite {
       (4, "ban", "ana", "banana", 2L),
       (5, "ban", "d", "band", 1L), // tie with (d,ana): "ban" < "d"
       (6, "band", "ana", "bandana", 1L)))
+  }
+
+  test("text_bpe_apply encodes with the trained merges: both words fully fuse") {
+    // after all 6 merges (round 5 (ban,d), round 6 (band,ana)) BOTH words
+    // are single symbols — 3 occurrences → 3 tokens
+    val r = SparkEntry.queries("text_bpe_apply")(spark, bpeDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "xx")
+    assert(row.getAs[Long]("n_words") === 3L)       // banana x2 + bandana
+    assert(row.getAs[Long]("n_chars") === 19L)      // 2*6 + 7
+    assert(row.getAs[Long]("n_tokens") === 3L)      // all single symbols
+    assert(row.getAs[Long]("tokens_per_kword") === 1000L)   // 3000 div 3
+    assert(row.getAs[Long]("chars_per_token_ppm") === 6333333L) // 19e6 div 3
   }
 
   /** 20 docs, all ≥5 tokens pairwise distinct, except: docs 4 and 5 share
