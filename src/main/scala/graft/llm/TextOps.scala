@@ -1655,8 +1655,17 @@ object TextOps extends OpRegistry {
            GROUP BY 1, 2),
       m$r AS (SELECT lhs, rhs, pair_count FROM p$r
               ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
-      v$r AS (SELECT w, replace(s, '('||lhs||')('||rhs||')', '('||lhs||rhs||')')
-                AS s, n FROM v${r - 1}, m$r)""").mkString(",\n      ")
+      v$r AS (SELECT w,
+                CASE WHEN m.lhs IS NOT NULL
+                  THEN replace(s, '('||m.lhs||')('||m.rhs||')',
+                               '('||m.lhs||m.rhs||')')
+                  ELSE s END AS s, n
+              FROM v${r - 1} LEFT JOIN m$r m ON TRUE)""").mkString(",\n      ")
+    // ^ LEFT JOIN ON TRUE, not a cross join: when a round's pair census is
+    // EMPTY (merges exhausted before round 6 — every word a single symbol)
+    // the engine freezes the vocab and stops; a cross join with the empty
+    // m_r would DELETE the oracle's vocab instead. Round16Spec pins the
+    // degenerate corpus.
 
   def oracleSql: Map[String, String] = Map(
     "docs_length_outliers" -> """

@@ -92,6 +92,27 @@ class Round16Spec extends GraftSuite {
       "fused portableSignature diverged from the r15 declarative signature")
   }
 
+  test("fused kernels == declarative chains on generator-random token soup") {
+    // scalacheck-generated corpora (fixed seeds — the PropertySpec
+    // discipline): mixed ASCII/multibyte tokens, random lengths 0..12
+    // tokens, repeated runs, empty tokens via doubled separators
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokGen = Gen.oneOf(Gen.alphaLowerStr.map(_.take(4)),
+      Gen.oneOf("é", "中", "😀", "", "aa", "naïve"))
+    val docGen = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val corpus = Seq(7L, 99L, 2024L).flatMap { seed =>
+      Gen.listOfN(40, docGen)
+        .apply(Gen.Parameters.default, Seed(seed)).get
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = corpus.toDF("doc_id", "text")
+    assertArraysEqual(df, fused(col("text"), distinct = true),
+      declarativeDistinct(col("text")), "distinct random")
+    assertArraysEqual(df, fused(col("text"), distinct = false),
+      declarativePositional(col("text")), "positional random")
+  }
+
   test("fused kernel null/empty semantics match the declarative chain") {
     val df = Seq((0L, Option("a b c d")), (1L, None), (2L, Option("")))
       .toDF("doc_id", "text")

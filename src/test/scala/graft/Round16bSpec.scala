@@ -49,6 +49,43 @@ class Round16bSpec extends GraftSuite {
     assert(row.getAs[Long]("chars_per_token_ppm") === 6333333L) // 19e6 div 3
   }
 
+  /** Merges exhaust after round 2 ("ab ab cd": round 1 (a,b)x2, round 2
+    * (c,d)x1, round 3 has no pairs) — the engine freezes the vocab and
+    * stops; train emits 2 rows, apply still sees the full vocab (the
+    * oracle's LEFT JOIN ON TRUE twin is validated against DuckDB on this
+    * exact corpus in the round notes). */
+  private lazy val bpeExhaustDir: String = {
+    val dir = TestSpark.tempDir("graft_r16_bpex_")
+    Seq((0L, "ab ab cd", "xx")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("text_bpe_merge_train stops cleanly when merges exhaust before round 6") {
+    val rows = SparkEntry.queries("text_bpe_merge_train")(spark, bpeExhaustDir)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(rows.toSeq === Seq((1, "ab", 2L), (2, "cd", 1L)))
+  }
+
+  test("text_bpe_apply keeps the frozen vocab after exhaustion") {
+    val row = SparkEntry.queries("text_bpe_apply")(spark, bpeExhaustDir)
+      .collect().head
+    assert(row.getAs[Long]("n_words") === 3L)
+    assert(row.getAs[Long]("n_tokens") === 3L) // both words fully fused
+    assert(row.getAs[Long]("tokens_per_kword") === 1000L)
+  }
+
+  test("portableSignature plans through the fused kernel, not the HOF chain") {
+    val docs = llm.DedupOps.plantedDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"))
+    val plan = llm.DedupOps.portableSignature(docs)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("graft_shingle_rolling31"),
+      "fused kernel missing from the portableSignature plan")
+    assert(!plan.contains("array_join"),
+      "declarative shingle chain leaked back into the portable path")
+  }
+
   /** 20 docs, all ≥5 tokens pairwise distinct, except: docs 4 and 5 share
     * their full text (a natural BASE-BASE pair → base component {4,5});
     * doc 17 (batch, unplanted) carries doc 6's text too, and doc 7 (batch,
