@@ -353,7 +353,10 @@ object ScaleProbe {
     // the shared-checkpoint incremental restart (two runs, state resumed)
     "stream_restart_checkpoint",
     // round 14 batch J: the 4-file maxFilesPerTrigger backfill replay
-    "stream_backfill_batches")
+    "stream_backfill_batches",
+    // round 16: continuous-ingestion band dedup — per-wave cost must
+    // scale with the wave (probe join + store re-land), not the corpus
+    "stream_dedup_bands")
 
   /** Retroactive scale-classification ledger (r15, VERDICT r14 #2): the
     * "no op ships unprobed" protocol only covered ops added since r12, and

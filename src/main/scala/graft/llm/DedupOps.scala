@@ -72,6 +72,25 @@ object DedupOps extends OpRegistry {
           col("prev_text")).otherwise(col("text")).as("text"))
   }
 
+  /** stream_dedup_bands' ingestion universe: [[plantedDocs]] PLUS
+    * cross-WAVE batch-internal near-dups — every doc with doc_id % 100 =
+    * 97 (a batch doc under the % 10 = 7 split) re-delivers the TEXT of
+    * doc_id − 10 (also a batch doc, and in a DIFFERENT % 3 wave), so one
+    * wave's admitted fingerprints must reject a later wave's copy (or the
+    * copy lands first and rejects the original, when the source wave
+    * sorts later — both directions occur on the fixture and both are
+    * deterministic given wave order). Without this the batch-vs-batch
+    * path of the cumulative store would never execute: plantedDocs' dups
+    * are all batch-vs-BASE. Mirrored verbatim in the oracle's d CTE. */
+  private[graft] def plantedStreamDocs(docs: DataFrame): DataFrame = {
+    val n10 = docs.select((col("doc_id") + 10).as("doc_id"),
+      col("text").as("p10_text"))
+    plantedDocs(docs).join(n10, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(100L)) === 97 && col("p10_text").isNotNull,
+          col("p10_text")).otherwise(col("text")).as("text"))
+  }
+
   /** df-capped exact trigram-Jaccard edges (a < b) over an arbitrary doc
     * universe — the [[TextOps.jaccardEdges]] kernel re-rooted on a passed
     * frame (that one is bound to the raw corpus artifact; the incremental
@@ -866,12 +885,32 @@ object DedupOps extends OpRegistry {
     * rows → 2 band folds), shared by the r15 store/eval oracles so the
     * two can never drift. Every constant mirrors PortA/PortB/PortP/M31.
     * `docFilter` narrows the doc universe (the eval op is id-capped). */
-  private def portableBandCtes(docFilter: String) = s"""
+  private def portableBandCtes(docFilter: String): String =
+    portableBandCtesFrom(s"""
       d AS MATERIALIZED (
         SELECT a.doc_id,
                CASE WHEN a.doc_id % 50 = 7 AND b.text IS NOT NULL
                  THEN b.text ELSE a.text END AS text
-        FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1),
+        FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1)""",
+      docFilter)
+
+  /** stream_dedup_bands' d CTE: [[plantedStreamDocs]] in SQL — the % 100
+    * = 97 cross-wave planting layered over the % 50 = 7 base planting
+    * (the two id classes are disjoint: 97 mod 50 = 47). */
+  private[graft] val streamPlantedDCte = """
+      d AS MATERIALIZED (
+        SELECT a.doc_id,
+               CASE WHEN a.doc_id % 100 = 97 AND c.text IS NOT NULL
+                 THEN c.text
+               WHEN a.doc_id % 50 = 7 AND b.text IS NOT NULL
+                 THEN b.text ELSE a.text END AS text
+        FROM documents a
+        LEFT JOIN documents b ON b.doc_id = a.doc_id - 1
+        LEFT JOIN documents c ON c.doc_id = a.doc_id - 10)"""
+
+  private[graft] def portableBandCtesFrom(dCte: String,
+      docFilter: String): String = s"""
+      $dCte,
       tok AS MATERIALIZED (
         SELECT doc_id, list_reduce(list_prepend(CAST(17 AS BIGINT),
                list_transform(range(1, length(sh) + 1),

@@ -251,7 +251,127 @@ object Streaming extends OpRegistry {
     else s.table(qn)
   }
 
+  /** stream_dedup_bands kernel, parameterized on the (already-planted) doc
+    * universe so Round16dSpec can drive a hand-built corpus with known
+    * cross-wave duplicates. Semantics: base corpus (doc_id % 10 != 7)
+    * lands the fingerprint store ONCE (production: last night's output);
+    * tonight's batch arrives as THREE mtime-ordered wave files
+    * (wave = doc_id % 3) replayed through the streaming engine with
+    * maxFilesPerTrigger=1, and each micro-batch is admitted against the
+    * store AS OF the previous batch — admitted docs' bands re-land before
+    * the next wave probes. This is dedup_incremental_bands' nightly loop
+    * promoted to continuous ingestion: per-batch cost scales with the
+    * WAVE (one AQE-sized probe join on (band, bh) + one store re-land),
+    * never the corpus, and the store version chain is batchId-keyed so a
+    * micro-batch retry is idempotent (re-reads v(batchId), re-writes
+    * v(batchId+1) — the foreachBatch exactly-once discipline). Batch
+    * membership and order are deterministic by construction (the file
+    * source processes oldest-modification-time first; the staged waves
+    * carry strictly increasing mtimes), which is what lets a batch oracle
+    * replay all three admission rounds as unrolled CTEs. */
+  private[graft] def streamBandAdmission(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import graft.llm.DedupOps
+    val base = s"/tmp/graft_sdb_${s.sparkContext.applicationId}"
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(base))
+    // land the per-doc band keys ONCE (the dedup_incremental_bands
+    // rationale: three downstream branches would re-run the signature
+    // pipeline per branch; production stores signatures, it never
+    // re-derives them per consumer)
+    DedupOps.portableBands(DedupOps.portableSignature(docs))
+      .write.mode("overwrite").parquet(s"$base/keys")
+    val keys = s.read.parquet(s"$base/keys")
+    keys.filter(pmod(col("doc_id"), lit(10L)) =!= 7)
+      .select("band", "bh").distinct()
+      .write.mode("overwrite").parquet(s"$base/store/v0")
+    // stage tonight's batch as 3 wave files. LEFT join keeps shingle-less
+    // docs (null band): they can never match the store, so they admit —
+    // the same containment the batch twin gets from its doc-frame anti-join.
+    val batchKeys = docs.filter(pmod(col("doc_id"), lit(10L)) === 7)
+      .select("doc_id")
+      .join(keys, Seq("doc_id"), "left")
+    val staged = new java.io.File(s"$base/staged")
+    staged.mkdirs()
+    val t0 = System.currentTimeMillis() - 600000L
+    for (w <- 0 until 3) {
+      val tmp = s"$base/_w$w"
+      batchKeys.filter(pmod(col("doc_id"), lit(3L)) === w)
+        .repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file staged for wave $w"))
+      val dst = new java.io.File(staged, s"wave$w.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // strictly increasing, well in the past: the file source orders by
+      // modification time (latestFirst=false), so wave w IS micro-batch w
+      dst.setLastModified(t0 + w * 2000L)
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(tmp))
+    }
+    val ckpt = scratchCkpt("sdb")
+    withStreamPartitions(s) {
+      try {
+        val raw = s.readStream.schema(batchKeys.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.getPath)
+        val q = raw.writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val store = s.read.parquet(s"$base/store/v$batchId")
+            val waveDocs = batch.select("doc_id").distinct()
+            val waveKeys = batch.filter(col("band").isNotNull)
+              .select("doc_id", "band", "bh")
+            val rejected = waveKeys.join(store, Seq("band", "bh"), "left_semi")
+              .select("doc_id").distinct()
+            val admitted = waveDocs.join(rejected, Seq("doc_id"), "left_anti")
+            store.unionByName(
+                waveKeys.join(admitted, Seq("doc_id"), "left_semi")
+                  .select("band", "bh")).distinct()
+              .write.mode("overwrite").parquet(s"$base/store/v${batchId + 1}")
+            // one receipt row per micro-batch, batchId-idempotent path.
+            // wave is CONTENT-derived (all docs in a wave file share
+            // doc_id % 3), so a mis-ordered delivery shows up as a
+            // receipt/oracle mismatch instead of passing silently;
+            // an empty wave falls back to the batch position.
+            waveDocs.agg(
+                coalesce(max(pmod(col("doc_id"), lit(3L))), lit(batchId))
+                  .as("wave"),
+                count(lit(1)).as("n_batch"))
+              .crossJoin(rejected.agg(count(lit(1)).as("n_rejected")))
+              .crossJoin(admitted.agg(count(lit(1)).as("n_admitted")))
+              .crossJoin(s.read.parquet(s"$base/store/v${batchId + 1}")
+                .agg(count(lit(1)).as("n_store_after")))
+              .write.mode("overwrite").parquet(s"$base/log/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally cleanupCkpt(ckpt)
+    }
+    // enumerate the receipt dirs explicitly: a glob path ("log/b*") makes
+    // the reader's FileStreamSink.hasMetadata probe log a spurious
+    // FileNotFoundException WARN with a full stack trace on every run
+    val receipts = new java.io.File(s"$base/log").listFiles()
+      .filter(_.getName.startsWith("b")).map(_.getPath).sorted
+    s.read.parquet(receipts: _*).orderBy("wave")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_bands" -> ((s, dir) => {
+      // Continuous-ingestion near-dup admission (r16): the STREAMING
+      // deployment of dedup_incremental_bands' nightly loop — three
+      // deterministic micro-batch waves probed in foreachBatch against
+      // the landed portable band store, which re-lands cumulatively so
+      // wave N+1 sees wave N's admissions (the planted % 100 = 97
+      // cross-wave dups exercise exactly that path). Fully DuckDB-
+      // oracled: the portable arithmetic minhash plus unrolled per-wave
+      // CTEs replay all three admission rounds bit-for-bit.
+      val docs = graft.llm.DedupOps.plantedStreamDocs(
+        tWide(s, dir)("documents").select("doc_id", "text"))
+      streamBandAdmission(s, docs)
+    }),
+
     "stream_backfill_batches" -> ((s, dir) => {
       // Bounded-batch backfill (round 14): replay a historical store
       // through the streaming engine in CONTROLLED increments —
@@ -710,7 +830,52 @@ object Streaming extends OpRegistry {
     }),
   )
 
+  /** One unrolled admission round of the stream_dedup_bands oracle:
+    * wave w probes store{w} and lands store{w+1}. Mirrors the foreachBatch
+    * body exactly (piv carries bands only for docs with >= 1 shingle, so
+    * the piv filter IS the engine's band-not-null filter). */
+  private def sdbWaveCtes(w: Int): String = s"""
+      w${w}k AS MATERIALIZED (
+        SELECT doc_id, band, bh FROM piv
+        WHERE doc_id % 10 = 7 AND doc_id % 3 = $w),
+      w${w}d AS (SELECT doc_id FROM documents
+                 WHERE doc_id % 10 = 7 AND doc_id % 3 = $w),
+      rej$w AS MATERIALIZED (
+        SELECT DISTINCT k.doc_id FROM w${w}k k
+        JOIN store$w s USING (band, bh)),
+      adm$w AS MATERIALIZED (
+        SELECT doc_id FROM w${w}d
+        WHERE doc_id NOT IN (SELECT doc_id FROM rej$w)),
+      store${w + 1} AS MATERIALIZED (
+        SELECT DISTINCT band, bh FROM (
+          SELECT band, bh FROM store$w
+          UNION ALL
+          SELECT band, bh FROM w${w}k
+          WHERE doc_id IN (SELECT doc_id FROM adm$w)))"""
+
+  private def sdbWaveRow(w: Int): String = s"""
+      SELECT CAST($w AS BIGINT) AS wave,
+             (SELECT COUNT(1) FROM w${w}d) AS n_batch,
+             (SELECT COUNT(1) FROM rej$w) AS n_rejected,
+             (SELECT COUNT(1) FROM adm$w) AS n_admitted,
+             (SELECT COUNT(1) FROM store${w + 1}) AS n_store_after"""
+
   def oracleSql: Map[String, String] = Map(
+    // Three unrolled wave-admission rounds over the portable band chain
+    // (shared with dedup_incremental_bands' oracle so the batch and
+    // streaming forms can never drift), on the stream-planted d CTE.
+    "stream_dedup_bands" -> s"""
+      WITH ${graft.llm.DedupOps.portableBandCtesFrom(
+        graft.llm.DedupOps.streamPlantedDCte, "")},
+      store0 AS MATERIALIZED (
+        SELECT DISTINCT band, bh FROM piv WHERE doc_id % 10 <> 7),
+      ${sdbWaveCtes(0)},
+      ${sdbWaveCtes(1)},
+      ${sdbWaveCtes(2)}
+      SELECT * FROM (
+        ${sdbWaveRow(0)} UNION ALL ${sdbWaveRow(1)} UNION ALL ${sdbWaveRow(2)})
+      ORDER BY wave""",
+
     // Append-mode watermark emission on a single AvailableNow batch: a
     // window is emitted iff window.end <= watermark, where Spark tracks the
     // watermark in MILLISECONDS: floor(max_event_us/1000) - delay_ms. The
