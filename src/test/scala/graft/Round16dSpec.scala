@@ -87,6 +87,15 @@ class Round16dSpec extends GraftSuite {
     assert(got.map(_._5) == got.map(_._5).sorted, s"store must not shrink: $got")
   }
 
+  test("re-run determinism: a second full run reproduces identical receipts") {
+    // the kernel scrubs and rebuilds its appId-keyed scratch (keys, store
+    // chain, staged waves, checkpoint) on every invocation, so bench reps
+    // and driver re-runs must land on the same receipts bit-for-bit
+    val first = receipts(streaming.Streaming.streamBandAdmission(spark, handCorpus))
+    val second = receipts(streaming.Streaming.streamBandAdmission(spark, handCorpus))
+    assert(first == second, s"re-run diverged: $first vs $second")
+  }
+
   test("sf0.001 fixture: streaming receipts equal the batch replay") {
     val universe = llm.DedupOps.plantedStreamDocs(
       graft.Tables.load(spark, sfDir, "documents").select("doc_id", "text"))
