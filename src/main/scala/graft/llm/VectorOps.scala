@@ -31,6 +31,74 @@ object VectorOps extends OpRegistry {
   private def dotQ(s: SparkSession, a: Column, b: Column): Column =
     graft.functions.GraftExpressions.dotQ(s, a, b)
 
+  /** Hybrid sparse+dense retrieval kernel for `docs_hybrid_retrieval`,
+    * factored so the spec can pin the full fusion math on a hand corpus.
+    * Input: (doc_id, text) docs + (vec_id, embedding) vectors; the
+    * candidate universe is their doc_id = vec_id join. Queries = docs with
+    * doc_id < 5. Sparse = BM25 (text_bm25_topk's exact-integer kernel)
+    * over the query doc's distinct terms; dense = exact quantized dot;
+    * both top-20, RRF-fused (1e6 div (rank+60)), top-5 per query. */
+  private[graft] def hybridRetrieval(s: SparkSession, docsIn: DataFrame,
+      embIn: DataFrame): DataFrame = {
+    val u = docsIn.select(col("doc_id"), col("text"))
+      .join(embIn.select(col("vec_id").as("doc_id"),
+        quantize(col("embedding")).as("qe")), Seq("doc_id"))
+      .localCheckpoint()
+    // dense branch: broadcast 5 query vectors, exact dot, top-20
+    val qv = u.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("qe").as("qv"))
+    val dense = broadcast(qv).join(u, col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id").as("did"),
+        dotQ(s, col("qv"), col("qe")).as("dot_q"))
+    val wd = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("did"))
+    val rdk = dense.withColumn("rd", row_number().over(wd).cast("long"))
+      .filter(col("rd") <= 20).select(col("qid"), col("did"), col("rd"))
+    // sparse branch: the query docs' distinct terms against the universe's
+    // postings. The broadcast term set prunes the token stream MAP-SIDE —
+    // only query-term postings reach a shuffle, the full inverted index is
+    // never materialized (the text_bm25_topk posting-join discipline); df
+    // per query term comes from the SAME pruned stream (distinct docs per
+    // term, counted BEFORE the ≠query filter, so it is the universe df)
+    val toks = u.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      explode(split(col("text"), " ")).as("term"))
+    val tot = u.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("len_total"))
+    val qt = toks.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("term")).distinct()
+    val qtf = toks.join(broadcast(qt), Seq("term"))
+      .groupBy("qid", "doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfr = qtf.select(col("term"), col("doc_id")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") * 2L + 2L).cast("double") / (col("df") * 2L + 1L))
+    val tfn = (col("tf") * col("len_total") * 22L).cast("double") /
+      (col("tf") * col("len_total") * 10L + col("len_total") * 3L +
+        col("dl") * col("n_docs") * 9L)
+    val sparse = qtf.filter(col("doc_id") =!= col("qid"))
+      .join(dfr, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("qid"), col("doc_id").as("did"),
+        floor(idf * tfn * lit(1e6)).cast("long").as("s_micro"))
+      .groupBy("qid", "did").agg(sum(col("s_micro")).as("score_micro"))
+    val ws = Window.partitionBy("qid").orderBy(col("score_micro").desc, col("did"))
+    val rsk = sparse.withColumn("rs", row_number().over(ws).cast("long"))
+      .filter(col("rs") <= 20).select(col("qid"), col("did"), col("rs"))
+    // RRF fusion over the union of the two top-20 lists
+    val rrf =
+      coalesce(call_function("div", lit(1000000L), col("rs") + 60), lit(0L)) +
+      coalesce(call_function("div", lit(1000000L), col("rd") + 60), lit(0L))
+    val wr = Window.partitionBy("qid").orderBy(col("rrf").desc, col("did"))
+    rsk.join(rdk, Seq("qid", "did"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn").cast("int").as("rn"),
+        col("did").as("doc_id"),
+        coalesce(col("rs"), lit(-1L)).as("rs"),
+        coalesce(col("rd"), lit(-1L)).as("rd"), col("rrf"))
+      .orderBy("qid", "rn")
+  }
+
   private val IvfTables = 4
   private val IvfPlanes = 6
 
@@ -638,6 +706,48 @@ object VectorOps extends OpRegistry {
         .orderBy("k")
     }),
 
+    "vec_retrieval_metrics" -> ((s, dir) => {
+      // Ranked retrieval quality (r16): MRR and nDCG@5 of the IVF index
+      // against the exact cosine top-5. vec_ann_recall_curve measures SET
+      // overlap; these are the RANK-sensitive acceptance numbers a vector
+      // store publishes next to it (a list with the right 5 items in the
+      // wrong order has recall 1.0 but nDCG < 1.0). Both sides are THE
+      // REGISTRY KERNELS invoked verbatim — the same no-drift argument as
+      // the recall curve. Determinism: the DCG discount w(r) = 1e12 div
+      // floor(ln(r+1)/ln(2)·1e6) quantizes the log of an exact small
+      // integer once (the shared 1-ULP libm caveat), after which MRR, DCG,
+      // ideal DCG, and nDCG are pure integer sums/divs; the kernels'
+      // row_number tie-breaks mean no rank ties exist. Scale: post-kernel
+      // work is ≤ 10 queries × 5 ranks.
+      val ivf = queries("knn_ivf_topk")(s, dir)
+        .select(col("qid"), col("vid"), col("rn").cast("long").as("rn_i"))
+      val brute = queries("knn_cosine_topk")(s, dir)
+        .select(col("qid"), col("vid"), lit(1).as("rel"))
+      def lg2u(r: Column): Column =
+        floor(log(r.cast("double") + lit(1.0)) / log(lit(2.0)) * lit(1e6))
+          .cast("long")
+      def disc(r: Column): Column =
+        call_function("div", lit(1000000000000L), lg2u(r))
+      val perQ = ivf.join(brute, Seq("qid", "vid"), "left")
+        .groupBy("qid")
+        .agg(
+          sum(when(col("rel").isNotNull, 1).otherwise(0)).cast("int")
+            .as("n_rel_in_list"),
+          min(when(col("rel").isNotNull, col("rn_i"))).as("fr"),
+          sum(when(col("rel").isNotNull, disc(col("rn_i"))).otherwise(0L))
+            .as("dcg_u"))
+      val idcg = s.range(1, 6).agg(sum(disc(col("id"))).as("idcg_u"))
+      perQ.crossJoin(broadcast(idcg))
+        .select(col("qid"), col("n_rel_in_list"),
+          coalesce(col("fr"), lit(-1L)).cast("int").as("first_rank"),
+          coalesce(call_function("div", lit(1000000L), col("fr")), lit(0L))
+            .as("rr_micro"),
+          col("dcg_u"),
+          call_function("div", col("dcg_u") * lit(1000000L), col("idcg_u"))
+            .as("ndcg_ppm"))
+        .orderBy("qid")
+    }),
+
     "knn_ivfpq_topk" -> ((s, dir) => {
       // Composed IVF-PQ — the production 100 TB vector-store ANN shape
       // (IVFADC, Jégou et al., "Product Quantization for Nearest Neighbor
@@ -964,6 +1074,76 @@ object VectorOps extends OpRegistry {
         .select(col("vec_id"),
           coalesce(least(col("mn"), col("vec_id")), col("vec_id")).as("canonical_id"))
         .withColumn("is_canonical", col("vec_id") === col("canonical_id"))
+        .orderBy("vec_id")
+    }),
+
+    "docs_hybrid_retrieval" -> ((s, dir) => {
+      // Hybrid sparse+dense retrieval (r16 capstone): for each of 5 query
+      // documents (doc_id < 5), fuse the BM25 posting-list ranking of the
+      // query doc's own terms (more-like-this sparse retrieval) with the
+      // exact quantized-cosine dense ranking of its embedding, via
+      // reciprocal-rank fusion — the production hybrid-search shape
+      // (text_bm25_topk and vec_rank_fusion are the two halves; this op
+      // is their cross-table composition over the doc_id = vec_id
+      // universe, so both branches rank the SAME candidate set).
+      //
+      // Determinism: BM25 uses text_bm25_topk's exact-integer kernel
+      // (micro-quantized per-term ln, integer sums); the dense branch is
+      // DotQ exact integers; RRF contributions are integer millionths
+      // (1e6 div (rank+60)); every rank tie-breaks on doc_id. Scale: the
+      // query side is 5 docs × ≤vocab terms → broadcast both branches'
+      // query state; each branch is rank→filter (map-side partial
+      // WindowGroupLimit); the fusion frame is ≤ 40 rows/query. The
+      // universe join (documents ⋈ embeddings) is the one fact-sized
+      // shuffle, pinned once for the four consumers.
+      hybridRetrieval(s, t(s, dir)("documents").select(col("doc_id"), col("text")),
+        tWide(s, dir)("embeddings").select(col("vec_id"), col("embedding")))
+    }),
+
+    "docs_decontaminate_semantic" -> ((s, dir) => {
+      // Embedding-space decontamination (r16) — the semantic complement of
+      // docs_decontaminate's exact-shingle pass: paraphrased benchmark
+      // leakage shares no 13-gram but sits next to the eval item in
+      // embedding space (the Phi/FineWeb-style decontamination pass). For
+      // every TRAIN vector: the max exact quantized dot against ANY
+      // benchmark vector plus the argmax bench id; contaminated iff
+      // dot_q ≥ 0.35e12 (measured: flags 2.6–8% across fixture SFs).
+      // Bench set = vec_id % 50 == 0, the same BenchMod stand-in as the
+      // n-gram pass (and the same documented caveat: the REAL deployment's
+      // eval suite is FIXED-size, so broadcasting it is the 100-TB
+      // contract; the modular stand-in grows with the fixture corpus).
+      //
+      // Scale: the bounded eval side broadcasts; the train side is checked
+      // MAP-SIDE — the broadcast nested-loop scores |eval| dots per train
+      // row and partial aggregation collapses to one row per train vector
+      // before the only (train-sized) shuffle. No corpus×corpus pair
+      // stream exists; this is brute-force exact on purpose — a missed
+      // contaminated doc costs more than the |eval| dot products, which is
+      // why production decontamination is exact against the eval suite
+      // rather than ANN-approximate.
+      val Threshold = 350000000000L // 0.35 in quantized dot units
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      // the id cap makes the eval suite genuinely FIXED-size (≤40 vectors
+      // at any corpus size — the deployed contract); it is a no-op at
+      // every fixture SF (max vec_id 1999). Without it the modular
+      // stand-in grows with the corpus and the 100× probe measures an
+      // N²/50 pair stream (64.1×) instead of the linear scan the
+      // fixed-suite shape actually is (re-probed 1.64 after the cap,
+      // 1.85 s at 100×).
+      val bench = e.filter(pmod(col("vec_id"), lit(50L)) === 0 &&
+          col("vec_id") < 2000)
+        .select(col("vec_id").as("bid"), col("qe").as("bq"))
+      e.filter(pmod(col("vec_id"), lit(50L)) =!= 0)
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id"),
+          struct(dotQ(s, col("qe"), col("bq")).as("dot_q"),
+            (-col("bid")).as("nb")).as("sc"))
+        .groupBy("vec_id").agg(max(col("sc")).as("m"))
+        .select(col("vec_id"),
+          col("m.dot_q").as("max_dot_q"),
+          (-col("m.nb")).as("bench_id"),
+          (col("m.dot_q") >= Threshold).cast("int").as("contaminated"))
         .orderBy("vec_id")
     }),
 
@@ -2036,6 +2216,98 @@ object VectorOps extends OpRegistry {
       FROM ks CROSS JOIN nq
       LEFT JOIN j ON j.rn_b <= ks.k AND j.rn_i <= ks.k
       GROUP BY ks.k, nq.n_queries ORDER BY ks.k""",
+    "vec_retrieval_metrics" -> s"""
+      WITH ivf AS ($ivfOracleSql),
+      brute AS ($bruteKnnSql),
+      j AS (SELECT i.qid, CAST(i.rn AS BIGINT) AS rn_i,
+                   CASE WHEN b.vid IS NOT NULL THEN 1 END AS rel
+            FROM ivf i LEFT JOIN brute b ON b.qid = i.qid AND b.vid = i.vid),
+      perq AS (SELECT qid,
+                 CAST(COALESCE(SUM(rel), 0) AS INT) AS n_rel_in_list,
+                 MIN(CASE WHEN rel = 1 THEN rn_i END) AS fr,
+                 CAST(COALESCE(SUM(CASE WHEN rel = 1 THEN
+                   1000000000000 // CAST(floor(ln(CAST(rn_i AS DOUBLE) + 1.0)
+                     / ln(2.0) * 1000000.0) AS BIGINT)
+                 END), 0) AS BIGINT) AS dcg_u
+               FROM j GROUP BY qid),
+      idcg AS (SELECT CAST(SUM(1000000000000
+                 // CAST(floor(ln(CAST(r AS DOUBLE) + 1.0)
+                   / ln(2.0) * 1000000.0) AS BIGINT)) AS BIGINT) AS idcg_u
+               FROM (SELECT unnest(range(1, 6)) AS r))
+      SELECT perq.qid, perq.n_rel_in_list,
+             CAST(COALESCE(perq.fr, -1) AS INT) AS first_rank,
+             CAST(COALESCE(1000000 // perq.fr, 0) AS BIGINT) AS rr_micro,
+             perq.dcg_u,
+             CAST(perq.dcg_u * 1000000 // idcg.idcg_u AS BIGINT) AS ndcg_ppm
+      FROM perq CROSS JOIN idcg ORDER BY perq.qid""",
+    "docs_hybrid_retrieval" -> """
+      WITH u AS (SELECT d.doc_id, d.text,
+                        list_transform(e.embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      ev AS (SELECT doc_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM u),
+      dd AS (SELECT a.doc_id AS qid, b.doc_id AS did,
+                    CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
+             FROM ev a JOIN ev b ON a.i = b.i
+             WHERE a.doc_id < 5 AND b.doc_id <> a.doc_id GROUP BY 1, 2),
+      rdk AS (SELECT qid, did, rd FROM (
+                SELECT qid, did,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, did) AS rd
+                FROM dd) WHERE rd <= 20),
+      toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                      unnest(string_split(text, ' ')) AS term FROM u),
+      tf AS (SELECT doc_id, dl, term, COUNT(1) AS tf FROM toks GROUP BY 1, 2, 3),
+      tot AS (SELECT COUNT(1) AS n_docs, SUM(dl) AS len_total
+              FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM u)),
+      dfr AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY 1),
+      qt AS (SELECT DISTINCT doc_id AS qid, term FROM toks WHERE doc_id < 5),
+      sc AS (SELECT qt.qid, tf.doc_id AS did,
+               CAST(floor(
+                 ln(CAST(tot.n_docs * 2 + 2 AS DOUBLE) / (dfr.df * 2 + 1))
+                 * (CAST(tf.tf * tot.len_total * 22 AS DOUBLE)
+                    / (tf.tf * tot.len_total * 10 + tot.len_total * 3
+                       + tf.dl * tot.n_docs * 9))
+                 * 1000000.0) AS BIGINT) AS s_micro
+             FROM tf JOIN qt ON tf.term = qt.term AND tf.doc_id <> qt.qid
+               JOIN dfr ON dfr.term = tf.term CROSS JOIN tot),
+      sa AS (SELECT qid, did, CAST(SUM(s_micro) AS BIGINT) AS score_micro
+             FROM sc GROUP BY 1, 2),
+      rsk AS (SELECT qid, did, rs FROM (
+                SELECT qid, did,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_micro DESC, did) AS rs
+                FROM sa) WHERE rs <= 20),
+      f AS (SELECT COALESCE(rsk.qid, rdk.qid) AS qid,
+                   COALESCE(rsk.did, rdk.did) AS did, rsk.rs, rdk.rd,
+                   COALESCE(1000000 // (rsk.rs + 60), 0)
+                     + COALESCE(1000000 // (rdk.rd + 60), 0) AS rrf
+            FROM rsk FULL OUTER JOIN rdk
+              ON rsk.qid = rdk.qid AND rsk.did = rdk.did),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY rrf DESC, did) AS rn FROM f)
+      SELECT qid, CAST(rn AS INT) AS rn, did AS doc_id,
+             CAST(COALESCE(rs, -1) AS BIGINT) AS rs,
+             CAST(COALESCE(rd, -1) AS BIGINT) AS rd,
+             CAST(rrf AS BIGINT) AS rrf
+      FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "docs_decontaminate_semantic" -> """
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS i FROM q),
+      d AS (SELECT a.vec_id AS vid, b.vec_id AS bid,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
+            FROM e a JOIN e b ON a.i = b.i
+            WHERE a.vec_id % 50 <> 0 AND b.vec_id % 50 = 0
+              AND b.vec_id < 2000
+            GROUP BY 1, 2),
+      m AS (SELECT vid, dot_q, bid,
+                   ROW_NUMBER() OVER (PARTITION BY vid
+                     ORDER BY dot_q DESC, bid) AS rn
+            FROM d)
+      SELECT vid AS vec_id, dot_q AS max_dot_q, bid AS bench_id,
+             CAST(CASE WHEN dot_q >= 350000000000 THEN 1 ELSE 0 END AS INT)
+               AS contaminated
+      FROM m WHERE rn = 1 ORDER BY vec_id""",
     "knn_ivfpq_topk" -> ivfpqOracleSql,
     "vec_pq_codes" -> pqOracleSql,
     "dedup_near_embedding" -> nearEmbOracleSql,

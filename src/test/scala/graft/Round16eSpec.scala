@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-16 batch E: the retrieval/decontamination trio.
+  *
+  *  - text_bm25_topk: BM25 score math pinned on a hand corpus against an
+  *    independent scalar reimplementation; fixture shape properties; the
+  *    map-side WindowGroupLimit plan lock.
+  *  - vec_retrieval_metrics: MRR/nDCG recomputed in plain Scala from the
+  *    two kernel outputs; bounds.
+  *  - docs_decontaminate_semantic: differential against an independent
+  *    plan (no broadcast hint, declarative zip_with dot instead of the
+  *    native DotQ, window argmax instead of struct-max); partition +
+  *    flag contracts; the broadcast plan lock.
+  */
+class Round16eSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("text_bm25_topk: hand corpus matches an independent scalar BM25") {
+    // 4 terms only -> the 10-term panel takes all of them: queries are
+    // (w,x) and (y,z) by (count desc, term asc) ranking.
+    val docs = Seq(
+      (0L, "x x x y"),
+      (1L, "x y z z"),
+      (2L, "y z"),
+      (3L, "w w w w w w")).toDF("doc_id", "text")
+    val n = 4L
+    val bigL = 16L
+    val tf = Map( // (term, doc) -> tf
+      ("x", 0L) -> 3L, ("x", 1L) -> 1L,
+      ("y", 0L) -> 1L, ("y", 1L) -> 1L, ("y", 2L) -> 1L,
+      ("z", 1L) -> 2L, ("z", 2L) -> 1L,
+      ("w", 3L) -> 6L)
+    val dl = Map(0L -> 4L, 1L -> 4L, 2L -> 2L, 3L -> 6L)
+    val df = tf.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
+    def sMicro(term: String, doc: Long): Long = {
+      val t = tf((term, doc))
+      val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
+      val tfn = (t * bigL * 22).toDouble /
+        (t * bigL * 10 + bigL * 3 + dl(doc) * n * 9)
+      math.floor(idf * tfn * 1e6).toLong
+    }
+    val queries = Map(0 -> Seq("w", "x"), 1 -> Seq("y", "z"))
+    val expected = (for {
+      (qid, terms) <- queries.toSeq
+      doc <- 0L to 3L
+      hit = terms.filter(t => tf.contains((t, doc)))
+      if hit.nonEmpty
+    } yield (qid, doc, hit.map(t => sMicro(t, doc)).sum, hit.size))
+      .groupBy(_._1)
+      .flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).zipWithIndex.map { case (r, i) =>
+          Row(qid, i + 1, r._2, r._3, r._4)
+        }
+      }.toSeq
+    val got = llm.TextOps.bm25TopK(spark, docs).collect().toSeq
+      .map(r => Row(r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSet === expected.toSet)
+    assert(got.size === 6) // (w,x): d0,d1,d3; (y,z): d0,d1,d2
+  }
+
+  test("text_bm25_topk: fixture shape — 5 queries x 10 ranks, scores non-increasing") {
+    val rows = q("text_bm25_topk").collect()
+    assert(rows.length === 50)
+    val byQ = rows.groupBy(_.getInt(0))
+    assert(byQ.keySet === Set(0, 1, 2, 3, 4))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to 10))
+      val scores = sorted.map(_.getLong(3)).toSeq
+      assert(scores === scores.sorted(Ordering[Long].reverse))
+    }
+  }
+
+  test("text_bm25_topk: top-k lowers to a map-side WindowGroupLimit") {
+    val plan = q("text_bm25_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit prune in:\n$plan")
+  }
+
+  test("vec_retrieval_metrics: equals a plain-Scala recomputation from the kernels") {
+    val ivf = q("knn_ivf_topk").select("qid", "vid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val rel = q("knn_cosine_topk").select("qid", "vid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lg2u(r: Long): Long = math.floor(math.log(r + 1.0) / math.log(2.0) * 1e6).toLong
+    def disc(r: Long): Long = 1000000000000L / lg2u(r)
+    val idcg = (1L to 5L).map(disc).sum
+    val expected = ivf.groupBy(_._1).map { case (qid, items) =>
+      val hits = items.filter(i => rel((qid, i._2)))
+      val nRel = hits.length
+      val fr = if (hits.isEmpty) -1L else hits.map(_._3).min
+      val rr = if (hits.isEmpty) 0L else 1000000L / fr
+      val dcg = hits.map(i => disc(i._3)).sum
+      (qid, (nRel, fr.toInt, rr, dcg, dcg * 1000000L / idcg))
+    }
+    val got = q("vec_retrieval_metrics").collect().map(r =>
+      (r.getLong(0), (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(got === expected)
+    got.values.foreach { case (nRel, fr, rr, dcg, ndcg) =>
+      assert(ndcg >= 0L && ndcg <= 1000000L)
+      assert(dcg <= idcg)
+      assert((rr == 1000000L) === (fr == 1))
+    }
+  }
+
+  test("docs_decontaminate_semantic: differential vs independent plan; contracts") {
+    val e = Tables.load(spark, sfDir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6) + lit(0.5))).as("qe"))
+    val bench = e.filter(pmod(col("vec_id"), lit(50L)) === 0 &&
+        col("vec_id") < 2000)
+      .select(col("vec_id").as("bid"), col("qe").as("bq"))
+    val nBench = bench.count()
+    val nTotal = e.count()
+    // independent path: plain join (no hint), declarative zip_with dot
+    // (not the native DotQ), window argmax (not struct-max)
+    val dot = aggregate(zip_with(col("qe"), col("bq"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("vec_id").orderBy(col("dot_q").desc, col("bid"))
+    val naive = e.filter(pmod(col("vec_id"), lit(50L)) =!= 0).join(bench)
+      .select(col("vec_id"), col("bid"), dot.as("dot_q"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("dot_q").as("max_dot_q"),
+        col("bid").as("bench_id"),
+        (col("dot_q") >= 350000000000L).cast("int").as("contaminated"))
+    val got = q("docs_decontaminate_semantic")
+    assert(got.count() === nTotal - nBench)
+    assert(got.filter(pmod(col("vec_id"), lit(50L)) === 0).count() === 0)
+    assert(got.except(naive).count() === 0 && naive.except(got).count() === 0)
+    assert(got.filter(col("contaminated") === 1).count() > 0)
+  }
+
+  test("docs_decontaminate_semantic: eval side broadcasts (nested-loop plan lock)") {
+    val plan = q("docs_decontaminate_semantic").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast of the eval side in:\n$plan")
+  }
+
+  test("docs_hybrid_retrieval: hand corpus matches a scalar BM25+dense RRF recomputation") {
+    val texts = Map(
+      0L -> "apple banana cherry apple",
+      1L -> "apple banana date",
+      2L -> "cherry date egg",
+      3L -> "banana banana egg fig",
+      4L -> "fig grape apple",
+      5L -> "grape egg date banana")
+    val vecs = Map(
+      0L -> Seq(0.9, 0.1, 0.2, 0.1),
+      1L -> Seq(0.8, 0.3, 0.1, 0.2),
+      2L -> Seq(0.1, 0.9, 0.3, 0.1),
+      3L -> Seq(0.2, 0.8, 0.1, 0.4),
+      4L -> Seq(0.3, 0.2, 0.9, 0.1),
+      5L -> Seq(0.1, 0.3, 0.8, 0.3))
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val emb = vecs.toSeq.toDF("vec_id", "embedding")
+    // scalar twin ------------------------------------------------------
+    val tok = texts.map { case (d, t) => d -> t.split(" ").toSeq }
+    val dl = tok.map { case (d, ts) => d -> ts.size.toLong }
+    val n = 6L
+    val bigL = dl.values.sum
+    val tf = tok.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => (t, d) -> xs.size.toLong } }
+    val df = tf.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
+    def sMicro(term: String, doc: Long): Long = {
+      val t = tf((term, doc))
+      val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
+      val tfn = (t * bigL * 22).toDouble /
+        (t * bigL * 10 + bigL * 3 + dl(doc) * n * 9)
+      math.floor(idf * tfn * 1e6).toLong
+    }
+    def qz(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    def dot(a: Long, b: Long): Long =
+      vecs(a).map(qz).zip(vecs(b).map(qz)).map { case (x, y) => x * y }.sum
+    val expected = (0L to 4L).flatMap { qid =>
+      val cands = (0L to 5L).filter(_ != qid)
+      val rd = cands.sortBy(d => (-dot(qid, d), d)).zipWithIndex
+        .map { case (d, i) => d -> (i + 1L) }.toMap
+      val qterms = tok(qid).distinct
+      val rs = cands.flatMap { d =>
+        val hit = qterms.filter(t => tf.contains((t, d)))
+        if (hit.isEmpty) None else Some(d -> hit.map(t => sMicro(t, d)).sum)
+      }.sortBy { case (d, sc) => (-sc, d) }.zipWithIndex
+        .map { case ((d, _), i) => d -> (i + 1L) }.toMap
+      cands.filter(d => rs.contains(d) || rd.contains(d)).map { d =>
+        val rrf = rs.get(d).map(r => 1000000L / (r + 60)).getOrElse(0L) +
+          rd.get(d).map(r => 1000000L / (r + 60)).getOrElse(0L)
+        (qid, d, rs.getOrElse(d, -1L), rd.getOrElse(d, -1L), rrf)
+      }.sortBy(r => (-r._5, r._2)).take(5).zipWithIndex.map { case (r, i) =>
+        Row(r._1, i + 1, r._2, r._3, r._4, r._5)
+      }
+    }
+    val got = llm.VectorOps.hybridRetrieval(spark, docs, emb).collect().toSeq
+      .map(r => Row(r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got === expected)
+  }
+
+  test("docs_hybrid_retrieval: fixture shape + RRF integer consistency + plan locks") {
+    val rows = q("docs_hybrid_retrieval").collect()
+    assert(rows.length === 25)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val (rs, rd, rrf) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(rs == -1L || (rs >= 1L && rs <= 20L))
+      assert(rd == -1L || (rd >= 1L && rd <= 20L))
+      val exp = (if (rs >= 1) 1000000L / (rs + 60) else 0L) +
+        (if (rd >= 1) 1000000L / (rd + 60) else 0L)
+      assert(rrf === exp)
+    }
+    val plan = q("docs_hybrid_retrieval").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
