@@ -217,4 +217,134 @@ class Round16eSpec extends GraftSuite {
     assert(plan.contains("WindowGroupLimit"))
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  // ---- seeded random-corpus differentials (SURVEY §5.4) ----------------
+  // Full scalar twins of the two retrieval kernels, generalized over any
+  // corpus, driven by ScalaCheck generators with fixed seeds.
+
+  /** Scalar BM25 (panel derivation included): returns (qid, rn, doc_id,
+    * score_micro, n_terms) rows exactly as text_bm25_topk emits them. */
+  private def scalarBm25(texts: Map[Long, String]): Set[Row] = {
+    val tok = texts.map { case (d, t) => d -> t.split(" ").toSeq }
+    val dl = tok.map { case (d, ts) => d -> ts.size.toLong }
+    val n = texts.size.toLong
+    val bigL = dl.values.sum
+    val tf = tok.toSeq.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => (t, d) -> xs.size.toLong } }.toMap
+    val df = tf.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
+    val cnt = tf.toSeq.groupBy(_._1._1)
+      .map { case (t, xs) => t -> xs.map(_._2).sum }
+    val panel = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._1)
+    val queries = panel.zipWithIndex.groupBy(_._2 / 2)
+      .map { case (qid, ts) => qid -> ts.map(_._1) }
+    def sMicro(term: String, doc: Long): Long = {
+      val t = tf((term, doc))
+      val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
+      val tfn = (t * bigL * 22).toDouble /
+        (t * bigL * 10 + bigL * 3 + dl(doc) * n * 9)
+      math.floor(idf * tfn * 1e6).toLong
+    }
+    (for {
+      (qid, terms) <- queries.toSeq
+      doc <- texts.keys.toSeq
+      hit = terms.filter(t => tf.contains((t, doc)))
+      if hit.nonEmpty
+    } yield (qid, doc, hit.map(t => sMicro(t, doc)).sum, hit.size))
+      .groupBy(_._1)
+      .flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(10).zipWithIndex.map { case (r, i) =>
+          Row(qid, i + 1, r._2, r._3, r._4)
+        }
+      }.toSet
+  }
+
+  /** Scalar hybrid twin: (qid, rn, doc_id, rs, rd, rrf) rows exactly as
+    * docs_hybrid_retrieval emits them over a (texts, vecs) universe. */
+  private def scalarHybrid(texts: Map[Long, String],
+      vecs: Map[Long, Seq[Double]]): Seq[Row] = {
+    val ids = texts.keySet intersect vecs.keySet
+    val tok = texts.collect { case (d, t) if ids(d) => d -> t.split(" ").toSeq }
+    val dl = tok.map { case (d, ts) => d -> ts.size.toLong }
+    val n = ids.size.toLong
+    val bigL = dl.values.sum
+    val tf = tok.toSeq.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => (t, d) -> xs.size.toLong } }.toMap
+    val df = tf.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
+    def sMicro(term: String, doc: Long): Long = {
+      val t = tf((term, doc))
+      val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
+      val tfn = (t * bigL * 22).toDouble /
+        (t * bigL * 10 + bigL * 3 + dl(doc) * n * 9)
+      math.floor(idf * tfn * 1e6).toLong
+    }
+    def qz(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    def dot(a: Long, b: Long): Long =
+      vecs(a).map(qz).zip(vecs(b).map(qz)).map { case (x, y) => x * y }.sum
+    ids.toSeq.sorted.filter(_ < 5).flatMap { qid =>
+      val cands = ids.toSeq.sorted.filter(_ != qid)
+      val rd = cands.sortBy(d => (-dot(qid, d), d)).take(20).zipWithIndex
+        .map { case (d, i) => d -> (i + 1L) }.toMap
+      val qterms = tok(qid).distinct
+      val rs = cands.flatMap { d =>
+        val hit = qterms.filter(t => tf.contains((t, d)))
+        if (hit.isEmpty) None else Some(d -> hit.map(t => sMicro(t, d)).sum)
+      }.sortBy { case (d, sc) => (-sc, d) }.take(20).zipWithIndex
+        .map { case ((d, _), i) => d -> (i + 1L) }.toMap
+      cands.filter(d => rs.contains(d) || rd.contains(d)).map { d =>
+        val rrf = rs.get(d).map(r => 1000000L / (r + 60)).getOrElse(0L) +
+          rd.get(d).map(r => 1000000L / (r + 60)).getOrElse(0L)
+        (qid, d, rs.getOrElse(d, -1L), rd.getOrElse(d, -1L), rrf)
+      }.sortBy(r => (-r._5, r._2)).take(5).zipWithIndex.map { case (r, i) =>
+        Row(r._1, i + 1, r._2, r._3, r._4, r._5)
+      }
+    }
+  }
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta")
+
+  private def sampleCorpus(seed: Long): Map[Long, String] = {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val g = Gen.chooseNum(6, 18).flatMap { nd =>
+      Gen.listOfN(nd, Gen.chooseNum(2, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    }
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+      .zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+  }
+
+  private def sampleVecs(seed: Long, ids: Iterable[Long]): Map[Long, Seq[Double]] = {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val g = Gen.listOfN(ids.size * 3,
+      Gen.chooseNum(-999, 999).map(_ / 1000.0))
+    val xs = g.apply(Gen.Parameters.default, Seed(seed)).get
+    ids.toSeq.sorted.zip(xs.grouped(3).toSeq).toMap
+  }
+
+  test("property: text_bm25_topk equals the scalar twin on random corpora") {
+    for (seed <- Seq(7L, 99L, 2024L)) {
+      val texts = sampleCorpus(seed)
+      val got = llm.TextOps.bm25TopK(spark, texts.toSeq.toDF("doc_id", "text"))
+        .collect().toSet
+        .map((r: Row) => Row(r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getInt(4)))
+      assert(got === scalarBm25(texts), s"seed $seed")
+    }
+  }
+
+  test("property: docs_hybrid_retrieval equals the scalar twin on random corpora") {
+    for (seed <- Seq(7L, 99L, 2024L)) {
+      val texts = sampleCorpus(seed)
+      val vecs = sampleVecs(seed + 1, texts.keys)
+      val got = llm.VectorOps.hybridRetrieval(spark,
+        texts.toSeq.toDF("doc_id", "text"),
+        vecs.toSeq.map { case (i, v) => (i, v) }.toDF("vec_id", "embedding"))
+        .collect().toSeq
+        .map(r => Row(r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(got === scalarHybrid(texts, vecs), s"seed $seed")
+    }
+  }
 }
