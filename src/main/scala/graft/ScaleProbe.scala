@@ -125,7 +125,10 @@ object ScaleProbe {
     "text_bpe_apply",
     // round 16 batch E: the BM25 posting-join ranker (broadcast 10-term
     // query panel; tf/df vocab aggs; map-side WindowGroupLimit top-k)
-    "text_bm25_topk")
+    "text_bm25_topk",
+    // round 16 batch G: the component-granular leakage-free split (rides
+    // the landed CC artifact; canonical-text equi-join + label-sized map)
+    "docs_split_by_component")
 
   /** Embeddings-only ANN ops (the other fixed-size fixture blind spot:
     * embeddings never grows past 2k rows): brute-force broadcast scan,

@@ -611,6 +611,41 @@ object DedupOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "docs_split_by_component" -> ((s, dir) => {
+      // Leakage-FREE train/val/test split (r16): assignment at near-dup
+      // COMPONENT granularity — every member of a dedup component gets the
+      // canonical member's split, so no near-dup pair can straddle the
+      // train/eval boundary BY CONSTRUCTION. This is the fix-side
+      // composition of three existing ops: docs_split_assign hashes per
+      // doc (and leaks — its twin may land across the boundary, which is
+      // exactly what docs_split_leakage measures), dedup_components
+      // provides the groups, and this op closes the loop (the spec
+      // asserts zero cross-split candidate pairs). Bucket = the SAME
+      // portable content hash as docs_split_assign (rollingHash31 pmod
+      // 100 → 80/10/10) applied to the CANONICAL member's text —
+      // content-addressed, so re-ingestion/reordering cannot move a
+      // component, and consistent with the per-doc op's rule when a
+      // component is a singleton (the common case: the two ops then agree
+      // on ~97% of docs, disagreeing only where the per-doc rule leaks).
+      // Scale: rides the landed CC-label artifact (once per corpus); the
+      // canonical-text fetch is a self-equi-join on doc_id=component_id;
+      // everything else is a label-sized broadcast-ish join + map work.
+      val labels = componentLabels(s, dir)
+      val canonBucket = tWide(s, dir)("documents").select(col("doc_id"), col("text"))
+        .join(labels.filter(col("doc_id") === col("component_id"))
+          .select(col("doc_id")), Seq("doc_id"))
+        .select(col("doc_id").as("component_id"),
+          pmod(PipelineOps.rollingHash31(col("text")), lit(100L)).cast("int")
+            .as("bucket"))
+      labels.join(canonBucket, Seq("component_id"))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("component_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_lsh_eval" -> ((s, dir) => {
       // LSH quality eval (r15): on an id-capped doc universe (< 200 — the
       // vec-family demo discipline; the at-scale candidate generator is
@@ -1167,6 +1202,21 @@ object DedupOps extends OpRegistry {
     "dedup_components" -> s"""
       WITH RECURSIVE $CcCteSql
       SELECT doc_id, component_id FROM comp ORDER BY doc_id""",
+    "docs_split_by_component" -> s"""
+      WITH RECURSIVE $CcCteSql,
+      cb AS (SELECT c.component_id,
+               ((list_reduce(list_prepend(CAST(17 AS BIGINT),
+                 list_transform(range(1, length(d.text) + 1),
+                   i -> CAST(ord(substring(d.text, i, 1)) AS BIGINT))),
+                 (a, ch) -> (a * 31 + ch) % 2147483648) % 100) + 100) % 100
+                 AS bucket
+             FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+             WHERE c.doc_id = c.component_id)
+      SELECT c.doc_id, c.component_id, CAST(cb.bucket AS INT) AS bucket,
+             CASE WHEN cb.bucket < 80 THEN 'train'
+                  WHEN cb.bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM comp c JOIN cb USING (component_id) ORDER BY c.doc_id""",
     "docs_dedup_weight" -> s"""
       WITH RECURSIVE $CcCteSql,
       csz AS (SELECT component_id, COUNT(1) AS cluster_size

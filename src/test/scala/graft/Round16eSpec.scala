@@ -257,6 +257,32 @@ class Round16eSpec extends GraftSuite {
     }
   }
 
+  test("docs_split_by_component: zero cross-split near-dup pairs; singleton agreement") {
+    val out = q("docs_split_by_component")
+    // 1. the headline contract: NO candidate pair straddles splits
+    val splits = out.select(col("doc_id"), col("split"))
+    val crossing = llm.TextOps.candidatePairs(spark, sfDir)
+      .join(splits.select(col("doc_id").as("id1"), col("split").as("s1")), Seq("id1"))
+      .join(splits.select(col("doc_id").as("id2"), col("split").as("s2")), Seq("id2"))
+      .filter(col("s1") =!= col("s2"))
+    assert(crossing.count() === 0)
+    // 2. one split per component
+    assert(out.select("component_id", "split").distinct().count() ===
+      out.select("component_id").distinct().count())
+    // 3. singleton components agree with the per-doc rule
+    val singletons = out.groupBy("component_id")
+      .agg(count(lit(1)).as("n"), first(col("doc_id")).as("doc_id"),
+        first(col("split")).as("comp_split"))
+      .filter(col("n") === 1)
+    val perDoc = q("docs_split_assign").select(col("doc_id"), col("split"))
+    val disagree = singletons.join(perDoc, Seq("doc_id"))
+      .filter(col("comp_split") =!= col("split"))
+    assert(disagree.count() === 0)
+    // 4. every doc is assigned exactly once
+    assert(out.count() === Tables.load(spark, sfDir, "documents").count())
+    assert(out.select("doc_id").distinct().count() === out.count())
+  }
+
   // ---- seeded random-corpus differentials (SURVEY §5.4) ----------------
   // Full scalar twins of the two retrieval kernels, generalized over any
   // corpus, driven by ScalaCheck generators with fixed seeds.
