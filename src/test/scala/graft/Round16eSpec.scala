@@ -388,6 +388,22 @@ class Round16eSpec extends GraftSuite {
     ids.toSeq.sorted.zip(xs.grouped(3).toSeq).toMap
   }
 
+  test("edge: bm25 and hybrid degrade gracefully on degenerate corpora") {
+    // single-doc corpus: every panel term's only posting is that doc
+    val one = Seq((0L, "solo words here")).toDF("doc_id", "text")
+    val b1 = llm.TextOps.bm25TopK(spark, one).collect()
+    assert(b1.forall(_.getLong(2) == 0L) && b1.nonEmpty)
+    // hybrid with NO query docs (all ids >= 5): empty output, no crash
+    val docs = Seq((7L, "a b"), (8L, "b c")).toDF("doc_id", "text")
+    val emb = Seq((7L, Seq(0.1, 0.2)), (8L, Seq(0.2, 0.1)))
+      .toDF("vec_id", "embedding")
+    assert(llm.VectorOps.hybridRetrieval(spark, docs, emb).count() === 0)
+    // hybrid with queries but an empty-intersection universe side
+    val docsOnly = Seq((0L, "a b")).toDF("doc_id", "text")
+    val embOther = Seq((9L, Seq(0.1, 0.2))).toDF("vec_id", "embedding")
+    assert(llm.VectorOps.hybridRetrieval(spark, docsOnly, embOther).count() === 0)
+  }
+
   test("property: text_bm25_topk equals the scalar twin on random corpora") {
     for (seed <- Seq(7L, 99L, 2024L)) {
       val texts = sampleCorpus(seed)
