@@ -30,6 +30,13 @@ object TextOps extends OpRegistry {
 
   /** BM25 scoring kernel for `text_bm25_topk`, factored so the spec can pin
     * the score math on a hand corpus. Input: any (doc_id, text) frame.
+    *
+    * EAGER-CONSTRUCTION note (r17, ADVICE r16): deriving the query panel
+    * collects 10 rows at DataFrame-CONSTRUCTION time, so building this
+    * frame runs a Spark job before any action — unlike the registry's
+    * otherwise-lazy contract. Acceptable because Verify/Bench/ScaleProbe
+    * all time construction+execution as one unit (the recorded numbers
+    * include it); production receives the panel as input and is lazy.
     * Query panel = five 2-term queries from the global occurrence ranking;
     * s_micro per (term, doc) = floor(ln((2N+2)/(2df+1)) ·
     * 22·tf·L/(10·L·tf+3·L+9·dl·N) · 1e6), integer-summed per (query, doc);
@@ -60,9 +67,19 @@ object TextOps extends OpRegistry {
       .groupBy("qid", "doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfr = qtf.groupBy("qid", "term").agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") * 2L + 2L).cast("double") / (col("df") * 2L + 1L))
-    val tfn = (col("tf") * col("len_total") * 22L).cast("double") /
-      (col("tf") * col("len_total") * 10L + col("len_total") * 3L +
-        col("dl") * col("n_docs") * 9L)
+    // tf-normalization in DOUBLE from the first multiply (r17, ADVICE r16):
+    // the int64 form tf·L·22 overflows past L·tf ≈ 4.2e17 — i.e. silently
+    // WRAPS (non-ANSI Spark) somewhere around a 10-trillion-token corpus,
+    // while DuckDB errors — a latent cross-engine divergence at exactly the
+    // 100-TB scale this op targets. Double products are IEEE-deterministic
+    // and the oracle mirrors the same cast points and associativity
+    // (left-assoc), so both engines share any >2^53 rounding; at fixture
+    // scale every product is < 2^53 and the math stays exact.
+    val tfd = col("tf").cast("double")
+    val ltd = col("len_total").cast("double")
+    val tfn = tfd * ltd * lit(22.0d) /
+      (tfd * ltd * lit(10.0d) + ltd * lit(3.0d) +
+        col("dl").cast("double") * col("n_docs").cast("double") * lit(9.0d))
     val scored = qtf.join(broadcast(dfr), Seq("qid", "term"))
       .crossJoin(broadcast(tot))
       .select(col("qid"), col("doc_id"),
@@ -2075,9 +2092,10 @@ object TextOps extends OpRegistry {
       sc AS (SELECT qtf.qid, qtf.doc_id,
                CAST(floor(
                  ln(CAST(tot.n_docs * 2 + 2 AS DOUBLE) / (dfr.df * 2 + 1))
-                 * (CAST(qtf.tf * tot.len_total * 22 AS DOUBLE)
-                    / (qtf.tf * tot.len_total * 10 + tot.len_total * 3
-                       + dl.dl * tot.n_docs * 9))
+                 * (CAST(qtf.tf AS DOUBLE) * tot.len_total * 22
+                    / (CAST(qtf.tf AS DOUBLE) * tot.len_total * 10
+                       + CAST(tot.len_total AS DOUBLE) * 3
+                       + CAST(dl.dl AS DOUBLE) * tot.n_docs * 9))
                  * 1000000.0) AS BIGINT) AS s_micro
              FROM qtf
                JOIN dfr ON qtf.qid = dfr.qid AND qtf.term = dfr.term

@@ -33,6 +33,9 @@ object VectorOps extends OpRegistry {
 
   /** Hybrid sparse+dense retrieval kernel for `docs_hybrid_retrieval`,
     * factored so the spec can pin the full fusion math on a hand corpus.
+    * EAGER-CONSTRUCTION note (r17, ADVICE r16): pinning the universe runs
+    * a Spark job at DataFrame-construction time — see bm25TopK's note;
+    * Verify/Bench/ScaleProbe time construction+execution together.
     * Input: (doc_id, text) docs + (vec_id, embedding) vectors; the
     * candidate universe is their doc_id = vec_id join. Queries = docs with
     * doc_id < 5. Sparse = BM25 (text_bm25_topk's exact-integer kernel)
@@ -71,9 +74,14 @@ object VectorOps extends OpRegistry {
     val dfr = qtf.select(col("term"), col("doc_id")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") * 2L + 2L).cast("double") / (col("df") * 2L + 1L))
-    val tfn = (col("tf") * col("len_total") * 22L).cast("double") /
-      (col("tf") * col("len_total") * 10L + col("len_total") * 3L +
-        col("dl") * col("n_docs") * 9L)
+    // double-from-first-multiply tf normalization — the bm25TopK r17
+    // overflow rationale (TextOps): int64 tf·L·22 wraps near 10T tokens;
+    // the oracle mirrors the cast points and left-assoc order exactly.
+    val tfd = col("tf").cast("double")
+    val ltd = col("len_total").cast("double")
+    val tfn = tfd * ltd * lit(22.0d) /
+      (tfd * ltd * lit(10.0d) + ltd * lit(3.0d) +
+        col("dl").cast("double") * col("n_docs").cast("double") * lit(9.0d))
     val sparse = qtf.filter(col("doc_id") =!= col("qid"))
       .join(dfr, Seq("term"))
       .crossJoin(broadcast(tot))
@@ -1178,7 +1186,12 @@ object VectorOps extends OpRegistry {
       val bench = e.filter(pmod(col("vec_id"), lit(50L)) === 0 &&
           col("vec_id") < 2000)
         .select(col("vec_id").as("bid"), col("qe").as("bq"))
-      e.filter(pmod(col("vec_id"), lit(50L)) =!= 0)
+      // train side = the EXACT complement of the capped bench set (r17,
+      // ADVICE r16): with `% 50 != 0` alone, vectors with vec_id % 50 == 0
+      // AND vec_id >= 2000 (possible beyond the fixture, where the cap is
+      // active) would fall in NEITHER set and silently skip the scan —
+      // the one failure mode a decontamination pass must not have.
+      e.filter(pmod(col("vec_id"), lit(50L)) =!= 0 || col("vec_id") >= 2000)
         .crossJoin(broadcast(bench))
         .select(col("vec_id"),
           struct(dotQ(s, col("qe"), col("bq")).as("dot_q"),
@@ -2308,9 +2321,10 @@ object VectorOps extends OpRegistry {
       sc AS (SELECT qt.qid, tf.doc_id AS did,
                CAST(floor(
                  ln(CAST(tot.n_docs * 2 + 2 AS DOUBLE) / (dfr.df * 2 + 1))
-                 * (CAST(tf.tf * tot.len_total * 22 AS DOUBLE)
-                    / (tf.tf * tot.len_total * 10 + tot.len_total * 3
-                       + tf.dl * tot.n_docs * 9))
+                 * (CAST(tf.tf AS DOUBLE) * tot.len_total * 22
+                    / (CAST(tf.tf AS DOUBLE) * tot.len_total * 10
+                       + CAST(tot.len_total AS DOUBLE) * 3
+                       + CAST(tf.dl AS DOUBLE) * tot.n_docs * 9))
                  * 1000000.0) AS BIGINT) AS s_micro
              FROM tf JOIN qt ON tf.term = qt.term AND tf.doc_id <> qt.qid
                JOIN dfr ON dfr.term = tf.term CROSS JOIN tot),
@@ -2366,8 +2380,8 @@ object VectorOps extends OpRegistry {
       d AS (SELECT a.vec_id AS vid, b.vec_id AS bid,
                    CAST(SUM(a.v * b.v) AS BIGINT) AS dot_q
             FROM e a JOIN e b ON a.i = b.i
-            WHERE a.vec_id % 50 <> 0 AND b.vec_id % 50 = 0
-              AND b.vec_id < 2000
+            WHERE (a.vec_id % 50 <> 0 OR a.vec_id >= 2000)
+              AND b.vec_id % 50 = 0 AND b.vec_id < 2000
             GROUP BY 1, 2),
       m AS (SELECT vid, dot_q, bid,
                    ROW_NUMBER() OVER (PARTITION BY vid

@@ -39,8 +39,10 @@ class Round16eSpec extends GraftSuite {
     def sMicro(term: String, doc: Long): Long = {
       val t = tf((term, doc))
       val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
-      val tfn = (t * bigL * 22).toDouble /
-        (t * bigL * 10 + bigL * 3 + dl(doc) * n * 9)
+      // mirrors the engines' r17 double-from-first-multiply order
+      val tfn = t.toDouble * bigL * 22.0 /
+        (t.toDouble * bigL * 10.0 + bigL.toDouble * 3.0 +
+          dl(doc).toDouble * n * 9.0)
       math.floor(idf * tfn * 1e6).toLong
     }
     val queries = Map(0 -> Seq("w", "x"), 1 -> Seq("y", "z"))
@@ -122,7 +124,9 @@ class Round16eSpec extends GraftSuite {
     val dot = aggregate(zip_with(col("qe"), col("bq"), (a, b) => a * b),
       lit(0L), (acc, v) => acc + v)
     val w = Window.partitionBy("vec_id").orderBy(col("dot_q").desc, col("bid"))
-    val naive = e.filter(pmod(col("vec_id"), lit(50L)) =!= 0).join(bench)
+    // train side = exact complement of the capped bench set (r17 fix)
+    val naive = e.filter(pmod(col("vec_id"), lit(50L)) =!= 0 ||
+        col("vec_id") >= 2000).join(bench)
       .select(col("vec_id"), col("bid"), dot.as("dot_q"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("dot_q").as("max_dot_q"),
@@ -130,7 +134,10 @@ class Round16eSpec extends GraftSuite {
         (col("dot_q") >= 350000000000L).cast("int").as("contaminated"))
     val got = q("docs_decontaminate_semantic")
     assert(got.count() === nTotal - nBench)
-    assert(got.filter(pmod(col("vec_id"), lit(50L)) === 0).count() === 0)
+    // no bench member is ever scanned as train; everything else IS —
+    // bench ∪ train partitions the corpus (the r17 complement contract)
+    assert(got.filter(pmod(col("vec_id"), lit(50L)) === 0 &&
+      col("vec_id") < 2000).count() === 0)
     assert(got.except(naive).count() === 0 && naive.except(got).count() === 0)
     assert(got.filter(col("contaminated") === 1).count() > 0)
   }
@@ -169,8 +176,10 @@ class Round16eSpec extends GraftSuite {
     def sMicro(term: String, doc: Long): Long = {
       val t = tf((term, doc))
       val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
-      val tfn = (t * bigL * 22).toDouble /
-        (t * bigL * 10 + bigL * 3 + dl(doc) * n * 9)
+      // mirrors the engines' r17 double-from-first-multiply order
+      val tfn = t.toDouble * bigL * 22.0 /
+        (t.toDouble * bigL * 10.0 + bigL.toDouble * 3.0 +
+          dl(doc).toDouble * n * 9.0)
       math.floor(idf * tfn * 1e6).toLong
     }
     def qz(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
@@ -305,8 +314,10 @@ class Round16eSpec extends GraftSuite {
     def sMicro(term: String, doc: Long): Long = {
       val t = tf((term, doc))
       val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
-      val tfn = (t * bigL * 22).toDouble /
-        (t * bigL * 10 + bigL * 3 + dl(doc) * n * 9)
+      // mirrors the engines' r17 double-from-first-multiply order
+      val tfn = t.toDouble * bigL * 22.0 /
+        (t.toDouble * bigL * 10.0 + bigL.toDouble * 3.0 +
+          dl(doc).toDouble * n * 9.0)
       math.floor(idf * tfn * 1e6).toLong
     }
     (for {
@@ -338,8 +349,10 @@ class Round16eSpec extends GraftSuite {
     def sMicro(term: String, doc: Long): Long = {
       val t = tf((term, doc))
       val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
-      val tfn = (t * bigL * 22).toDouble /
-        (t * bigL * 10 + bigL * 3 + dl(doc) * n * 9)
+      // mirrors the engines' r17 double-from-first-multiply order
+      val tfn = t.toDouble * bigL * 22.0 /
+        (t.toDouble * bigL * 10.0 + bigL.toDouble * 3.0 +
+          dl(doc).toDouble * n * 9.0)
       math.floor(idf * tfn * 1e6).toLong
     }
     def qz(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
