@@ -1,0 +1,64 @@
+"""Spread-aware bench regression gate (r17, VERDICT r16 #5).
+
+Usage: python3 tools/bench_regression_gate.py <old_BENCH_LOCAL.json> <new_BENCH_LOCAL.json>
+       [--floor SECONDS]
+
+Reads two BENCH_LOCAL-format maps (Bench.scala's output: per-query medians
+in `queries`, per-query 3-rep dispersion max-min in `spread`) and emits the
+REGRESSION LIST the §7.2c close protocol adjudicates: a common query is
+flagged iff its median moved by more than its own measured dispersion —
+|new - old| > max(spread_old, spread_new, floor) — which is exactly the
+"inside its own recorded 3-rep spread" call the r16 verdict made by hand.
+The floor (default 0.25 s) keeps sub-noise absolute moves on sub-second
+queries from flagging when a rep's spread happened to record near zero.
+
+Prints a human table plus one machine-readable JSON line
+{"regressions": [...], "improvements": [...], "added": [...], "removed":
+[...], "common_sum_old": s, "common_sum_new": s}; exits 1 iff regressions
+is non-empty (so the close can gate on it mechanically).
+"""
+import json
+import sys
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+floor = 0.25
+for a in sys.argv[1:]:
+    if a.startswith("--floor"):
+        floor = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+if len(args) != 2:
+    sys.exit(__doc__)
+
+old, new = (json.load(open(p)) for p in args)
+qo, qn = old["queries"], new["queries"]
+so, sn = old.get("spread", {}), new.get("spread", {})
+common = sorted(set(qo) & set(qn))
+added = sorted(set(qn) - set(qo))
+removed = sorted(set(qo) - set(qn))
+
+regressions, improvements = [], []
+for q in common:
+    delta = qn[q] - qo[q]
+    gate = max(so.get(q, 0.0), sn.get(q, 0.0), floor)
+    if abs(delta) > gate:
+        row = {"query": q, "old": qo[q], "new": qn[q],
+               "delta": round(delta, 3), "gate": round(gate, 3),
+               "spread_old": so.get(q), "spread_new": sn.get(q)}
+        (regressions if delta > 0 else improvements).append(row)
+regressions.sort(key=lambda r: -r["delta"])
+improvements.sort(key=lambda r: r["delta"])
+
+sum_old = round(sum(qo[q] for q in common), 3)
+sum_new = round(sum(qn[q] for q in common), 3)
+print(f"common {len(common)} queries: sum {sum_old} -> {sum_new} "
+      f"({sum_new / sum_old:.3f}x); added {len(added)}, removed {len(removed)}")
+for title, rows in (("REGRESSIONS (|delta| > own spread)", regressions),
+                    ("improvements", improvements)):
+    print(f"\n{title}: {len(rows)}")
+    for r in rows:
+        print(f"  {r['query']:40s} {r['old']:8.3f} -> {r['new']:8.3f} "
+              f"(delta {r['delta']:+7.3f}, gate {r['gate']:.3f})")
+print()
+print(json.dumps({"regressions": regressions, "improvements": improvements,
+                  "added": added, "removed": removed,
+                  "common_sum_old": sum_old, "common_sum_new": sum_new}))
+sys.exit(1 if regressions else 0)
