@@ -42,11 +42,16 @@ object VectorOps extends OpRegistry {
     * over the query doc's distinct terms; dense = exact quantized dot;
     * both top-20, RRF-fused (1e6 div (rank+60)), top-5 per query. */
   private[graft] def hybridRetrieval(s: SparkSession, docsIn: DataFrame,
-      embIn: DataFrame): DataFrame = {
-    val u = docsIn.select(col("doc_id"), col("text"))
+      embIn: DataFrame,
+      pin: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    // `pin` materializes the doc⋈vector universe once for the four
+    // consumers below — the registry op lands it as a corpus artifact
+    // (r17, VERDICT r16 #1: a hybrid-search deployment's serving store IS
+    // this co-located table); spec drivers keep the localCheckpoint
+    // default for hand corpora.
+    val u = pin(docsIn.select(col("doc_id"), col("text"))
       .join(embIn.select(col("vec_id").as("doc_id"),
-        quantize(col("embedding")).as("qe")), Seq("doc_id"))
-      .localCheckpoint()
+        quantize(col("embedding")).as("qe")), Seq("doc_id")))
     // dense branch: broadcast 5 query vectors, exact dot, top-20
     val qv = u.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("qe").as("qv"))
@@ -134,28 +139,46 @@ object VectorOps extends OpRegistry {
     }
   }
 
-  /** Shared IVF cell assignment — (vec_id, qe, tbl, cell), one row per
-    * vector per LSH table: the sign pattern of the vector against each
-    * table's IvfPlanes deterministic hyperplanes, planes baked in as
-    * literals (no per-row hashing). THE kernel behind both knn_ivf_topk
-    * (the index) and vec_ivf_cell_stats (the index-health report) — one
+  /** The LANDED IVF index (r17, VERDICT r16 #1) — (vec_id, tbl, cell)
+    * POSTINGS, one row per vector per LSH table: the sign pattern of the
+    * vector against each table's IvfPlanes deterministic hyperplanes,
+    * planes baked in as literals (no per-row hashing). Built ONCE per
+    * (session, corpus) via [[graft.CorpusArtifacts]] and read as parquet
+    * by every later consumer — a production vector store persists its
+    * index; re-deriving cells per query was the measured dominant cost of
+    * the whole retrieval family (the CC-labels amortization, applied to
+    * ANN). The artifact stores postings ONLY, never vectors: consumers
+    * that re-rank fetch full vectors by a keyed join against the
+    * embeddings table (at 100 TB the index is GBs while vectors are TBs —
+    * carrying qe in the index would 4× the vector footprint). THE kernel
+    * behind knn_ivf_topk (the index), vec_ivf_cell_stats /
+    * vec_ivf_balance_gini (index health), and vec_ivf_probe_cost — one
     * definition, so the diagnosed index is provably the served index.
+    * Honest measurement: Bench/ScaleProbe clear the artifact memo per
+    * pass, so the first retrieval consumer's median pays the index build.
     * Embedding dim comes from the data via a one-row probe (a literal-
     * plane/array length mismatch would silently null projections). */
-  private def ivfCellsFrame(s: SparkSession, dir: String): DataFrame = {
-    val e = tWide(s, dir)("embeddings")
+  private def ivfCellsFrame(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusArtifacts.parquet(s, "ivf_cells", dir) {
+      val e = tWide(s, dir)("embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe, a repartition would force a full scan+shuffle
+      def cellOf(qe: Column, tb: Int): Column =
+        (0 until IvfPlanes).map { p =>
+          val plane = planeComponents(tb * IvfPlanes + p, dim)
+          val proj = dotQ(s, qe, lit(plane))
+          when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      e.select(col("vec_id"),
+        posexplode(array((0 until IvfTables).map(tb => cellOf(col("qe"), tb)): _*))
+          .as(Seq("tbl", "cell")))
+    }
+
+  /** (vec_id, qe): one scan+quantize of the vector store — the keyed-fetch
+    * side every index consumer joins for exact re-ranking. */
+  private def quantizedVectors(s: SparkSession, dir: String): DataFrame =
+    tWide(s, dir)("embeddings")
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
-    val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe, a repartition would force a full scan+shuffle
-    def cellOf(qe: Column, tb: Int): Column =
-      (0 until IvfPlanes).map { p =>
-        val plane = planeComponents(tb * IvfPlanes + p, dim)
-        val proj = dotQ(s, qe, lit(plane))
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    e.select(col("vec_id"), col("qe"),
-      posexplode(array((0 until IvfTables).map(tb => cellOf(col("qe"), tb)): _*))
-        .as(Seq("tbl", "cell")))
-  }
 
   private val PqSubspaces = 8
   private val PqCodebook = 16
@@ -524,9 +547,18 @@ object VectorOps extends OpRegistry {
       // by cell occupancy (never doc × doc). At larger corpora, add planes
       // per table: cell count scales exponentially, probe count stays 22L.
       val Planes = IvfPlanes
+      // r17: cells is the LANDED postings artifact (vec_id, tbl, cell) —
+      // built once per corpus, parquet-read here; the query panel joins
+      // its own vectors in (10 rows), candidates carry IDS ONLY through
+      // banding+dedup, and the exact re-rank fetches candidate vectors by
+      // a keyed join against the store — the IO discipline of a real
+      // vector store (index reads never drag vectors along).
       val cells = ivfCellsFrame(s, dir)
+      val e = quantizedVectors(s, dir)
       val q = cells.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("qe").as("qv"),
+        .join(e.filter(col("vec_id") < 10).withColumnRenamed("qe", "qv"),
+          Seq("vec_id"))
+        .select(col("vec_id").as("qid"), col("qv"),
           col("tbl").as("qtbl"), col("cell").as("qcell"))
       // multiprobe cells: exact + Hamming-1 + Hamming-2 flips
       val flips: Seq[Column] =
@@ -535,11 +567,15 @@ object VectorOps extends OpRegistry {
          (for { a <- 0 until Planes; b <- a + 1 until Planes }
            yield col("qcell").bitwiseXOR(lit((1L << a) | (1L << b)))))
       val qx = q.withColumn("cand_cell", explode(array(flips: _*)))
-      val scored = broadcast(qx).join(cells,
+      val cand = broadcast(qx).join(cells,
           col("qtbl") === col("tbl") && col("cand_cell") === col("cell")
             && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("vid"), col("qv"), col("qe"))
+        .select(col("qid"), col("vec_id").as("vid"), col("qv"))
         .dropDuplicates("qid", "vid")
+      // keyed vector fetch for the shortlist only — the candidate side is
+      // query-panel-bounded at any corpus size, so it broadcasts
+      val scored = broadcast(cand)
+        .join(e.withColumnRenamed("vec_id", "vid"), Seq("vid"))
         .select(col("qid"), col("vid"), dotQ(s, col("qv"), col("qe")).as("dot_q"))
       val w = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("vid"))
       scored.withColumn("rn", row_number().over(w))
@@ -776,12 +812,12 @@ object VectorOps extends OpRegistry {
       val Planes = IvfPlanes
       val M = IvfPqSubspaces
       val Shortlist = IvfPqShortlist
-      // localCheckpoint: e0 feeds THREE jobs (training-stats collect, cell
-      // build, exact re-rank join) — pin the scan+quantize once instead of
-      // recomputing it per consumer (same pattern as vec_kmeans_iter)
-      val e0 = tWide(s, dir)("embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
-        .localCheckpoint()
+      // r17 (VERDICT r16 #1): the trained codebook and the (postings +
+      // codes) index are LANDED corpus artifacts — built once per
+      // (session, corpus), parquet-read by every later run; the vector
+      // scan below serves only the query-panel fetch and the exact
+      // re-rank, exactly a production IVFADC store's read pattern.
+      val e0 = quantizedVectors(s, dir)
       val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe
       // ivfpqOracleSql pins dim=64 in generated SQL literals — fail loudly
       // on a fixture change instead of silently diverging from the oracle
@@ -802,21 +838,35 @@ object VectorOps extends OpRegistry {
       val fixedCb: Array[Array[Array[Long]]] =
         Array.tabulate(M, PqCodebook)((m, k) => pqCentroid(m, k, subDim))
       // one Lloyd round: assign under the fixed codebook, then component
-      // means per (m, k) — floor(mean + 0.5), empty cluster keeps its seed.
-      val assigned = e0.withColumn("codes0",
-        graft.functions.GraftExpressions.pqEncode(col("qe"), fixedCb))
-      val perM = array((0 until M).map { m =>
-        struct(element_at(col("codes0"), m + 1).as("k"),
-          slice(col("qe"), m * subDim + 1, subDim).as("sub"))
-      }: _*)
-      val stats = assigned.select(posexplode(perM).as(Seq("m", "st")))
-        .select(col("m"), col("st.k").as("k"), posexplode(col("st.sub")).as(Seq("i", "v")))
-        .groupBy("m", "k", "i").agg(sum("v").as("sv"), count(lit(1)).as("cn"))
-        .collect()
+      // means per (m, k) — floor(mean + 0.5), empty cluster keeps its
+      // seed. The TRAINED codebook lands as a (m, k, i, comp) artifact —
+      // K×M×subDim = 1024 rows, genuine MODEL state — so later queries in
+      // the session read it instead of re-running the training pass; the
+      // driver collect below is the vec_kmeans_iter model-state pattern,
+      // never a data collect.
+      val cbDf = graft.CorpusArtifacts.parquet(s, "ivfpq_codebook", dir) {
+        val assigned = e0.withColumn("codes0",
+          graft.functions.GraftExpressions.pqEncode(col("qe"), fixedCb))
+        val perM = array((0 until M).map { m =>
+          struct(element_at(col("codes0"), m + 1).as("k"),
+            slice(col("qe"), m * subDim + 1, subDim).as("sub"))
+        }: _*)
+        val stats = assigned.select(posexplode(perM).as(Seq("m", "st")))
+          .select(col("m"), col("st.k").as("k"), posexplode(col("st.sub")).as(Seq("i", "v")))
+          .groupBy("m", "k", "i").agg(sum("v").as("sv"), count(lit(1)).as("cn"))
+        import s.implicits._
+        val seeds = (for { m <- 0 until M; k <- 0 until PqCodebook; i <- 0 until subDim }
+          yield (m, k, i, fixedCb(m)(k)(i))).toDF("m", "k", "i", "seed")
+        seeds.join(stats, Seq("m", "k", "i"), "left")
+          .select(col("m"), col("k"), col("i"),
+            coalesce(
+              floor(col("sv").cast("double") / col("cn") + lit(0.5)).cast("long"),
+              col("seed")).as("comp"))
+      }
       val trained = Array.tabulate(M, PqCodebook)((m, k) => fixedCb(m)(k).clone())
-      stats.foreach { r =>
+      cbDf.collect().foreach { r =>
         trained(r.getAs[Int]("m"))(r.getAs[Int]("k"))(r.getAs[Int]("i")) =
-          math.floor(r.getAs[Long]("sv").toDouble / r.getAs[Long]("cn") + 0.5).toLong
+          r.getAs[Long]("comp")
       }
       def cellOf(qe: Column, tb: Int): Column =
         (0 until Planes).map { p =>
@@ -824,21 +874,25 @@ object VectorOps extends OpRegistry {
           val proj = dotQ(s, qe, lit(plane))
           when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
-      // localCheckpoint: cells feeds BOTH sides of the candidate join (the
-      // query rows and the index rows) — pin the encode+cell build so the
-      // index materializes once, as a real vector store would, instead of
-      // recomputing per consumer
-      val cells = e0.withColumn("codes",
-          graft.functions.GraftExpressions.pqEncode(col("qe"), trained))
-        .select(col("vec_id"), col("qe"), col("codes"),
-          posexplode(array((0 until NumTables).map(tb => cellOf(col("qe"), tb)): _*))
-            .as(Seq("tbl", "cell")))
-        .localCheckpoint()
+      // the index artifact: (vec_id, tbl, cell, codes) — postings plus
+      // 16 one-byte codes per vector, landed once per corpus and read by
+      // both sides of the candidate join below; it never carries vectors
+      // (the ivfCellsFrame storage rationale — codes are the 32×-smaller
+      // stand-in the ADC phase scores from).
+      val cells = graft.CorpusArtifacts.parquet(s, "ivfpq_index", dir) {
+        quantizedVectors(s, dir).withColumn("codes",
+            graft.functions.GraftExpressions.pqEncode(col("qe"), trained))
+          .select(col("vec_id"), col("codes"),
+            posexplode(array((0 until NumTables).map(tb => cellOf(col("qe"), tb)): _*))
+              .as(Seq("tbl", "cell")))
+      }
       // per-query ADC lookup table: lut[m][k] = ||q_m - c_{m,k}||² exact —
       // the native PqAdcLut expression (same 64 KB rationale as the encoder)
       val lutCol = graft.functions.GraftExpressions.pqAdcLut(col("qv"), trained)
       val q = cells.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("qe").as("qv"),
+        .join(e0.filter(col("vec_id") < 10).withColumnRenamed("qe", "qv"),
+          Seq("vec_id"))
+        .select(col("vec_id").as("qid"), col("qv"),
           col("tbl").as("qtbl"), col("cell").as("qcell"))
         .withColumn("lut", lutCol)
       val flips: Seq[Column] =
@@ -1105,7 +1159,8 @@ object VectorOps extends OpRegistry {
       // universe join (documents ⋈ embeddings) is the one fact-sized
       // shuffle, pinned once for the four consumers.
       hybridRetrieval(s, t(s, dir)("documents").select(col("doc_id"), col("text")),
-        tWide(s, dir)("embeddings").select(col("vec_id"), col("embedding")))
+        tWide(s, dir)("embeddings").select(col("vec_id"), col("embedding")),
+        u => graft.CorpusArtifacts.parquet(s, "hybrid_universe", dir)(u))
     }),
 
     "vec_hard_negatives" -> ((s, dir) => {
