@@ -123,6 +123,9 @@ object ScaleProbe {
     "text_bpe_merge_train", "dedup_components_incremental",
     // and the dict-join apply pass it feeds
     "text_bpe_apply",
+    // round 17: the driver-side 256-budget trainer — one corpus collapse
+    // + in-memory merge rounds; the probe measures the collapse scaling
+    "text_bpe_train_full",
     // round 16 batch E: the BM25 posting-join ranker (broadcast 10-term
     // query panel; tf/df vocab aggs; map-side WindowGroupLimit top-k)
     "text_bm25_topk",

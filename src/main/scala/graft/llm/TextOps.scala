@@ -263,6 +263,119 @@ object TextOps extends OpRegistry {
     (merges.toSeq, vocab)
   }
 
+  /** Production merge budget for the driver-side trainer — the "≥256"
+    * scale the 6-round distributed form cannot reach (VERDICT r16 #2:
+    * per-merge Spark jobs + unbounded lineage at production merge
+    * counts). The fixture's 30-word vocab exhausts at merge 89, so the
+    * budget is a CAP the trainer runs under, not a row-count promise. */
+  private[graft] val BpeMergeBudget = 256
+
+  /** Driver-side full-vocab BPE trainer (r17, VERDICT r16 #2): collapse
+    * the corpus ONCE to the word-frequency dict — the only corpus-sized
+    * pass; classic BPE trains on the word dict, which is vocab-bounded
+    * MODEL state by construction (the vec_kmeans_iter collect rationale,
+    * and how real tokenizer trainers work: HuggingFace/SentencePiece both
+    * collect the word-count table) — then run every merge round
+    * in-memory. Zero Spark jobs per merge and zero lineage growth, vs the
+    * distributed twin's one argmax job + one plan level per round.
+    *
+    * Pair counts are maintained INCREMENTALLY: merging (a,b) only changes
+    * the pair multiset of words that currently contain (a,b) adjacently
+    * (tracked in an occurrence index), so a round costs
+    * O(words containing the pair × their length), not O(vocab) — the
+    * standard trainer optimization; a full recount per round would be
+    * O(vocab·len·budget) at production vocab sizes.
+    *
+    * Semantics are BIT-IDENTICAL to [[bpeTrain]] and the unrolled oracle
+    * chain: counts sum word frequency over ALL adjacent positions
+    * (overlaps included), argmax ties break lexicographically on
+    * (lhs, rhs) in binary string order, and the rewrite is the
+    * leftmost non-overlapping scan — exactly what DuckDB/Java
+    * replace("(A)(B)" → "(AB)") does on the guarded symbol string.
+    * Round17Spec pins the first-6-merges differential against the
+    * distributed form plus an overlapping-pair hand corpus.
+    *
+    * @return (merge table rows, final vocab word → symbol count) */
+  private[graft] def bpeTrainFull(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], Seq[(String, Int)]) =
+    bpeTrainFullDocs(tWide(s, dir)("documents"))
+
+  /** [[bpeTrainFull]] re-rooted on a passed doc frame so Round17Spec can
+    * drive hand corpora (overlap counting, tie-breaks, exhaustion). */
+  private[graft] def bpeTrainFullDocs(docs: DataFrame)
+      : (Seq[(Int, String, String, Long)], Seq[(String, Int)]) = {
+    val words: Array[(String, Long)] = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val freq = words.toMap
+    val syms = scala.collection.mutable.Map[String, Array[String]]()
+    words.foreach { case (w, _) => syms(w) = w.map(_.toString).toArray }
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    val occurs = scala.collection.mutable.Map[(String, String),
+      scala.collection.mutable.Set[String]]()
+    def addWord(w: String, sign: Long): Unit = {
+      val a = syms(w); val n = freq(w) * sign
+      var i = 0
+      while (i < a.length - 1) {
+        val p = (a(i), a(i + 1))
+        val c = counts.getOrElse(p, 0L) + n
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0) occurs.getOrElseUpdate(p,
+          scala.collection.mutable.Set.empty) += w
+        i += 1
+      }
+      if (sign < 0) {
+        // rebuilt below from the post-merge symbols; drop stale entries
+        var j = 0
+        while (j < a.length - 1) {
+          occurs.get((a(j), a(j + 1))).foreach { set =>
+            set -= w; if (set.isEmpty) occurs.remove((a(j), a(j + 1)))
+          }
+          j += 1
+        }
+      }
+    }
+    words.foreach { case (w, _) => addWord(w, 1L) }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= BpeMergeBudget && !exhausted) {
+      if (counts.isEmpty) exhausted = true
+      else {
+        // argmax with (count desc, lhs, rhs) tie-break — binary string
+        // order, same as both engines' ORDER BY on [a-z0-9] symbols
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+              (e._2 == best._2 && (e._1._1 < best._1._1 ||
+                (e._1._1 == best._1._1 && e._1._2 < best._1._2))))
+            best = e
+        }
+        val ((la, lb), cnt) = best
+        merges += ((r, la, lb, cnt))
+        val affected = occurs.getOrElse((la, lb),
+          scala.collection.mutable.Set.empty[String]).toArray
+        affected.foreach { w =>
+          addWord(w, -1L)
+          val a = syms(w)
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < a.length) {
+            if (i < a.length - 1 && a(i) == la && a(i + 1) == lb) {
+              out += la + lb; i += 2
+            } else { out += a(i); i += 1 }
+          }
+          syms(w) = out.toArray
+          addWord(w, 1L)
+        }
+        r += 1
+      }
+    }
+    (merges.toSeq, words.map { case (w, _) => (w, syms(w).length) }.toSeq)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_containment" -> ((s, dir) =>
       // Sub-document duplication screen (round 12): shingle-set
@@ -1174,23 +1287,46 @@ object TextOps extends OpRegistry {
         .orderBy("merge_round")
     }),
 
+    "text_bpe_train_full" -> ((s, dir) => {
+      // Driver-side full-vocab BPE training (r17, VERDICT r16 #2): the
+      // production-merge-count path — one corpus collapse to the word
+      // dict, then the whole ≥256-merge budget trained in-memory with
+      // incremental pair-count maintenance (see [[bpeTrainFull]]); the
+      // 6-round distributed text_bpe_merge_train stays as the
+      // differential twin (Round17Spec pins their first 6 rows equal).
+      // The fixture's 30-word vocab exhausts at merge 89, so the output
+      // is the full merge table UNTIL exhaustion under the 256 budget —
+      // the oracle replays all 256 unrolled rounds and freezes identically
+      // (empty m_r → vocab unchanged). Scale: driver state is the word
+      // dict + pair index — vocab-bounded model state, never a data
+      // collect; zero Spark jobs per merge round.
+      import s.implicits._
+      val (merges, _) = bpeTrainFull(s, dir)
+      merges.toDF("merge_round", "lhs", "rhs", "pair_count")
+        .select(col("merge_round").cast("int").as("merge_round"),
+          col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+        .orderBy("merge_round")
+    }),
+
     "text_bpe_apply" -> ((s, dir) => {
-      // Tokenizer APPLY (r16) — the other half of the train→apply story:
-      // encode the corpus with the merge table text_bpe_merge_train just
-      // learned and report per-lang compression (tokens per 1000 words,
-      // chars per token in ppm) — the fertility sheet that decides if a
-      // tokenizer ships, the BPE analog of docs_token_fertility. Scale
-      // shape: the trained dict already carries each word's post-merge
-      // symbol count, so applying is ONE (lang, word) collapse over the
-      // corpus joined to the dict — word-dict-sized build side (AQE
-      // decides broadcast), no per-occurrence re-tokenization ever runs.
+      // Tokenizer APPLY (r16; r17 rewired to the FULL trainer per
+      // VERDICT r16 #2) — the other half of the train→apply story:
+      // encode the corpus with the 256-budget driver-trained vocab and
+      // report per-lang compression (tokens per 1000 words, chars per
+      // token in ppm) — the fertility sheet that decides if a tokenizer
+      // ships, the BPE analog of docs_token_fertility. Scale shape: the
+      // trained dict already carries each word's post-merge symbol count
+      // and BROADCASTS as the merge-table product (vocab-bounded model
+      // state), so applying is ONE (lang, word) collapse over the corpus
+      // joined to the dict — no per-occurrence re-tokenization ever runs.
       // Same [a-z0-9]+/len≥2 word universe as training (documented: the
       // tokenizer only covers what it trained on).
-      val (_, finalVocab) = bpeTrain(s, dir)
-      val nSym = finalVocab.select(col("w"),
-        size(split(regexp_replace(col("s"), "^\\(|\\)$", ""), "\\)\\("))
-          .cast("long").as("n_sym"),
-        length(col("w")).cast("long").as("n_char"))
+      import s.implicits._
+      val (_, vocabSyms) = bpeTrainFull(s, dir)
+      val nSym = vocabSyms.toDF("w", "n_sym0")
+        .select(col("w"), col("n_sym0").cast("long").as("n_sym"),
+          length(col("w")).cast("long").as("n_char"))
       val lw = tWide(s, dir)("documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
@@ -1731,38 +1867,61 @@ object TextOps extends OpRegistry {
     }),
   )
 
-  /** The shared BPE CTE chain (word dict → v0 → 6×(pair census p_r,
-    * argmax m_r, rewrite v_r)), mirrored from [[bpeTrain]] — the train
-    * oracle reads the m_r rows, the apply oracle reads v6, and sharing the
-    * chain means the two can never drift. */
-  private val BpeCtes: String =
-    """wrd AS (
+  /** The shared BPE CTE chain (word dict → v0 → rounds×(pair census p_r,
+    * argmax m_r, rewrite v_r)), mirrored from [[bpeTrain]]/[[bpeTrainFull]]
+    * — the train oracles read the m_r rows, the apply oracle reads
+    * v<rounds>, and sharing the chain means they can never drift. Every
+    * CTE is MATERIALIZED (r17): DuckDB inlines plain CTEs, and a
+    * 256-round chain inlined exponentially exhausts file handles before
+    * it even plans; materialization makes the chain exactly the 256
+    * sequential vocab-sized passes it describes (~19 s measured at
+    * either fixture SF). */
+  private def bpeCtes(rounds: Int): String =
+    """wrd AS MATERIALIZED (
         SELECT w, CAST(COUNT(1) AS BIGINT) AS n FROM (
           SELECT unnest(string_split(text,' ')) AS w FROM documents)
         WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$')
         GROUP BY 1),
-      v0 AS (SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS s, n FROM wrd),
+      v0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS s, n FROM wrd),
       """ +
-    (1 to 6).map(r =>
-      s"""p$r AS (SELECT ls[i] AS lhs, ls[i+1] AS rhs,
+    (1 to rounds).map(r =>
+      s"""p$r AS MATERIALIZED (SELECT ls[i] AS lhs, ls[i+1] AS rhs,
              CAST(SUM(n) AS BIGINT) AS pair_count
            FROM (SELECT string_split(trim(s, '()'), ')(') AS ls, n
                  FROM v${r - 1}) t,
                 unnest(range(1, len(ls))) AS u(i)
            GROUP BY 1, 2),
-      m$r AS (SELECT lhs, rhs, pair_count FROM p$r
+      m$r AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p$r
               ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
-      v$r AS (SELECT w,
+      v$r AS MATERIALIZED (SELECT w,
                 CASE WHEN m.lhs IS NOT NULL
                   THEN replace(s, '('||m.lhs||')('||m.rhs||')',
                                '('||m.lhs||m.rhs||')')
                   ELSE s END AS s, n
               FROM v${r - 1} LEFT JOIN m$r m ON TRUE)""").mkString(",\n      ")
     // ^ LEFT JOIN ON TRUE, not a cross join: when a round's pair census is
-    // EMPTY (merges exhausted before round 6 — every word a single symbol)
-    // the engine freezes the vocab and stops; a cross join with the empty
-    // m_r would DELETE the oracle's vocab instead. Round16Spec pins the
-    // degenerate corpus.
+    // EMPTY (merges exhausted before the budget — every word a single
+    // symbol; the FIXTURE exhausts at round 89 of 256) the engine freezes
+    // the vocab and stops; a cross join with the empty m_r would DELETE
+    // the oracle's vocab instead. Round16Spec pins the degenerate corpus.
+
+  private val BpeCtes: String = bpeCtes(6)
+
+  /** 256-round train oracle: the m_r union is CHUNKED 16×16 — a flat
+    * 256-way UNION ALL parses as a left-deep tree past DuckDB's
+    * max_expression_depth (1000); two levels keep the depth ~32. */
+  private val bpeTrainFullOracleSql: String = {
+    val n = BpeMergeBudget
+    require(n % 16 == 0, s"chunked union assumes a multiple of 16, got $n")
+    def grp(lo: Int, hi: Int) = (lo to hi).map(r =>
+      s"SELECT CAST($r AS INT) AS merge_round, lhs, rhs, " +
+        s"lhs||rhs AS merged, pair_count FROM m$r").mkString(" UNION ALL ")
+    val union = (0 until n / 16).map(g =>
+      s"SELECT * FROM (${grp(g * 16 + 1, g * 16 + 16)})")
+      .mkString(" UNION ALL ")
+    "WITH " + bpeCtes(n) +
+      s"\n      SELECT * FROM ($union) ORDER BY merge_round"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "docs_length_outliers" -> """
@@ -2573,16 +2732,20 @@ object TextOps extends OpRegistry {
         .mkString(" UNION ALL ") +
       " ORDER BY merge_round"),
 
+    "text_bpe_train_full" -> bpeTrainFullOracleSql,
+
+    // r17: apply consumes the FULL 256-budget trained vocab (v256), not
+    // the 6-round twin's v6 — same shared chain, deeper unroll
     "text_bpe_apply" -> (
-      "WITH " + BpeCtes + """,
+      "WITH " + bpeCtes(BpeMergeBudget) + s""",
       ns AS (SELECT w,
                CAST(len(string_split(trim(s, '()'), ')(')) AS BIGINT)
                  AS n_sym,
-               CAST(length(w) AS BIGINT) AS n_char FROM v6),
+               CAST(length(w) AS BIGINT) AS n_char FROM v$BpeMergeBudget),
       lw AS (SELECT lang, w, CAST(COUNT(1) AS BIGINT) AS cnt FROM (
                SELECT lang, unnest(string_split(text,' ')) AS w
                FROM documents)
-             WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$')
+             WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$$')
              GROUP BY 1, 2)
       SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
              CAST(SUM(cnt * n_char) AS BIGINT) AS n_chars,
