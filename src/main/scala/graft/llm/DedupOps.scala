@@ -929,6 +929,33 @@ object DedupOps extends OpRegistry {
         FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1)""",
       docFilter)
 
+  /** df-capped trigram-Jaccard pairs CTE chain over a supplied d CTE —
+    * tok/sh/shc/sz/ix/pairs, mirroring [[plantedJaccardEdges]] exactly
+    * (hashed-join vs string-join asymmetry aside — the shared 2^-64
+    * xxhash64-collision trade every pair oracle makes). Used by the
+    * streaming CC oracle (stream-planted d); splice after WITH RECURSIVE.
+    * shc/pairs MATERIALIZED: four stage subgraphs re-read them. */
+  private[graft] def jaccardPairCtesFrom(dCte: String): String = s"""
+      $dCte,
+      tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM tok)),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      shc AS MATERIALIZED (SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
+              WHERE df <= 100),
+      sz AS (SELECT doc_id, COUNT(1) AS n FROM shc GROUP BY doc_id),
+      ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
+             FROM shc a JOIN shc b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      pairs AS MATERIALIZED (SELECT id1, id2
+                FROM ix JOIN sz s1 ON id1 = s1.doc_id
+                        JOIN sz s2 ON id2 = s2.doc_id
+                WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.1)"""
+
   /** stream_dedup_bands' d CTE: [[plantedStreamDocs]] in SQL — the % 100
     * = 97 cross-wave planting layered over the % 50 = 7 base planting
     * (the two id classes are disjoint: 97 mod 50 = 47). */

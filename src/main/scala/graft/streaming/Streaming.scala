@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.OpRegistry
 import graft.Helpers._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
@@ -357,6 +357,136 @@ object Streaming extends OpRegistry {
     s.read.parquet(receipts: _*).orderBy("wave")
   }
 
+  /** stream_cc_maintain kernel (r17, VERDICT r16 #3): continuous CC-LABEL
+    * maintenance — stream_dedup_bands' wave-ingestion protocol composed
+    * with dedup_components_incremental's label merge inside foreachBatch,
+    * closing the production dedup loop: admission decides what lands,
+    * THIS keeps the component labels current as it lands. Setup lands two
+    * once-per-corpus artifacts (production: both are last night's
+    * output): the near-dup edge list and the base CC labels (v0). The
+    * batch then replays as three mtime-ordered wave files; each
+    * micro-batch bid (1) reads labels v(bid), (2) takes the edges whose
+    * LATEST endpoint arrives this wave (edge wave = max over endpoints of
+    * arrival; base = −1, batch doc = doc_id % 3 — so every edge is
+    * processed exactly once, when it first has both endpoints), (3)
+    * CONTRACTS endpoints to their current label (sound: a labeled
+    * component is already connected through its label) and runs CC on the
+    * small contracted graph only, (4) re-lands v(bid+1) = relabeled old
+    * rows ∪ newly labeled wave docs, and (5) writes a receipt row. Store
+    * versions are batchId-keyed (read v(b), write v(b+1)) so a micro-batch
+    * retry is idempotent. Per-wave cost scales with the wave's docs +
+    * touched components, never the corpus.
+    *
+    * Label ground truth: by induction, labels after wave w equal the
+    * min-id CC labels of the subgraph induced by everything arrived
+    * through wave w — which is exactly what the oracle's four unrolled
+    * recursive reach CTEs compute, so every receipt field (including the
+    * relabel count, the field only an incremental implementation can get
+    * wrong) is DuckDB-replayed per wave. */
+  private[graft] def streamCcMaintain(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import graft.llm.DedupOps
+    val base = s"/tmp/graft_scc_${s.sparkContext.applicationId}"
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(base))
+    val isBatch = (c: Column) => pmod(c, lit(10L)) === 7
+    def arr(c: Column): Column =
+      when(!isBatch(c), lit(-1L)).otherwise(pmod(c, lit(3L)))
+    // landed edge artifact (the dedup_components_incremental rationale:
+    // production stores signatures/edges at ingest; three per-wave
+    // consumers would otherwise re-run the pair kernel)
+    DedupOps.plantedJaccardEdges(s, docs)
+      .write.mode("overwrite").parquet(s"$base/edges")
+    val edges = s.read.parquet(s"$base/edges")
+    // landed base-label artifact (last night's output)
+    val baseNodes = docs.filter(!isBatch(col("doc_id")))
+      .select(col("doc_id").as("node"))
+    val baseEdges = edges.filter(!isBatch(col("a")) && !isBatch(col("b")))
+    DedupOps.connectedComponents(baseNodes, baseEdges)._1
+      .select(col("node").as("doc_id"), col("label"))
+      .write.mode("overwrite").parquet(s"$base/labels/v0")
+    // stage tonight's batch as 3 mtime-ordered wave files (the
+    // stream_dedup_bands protocol: wave w IS micro-batch w)
+    val staged = new java.io.File(s"$base/staged")
+    staged.mkdirs()
+    val batchDocs = docs.filter(isBatch(col("doc_id"))).select("doc_id")
+    val t0 = System.currentTimeMillis() - 600000L
+    for (w <- 0 until 3) {
+      val tmp = s"$base/_w$w"
+      batchDocs.filter(pmod(col("doc_id"), lit(3L)) === w)
+        .repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file staged for wave $w"))
+      val dst = new java.io.File(staged, s"wave$w.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(t0 + w * 2000L)
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(tmp))
+    }
+    val ckpt = scratchCkpt("scc")
+    withStreamPartitions(s) {
+      try {
+        val raw = s.readStream.schema(batchDocs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.getPath)
+        val q = raw.writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val store = s.read.parquet(s"$base/labels/v$batchId")
+            val waveDocs = batch.select("doc_id").distinct()
+            // edges first complete in THIS wave
+            val newEdges = edges.filter(
+              greatest(arr(col("a")), arr(col("b"))) === batchId)
+            // contract endpoints into current label space
+            val ce = newEdges
+              .join(store.select(col("doc_id").as("a"), col("label").as("la")),
+                Seq("a"), "left")
+              .join(store.select(col("doc_id").as("b"), col("label").as("lb")),
+                Seq("b"), "left")
+              .select(coalesce(col("la"), col("a")).as("u"),
+                coalesce(col("lb"), col("b")).as("v"))
+              .filter(col("u") =!= col("v"))
+              .select(least(col("u"), col("v")).as("a"),
+                greatest(col("u"), col("v")).as("b")).distinct()
+            val touched = ce.select(col("a").as("node"))
+              .union(ce.select(col("b").as("node"))).distinct()
+            val (subLab, _) = DedupOps.connectedComponents(
+              waveDocs.select(col("doc_id").as("node")).union(touched).distinct(),
+              ce)
+            val waveOut = waveDocs.join(subLab, col("doc_id") === col("node"))
+              .select(col("doc_id"), col("label"))
+            val oldOut = store.withColumnRenamed("label", "old_label")
+              .join(subLab.select(col("node").as("old_label"),
+                col("label").as("nl")), Seq("old_label"), "left")
+              .select(col("doc_id"),
+                coalesce(col("nl"), col("old_label")).as("label"),
+                col("old_label"))
+            oldOut.select("doc_id", "label").unionByName(waveOut)
+              .write.mode("overwrite").parquet(s"$base/labels/v${batchId + 1}")
+            // receipt: wave CONTENT-derived (the stream_dedup_bands rule —
+            // mis-ordered delivery fails the oracle instead of passing)
+            waveDocs.agg(
+                coalesce(max(pmod(col("doc_id"), lit(3L))), lit(batchId))
+                  .as("wave"),
+                count(lit(1)).as("n_batch"))
+              .crossJoin(newEdges.agg(count(lit(1)).as("n_edges_new")))
+              .crossJoin(oldOut.filter(col("label") =!= col("old_label"))
+                .agg(count(lit(1)).as("n_relabeled")))
+              .crossJoin(s.read.parquet(s"$base/labels/v${batchId + 1}")
+                .agg(countDistinct(col("label")).as("n_components")))
+              .write.mode("overwrite").parquet(s"$base/log/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally cleanupCkpt(ckpt)
+    }
+    val receipts = new java.io.File(s"$base/log").listFiles()
+      .filter(_.getName.startsWith("b")).map(_.getPath).sorted
+    s.read.parquet(receipts: _*).orderBy("wave")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_bands" -> ((s, dir) => {
       // Continuous-ingestion near-dup admission (r16): the STREAMING
@@ -370,6 +500,23 @@ object Streaming extends OpRegistry {
       val docs = graft.llm.DedupOps.plantedStreamDocs(
         tWide(s, dir)("documents").select("doc_id", "text"))
       streamBandAdmission(s, docs)
+    }),
+
+    "stream_cc_maintain" -> ((s, dir) => {
+      // Streaming CC-label maintenance (r17, VERDICT r16 #3): the last
+      // piece of the continuous production dedup loop —
+      // stream_dedup_bands admits, THIS keeps the component labels
+      // current per micro-batch against the landed label artifact (see
+      // [[streamCcMaintain]]). Same stream-planted universe, so
+      // cross-wave merges (% 100 = 97) and batch-base merges (% 50 = 7)
+      // both exercise the per-wave relabel path. Fully DuckDB-oracled:
+      // four unrolled recursive reach CTEs replay the label state after
+      // the base build and after each wave, so every receipt field —
+      // including the per-wave relabel count, the one only an incremental
+      // implementation can get wrong — is ground-truth-checked.
+      val docs = graft.llm.DedupOps.plantedStreamDocs(
+        tWide(s, dir)("documents").select("doc_id", "text"))
+      streamCcMaintain(s, docs)
     }),
 
     "stream_backfill_batches" -> ((s, dir) => {
@@ -860,7 +1007,59 @@ object Streaming extends OpRegistry {
              (SELECT COUNT(1) FROM adm$w) AS n_admitted,
              (SELECT COUNT(1) FROM store${w + 1}) AS n_store_after"""
 
+  /** One label-state stage of the stream_cc_maintain oracle: nodes
+    * arrived through stage `s` (−1 = base), edges whose latest endpoint
+    * arrived by `s`, transitive-closure reach, min-label components. */
+  private def sccStageCtes(s: Int): String = {
+    val nm = if (s < 0) "b" else s.toString
+    val nodeCond =
+      if (s < 0) "doc_id % 10 <> 7"
+      else s"doc_id % 10 <> 7 OR doc_id % 3 <= $s"
+    s"""n$nm AS (SELECT doc_id FROM d WHERE $nodeCond),
+      e$nm AS MATERIALIZED (SELECT a, b FROM pw WHERE ew <= $s
+             UNION ALL SELECT b, a FROM pw WHERE ew <= $s),
+      reach$nm(node, label) AS (
+        SELECT doc_id, doc_id FROM n$nm
+        UNION
+        SELECT e.b, r.label FROM reach$nm r JOIN e$nm e ON r.node = e.a),
+      comp$nm AS MATERIALIZED (SELECT node, MIN(label) AS label
+               FROM reach$nm GROUP BY node)"""
+  }
+
+  /** Receipt row for wave w: batch size, edges first completing in w,
+    * docs whose label CHANGED vs the previous state, components after. */
+  private def sccWaveRow(w: Int): String = {
+    val prev = if (w == 0) "b" else (w - 1).toString
+    s"""SELECT CAST($w AS BIGINT) AS wave,
+       (SELECT COUNT(1) FROM d WHERE doc_id % 10 = 7 AND doc_id % 3 = $w)
+         AS n_batch,
+       (SELECT COUNT(1) FROM pw WHERE ew = $w) AS n_edges_new,
+       (SELECT COUNT(1) FROM comp$prev p JOIN comp$w c ON p.node = c.node
+        WHERE p.label <> c.label) AS n_relabeled,
+       (SELECT COUNT(DISTINCT label) FROM comp$w) AS n_components"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // Per-wave label ground truth: labels after wave w = min-id CC of the
+    // subgraph induced by everything arrived through w (the incremental
+    // merge's correctness invariant), replayed as four unrolled recursive
+    // reach CTEs over the shared stream-planted pair chain.
+    "stream_cc_maintain" -> s"""
+      WITH RECURSIVE ${graft.llm.DedupOps.jaccardPairCtesFrom(
+        graft.llm.DedupOps.streamPlantedDCte)},
+      pw AS MATERIALIZED (SELECT id1 AS a, id2 AS b,
+             GREATEST(CASE WHEN id1 % 10 <> 7 THEN -1 ELSE id1 % 3 END,
+                      CASE WHEN id2 % 10 <> 7 THEN -1 ELSE id2 % 3 END)
+               AS ew
+           FROM pairs),
+      ${sccStageCtes(-1)},
+      ${sccStageCtes(0)},
+      ${sccStageCtes(1)},
+      ${sccStageCtes(2)}
+      SELECT * FROM (
+        ${sccWaveRow(0)} UNION ALL ${sccWaveRow(1)} UNION ALL ${sccWaveRow(2)})
+      ORDER BY wave""",
+
     // Three unrolled wave-admission rounds over the portable band chain
     // (shared with dedup_incremental_bands' oracle so the batch and
     // streaming forms can never drift), on the stream-planted d CTE.

@@ -69,6 +69,50 @@ class Round17Spec extends GraftSuite {
         "exhaustion implies a fully merged vocab")
   }
 
+  test("stream_cc_maintain: hand corpus replays known per-wave merges and relabels") {
+    // base comps: {10,11} label 10, {20} label 20.
+    // wave 0 (27, 57, 87): 27 joins 20's comp (min stays 20 — no relabel);
+    //   57/87 merge batch-internally to 57.
+    // wave 1 (7): 7 < 10 merges into {10,11} — the BASE ROWS RELABEL to 7.
+    // wave 2 (17): 17 < 57 merges into {57,87} — both relabel to 17.
+    val docs = Seq(
+      (10L, "aa bb cc dd ee"), (11L, "aa bb cc dd ee"),
+      (20L, "ff gg hh ii jj"),
+      (27L, "ff gg hh ii jj"), (57L, "kk ll mm nn oo"),
+      (87L, "kk ll mm nn oo"),
+      (7L, "aa bb cc dd ee"),
+      (17L, "kk ll mm nn oo")).toDF("doc_id", "text")
+    val got = streaming.Streaming.streamCcMaintain(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 3L, 2L, 0L, 3L),
+      (1L, 1L, 2L, 2L, 3L),
+      (2L, 1L, 2L, 2L, 3L)))
+    // the final landed label store is the full-graph ground truth
+    val labels = spark.read.parquet(
+      s"/tmp/graft_scc_${spark.sparkContext.applicationId}/labels/v3")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(10L -> 7L, 11L -> 7L, 7L -> 7L,
+      20L -> 20L, 27L -> 20L, 57L -> 17L, 87L -> 17L, 17L -> 17L))
+  }
+
+  test("stream_cc_maintain: fixture final store equals a full CC rebuild") {
+    q("stream_cc_maintain").collect() // runs the waves, lands labels/v3
+    val base = s"/tmp/graft_scc_${spark.sparkContext.applicationId}"
+    val incremental = spark.read.parquet(s"$base/labels/v3")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = llm.DedupOps.plantedStreamDocs(
+      Tables.load(spark, sfDir, "documents").select("doc_id", "text"))
+    val (full, _) = llm.DedupOps.connectedComponents(
+      docs.select(col("doc_id").as("node")),
+      spark.read.parquet(s"$base/edges"))
+    val rebuilt = full.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incremental === rebuilt,
+      "incremental per-wave label maintenance diverged from the full rebuild")
+    assert(incremental.nonEmpty)
+  }
+
   test("text_bpe_apply: fertility sheet equals a recomputation from the trained vocab") {
     val (_, vocab) = llm.TextOps.bpeTrainFull(spark, sfDir)
     val nsym = vocab.toMap
