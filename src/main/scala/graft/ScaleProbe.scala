@@ -473,7 +473,11 @@ object ScaleProbe {
       "sink_xml_roundtrip", "scan_ignore_corrupt_files",
       "sink_partitioned_pruned", "source_jsonlines", "source_text_raw",
       "layout_compact_small_files", "layout_zorder", "maintenance_vacuum",
-      "merge_delete_cow", "merge_upsert"),
+      "merge_delete_cow", "merge_upsert",
+      // r17: plan→execute round-trip — one read + one keyed shuffle +
+      // one write; ledger/plan are file-count-sized (the probed plan op's
+      // packing math over a real _metadata ledger)
+      "maintenance_compaction_execute"),
     "stream" -> Seq("stream_tumbling_1h", "stream_sliding_1h_15m",
       "stream_session_30m", "stream_threshold_alerts",
       "stream_sink_foreachBatch"),

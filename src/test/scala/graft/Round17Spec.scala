@@ -113,6 +113,34 @@ class Round17Spec extends GraftSuite {
     assert(incremental.nonEmpty)
   }
 
+  test("maintenance_compaction_execute: executed layout equals the plan; round-trip lossless") {
+    val (out, planBins, root) = operators.Profiling.compactionExecute(spark, sfDir)
+    val plan = planBins.collect().map(r =>
+      (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val actual = spark.read.parquet(root)
+      .groupBy(col("o_orderstatus").as("part"), col("bin_id").cast("long").as("bin_id"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("_metadata.file_path")).as("n_out_files"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // the bins on disk are EXACTLY the planned bins
+    assert(actual.keySet === plan.keySet,
+      s"planned bins ${plan.keySet} != executed ${actual.keySet}")
+    // each bin landed as ONE file carrying exactly its planned rows
+    actual.foreach { case (bin, (rows, nFiles)) =>
+      assert(nFiles === 1L, s"bin $bin splintered into $nFiles files")
+      assert(rows === plan(bin)._2,
+        s"bin $bin has $rows rows, plan said ${plan(bin)._2}")
+    }
+    assert(plan.size > 1, "fixture should plan more than one bin")
+    // read-back identity vs the source table
+    val src = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), Helpers.decSumOut(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+    assert(out.collect().toSeq === src.collect().toSeq)
+  }
+
   test("text_bpe_apply: fertility sheet equals a recomputation from the trained vocab") {
     val (_, vocab) = llm.TextOps.bpeTrainFull(spark, sfDir)
     val nsym = vocab.toMap
