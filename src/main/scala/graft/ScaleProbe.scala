@@ -126,6 +126,9 @@ object ScaleProbe {
     // round 17: the driver-side 256-budget trainer — one corpus collapse
     // + in-memory merge rounds; the probe measures the collapse scaling
     "text_bpe_train_full",
+    // round 17: cross-modal paired dedup — both sides banded and
+    // occupancy-capped at 64, so candidate volume is cell-bounded
+    "multimodal_pair_dedup",
     // round 16 batch E: the BM25 posting-join ranker (broadcast 10-term
     // query panel; tf/df vocab aggs; map-side WindowGroupLimit top-k)
     "text_bm25_topk",

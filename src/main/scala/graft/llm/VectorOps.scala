@@ -180,6 +180,28 @@ object VectorOps extends OpRegistry {
     tWide(s, dir)("embeddings")
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
 
+  /** The payload parity sketch as FOUR 16-bit LSH bands — 64-bit parity of
+    * the codepoint histogram (bucket = cp % 64, bit = count parity),
+    * multimodal_phash_dedup's kernel factored out (r17) so the cross-modal
+    * pair op provably shares it. Codepoints, not UTF-8 bytes, so the
+    * sketch agrees with DuckDB's char-positional ord on any text. */
+  private def phashBands(aug: DataFrame): DataFrame = {
+    val s = aug.sparkSession
+    import s.implicits._
+    aug.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val par = new Array[Long](64)
+          if (text != null)
+            text.codePoints().forEach(cp => par(cp % 64) ^= 1L)
+          def band(k: Int): Long =
+            (0 until 16).foldLeft(0L)((a, j) => a | (par(k * 16 + j) << j))
+          (id, band(0), band(1), band(2), band(3))
+        }
+      }
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
   private val PqSubspaces = 8
   private val PqCodebook = 16
   /** knn_ivfpq_topk uses finer subspaces than vec_pq_codes (16×4-dim vs
@@ -1434,6 +1456,83 @@ object VectorOps extends OpRegistry {
         .orderBy("doc_id")
     }),
 
+    "multimodal_pair_dedup" -> ((s, dir) => {
+      // Cross-modal PAIRED dedup (r17, VERDICT r16 #6): a multimodal
+      // corpus dedups image-caption PAIRS, not modalities independently —
+      // two pairs can share the image (re-crops with new captions), the
+      // caption (stock captions on different images), or both (true
+      // re-uploads), and the right action differs per class. This op
+      // reports the AGREEMENT table of the two existing kernels over the
+      // same candidate universe: image side = multimodal_phash_dedup's
+      // parity-sketch bands (Hamming ≤ 6 verify — its dup rule), caption
+      // side = the portable minhash bands (shared band = the
+      // dedup_incremental_bands admission rule). Both sides are banded
+      // and occupancy-capped at 64 — never all-pairs. The all-distinct
+      // fixture is augmented with one planted clone per class:
+      // %100 = 0 → +1e7 copy with an appended '.' (image Hamming 1,
+      // shingles nearly intact → BOTH); %100 = 50 → +2e7 copy with the
+      // WORD ORDER REVERSED (codepoint histogram identical → image dup;
+      // trigram shingles all new → caption clean → IMAGE_ONLY);
+      // %100 = 25 → +3e7 copy with an 11-odd-char word appended
+      // (11 parity flips > 6 → image clean; most minhash bands survive a
+      // 3-shingle tail edit → CAPTION_ONLY, probabilistically — the
+      // oracle replays the exact same sketch, so borderline docs agree
+      // by construction). Codepoints, not UTF-8 bytes (the
+      // multimodal_resample rule), so DuckDB's ord agrees on any text.
+      val base = tWide(s, dir)("documents").select(col("doc_id"), col("text"))
+      val aug = base
+        .unionByName(base.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(".")).as("text")))
+        .unionByName(base.filter(col("doc_id") % 100 === 50)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            array_join(reverse(split(col("text"), " ")), " ").as("text")))
+        .unionByName(base.filter(col("doc_id") % 100 === 25)
+          .select((col("doc_id") + 30000000L).as("doc_id"),
+            concat(col("text"), lit(" abcdefghij")).as("text")))
+      // image side: parity-sketch bands, cap 64 per cell, Hamming ≤ 6
+      val ib = phashBands(aug)
+      val iex = ib.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("k", "v")))
+      val wI = Window.partitionBy("k", "v").orderBy("doc_id")
+      val iCap = iex.withColumn("rn", row_number().over(wI)).filter(col("rn") <= 64)
+      val iCand = iCap.as("a").join(iCap.as("b"),
+          col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      def bc(x: Column, y: Column): Column =
+        bit_count(x.bitwiseXOR(y)).cast("long")
+      val img = iCand
+        .join(ib.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("doc_a"))
+        .join(ib.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("doc_b"))
+        .filter(bc(col("a0"), col("c0")) + bc(col("a1"), col("c1")) +
+          bc(col("a2"), col("c2")) + bc(col("a3"), col("c3")) <= 6)
+        .select(col("doc_a"), col("doc_b"))
+      // caption side: portable minhash bands, cap 64 per cell
+      import graft.llm.{DedupOps => D}
+      val cbands = D.portableBands(D.portableSignature(aug))
+      val wC = Window.partitionBy("band", "bh").orderBy("doc_id")
+      val cCap = cbands.withColumn("rn", row_number().over(wC)).filter(col("rn") <= 64)
+      val cap = cCap.as("x").join(cCap.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      img.withColumn("img_dup", lit(1))
+        .join(cap.withColumn("cap_dup", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("img_dup"), lit(0)).as("img_dup"),
+          coalesce(col("cap_dup"), lit(0)).as("cap_dup"),
+          when(col("img_dup").isNotNull && col("cap_dup").isNotNull, "both")
+            .when(col("img_dup").isNotNull, "image_only")
+            .otherwise("caption_only").as("category"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "multimodal_phash_dedup" -> ((s, dir) => {
       // Perceptual-hash-style near-dup detection over payloads — the
       // media twin of dedup_simhash: a 64-bit parity sketch of the
@@ -1460,19 +1559,7 @@ object VectorOps extends OpRegistry {
         base.filter(col("doc_id") % 100 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"),
             concat(col("text"), lit(".")).as("text")))
-      import s.implicits._
-      val bands = aug.as[(Long, String)]
-        .mapPartitions { it =>
-          it.map { case (id, text) =>
-            val par = new Array[Long](64)
-            if (text != null)
-              text.codePoints().forEach(cp => par(cp % 64) ^= 1L)
-            def band(k: Int): Long =
-              (0 until 16).foldLeft(0L)((a, j) => a | (par(k * 16 + j) << j))
-            (id, band(0), band(1), band(2), band(3))
-          }
-        }
-        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      val bands = phashBands(aug)
       val exploded = bands.select(col("doc_id"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("k", "v")))
@@ -2467,6 +2554,79 @@ object VectorOps extends OpRegistry {
     // output is differential: DuckDB re-derives the same stats from the text
     // via a per-character fold (ord == byte on the all-ascii fixture, which
     // LlmOpsSpec asserts via n_bytes == length(text)).
+    // Cross-modal agreement table: the parity-sketch chain and the
+    // portable-minhash band chain both replayed over the pair-planted
+    // universe, capped and banded exactly like the engine, full-outer
+    // fused into the three-class verdict.
+    "multimodal_pair_dedup" -> s"""
+      WITH ${graft.llm.DedupOps.portableBandCtesFrom("""
+      d AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text || '.' FROM documents
+        WHERE doc_id % 100 = 0
+        UNION ALL
+        SELECT doc_id + 20000000,
+               array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        FROM documents WHERE doc_id % 100 = 50
+        UNION ALL
+        SELECT doc_id + 30000000, text || ' abcdefghij' FROM documents
+        WHERE doc_id % 100 = 25)""", "")},
+      ch AS (SELECT doc_id,
+               unnest(list_transform(range(1, length(text) + 1),
+                 i -> ord(substring(text, i, 1)) % 64)) AS bucket
+             FROM d),
+      par AS (SELECT doc_id, bucket, CAST(COUNT(1) % 2 AS BIGINT) AS p
+              FROM ch GROUP BY 1, 2),
+      ibands AS MATERIALIZED (SELECT a.doc_id,
+          CAST(COALESCE(SUM(CASE WHEN p.bucket // 16 = 0
+            THEN p.p * (1 << (p.bucket % 16)) END), 0) AS BIGINT) AS b0,
+          CAST(COALESCE(SUM(CASE WHEN p.bucket // 16 = 1
+            THEN p.p * (1 << (p.bucket % 16)) END), 0) AS BIGINT) AS b1,
+          CAST(COALESCE(SUM(CASE WHEN p.bucket // 16 = 2
+            THEN p.p * (1 << (p.bucket % 16)) END), 0) AS BIGINT) AS b2,
+          CAST(COALESCE(SUM(CASE WHEN p.bucket // 16 = 3
+            THEN p.p * (1 << (p.bucket % 16)) END), 0) AS BIGINT) AS b3
+        FROM d a LEFT JOIN par p ON a.doc_id = p.doc_id
+        GROUP BY a.doc_id),
+      iex AS (SELECT doc_id, 0 AS k, b0 AS v FROM ibands
+             UNION ALL SELECT doc_id, 1, b1 FROM ibands
+             UNION ALL SELECT doc_id, 2, b2 FROM ibands
+             UNION ALL SELECT doc_id, 3, b3 FROM ibands),
+      icap AS (SELECT doc_id, k, v FROM (
+          SELECT doc_id, k, v,
+                 ROW_NUMBER() OVER (PARTITION BY k, v ORDER BY doc_id) AS rn
+          FROM iex) WHERE rn <= 64),
+      icand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM icap a JOIN icap b
+                 ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id),
+      ipairs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM icand
+        JOIN ibands x ON icand.doc_a = x.doc_id
+        JOIN ibands y ON icand.doc_b = y.doc_id
+        WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 6),
+      ccap AS (SELECT doc_id, band, bh FROM (
+          SELECT doc_id, band, bh,
+                 ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+          FROM piv) WHERE rn <= 64),
+      cpairs AS MATERIALIZED (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM ccap x JOIN ccap y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      SELECT COALESCE(i.doc_a, c.doc_a) AS doc_a,
+             COALESCE(i.doc_b, c.doc_b) AS doc_b,
+             CAST(CASE WHEN i.doc_a IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS img_dup,
+             CAST(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS cap_dup,
+             CASE WHEN i.doc_a IS NOT NULL AND c.doc_a IS NOT NULL THEN 'both'
+                  WHEN i.doc_a IS NOT NULL THEN 'image_only'
+                  ELSE 'caption_only' END AS category
+      FROM ipairs i FULL OUTER JOIN cpairs c
+        ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      ORDER BY doc_a, doc_b""",
+
     "multimodal_phash_dedup" -> """
       WITH aug AS (
         SELECT doc_id, text FROM documents

@@ -141,6 +141,40 @@ class Round17Spec extends GraftSuite {
     assert(out.collect().toSeq === src.collect().toSeq)
   }
 
+  test("multimodal_pair_dedup: planted classes land in their categories") {
+    // sf0.01: all three planted id classes (%100 = 0 / 50 / 25) exist
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("multimodal_pair_dedup")(spark, dir).collect()
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    // category is a pure function of the two flags
+    m.values.foreach { case (i, c, cat) =>
+      assert(cat === ((i, c) match {
+        case (1, 1) => "both"
+        case (1, 0) => "image_only"
+        case _      => "caption_only"
+      }))
+      assert(i == 1 || c == 1, "a pair with neither flag cannot exist")
+    }
+    val ids = Tables.load(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    def found(cls: Long, shift: Long)(pred: ((Int, Int, String)) => Boolean) = {
+      val planted = ids.filter(_ % 100 == cls)
+      (planted.count(d => m.get((d, d + shift)).exists(pred)), planted.length)
+    }
+    // '.'-append clones: tiny image edit + near-identical shingles -> both
+    val (b, bn) = found(0L, 10000000L)(_._3 == "both")
+    assert(bn > 0 && b * 2 > bn, s"both-class recall $b/$bn")
+    // word-order-reversed clones: identical codepoint histogram -> image
+    // dup by construction (Hamming 0); shingles all new -> caption clean
+    val (io, ion) = found(50L, 20000000L)(e => e._1 == 1 && e._2 == 0)
+    assert(ion > 0 && io * 2 > ion, s"image_only recall $io/$ion")
+    // tail-word-append clones: 11 parity flips > 6 -> image clean; most
+    // minhash bands survive a 3-shingle tail edit -> caption dup
+    val (co, con) = found(25L, 30000000L)(e => e._1 == 0 && e._2 == 1)
+    assert(con > 0 && co * 2 > con, s"caption_only recall $co/$con")
+  }
+
   test("text_bpe_apply: fertility sheet equals a recomputation from the trained vocab") {
     val (_, vocab) = llm.TextOps.bpeTrainFull(spark, sfDir)
     val nsym = vocab.toMap
