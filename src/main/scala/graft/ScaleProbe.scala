@@ -480,7 +480,10 @@ object ScaleProbe {
       // r17: plan→execute round-trip — one read + one keyed shuffle +
       // one write; ledger/plan are file-count-sized (the probed plan op's
       // packing math over a real _metadata ledger)
-      "maintenance_compaction_execute"),
+      "maintenance_compaction_execute",
+      // r17: append-commit sidecar maintenance — commit-sized stats scan
+      // + KB-sized sidecar append + O(files) driver prune walk
+      "scan_stats_sidecar_append"),
     "stream" -> Seq("stream_tumbling_1h", "stream_sliding_1h_15m",
       "stream_session_30m", "stream_threshold_alerts",
       "stream_sink_foreachBatch"),

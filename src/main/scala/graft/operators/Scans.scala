@@ -194,6 +194,32 @@ object Scans extends OpRegistry {
         .orderBy("o_orderstatus")
     }),
 
+    "scan_stats_sidecar_append" -> ((s, dir) => {
+      // Incremental stats-sidecar maintenance + as-of prune (r17, VERDICT
+      // r16 #7): an append commit updates the zone-map sidecar by
+      // APPENDING the new files' stats (computed from the commit's own
+      // files only — see statsSidecarAppendTable), and the v1 read prunes
+      // against the UPDATED sidecar with a predicate spanning BOTH
+      // commits' key ranges — so the result is wrong unless (a) the old
+      // stats survived the commit untouched AND (b) the new files'
+      // stats landed. Same soundness shape as scan_zone_map_prune:
+      // survivors re-apply the exact predicate; an excluded file can
+      // never contain a match. Prune is an O(files) driver walk over the
+      // KB-sized sidecar at any table size.
+      val base = statsSidecarAppendTable(s, dir)
+      val ranges = Seq((1000L, 5000L), (10000100L, 10001200L))
+      val live = readStats(s, base, 1)
+        .filter(f => ranges.exists { case (lo, hi) => f.max >= lo && f.min <= hi })
+        .map(_.path)
+      s.read.parquet(live: _*)
+        .filter(col("o_orderkey").between(1000L, 5000L) ||
+          col("o_orderkey").between(10000100L, 10001200L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          graft.Helpers.decSumOut(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "scan_snapshot_changes" -> ((s, dir) => {
       // Incremental/CDC read (round 12): the rows ADDED between version 0
       // and version 1 = the parquet files in manifest 1 but not manifest
@@ -447,6 +473,59 @@ object Scans extends OpRegistry {
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
+  /** Read a _log sidecar file back as its lines. */
+  private[graft] def readLog(s: SparkSession, path: String): List[String] = {
+    val fs = hadoopFs(s, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Parse a version's stats sidecar back into [[FileStats]]. */
+  private[graft] def readStats(s: SparkSession, base: String,
+                               version: Int): Seq[FileStats] =
+    readLog(s, f"$base/_log/v$version%05d.stats").map { line =>
+      val Array(p, mn, mx) = line.split("\t")
+      FileStats(p, mn.toLong, mx.toLong)
+    }
+
+  /** scan_stats_sidecar_append's table builder (r17, VERDICT r16 #7):
+    * commit-time INCREMENTAL maintenance of the zone-map stats sidecar.
+    * v0 = statsTable's range-clustered 8-file layout + stats sidecar;
+    * commit 1 appends 4 range-clustered files of key-shifted rows
+    * (+10,000,000 — disjoint from any real key) and the v1 sidecar is
+    * written as v0's LINES READ BACK VERBATIM plus the new files' stats —
+    * the only data scanned at commit time is the commit's own files
+    * (one `_metadata` aggregate over c1). At 100 TB the sidecar must ride
+    * the commit: a rescan-and-rewrite ANALYZE over the whole table per
+    * append is the anti-pattern this op exists to rule out; Round17Spec
+    * asserts the v0 prefix of the v1 sidecar is byte-identical. */
+  private[graft] def statsSidecarAppendTable(s: SparkSession,
+                                             dir: String): String = {
+    val (base, _) = statsTable(s, dir, "stats_append")
+    t(s, dir)("orders")
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$base/data/c1")
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val byFile = s.read.parquet(s"$base/data/c1")
+      .groupBy(col("_metadata.file_path").as("p"))
+      .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      .collect().map(r => norm(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val newStats = partFiles(s, s"$base/data/c1").map { p =>
+      val (mn, mx) = byFile(norm(p))
+      FileStats(p, mn, mx)
+    }
+    writeManifest(s, base, 1, readManifest(s, base, 0) ++ newStats.map(_.path))
+    writeLog(s, f"$base/_log/v00001.stats",
+      readLog(s, f"$base/_log/v00000.stats") ++
+        newStats.map(f => s"${f.path}\t${f.min}\t${f.max}"))
+    base
+  }
+
   /** File-level change capture: files reachable at `to` but not `from`. */
   def changedFiles(s: SparkSession, base: String, from: Int,
                    to: Int): Seq[String] = {
@@ -466,6 +545,22 @@ object Scans extends OpRegistry {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
       GROUP BY 1 ORDER BY o_orderstatus""",
+    // both commits' ranges replay from the source table: the appended
+    // rows are the +1e7 key-shifted copies, so their [10000100, 10001200]
+    // slice is the source's [100, 1200] slice (present at every fixture SF;
+    // it overlaps the c0 range in [1000, 1200] — those rows legitimately
+    // count once per PHYSICAL copy, mirrored by the UNION ALL)
+    "scan_stats_sidecar_append" -> """
+      WITH u AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 5000
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey + 10000000 BETWEEN 10000100 AND 10001200)
+      SELECT o_orderstatus, COUNT(1) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM u GROUP BY 1 ORDER BY o_orderstatus""",
+
     // the incremental read returns exactly the v1-appended rows: the
     // shifted copies, replayable from the source table
     "scan_snapshot_changes" -> """

@@ -175,6 +175,39 @@ class Round17Spec extends GraftSuite {
     assert(con > 0 && co * 2 > con, s"caption_only recall $co/$con")
   }
 
+  test("scan_stats_sidecar_append: commit-time sidecar update, prune correct against it") {
+    import operators.Scans
+    val base = Scans.statsSidecarAppendTable(spark, sfDir)
+    val v0 = Scans.readLog(spark, f"$base/_log/v00000.stats")
+    val v1 = Scans.readLog(spark, f"$base/_log/v00001.stats")
+    // the commit APPENDED: v0's lines survive byte-identical as a prefix
+    assert(v1.take(v0.size) === v0,
+      "append commit must not rewrite the existing sidecar entries")
+    assert(v1.size === v0.size + 4, s"expected 4 new stats lines, v0=${v0.size} v1=${v1.size}")
+    assert(v1.size === Scans.readManifest(spark, base, 1).size,
+      "one stats line per manifest file")
+    // prune against the UPDATED sidecar: strict subset, both commits hit
+    val ranges = Seq((1000L, 5000L), (10000100L, 10001200L))
+    val stats = Scans.readStats(spark, base, 1)
+    val live = stats.filter(f =>
+      ranges.exists { case (lo, hi) => f.max >= lo && f.min <= hi })
+    assert(live.size < stats.size, "prune must exclude at least one file")
+    assert(live.exists(_.path.contains("/data/c0/")) &&
+      live.exists(_.path.contains("/data/c1/")),
+      s"prune must keep files from BOTH commits: ${live.map(_.path)}")
+    // soundness: every excluded file provably cannot match either range
+    stats.filterNot(f => live.exists(_.path == f.path)).foreach { f =>
+      assert(ranges.forall { case (lo, hi) => f.max < lo || f.min > hi }) }
+    // the pruned read equals the unpruned filtered read of the v1 table
+    val pred = col("o_orderkey").between(1000L, 5000L) ||
+      col("o_orderkey").between(10000100L, 10001200L)
+    val pruned = spark.read.parquet(live.map(_.path): _*).filter(pred)
+      .agg(count(lit(1)), sum("o_orderkey")).collect().toSeq
+    val full = spark.read.parquet(Scans.readManifest(spark, base, 1): _*)
+      .filter(pred).agg(count(lit(1)), sum("o_orderkey")).collect().toSeq
+    assert(pruned === full)
+  }
+
   test("text_bpe_apply: fertility sheet equals a recomputation from the trained vocab") {
     val (_, vocab) = llm.TextOps.bpeTrainFull(spark, sfDir)
     val nsym = vocab.toMap
