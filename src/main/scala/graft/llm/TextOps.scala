@@ -223,9 +223,15 @@ object TextOps extends OpRegistry {
     * collapse; rounds run on the vocab-sized checkpointed frame with ONE
     * argmax row collected per round. */
   private[graft] def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeTrainDocs(s, tWide(s, dir)("documents"))
+
+  /** [[bpeTrain]] re-rooted on a passed doc frame so Round17Spec can run
+    * the distributed-vs-driver differential on seeded random corpora. */
+  private[graft] def bpeTrainDocs(s: SparkSession, docs: DataFrame)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val Rounds = 6
-    val words = tWide(s, dir)("documents")
+    val words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("n"))

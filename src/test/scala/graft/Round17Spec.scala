@@ -69,6 +69,69 @@ class Round17Spec extends GraftSuite {
         "exhaustion implies a fully merged vocab")
   }
 
+  /** Naive reference BPE: full pair recount every round over plain symbol
+    * lists — no incremental maintenance, no guard strings. The slowest,
+    * most obviously-correct form; both engine trainers must match it. */
+  private def naiveBpe(words: Seq[(String, Long)],
+      budget: Int): Seq[(Int, String, String, Long)] = {
+    var syms = words.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= budget && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      syms.foreach { case (a, n) =>
+        a.indices.dropRight(1).foreach { i =>
+          counts((a(i), a(i + 1))) = counts.getOrElse((a(i), a(i + 1)), 0L) + n }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((la, lb), c) = counts.toSeq
+          .sortBy { case ((x, y), n) => (-n, x, y) }.head
+        out += ((r, la, lb, c))
+        syms = syms.map { case (a, n) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < a.length) {
+            if (i < a.length - 1 && a(i) == la && a(i + 1) == lb) {
+              b += la + lb; i += 2
+            } else { b += a(i); i += 1 }
+          }
+          (b.result(), n)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("BPE property: driver trainer == naive recount == distributed twin on seeded random corpora") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // random small vocab of random [a-z0-9] words, skewed frequencies —
+      // plenty of count ties to exercise the lexicographic tie-break
+      val alphabet = "abcz019"
+      val vocab = Seq.fill(8 + rnd.nextInt(8)) {
+        (2 + rnd.nextInt(5), Seq.fill(2 + rnd.nextInt(5))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }.map(_._2).distinct
+      val docs = (0 until 20).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docsDf = docs.toDF("doc_id", "text")
+      val wordFreq = docs.flatMap(_._2.split(" ")).filter(_.length >= 2)
+        .groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }.toSeq
+      val expected = naiveBpe(wordFreq, llm.TextOps.BpeMergeBudget)
+      val (driver, _) = llm.TextOps.bpeTrainFullDocs(docsDf)
+      assert(driver === expected,
+        s"seed $seed: incremental driver trainer diverged from naive recount")
+      val (dist, _) = llm.TextOps.bpeTrainDocs(spark, docsDf)
+      assert(dist === expected.take(6),
+        s"seed $seed: distributed 6-round twin diverged from naive recount")
+    }
+  }
+
   test("stream_cc_maintain: hand corpus replays known per-wave merges and relabels") {
     // base comps: {10,11} label 10, {20} label 20.
     // wave 0 (27, 57, 87): 27 joins 20's comp (min stays 20 — no relabel);
