@@ -160,6 +160,32 @@ class Round17Spec extends GraftSuite {
       20L -> 20L, 27L -> 20L, 57L -> 17L, 87L -> 17L, 17L -> 17L))
   }
 
+  test("stream_cc_maintain property: incremental == full rebuild on seeded random corpora") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      // pool-based texts => natural near-dup clusters spanning base and
+      // all three waves; one-word mutations keep jaccard > 0.1 edges
+      val pool = Vector(
+        "aa bb cc dd ee ff", "gg hh ii jj kk ll", "mm nn oo pp qq rr",
+        "ss tt uu vv ww xx", "yy zz a1 b2 c3 d4", "e5 f6 g7 h8 i9 j0")
+      val docs = (0L until 60L).map { id =>
+        val t = pool(rnd.nextInt(pool.size))
+        (id, if (rnd.nextBoolean()) t else t + " mut" + rnd.nextInt(3))
+      }.toDF("doc_id", "text")
+      streaming.Streaming.streamCcMaintain(spark, docs).collect()
+      val base = s"/tmp/graft_scc_${spark.sparkContext.applicationId}"
+      val incremental = spark.read.parquet(s"$base/labels/v3")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (full, _) = llm.DedupOps.connectedComponents(
+        docs.select(col("doc_id").as("node")),
+        spark.read.parquet(s"$base/edges"))
+      val rebuilt = full.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incremental === rebuilt, s"seed $seed: incremental diverged")
+      // the random pools guarantee real cross-wave merge work happened
+      assert(incremental.values.toSet.size < 60, s"seed $seed: no merges at all")
+    }
+  }
+
   test("stream_cc_maintain: fixture final store equals a full CC rebuild") {
     q("stream_cc_maintain").collect() // runs the waves, lands labels/v3
     val base = s"/tmp/graft_scc_${spark.sparkContext.applicationId}"
