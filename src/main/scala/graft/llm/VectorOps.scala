@@ -557,7 +557,7 @@ object VectorOps extends OpRegistry {
     }),
 
     "knn_ivf_topk" -> ((s, dir) => {
-      // Scale path (no oracle; unit-tested for recall vs brute force):
+      // Scale path (generated-literal DuckDB twin + recall unit tests):
       // multi-table sign-LSH — L=4 independent tables of 6 hyperplanes each,
       // multiprobe up to Hamming distance 2 (1+6+15 = 22 cells per table),
       // exact quantized re-rank over the union of candidates. Round 1 used

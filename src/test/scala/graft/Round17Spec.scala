@@ -202,6 +202,24 @@ class Round17Spec extends GraftSuite {
     assert(incremental.nonEmpty)
   }
 
+  test("retrieval consumers are SERVED from the landed index (plan lock)") {
+    // every IVF consumer's executed plan must read the ivf_cells artifact
+    // parquet (a FileScan over the CorpusArtifacts dir), not re-derive
+    // cells inline — the r17 landed-index contract
+    for (op <- Seq("knn_ivf_topk", "vec_ivf_cell_stats",
+        "vec_ivf_probe_cost", "vec_ivf_balance_gini")) {
+      val plan = q(op).queryExecution.executedPlan.toString
+      assert(plan.contains("graft_artifacts"),
+        s"$op does not read the landed index artifact:\n$plan")
+    }
+    val pq = q("knn_ivfpq_topk").queryExecution.executedPlan.toString
+    assert(pq.contains("ivfpq_index"),
+      "knn_ivfpq_topk does not read the landed IVF-PQ index")
+    val hy = q("docs_hybrid_retrieval").queryExecution.executedPlan.toString
+    assert(hy.contains("hybrid_universe"),
+      "docs_hybrid_retrieval does not read the landed serving universe")
+  }
+
   test("maintenance_compaction_execute: executed layout equals the plan; round-trip lossless") {
     val (out, planBins, root) = operators.Profiling.compactionExecute(spark, sfDir)
     val plan = planBins.collect().map(r =>
