@@ -380,9 +380,11 @@ object ScaleProbe {
     // round 16: continuous-ingestion band dedup — per-wave cost must
     // scale with the wave (probe join + store re-land), not the corpus
     "stream_dedup_bands",
-    // round 17: streaming CC-label maintenance — per-wave cost = wave
-    // docs + touched components (contracted sub-CC), never the corpus;
-    // the probe pays the edge + base-label artifact builds in-op
+    // round 17: streaming CC-label maintenance — per-wave COMPUTE = wave
+    // docs + touched components (contracted sub-CC); the versioned store
+    // re-land is full-table per wave at fixture scale (partition-pruned
+    // in production — see the kernel scaladoc); the probe pays the edge
+    // + base-label artifact builds in-op
     "stream_cc_maintain")
 
   /** Retroactive scale-classification ledger (r15, VERDICT r14 #2): the

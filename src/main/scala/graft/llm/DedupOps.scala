@@ -888,30 +888,23 @@ object DedupOps extends OpRegistry {
     * transitive closure in a recursive CTE — reach(node, label) accumulates
     * every label reachable from node, and MIN over it is exactly the
     * min-label-propagation fixpoint. Splice after WITH RECURSIVE. */
-  private val CcCteSql = """
-      tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
-              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok)),
-      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-      shc AS (SELECT doc_id, shingle FROM (
-                SELECT doc_id, shingle,
-                       COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
-              WHERE df <= 100),
-      sz AS (SELECT doc_id, COUNT(1) AS n FROM shc GROUP BY doc_id),
-      ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
-             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             GROUP BY 1, 2),
-      pairs AS (SELECT id1, id2
-                FROM ix JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
-                WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.1),
+  /** Re-based on [[jaccardPairCtesFrom]] (r17 review): the df-cap and
+    * Jaccard threshold live in ONE chain shared with the streaming-CC
+    * and incremental-CC oracles, so the three can never drift; this
+    * builder appends only the bidir/reach/comp closure tail. */
+  private def ccCtesTail(dCte: String): String =
+    jaccardPairCtesFrom(dCte) + """,
       bidir AS (SELECT id1 AS a, id2 AS b FROM pairs
                 UNION ALL SELECT id2, id1 FROM pairs),
       reach(node, label) AS (
-        SELECT doc_id, doc_id FROM documents
+        SELECT doc_id, doc_id FROM d
         UNION
         SELECT b.b, r.label FROM reach r JOIN bidir b ON r.node = b.a),
       comp AS (SELECT node AS doc_id, MIN(label) AS component_id
                FROM reach GROUP BY node)"""
+
+  private val CcCteSql: String =
+    ccCtesTail("d AS (SELECT doc_id, text FROM documents)")
 
   // minhash/simhash stay self-verified (xxhash64 is Spark-private), but
   // text_langid is pure deterministic SQL logic since the r2 rewrite — the
@@ -1000,39 +993,13 @@ object DedupOps extends OpRegistry {
   def oracleSql: Map[String, String] = Map(
     // full-rebuild CC over the planted union corpus — the ground truth the
     // incremental label merge must reproduce exactly
-    "dedup_components_incremental" -> """
+    "dedup_components_incremental" -> s"""
       WITH RECURSIVE
-      d AS MATERIALIZED (
+      ${ccCtesTail("""d AS MATERIALIZED (
         SELECT a.doc_id,
                CASE WHEN a.doc_id % 50 = 7 AND b.text IS NOT NULL
                  THEN b.text ELSE a.text END AS text
-        FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1),
-      tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
-      sh0 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
-              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
-                    FROM tok)),
-      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-      shc AS (SELECT doc_id, shingle FROM (
-                SELECT doc_id, shingle,
-                       COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
-              WHERE df <= 100),
-      sz AS (SELECT doc_id, COUNT(1) AS n FROM shc GROUP BY doc_id),
-      ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(1) AS inter
-             FROM shc a JOIN shc b
-               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             GROUP BY 1, 2),
-      pairs AS (SELECT id1, id2
-                FROM ix JOIN sz s1 ON id1 = s1.doc_id
-                        JOIN sz s2 ON id2 = s2.doc_id
-                WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.1),
-      bidir AS (SELECT id1 AS a, id2 AS b FROM pairs
-                UNION ALL SELECT id2, id1 FROM pairs),
-      reach(node, label) AS (
-        SELECT doc_id, doc_id FROM d
-        UNION
-        SELECT b.b, r.label FROM reach r JOIN bidir b ON r.node = b.a),
-      comp AS (SELECT node AS doc_id, MIN(label) AS component_id
-               FROM reach GROUP BY node)
+        FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1)""")}
       SELECT doc_id, component_id, doc_id % 10 = 7 AS is_batch
       FROM comp ORDER BY doc_id""",
 

@@ -1327,12 +1327,19 @@ object TextOps extends OpRegistry {
       // state), so applying is ONE (lang, word) collapse over the corpus
       // joined to the dict — no per-occurrence re-tokenization ever runs.
       // Same [a-z0-9]+/len≥2 word universe as training (documented: the
-      // tokenizer only covers what it trained on).
-      import s.implicits._
-      val (_, vocabSyms) = bpeTrainFull(s, dir)
-      val nSym = vocabSyms.toDF("w", "n_sym0")
-        .select(col("w"), col("n_sym0").cast("long").as("n_sym"),
-          length(col("w")).cast("long").as("n_char"))
+      // tokenizer only covers what it trained on). The trained dict is
+      // LANDED as the bpe_vocab corpus artifact (r17 review): a
+      // production apply consumes a stored merge-table product, it never
+      // re-trains — the same amortization the IVF index artifacts won;
+      // the first consumer of a Bench/Probe pass still pays the training
+      // honestly (memo cleared per pass).
+      val nSym = graft.CorpusArtifacts.parquet(s, "bpe_vocab", dir) {
+        import s.implicits._
+        val (_, vocabSyms) = bpeTrainFull(s, dir)
+        vocabSyms.toDF("w", "n_sym0")
+          .select(col("w"), col("n_sym0").cast("long").as("n_sym"),
+            length(col("w")).cast("long").as("n_char"))
+      }
       val lw = tWide(s, dir)("documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))

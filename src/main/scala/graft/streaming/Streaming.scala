@@ -374,8 +374,16 @@ object Streaming extends OpRegistry {
     * small contracted graph only, (4) re-lands v(bid+1) = relabeled old
     * rows ∪ newly labeled wave docs, and (5) writes a receipt row. Store
     * versions are batchId-keyed (read v(b), write v(b+1)) so a micro-batch
-    * retry is idempotent. Per-wave cost scales with the wave's docs +
-    * touched components, never the corpus.
+    * retry is idempotent. Per-wave COMPUTE (edge contraction + the
+    * sub-CC) scales with the wave's docs + touched components, never the
+    * corpus; the versioned store RE-LAND, however, rewrites the full
+    * label table each wave (the stream_dedup_bands store-re-land shape,
+    * stated honestly: at production scale the label store is partitioned
+    * on the label key and a commit rewrites only the touched partitions
+    * — the relabel set is component-bounded, so that rewrite is
+    * wave-scaled; this fixture-scale implementation pays the full-table
+    * write per wave, and the receipt's component count aggregates the
+    * landed store).
     *
     * Label ground truth: by induction, labels after wave w equal the
     * min-id CC labels of the subgraph induced by everything arrived

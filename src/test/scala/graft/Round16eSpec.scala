@@ -17,6 +17,19 @@ import org.apache.spark.sql.expressions.Window
   *    flag contracts; the broadcast plan lock.
   */
 class Round16eSpec extends GraftSuite {
+
+  /** THE scalar BM25 per-term score — one copy for all four twins (r17
+    * review: the formula previously lived in four identical blocks);
+    * mirrors the engines' double-from-first-multiply order exactly. */
+  private def sMicroScalar(t: Long, df: Long, dl: Long, n: Long,
+      bigL: Long): Long = {
+    val idf = math.log((2 * n + 2).toDouble / (2 * df + 1))
+    val tfn = t.toDouble * bigL * 22.0 /
+      (t.toDouble * bigL * 10.0 + bigL.toDouble * 3.0 +
+        dl.toDouble * n * 9.0)
+    math.floor(idf * tfn * 1e6).toLong
+  }
+
   import spark.implicits._
 
   test("text_bm25_topk: hand corpus matches an independent scalar BM25") {
@@ -36,15 +49,8 @@ class Round16eSpec extends GraftSuite {
       ("w", 3L) -> 6L)
     val dl = Map(0L -> 4L, 1L -> 4L, 2L -> 2L, 3L -> 6L)
     val df = tf.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
-    def sMicro(term: String, doc: Long): Long = {
-      val t = tf((term, doc))
-      val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
-      // mirrors the engines' r17 double-from-first-multiply order
-      val tfn = t.toDouble * bigL * 22.0 /
-        (t.toDouble * bigL * 10.0 + bigL.toDouble * 3.0 +
-          dl(doc).toDouble * n * 9.0)
-      math.floor(idf * tfn * 1e6).toLong
-    }
+    def sMicro(term: String, doc: Long): Long =
+      sMicroScalar(tf((term, doc)), df(term), dl(doc), n, bigL)
     val queries = Map(0 -> Seq("w", "x"), 1 -> Seq("y", "z"))
     val expected = (for {
       (qid, terms) <- queries.toSeq
@@ -173,15 +179,8 @@ class Round16eSpec extends GraftSuite {
     val tf = tok.flatMap { case (d, ts) =>
       ts.groupBy(identity).map { case (t, xs) => (t, d) -> xs.size.toLong } }
     val df = tf.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
-    def sMicro(term: String, doc: Long): Long = {
-      val t = tf((term, doc))
-      val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
-      // mirrors the engines' r17 double-from-first-multiply order
-      val tfn = t.toDouble * bigL * 22.0 /
-        (t.toDouble * bigL * 10.0 + bigL.toDouble * 3.0 +
-          dl(doc).toDouble * n * 9.0)
-      math.floor(idf * tfn * 1e6).toLong
-    }
+    def sMicro(term: String, doc: Long): Long =
+      sMicroScalar(tf((term, doc)), df(term), dl(doc), n, bigL)
     def qz(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
     def dot(a: Long, b: Long): Long =
       vecs(a).map(qz).zip(vecs(b).map(qz)).map { case (x, y) => x * y }.sum
@@ -311,15 +310,8 @@ class Round16eSpec extends GraftSuite {
     val panel = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._1)
     val queries = panel.zipWithIndex.groupBy(_._2 / 2)
       .map { case (qid, ts) => qid -> ts.map(_._1) }
-    def sMicro(term: String, doc: Long): Long = {
-      val t = tf((term, doc))
-      val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
-      // mirrors the engines' r17 double-from-first-multiply order
-      val tfn = t.toDouble * bigL * 22.0 /
-        (t.toDouble * bigL * 10.0 + bigL.toDouble * 3.0 +
-          dl(doc).toDouble * n * 9.0)
-      math.floor(idf * tfn * 1e6).toLong
-    }
+    def sMicro(term: String, doc: Long): Long =
+      sMicroScalar(tf((term, doc)), df(term), dl(doc), n, bigL)
     (for {
       (qid, terms) <- queries.toSeq
       doc <- texts.keys.toSeq
@@ -346,15 +338,8 @@ class Round16eSpec extends GraftSuite {
     val tf = tok.toSeq.flatMap { case (d, ts) =>
       ts.groupBy(identity).map { case (t, xs) => (t, d) -> xs.size.toLong } }.toMap
     val df = tf.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
-    def sMicro(term: String, doc: Long): Long = {
-      val t = tf((term, doc))
-      val idf = math.log((2 * n + 2).toDouble / (2 * df(term) + 1))
-      // mirrors the engines' r17 double-from-first-multiply order
-      val tfn = t.toDouble * bigL * 22.0 /
-        (t.toDouble * bigL * 10.0 + bigL.toDouble * 3.0 +
-          dl(doc).toDouble * n * 9.0)
-      math.floor(idf * tfn * 1e6).toLong
-    }
+    def sMicro(term: String, doc: Long): Long =
+      sMicroScalar(tf((term, doc)), df(term), dl(doc), n, bigL)
     def qz(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
     def dot(a: Long, b: Long): Long =
       vecs(a).map(qz).zip(vecs(b).map(qz)).map { case (x, y) => x * y }.sum

@@ -20,11 +20,23 @@ is non-empty (so the close can gate on it mechanically).
 import json
 import sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+args = []
 floor = 0.25
-for a in sys.argv[1:]:
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    a = argv[i]
     if a.startswith("--floor"):
-        floor = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+        if "=" in a:
+            floor = float(a.split("=", 1)[1])
+        else:
+            if i + 1 >= len(argv):
+                sys.exit("--floor requires a value\n" + __doc__)
+            floor = float(argv[i + 1])
+            i += 1
+    else:
+        args.append(a)
+    i += 1
 if len(args) != 2:
     sys.exit(__doc__)
 
@@ -49,8 +61,9 @@ improvements.sort(key=lambda r: r["delta"])
 
 sum_old = round(sum(qo[q] for q in common), 3)
 sum_new = round(sum(qn[q] for q in common), 3)
+ratio = f"{sum_new / sum_old:.3f}x" if sum_old else "n/a (no common queries)"
 print(f"common {len(common)} queries: sum {sum_old} -> {sum_new} "
-      f"({sum_new / sum_old:.3f}x); added {len(added)}, removed {len(removed)}")
+      f"({ratio}); added {len(added)}, removed {len(removed)}")
 for title, rows in (("REGRESSIONS (|delta| > own spread)", regressions),
                     ("improvements", improvements)):
     print(f"\n{title}: {len(rows)}")
