@@ -224,17 +224,19 @@ object TextOps extends OpRegistry {
     * argmax row collected per round. */
   private[graft] def bpeTrain(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) =
-    bpeTrainDocs(s, tWide(s, dir)("documents"))
+    bpeTrainDocs(s, tWide(s, dir)("documents"), BpeWordFloor)
 
   /** [[bpeTrain]] re-rooted on a passed doc frame so Round17Spec can run
-    * the distributed-vs-driver differential on seeded random corpora. */
-  private[graft] def bpeTrainDocs(s: SparkSession, docs: DataFrame)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    * the distributed-vs-driver differential on seeded random corpora
+    * (hand corpora pass floor = 1 to keep sub-floor words). */
+  private[graft] def bpeTrainDocs(s: SparkSession, docs: DataFrame,
+      floor: Long = 1L): (Seq[(Int, String, String, Long)], DataFrame) = {
     val Rounds = 6
     val words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= floor)
     var vocab = words.select(col("w"),
       regexp_replace(col("w"), "(.)", "($1)").as("s"), col("n"))
       .localCheckpoint()
@@ -276,6 +278,18 @@ object TextOps extends OpRegistry {
     * budget is a CAP the trainer runs under, not a row-count promise. */
   private[graft] val BpeMergeBudget = 256
 
+  /** Word-frequency floor on the training collapse (r18, VERDICT r17 #2):
+    * the word dict is vocab-bounded MODEL state, but an open-vocabulary
+    * web corpus has ~1e8+ distinct words — a min-count floor (HF
+    * `min_frequency` / SentencePiece hygiene) bounds the driver collect
+    * before it happens, dropping the hapax tail that contributes nothing
+    * to merge counts anyway. 300 is ACTIVE on the fixture at every SF
+    * (the planted rare word `dup` sits at 26-255 occurrences across
+    * sf0.001-0.1 while every other word clears 840+), so the oracle
+    * replays the floor, not just the constant. Recorded in
+    * text_bpe_train_full's output (`word_floor`). */
+  private[graft] val BpeWordFloor = 300L
+
   /** Driver-side full-vocab BPE trainer (r17, VERDICT r16 #2): collapse
     * the corpus ONCE to the word-frequency dict — the only corpus-sized
     * pass; classic BPE trains on the word dict, which is vocab-bounded
@@ -304,16 +318,20 @@ object TextOps extends OpRegistry {
     * @return (merge table rows, final vocab word → symbol count) */
   private[graft] def bpeTrainFull(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], Seq[(String, Int)]) =
-    bpeTrainFullDocs(tWide(s, dir)("documents"))
+    bpeTrainFullDocs(tWide(s, dir)("documents"), BpeWordFloor)
 
   /** [[bpeTrainFull]] re-rooted on a passed doc frame so Round17Spec can
-    * drive hand corpora (overlap counting, tie-breaks, exhaustion). */
-  private[graft] def bpeTrainFullDocs(docs: DataFrame)
+    * drive hand corpora (overlap counting, tie-breaks, exhaustion; floor
+    * defaults to 1 there). The production path passes [[BpeWordFloor]],
+    * applied BEFORE the collect so driver heap is bounded by the
+    * above-floor vocab, never the open-vocabulary tail. */
+  private[graft] def bpeTrainFullDocs(docs: DataFrame, floor: Long = 1L)
       : (Seq[(Int, String, String, Long)], Seq[(String, Int)]) = {
     val words: Array[(String, Long)] = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= floor)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val freq = words.toMap
     val syms = scala.collection.mutable.Map[String, Array[String]]()
@@ -1300,18 +1318,21 @@ object TextOps extends OpRegistry {
       // incremental pair-count maintenance (see [[bpeTrainFull]]); the
       // 6-round distributed text_bpe_merge_train stays as the
       // differential twin (Round17Spec pins their first 6 rows equal).
-      // The fixture's 30-word vocab exhausts at merge 89, so the output
-      // is the full merge table UNTIL exhaustion under the 256 budget —
-      // the oracle replays all 256 unrolled rounds and freezes identically
-      // (empty m_r → vocab unchanged). Scale: driver state is the word
-      // dict + pair index — vocab-bounded model state, never a data
-      // collect; zero Spark jobs per merge round.
+      // The fixture's small vocab exhausts well before the 256 budget, so
+      // the output is the full merge table UNTIL exhaustion — the oracle
+      // replays all 256 unrolled rounds and freezes identically (empty
+      // m_r → vocab unchanged). Scale: driver state is the word dict +
+      // pair index — vocab-bounded model state FLOORED at [[BpeWordFloor]]
+      // occurrences before the collect (r18, VERDICT r17 #2), never a
+      // data collect; zero Spark jobs per merge round. The active cutoff
+      // ships in every output row (`word_floor`), oracle-mirrored.
       import s.implicits._
       val (merges, _) = bpeTrainFull(s, dir)
       merges.toDF("merge_round", "lhs", "rhs", "pair_count")
         .select(col("merge_round").cast("int").as("merge_round"),
           col("lhs"), col("rhs"),
-          concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+          concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"),
+          lit(BpeWordFloor).as("word_floor"))
         .orderBy("merge_round")
     }),
 
@@ -1890,12 +1911,13 @@ object TextOps extends OpRegistry {
     * sequential vocab-sized passes it describes (~19 s measured at
     * either fixture SF). */
   private def bpeCtes(rounds: Int): String =
-    """wrd AS MATERIALIZED (
+    s"""wrd AS MATERIALIZED (
         SELECT w, CAST(COUNT(1) AS BIGINT) AS n FROM (
           SELECT unnest(string_split(text,' ')) AS w FROM documents)
-        WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$')
-        GROUP BY 1),
-      v0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS s, n FROM wrd),
+        WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$$')
+        GROUP BY 1
+        HAVING COUNT(1) >= $BpeWordFloor),
+      v0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS s, n FROM wrd),
       """ +
     (1 to rounds).map(r =>
       s"""p$r AS MATERIALIZED (SELECT ls[i] AS lhs, ls[i+1] AS rhs,
@@ -1928,7 +1950,9 @@ object TextOps extends OpRegistry {
     require(n % 16 == 0, s"chunked union assumes a multiple of 16, got $n")
     def grp(lo: Int, hi: Int) = (lo to hi).map(r =>
       s"SELECT CAST($r AS INT) AS merge_round, lhs, rhs, " +
-        s"lhs||rhs AS merged, pair_count FROM m$r").mkString(" UNION ALL ")
+        s"lhs||rhs AS merged, pair_count, " +
+        s"CAST($BpeWordFloor AS BIGINT) AS word_floor FROM m$r")
+      .mkString(" UNION ALL ")
     val union = (0 until n / 16).map(g =>
       s"SELECT * FROM (${grp(g * 16 + 1, g * 16 + 16)})")
       .mkString(" UNION ALL ")

@@ -129,16 +129,16 @@ object Analytics extends OpRegistry {
       // Boundaries at declared DOLLAR granularity, so the value histogram
       // is value-DOMAIN-bounded (≤ ~550k cells at ANY SF — SF-invariant; 499k measured,
       // the q_ship_lag_percentiles discipline scaled up): one fact agg
-      // collapses to the histogram, the cumulative window runs on that
-      // bounded frame only (globalByDesign), and the 9-row boundary pick
-      // is a bounded re-agg of the histogram × decile grid.
+      // collapses to the histogram, and the 9-row boundary pick is a
+      // bounded re-agg of the histogram × decile grid. The cumulative
+      // count is a RANGE-PARTITIONED running sum (r18, VERDICT r17 #3:
+      // Helpers.rangedCumSum — per-shard cumsum + broadcast prefix
+      // offsets), so even the 550k-cell frame never sorts on one task.
       val hist = t(s, dir)("orders")
         .select(floor(col("o_totalprice")).cast("long").as("v"))
         .groupBy("v").agg(count(lit(1)).as("c"))
       val tot = hist.agg(sum(col("c")).as("n"))
-      val wcum = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hist.withColumn("cum", sum(col("c")).over(wcum))
+      graft.Helpers.rangedCumSum(hist, col("c"), Seq(col("v")), "cum")
         .crossJoin(broadcast(tot))
         .select(col("v"), col("cum"), col("n"),
           explode(sequence(lit(1), lit(9))).as("decile"))

@@ -190,8 +190,10 @@ object Profiling extends OpRegistry {
       // sizes (the _metadata stats idiom: rows + file_size per file, the
       // ledger a lakehouse writer reads from its manifest), packs with
       // THE SAME next-fit-decreasing window math maintenance_compaction_plan
-      // ships, then EXECUTES the plan distributed: one read of the small
-      // table, a broadcast file→bin join, one shuffle keyed
+      // ships — INCLUDING its small-file filter (r18, ADVICE r17: files
+      // ≥ CompactSmallThresh pass through untouched instead of being
+      // rewritten) — then EXECUTES the plan distributed: one read of the
+      // small table, a broadcast file→bin join, one shuffle keyed
       // (partition, bin) so each bin lands as EXACTLY ONE file in its
       // partition dir. Round17Spec asserts plan == executed layout (bin
       // dirs on disk == planned bins, one file per bin, per-bin row
@@ -989,31 +991,65 @@ object Profiling extends OpRegistry {
         COUNT(DISTINCT $v) AS ndv, ${mm("MIN")} AS min_s, ${mm("MAX")} AS max_s FROM $tbl"""
   }
 
+  /** Small-file cutoff for the execute kernel (bytes): files at or above
+    * it are already healthy and PASS THROUGH untouched (r18, ADVICE r17 —
+    * the plan op's `bytes < smallThresh` filter, previously omitted here,
+    * would have rewritten already-large files on a mixed layout). The
+    * op's self-built splintered layout sits below it at fixture SFs, so
+    * the registry output is unchanged; Round18Spec drives a hand-built
+    * MIXED layout through [[packSmallFiles]] to pin the pass-through. */
+  private[graft] val CompactSmallThresh = 64L * 1024
+
   /** maintenance_compaction_execute kernel, factored so Round17Spec can
     * assert plan == executed layout. Returns (read-back identity
     * aggregate, the plan frame (part, bin_id, n_files, bin_rows), the
-    * compacted table root). Bin assignment is the plan op's NFD window
-    * verbatim — (bytes DESC, path) order, exclusive-prefix-sum div
-    * target — applied per real partition dir over the real per-file
-    * (rows, bytes) ledger. */
+    * compacted table root). */
   private[graft] def compactionExecute(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, String) = {
-    val target = 256L * 1024
     val base = s"/tmp/graft_compact_exec_${s.sparkContext.applicationId}"
+    // ADVICE r17: clear the base at kernel entry (the streamCcMaintain
+    // pattern) so repeated sessions don't accumulate orphaned copies
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(
+      new java.io.File(base))
     t(s, dir)("orders")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       .repartition(24)
       .write.mode("overwrite").partitionBy("o_orderstatus")
       .parquet(s"$base/small")
+    val (allRows, planBins, _) =
+      packSmallFiles(s, base, "o_orderstatus", CompactSmallThresh)
+    val out = allRows
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), decSumOut(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+    (out, planBins, s"$base/compacted")
+  }
+
+  /** The shared pack+execute kernel over a written layout at
+    * `$base/small`: per-file (rows, bytes) ledger from `_metadata`, the
+    * plan op's NFD bin assignment VERBATIM — `bytes < smallThresh`
+    * small-file filter, (bytes DESC, path) order, exclusive-prefix-sum
+    * div target — then one broadcast file→bin join + one keyed shuffle
+    * landing each bin as exactly one file. Files at/above the cutoff are
+    * NOT rewritten: they stay in place and the returned row frame reads
+    * them where they sit (merge-on-read over compacted ∪ pass-through).
+    * Returns (all table rows post-compaction, plan bins
+    * (part, bin_id, n_files, bin_rows), pass-through ledger). */
+  private[graft] def packSmallFiles(s: SparkSession, base: String,
+      partCol: String, smallThresh: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val target = 256L * 1024
     val small = s.read.parquet(s"$base/small")
     // the per-file stats ledger, from the files actually on disk
-    val ledger = small.groupBy(col("o_orderstatus").as("part"),
+    val ledger = small.groupBy(col(partCol).as("part"),
         col("_metadata.file_path").as("path"))
       .agg(count(lit(1)).as("rows"), max(col("_metadata.file_size")).as("bytes"))
+    val packable = ledger.filter(col("bytes") < smallThresh)
+    val passThrough = ledger.filter(col("bytes") >= smallThresh)
     val w = Window.partitionBy("part")
       .orderBy(col("bytes").desc, col("path"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val plan = ledger
+    val plan = packable
       .withColumn("c", sum(col("bytes")).over(w))
       .withColumn("bin_id",
         call_function("div", col("c") - col("bytes"), lit(target)))
@@ -1024,16 +1060,18 @@ object Profiling extends OpRegistry {
     small.join(broadcast(plan.select(col("path"), col("bin_id"))),
         col("_metadata.file_path") === col("path"))
       .drop("path")
-      .repartition(nBins, col("o_orderstatus"), col("bin_id"))
-      .write.mode("overwrite").partitionBy("o_orderstatus", "bin_id")
+      .repartition(math.max(nBins, 1), col(partCol), col("bin_id"))
+      .write.mode("overwrite").partitionBy(partCol, "bin_id")
       .parquet(s"$base/compacted")
-    val out = s.read.parquet(s"$base/compacted")
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("cnt"), decSumOut(col("o_totalprice")).as("total"))
-      .orderBy("o_orderstatus")
+    val dataCols = small.columns.map(col)
+    val ptRows = small.join(broadcast(passThrough.select(col("path"))),
+        col("_metadata.file_path") === col("path"))
+      .select(dataCols: _*)
+    val allRows = s.read.parquet(s"$base/compacted")
+      .select(dataCols: _*).unionByName(ptRows)
     val planBins = plan.groupBy("part", "bin_id")
       .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("bin_rows"))
-    (out, planBins, s"$base/compacted")
+    (allRows, planBins, passThrough)
   }
 
   def oracleSql: Map[String, String] = Map(

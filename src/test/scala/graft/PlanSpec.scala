@@ -263,11 +263,11 @@ class PlanSpec extends GraftSuite {
 
   test("r10 families: every window is partitioned (no data-sized single-task frame)") {
     import org.apache.spark.sql.catalyst.plans.logical
-    // Documented global-window exceptions, each over a BOUNDED frame:
-    // q_monthly_trend (≤84 month rows), events_rfm_scores /
-    // events_pareto_share (global user ranking is the op's semantics —
-    // runs over the per-user AGGREGATE, the collapsed frame, and is the
-    // single-sort shape any global decile/Pareto ranking needs),
+    // Documented global-window exceptions, each over a BOUNDED frame
+    // (r18: events_rfm_scores / events_pareto_share /
+    // q_order_value_deciles LEFT this list — their global ranks are now
+    // range-partitioned via Helpers.rangedCumSum, VERDICT r17 #3):
+    // q_monthly_trend (≤84 month rows),
     // events_dau_wau (day-grain frame, ≤31 rows at any corpus size),
     // q_order_backlog_daily (r13: the running balance over the
     // calendar-bounded day grid — ~2.5k rows at any SF, zero-filled by
@@ -275,9 +275,8 @@ class PlanSpec extends GraftSuite {
     // events_slo_burn_rate (r13: the 6-row trailing frame over the
     // zero-filled HOUR grid — time-span-bounded; the multi-window burn
     // is inherently a global time series).
-    val globalByDesign = Set("q_monthly_trend", "events_rfm_scores",
-      "events_pareto_share", "events_dau_wau", "q_order_backlog_daily",
-      "events_slo_burn_rate",
+    val globalByDesign = Set("q_monthly_trend", "events_dau_wau",
+      "q_order_backlog_daily", "events_slo_burn_rate",
       // r14: lag/lead pattern over the calendar-bounded day grid (≤2400
       // rows at any SF — the fact-sized agg collapses BEFORE the window)
       "win_pattern_vshape",
@@ -294,11 +293,7 @@ class PlanSpec extends GraftSuite {
       // r15: the 7-day moving window runs on the calendar-bounded day
       // grid (≤2400 rows at any SF — the fact agg collapses BEFORE the
       // window; the q_order_backlog_daily discipline)
-      "events_seasonal_decompose",
-      // r15: the cumulative window runs on the dollar-value-domain-
-      // bounded histogram (≤ ~550k SF-invariant cells — the fact agg
-      // collapses BEFORE the window)
-      "q_order_value_deciles")
+      "events_seasonal_decompose")
     val swept = SparkEntry.queries.keys
       .filter(k => (k.startsWith("events_") || k.startsWith("q_") ||
         k.startsWith("win_")) && !globalByDesign(k)).toSeq.sorted

@@ -129,6 +129,17 @@ class Round17Spec extends GraftSuite {
       val (dist, _) = llm.TextOps.bpeTrainDocs(spark, docsDf)
       assert(dist === expected.take(6),
         s"seed $seed: distributed 6-round twin diverged from naive recount")
+      // r18 floor path: both trainers under an ACTIVE min-count cutoff
+      // must equal the naive recount on the floored dict
+      val floored = wordFreq.filter(_._2 >= 3L)
+      if (floored.size < wordFreq.size && floored.nonEmpty) {
+        val expF = naiveBpe(floored, llm.TextOps.BpeMergeBudget)
+        val (drvF, _) = llm.TextOps.bpeTrainFullDocs(docsDf, 3L)
+        assert(drvF === expF, s"seed $seed: floored driver trainer diverged")
+        val (distF, _) = llm.TextOps.bpeTrainDocs(spark, docsDf, 3L)
+        assert(distF === expF.take(6),
+          s"seed $seed: floored distributed twin diverged")
+      }
     }
   }
 
@@ -318,12 +329,15 @@ class Round17Spec extends GraftSuite {
   test("text_bpe_apply: fertility sheet equals a recomputation from the trained vocab") {
     val (_, vocab) = llm.TextOps.bpeTrainFull(spark, sfDir)
     val nsym = vocab.toMap
-    // independent apply: plain Scala fold over the corpus words
+    // independent apply: plain Scala fold over the corpus words. Words
+    // below the r18 training floor are OOV to the trained dict and drop
+    // from the fertility sums (the op's inner join to the vocab).
     val perLang = Tables.load(spark, sfDir, "documents")
       .select(col("lang"), col("text")).as[(String, String)].collect()
       .flatMap { case (lang, text) => text.split(" ").iterator
         .filter(w => w.length >= 2 &&
           w.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z')))
+        .filter(nsym.contains)
         .map(w => (lang, w)) }
       .groupBy(_._1).map { case (lang, ws) =>
         val words = ws.map(_._2)
