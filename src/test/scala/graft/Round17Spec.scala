@@ -158,17 +158,25 @@ class Round17Spec extends GraftSuite {
       (17L, "kk ll mm nn oo")).toDF("doc_id", "text")
     val got = streaming.Streaming.streamCcMaintain(spark, docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)))
+        r.getLong(4), r.getLong(5)))
+    // n_delta_rows (r18): wave rows + relabel pairs — waves 1/2 each land
+    // 1 new doc + 1 relabel pair (10→7, 57→17); wave 0 merges nothing
     assert(got.toSeq === Seq(
-      (0L, 3L, 2L, 0L, 3L),
-      (1L, 1L, 2L, 2L, 3L),
-      (2L, 1L, 2L, 2L, 3L)))
-    // the final landed label store is the full-graph ground truth
-    val labels = spark.read.parquet(
-      s"/tmp/graft_scc_${spark.sparkContext.applicationId}/labels/v3")
+      (0L, 3L, 2L, 0L, 3L, 3L),
+      (1L, 1L, 2L, 2L, 3L, 2L),
+      (2L, 1L, 2L, 2L, 3L, 2L)))
+    // the SERVED labels (base + delta chain, r18 merge-on-read) are the
+    // full-graph ground truth
+    val base = s"/tmp/graft_scc_${spark.sparkContext.applicationId}"
+    val labels = streaming.Streaming.ccServedLabels(spark, base, 2L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === Map(10L -> 7L, 11L -> 7L, 7L -> 7L,
       20L -> 20L, 27L -> 20L, 57L -> 17L, 87L -> 17L, 17L -> 17L))
+    // r18 write-path contract: the store is NEVER rewritten — no
+    // labels/v1..v3 exist, only v0 + the per-wave deltas
+    for (v <- 1 to 3)
+      assert(!new java.io.File(s"$base/labels/v$v").exists(),
+        s"full-store rewrite labels/v$v exists — delta landing regressed")
   }
 
   test("stream_cc_maintain property: incremental == full rebuild on seeded random corpora") {
@@ -185,7 +193,7 @@ class Round17Spec extends GraftSuite {
       }.toDF("doc_id", "text")
       streaming.Streaming.streamCcMaintain(spark, docs).collect()
       val base = s"/tmp/graft_scc_${spark.sparkContext.applicationId}"
-      val incremental = spark.read.parquet(s"$base/labels/v3")
+      val incremental = streaming.Streaming.ccServedLabels(spark, base, 2L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val (full, _) = llm.DedupOps.connectedComponents(
         docs.select(col("doc_id").as("node")),
@@ -198,9 +206,9 @@ class Round17Spec extends GraftSuite {
   }
 
   test("stream_cc_maintain: fixture final store equals a full CC rebuild") {
-    q("stream_cc_maintain").collect() // runs the waves, lands labels/v3
+    q("stream_cc_maintain").collect() // runs the waves, lands the deltas
     val base = s"/tmp/graft_scc_${spark.sparkContext.applicationId}"
-    val incremental = spark.read.parquet(s"$base/labels/v3")
+    val incremental = streaming.Streaming.ccServedLabels(spark, base, 2L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val docs = llm.DedupOps.plantedStreamDocs(
       Tables.load(spark, sfDir, "documents").select("doc_id", "text"))
