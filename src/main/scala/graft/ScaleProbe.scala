@@ -485,7 +485,13 @@ object ScaleProbe {
       "maintenance_compaction_execute",
       // r17: append-commit sidecar maintenance — commit-sized stats scan
       // + KB-sized sidecar append + O(files) driver prune walk
-      "scan_stats_sidecar_append"),
+      "scan_stats_sidecar_append",
+      // r18 (VERDICT r17 #4): the artifact build+land sweep — each
+      // underlying kernel's scale is probed via its first consumer
+      // (jaccard_pairs, knn_ivf/ivfpq, graph family, dedup_components,
+      // docs_lm_quality_filter); this op is those builds' IO round-trips
+      // plus artifact-count-bounded receipt counts
+      "corpus_ingest_index"),
     "stream" -> Seq("stream_tumbling_1h", "stream_sliding_1h_15m",
       "stream_session_30m", "stream_threshold_alerts",
       "stream_sink_foreachBatch"),

@@ -837,7 +837,7 @@ object DedupOps extends OpRegistry {
     * per consumer — the land-once shape of the candidate-pair artifact
     * extended one derivation deeper (edges → labels). Bench/ScaleProbe
     * clear the memo per pass, so the first consumer pays the full build. */
-  private[llm] def componentLabels(s: SparkSession, dir: String): DataFrame =
+  private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame =
     graft.CorpusArtifacts.parquet(s, "components", dir) {
       val pairs = TextOps.candidatePairs(s, dir)
         .select(col("id1").as("a"), col("id2").as("b")).localCheckpoint()

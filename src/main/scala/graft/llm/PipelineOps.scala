@@ -679,7 +679,7 @@ object PipelineOps extends OpRegistry {
     * is map-side via the native LmNllSum fold (no occurrence-sized row
     * stream — the r10 fix). n_bigrams >= 1 drops empty/NULL-text docs,
     * row-for-row the old join+groupBy semantics. */
-  private[llm] def lmAvgNll(s: SparkSession, dir: String): DataFrame =
+  private[graft] def lmAvgNll(s: SparkSession, dir: String): DataFrame =
     graft.CorpusArtifacts.parquet(s, "nllscores", dir) {
       val bg = tWide(s, dir)("documents").select(col("doc_id"), col("lang"),
         explode(Shingling.charBigramArray(col("text"))).as("bg"))

@@ -157,6 +157,19 @@ object TextOps extends OpRegistry {
     graft.CorpusArtifacts.parquet(s, "edges", dir)(
       jaccardEdges(s, dir, materialize = true))
 
+  /** The landed bpe_vocab artifact — the full trainer's merge-table
+    * product, (w, n_sym, n_char) per trained word (r17 review; factored
+    * r18 so corpus_ingest_index can land it): a production apply
+    * consumes a stored merge-table product, it never re-trains. */
+  private[graft] def bpeVocabArtifact(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusArtifacts.parquet(s, "bpe_vocab", dir) {
+      import s.implicits._
+      val (_, vocabSyms) = bpeTrainFull(s, dir)
+      vocabSyms.toDF("w", "n_sym0")
+        .select(col("w"), col("n_sym0").cast("long").as("n_sym"),
+          length(col("w")).cast("long").as("n_char"))
+    }
+
   /** The df-capped hashed posting list (doc_id, sh_h) — shared root of
     * the exact pair kernels (Jaccard + containment). */
   private def cappedShingles(s: SparkSession, dir: String,
@@ -1354,13 +1367,7 @@ object TextOps extends OpRegistry {
       // re-trains — the same amortization the IVF index artifacts won;
       // the first consumer of a Bench/Probe pass still pays the training
       // honestly (memo cleared per pass).
-      val nSym = graft.CorpusArtifacts.parquet(s, "bpe_vocab", dir) {
-        import s.implicits._
-        val (_, vocabSyms) = bpeTrainFull(s, dir)
-        vocabSyms.toDF("w", "n_sym0")
-          .select(col("w"), col("n_sym0").cast("long").as("n_sym"),
-            length(col("w")).cast("long").as("n_char"))
-      }
+      val nSym = bpeVocabArtifact(s, dir)
       val lw = tWide(s, dir)("documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))

@@ -49,9 +49,7 @@ object VectorOps extends OpRegistry {
     // (r17, VERDICT r16 #1: a hybrid-search deployment's serving store IS
     // this co-located table); spec drivers keep the localCheckpoint
     // default for hand corpora.
-    val u = pin(docsIn.select(col("doc_id"), col("text"))
-      .join(embIn.select(col("vec_id").as("doc_id"),
-        quantize(col("embedding")).as("qe")), Seq("doc_id")))
+    val u = pin(hybridUniverseOf(docsIn, embIn))
     // dense branch: broadcast 5 query vectors, exact dot, top-20
     val qv = u.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("qe").as("qv"))
@@ -158,7 +156,7 @@ object VectorOps extends OpRegistry {
     * pass, so the first retrieval consumer's median pays the index build.
     * Embedding dim comes from the data via a one-row probe (a literal-
     * plane/array length mismatch would silently null projections). */
-  private def ivfCellsFrame(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfCellsFrame(s: SparkSession, dir: String): DataFrame =
     graft.CorpusArtifacts.parquet(s, "ivf_cells", dir) {
       val e = tWide(s, dir)("embeddings")
         .select(col("vec_id"), quantize(col("embedding")).as("qe"))
@@ -176,9 +174,89 @@ object VectorOps extends OpRegistry {
 
   /** (vec_id, qe): one scan+quantize of the vector store — the keyed-fetch
     * side every index consumer joins for exact re-ranking. */
-  private def quantizedVectors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def quantizedVectors(s: SparkSession, dir: String): DataFrame =
     tWide(s, dir)("embeddings")
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+
+  /** IVF-PQ artifact kernel (r18, factored out of knn_ivfpq_topk so
+    * corpus_ingest_index can land the index without running a query):
+    * (1) PQ codebook TRAINING — one deterministic Lloyd round over the
+    * fixed splitmix seeds (assignment → per-(subspace, code) component
+    * means; K×M×subDim MODEL state), landed as the ivfpq_codebook
+    * artifact; the driver collect below is the vec_kmeans_iter
+    * model-state pattern, never a data collect. (2) The (postings +
+    * codes) ivfpq_index artifact — (vec_id, tbl, cell, codes), landed
+    * once per corpus; it never carries vectors (the ivfCellsFrame
+    * storage rationale — codes are the 32×-smaller stand-in ADC scores
+    * from). PQ encode is the native PqEncode expression (the previous
+    * declarative M×K literal-tree lowering blew the JVM 64 KB method
+    * limit and ran interpreted — round-6 weak flag). `e0` is the
+    * caller-pinned quantized store. Returns (trained codebook, codebook
+    * frame, index frame). */
+  private[graft] def ivfPqArtifacts(s: SparkSession, dir: String,
+      e0: DataFrame): (Array[Array[Array[Long]]], DataFrame, DataFrame) = {
+    val NumTables = IvfTables
+    val Planes = IvfPlanes
+    val M = IvfPqSubspaces
+    val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe
+    // ivfpqOracleSql pins dim=64 in generated SQL literals — fail loudly
+    // on a fixture change instead of silently diverging from the oracle
+    // dim==64 implies divisibility by M=16, so a separate dim % M check
+    // would be dead code (round-6 advice)
+    require(dim == 64,
+      s"ivfPqArtifacts: fixture dim=$dim but the generated oracle assumes dim=64 with $M subspaces")
+    val subDim = dim / M
+    val fixedCb: Array[Array[Array[Long]]] =
+      Array.tabulate(M, PqCodebook)((m, k) => pqCentroid(m, k, subDim))
+    val cbDf = graft.CorpusArtifacts.parquet(s, "ivfpq_codebook", dir) {
+      val assigned = e0.withColumn("codes0",
+        graft.functions.GraftExpressions.pqEncode(col("qe"), fixedCb))
+      val perM = array((0 until M).map { m =>
+        struct(element_at(col("codes0"), m + 1).as("k"),
+          slice(col("qe"), m * subDim + 1, subDim).as("sub"))
+      }: _*)
+      val stats = assigned.select(posexplode(perM).as(Seq("m", "st")))
+        .select(col("m"), col("st.k").as("k"), posexplode(col("st.sub")).as(Seq("i", "v")))
+        .groupBy("m", "k", "i").agg(sum("v").as("sv"), count(lit(1)).as("cn"))
+      import s.implicits._
+      val seeds = (for { m <- 0 until M; k <- 0 until PqCodebook; i <- 0 until subDim }
+        yield (m, k, i, fixedCb(m)(k)(i))).toDF("m", "k", "i", "seed")
+      seeds.join(stats, Seq("m", "k", "i"), "left")
+        .select(col("m"), col("k"), col("i"),
+          coalesce(
+            floor(col("sv").cast("double") / col("cn") + lit(0.5)).cast("long"),
+            col("seed")).as("comp"))
+    }
+    val trained = Array.tabulate(M, PqCodebook)((m, k) => fixedCb(m)(k).clone())
+    cbDf.collect().foreach { r =>
+      trained(r.getAs[Int]("m"))(r.getAs[Int]("k"))(r.getAs[Int]("i")) =
+        r.getAs[Long]("comp")
+    }
+    def cellOf(qe: Column, tb: Int): Column =
+      (0 until Planes).map { p =>
+        val plane = planeComponents(tb * Planes + p, dim)
+        val proj = dotQ(s, qe, lit(plane))
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val cells = graft.CorpusArtifacts.parquet(s, "ivfpq_index", dir) {
+      e0.withColumn("codes",
+          graft.functions.GraftExpressions.pqEncode(col("qe"), trained))
+        .select(col("vec_id"), col("codes"),
+          posexplode(array((0 until NumTables).map(tb => cellOf(col("qe"), tb)): _*))
+            .as(Seq("tbl", "cell")))
+    }
+    (trained, cbDf, cells)
+  }
+
+  /** The hybrid-retrieval serving universe — documents co-located with
+    * their quantized vectors, ONE shared definition (r18) so
+    * docs_hybrid_retrieval and corpus_ingest_index can never drift on
+    * what the hybrid_universe artifact contains. */
+  private[graft] def hybridUniverseOf(docsIn: DataFrame,
+      embIn: DataFrame): DataFrame =
+    docsIn.select(col("doc_id"), col("text"))
+      .join(embIn.select(col("vec_id").as("doc_id"),
+        quantize(col("embedding")).as("qe")), Seq("doc_id"))
 
   /** The payload parity sketch as FOUR 16-bit LSH bands — 64-bit parity of
     * the codepoint histogram (bucket = cp % 64, bit = count parity),
@@ -830,7 +908,6 @@ object VectorOps extends OpRegistry {
       // (16× less IO at scale); (4) exact DotQ re-rank fetches full vectors
       // for the shortlist ONLY — max(64, ncand/32) per query, a keyed join
       // back to the store, not a carry-along.
-      val NumTables = IvfTables
       val Planes = IvfPlanes
       val M = IvfPqSubspaces
       val Shortlist = IvfPqShortlist
@@ -841,75 +918,10 @@ object VectorOps extends OpRegistry {
       // fetch and the exact re-rank. localCheckpoint pins it once per
       // op construction (the documented eager-construction exception):
       // four consumers would otherwise re-scan+quantize the store.
+      // r18: the codebook-train + index-land kernel is factored into
+      // [[ivfPqArtifacts]] so corpus_ingest_index lands the same index.
       val e0 = quantizedVectors(s, dir).localCheckpoint()
-      val dim = t(s, dir)("embeddings").select(size(col("embedding"))).head().getInt(0) // plain t(): one-row probe
-      // ivfpqOracleSql pins dim=64 in generated SQL literals — fail loudly
-      // on a fixture change instead of silently diverging from the oracle
-      // dim==64 implies divisibility by M=16, so a separate dim % M check
-      // would be dead code (round-6 advice)
-      require(dim == 64,
-        s"knn_ivfpq_topk: fixture dim=$dim but the generated oracle assumes dim=64 with $M subspaces")
-      val subDim = dim / M
-      // PQ encode is the native PqEncode expression (GraftExpressions):
-      // argmin_k ||sub_m - c_k||² with the codebook as a looped-over
-      // reference object. The previous declarative lowering — M×K
-      // array_min(array(struct(cSq - 2·DotQ, k))) literal trees — generated
-      // a doConsume past the JVM 64 KB method limit, janino failed, and the
-      // two hottest stages of this op ran INTERPRETED (round-6 weak flag).
-      // Same exact-integer distances and smallest-k tie-break; generated
-      // code size now constant in M×K (K=256 production codebooks lower
-      // identically).
-      val fixedCb: Array[Array[Array[Long]]] =
-        Array.tabulate(M, PqCodebook)((m, k) => pqCentroid(m, k, subDim))
-      // one Lloyd round: assign under the fixed codebook, then component
-      // means per (m, k) — floor(mean + 0.5), empty cluster keeps its
-      // seed. The TRAINED codebook lands as a (m, k, i, comp) artifact —
-      // K×M×subDim = 1024 rows, genuine MODEL state — so later queries in
-      // the session read it instead of re-running the training pass; the
-      // driver collect below is the vec_kmeans_iter model-state pattern,
-      // never a data collect.
-      val cbDf = graft.CorpusArtifacts.parquet(s, "ivfpq_codebook", dir) {
-        val assigned = e0.withColumn("codes0",
-          graft.functions.GraftExpressions.pqEncode(col("qe"), fixedCb))
-        val perM = array((0 until M).map { m =>
-          struct(element_at(col("codes0"), m + 1).as("k"),
-            slice(col("qe"), m * subDim + 1, subDim).as("sub"))
-        }: _*)
-        val stats = assigned.select(posexplode(perM).as(Seq("m", "st")))
-          .select(col("m"), col("st.k").as("k"), posexplode(col("st.sub")).as(Seq("i", "v")))
-          .groupBy("m", "k", "i").agg(sum("v").as("sv"), count(lit(1)).as("cn"))
-        import s.implicits._
-        val seeds = (for { m <- 0 until M; k <- 0 until PqCodebook; i <- 0 until subDim }
-          yield (m, k, i, fixedCb(m)(k)(i))).toDF("m", "k", "i", "seed")
-        seeds.join(stats, Seq("m", "k", "i"), "left")
-          .select(col("m"), col("k"), col("i"),
-            coalesce(
-              floor(col("sv").cast("double") / col("cn") + lit(0.5)).cast("long"),
-              col("seed")).as("comp"))
-      }
-      val trained = Array.tabulate(M, PqCodebook)((m, k) => fixedCb(m)(k).clone())
-      cbDf.collect().foreach { r =>
-        trained(r.getAs[Int]("m"))(r.getAs[Int]("k"))(r.getAs[Int]("i")) =
-          r.getAs[Long]("comp")
-      }
-      def cellOf(qe: Column, tb: Int): Column =
-        (0 until Planes).map { p =>
-          val plane = planeComponents(tb * Planes + p, dim)
-          val proj = dotQ(s, qe, lit(plane))
-          when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      // the index artifact: (vec_id, tbl, cell, codes) — postings plus
-      // 16 one-byte codes per vector, landed once per corpus and read by
-      // both sides of the candidate join below; it never carries vectors
-      // (the ivfCellsFrame storage rationale — codes are the 32×-smaller
-      // stand-in the ADC phase scores from).
-      val cells = graft.CorpusArtifacts.parquet(s, "ivfpq_index", dir) {
-        e0.withColumn("codes",
-            graft.functions.GraftExpressions.pqEncode(col("qe"), trained))
-          .select(col("vec_id"), col("codes"),
-            posexplode(array((0 until NumTables).map(tb => cellOf(col("qe"), tb)): _*))
-              .as(Seq("tbl", "cell")))
-      }
+      val (trained, _, cells) = ivfPqArtifacts(s, dir, e0)
       // per-query ADC lookup table: lut[m][k] = ||q_m - c_{m,k}||² exact —
       // the native PqAdcLut expression (same 64 KB rationale as the encoder)
       val lutCol = graft.functions.GraftExpressions.pqAdcLut(col("qv"), trained)

@@ -33,6 +33,17 @@ object Analytics extends OpRegistry {
       GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
       ORDER BY supp_nation, cust_nation, l_year"""
 
+  /** The landed basket_sets artifact — one sorted part array per order
+    * (factored r18 so corpus_ingest_index can land it; the
+    * q_cross_sell_basket rationale: baskets land once per corpus, pairs
+    * explode from the bounded array). */
+  private[graft] def basketSets(s: SparkSession, dir: String): DataFrame =
+    graft.CorpusArtifacts.parquet(s, "basket_sets", dir) {
+      t(s, dir)("lineitem").select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cross_sell_basket" -> ((s, dir) => {
       // Market-basket co-occurrence (round 12): pairs of parts bought in
@@ -53,11 +64,7 @@ object Analytics extends OpRegistry {
       // (order-sized) artifact instead of re-scanning the fact table.
       // Row set and rank are integer-only (support desc, part ids); lift
       // is an r6 display from exact counts, n_orders broadcast.
-      val sets = graft.CorpusArtifacts.parquet(s, "basket_sets", dir) {
-        t(s, dir)("lineitem").select("l_orderkey", "l_partkey")
-          .groupBy("l_orderkey")
-          .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      }
+      val sets = basketSets(s, dir)
       val pc = sets.select(explode(col("parts")).as("l_partkey"))
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
       // Apriori pre-prune (r13, VERDICT r12 #6): a part whose GLOBAL

@@ -207,6 +207,44 @@ object Profiling extends OpRegistry {
       out
     }),
 
+    "corpus_ingest_index" -> ((s, dir) => {
+      // Corpus INGEST/INDEX build (r18, VERDICT r17 #4): one op that
+      // builds EVERY landed corpus artifact — the ANN index family
+      // (ivf_cells postings, ivfpq codebook + postings/codes index,
+      // hybrid serving universe), the dedup family (candidate edges, CC
+      // labels), the co-trade graph, the basket sets, the LM scores, the
+      // BPE vocab, and the co-bucketed orderkey fact pair — and reports
+      // one receipt row (artifact, n_rows) per artifact. Why it exists:
+      // bench ATTRIBUTION. The memo clears per bench pass and the pass
+      // runs alphabetically, so this op (sorting before every consumer)
+      // pays each build exactly once and every retrieval/graph/dedup
+      // consumer's median measures SERVE-ONLY — build vs serve becomes
+      // mechanical in the regression gate instead of per-close prose
+      // adjudication. Every n_rows is DuckDB-replayed from the raw
+      // tables (the artifact never self-certifies); the 12-element
+      // driver sequence is artifact-count-bounded, never data-sized.
+      import s.implicits._
+      val (li, oo) = graft.CorpusArtifacts.orderkeyFacts(s, dir)
+      val e0 = graft.llm.VectorOps.quantizedVectors(s, dir).localCheckpoint()
+      val (_, cbDf, pqCells) = graft.llm.VectorOps.ivfPqArtifacts(s, dir, e0)
+      val rows: Seq[(String, Long)] = Seq(
+        "basket_sets" -> Analytics.basketSets(s, dir).count(),
+        "bpe_vocab" -> graft.llm.TextOps.bpeVocabArtifact(s, dir).count(),
+        "components" -> graft.llm.DedupOps.componentLabels(s, dir).count(),
+        "cotradew" -> coTradeWeights(s, dir).count(),
+        "edges" -> graft.llm.TextOps.candidatePairs(s, dir).count(),
+        "hybrid_universe" -> graft.CorpusArtifacts.parquet(s,
+            "hybrid_universe", dir)(graft.llm.VectorOps.hybridUniverseOf(
+              t(s, dir)("documents"), tWide(s, dir)("embeddings"))).count(),
+        "ivf_cells" -> graft.llm.VectorOps.ivfCellsFrame(s, dir).count(),
+        "ivfpq_codebook" -> cbDf.count(),
+        "ivfpq_index" -> pqCells.count(),
+        "li_okey" -> li.count(),
+        "nllscores" -> graft.llm.PipelineOps.lmAvgNll(s, dir).count(),
+        "ord_okey" -> oo.count())
+      rows.toDF("artifact", "n_rows").orderBy("artifact")
+    }),
+
     "layout_zorder" -> ((s, dir) => {
       // Z-order (Morton) clustering key over (customer, order-day):
       // equi-width 8-bit binning from table stats — NOT a global ntile
@@ -1127,6 +1165,46 @@ object Profiling extends OpRegistry {
       SELECT o_orderstatus, COUNT(1) AS cnt,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
       FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+
+    // every artifact's row count re-derived from the raw tables: edges
+    // via the shared trigram-Jaccard pair chain (the dedup_components
+    // oracle's own chain — consistency by construction), cotradew via the
+    // graph family's pair derivation, bpe_vocab via the floored word
+    // dict, the IVF postings as |vectors| × 4 tables, the PQ codebook as
+    // K(16) × dim model rows, nllscores as docs with ≥ 1 char bigram
+    "corpus_ingest_index" -> s"""
+      WITH ${graft.llm.DedupOps.jaccardPairCtesFrom(
+        "d AS (SELECT doc_id, text FROM documents)")},
+      ct AS (SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                    greatest(c_nationkey, s_nationkey) AS b
+             FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN supplier ON l_suppkey = s_suppkey
+             WHERE c_nationkey <> s_nationkey),
+      bv AS (SELECT w FROM (
+               SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$$')
+             GROUP BY 1 HAVING COUNT(1) >= ${graft.llm.TextOps.BpeWordFloor})
+      SELECT artifact, CAST(n_rows AS BIGINT) AS n_rows FROM (
+        SELECT 'basket_sets' AS artifact,
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_rows
+        UNION ALL SELECT 'bpe_vocab', (SELECT COUNT(1) FROM bv)
+        UNION ALL SELECT 'components', (SELECT COUNT(1) FROM documents)
+        UNION ALL SELECT 'cotradew', (SELECT COUNT(1) FROM ct)
+        UNION ALL SELECT 'edges', (SELECT COUNT(1) FROM pairs)
+        UNION ALL SELECT 'hybrid_universe',
+          (SELECT COUNT(1) FROM documents dd JOIN embeddings e
+           ON dd.doc_id = e.vec_id)
+        UNION ALL SELECT 'ivf_cells', (SELECT 4 * COUNT(1) FROM embeddings)
+        UNION ALL SELECT 'ivfpq_codebook',
+          (SELECT 16 * MAX(len(embedding)) FROM embeddings)
+        UNION ALL SELECT 'ivfpq_index', (SELECT 4 * COUNT(1) FROM embeddings)
+        UNION ALL SELECT 'li_okey', (SELECT COUNT(1) FROM lineitem)
+        UNION ALL SELECT 'nllscores',
+          (SELECT COUNT(1) FROM documents WHERE length(text) >= 2)
+        UNION ALL SELECT 'ord_okey', (SELECT COUNT(1) FROM orders)
+      ) ORDER BY artifact""",
 
     "profile_table_stats" -> (profileCols
       .flatMap { case (tbl, cols) => cols.map { case (c, k) => profileSql(tbl, c, k) } }
