@@ -144,6 +144,10 @@ object Analytics extends OpRegistry {
       val hist = t(s, dir)("orders")
         .select(floor(col("o_totalprice")).cast("long").as("v"))
         .groupBy("v").agg(count(lit(1)).as("c"))
+        // pinned once: the ranged cumsum samples + shuffles + the total —
+        // three fact re-collapses otherwise (the histogram is the
+        // SF-invariant ≤550k-cell frame, cheap to hold)
+        .localCheckpoint()
       val tot = hist.agg(sum(col("c")).as("n"))
       graft.Helpers.rangedCumSum(hist, col("c"), Seq(col("v")), "cum")
         .crossJoin(broadcast(tot))

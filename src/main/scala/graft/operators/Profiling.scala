@@ -1078,10 +1078,13 @@ object Profiling extends OpRegistry {
       : (DataFrame, DataFrame, DataFrame) = {
     val target = 256L * 1024
     val small = s.read.parquet(s"$base/small")
-    // the per-file stats ledger, from the files actually on disk
+    // the per-file stats ledger, from the files actually on disk —
+    // pinned once (file-count-sized): plan window, pass-through filter,
+    // and the bin count all re-read it
     val ledger = small.groupBy(col(partCol).as("part"),
         col("_metadata.file_path").as("path"))
       .agg(count(lit(1)).as("rows"), max(col("_metadata.file_size")).as("bytes"))
+      .localCheckpoint()
     val packable = ledger.filter(col("bytes") < smallThresh)
     val passThrough = ledger.filter(col("bytes") >= smallThresh)
     val w = Window.partitionBy("part")
