@@ -402,18 +402,23 @@ object Streaming extends OpRegistry {
     * join — the read path costs O(waves) broadcast joins over one
     * base-store scan, and the write path never rewrites the store.
     * `through = -1` is the base store itself. */
+  /** One merge-on-read fold step: labels-through-(w−1) ∪ wave w's rows,
+    * mapped through wave w's broadcast relabel pairs. */
+  private def ccFoldDelta(s: SparkSession, lab: DataFrame, base: String,
+      w: Long): DataFrame = {
+    val wave = s.read.parquet(s"$base/labels/delta/b$w/wave")
+    val rel = s.read.parquet(s"$base/labels/delta/b$w/relabel")
+      .withColumnRenamed("old_label", "label")
+    lab.unionByName(wave)
+      .join(broadcast(rel), Seq("label"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("label")).as("label"))
+  }
+
   private[graft] def ccServedLabels(s: SparkSession, base: String,
       through: Long): DataFrame = {
     var lab = s.read.parquet(s"$base/labels/v0")
-    for (w <- 0L to through) {
-      val wave = s.read.parquet(s"$base/labels/delta/b$w/wave")
-      val rel = s.read.parquet(s"$base/labels/delta/b$w/relabel")
-        .withColumnRenamed("old_label", "label")
-      lab = lab.unionByName(wave)
-        .join(broadcast(rel), Seq("label"), "left")
-        .select(col("doc_id"),
-          coalesce(col("new_label"), col("label")).as("label"))
-    }
+    for (w <- 0L to through) lab = ccFoldDelta(s, lab, base, w)
     lab
   }
 
@@ -467,7 +472,12 @@ object Streaming extends OpRegistry {
           .outputMode(OutputMode.Append())
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val store = ccServedLabels(s, base, batchId - 1)
+            // the batch's serving SNAPSHOT, materialized once per wave
+            // (localCheckpoint): the contraction joins reference it three
+            // times and the lazy fold would re-execute the whole delta
+            // chain per reference — a production store materializes the
+            // read snapshot per commit exactly like this
+            val store = ccServedLabels(s, base, batchId - 1).localCheckpoint()
             val waveDocs = batch.select("doc_id").distinct()
             // edges first complete in THIS wave
             val newEdges = edges.filter(
@@ -522,7 +532,7 @@ object Streaming extends OpRegistry {
                   landedRelabel.select(col("old_label").as("label")),
                   Seq("label"))
                 .agg(count(lit(1)).as("n_relabeled")))
-              .crossJoin(ccServedLabels(s, base, batchId)
+              .crossJoin(ccFoldDelta(s, store, base, batchId)
                 .agg(countDistinct(col("label")).as("n_components")))
               .crossJoin(s.read
                 .parquet(s"$base/labels/delta/b$batchId/wave")
