@@ -1096,20 +1096,27 @@ object Profiling extends OpRegistry {
         call_function("div", col("c") - col("bytes"), lit(target)))
       .select("part", "path", "bin_id", "rows")
     val nBins = plan.select("part", "bin_id").distinct().count().toInt
-    // execute: broadcast file→bin map, ONE shuffle keyed (part, bin) so a
-    // bin never spans write tasks — exactly one output file per bin
-    small.join(broadcast(plan.select(col("path"), col("bin_id"))),
-        col("_metadata.file_path") === col("path"))
-      .drop("path")
-      .repartition(math.max(nBins, 1), col(partCol), col("bin_id"))
-      .write.mode("overwrite").partitionBy(partCol, "bin_id")
-      .parquet(s"$base/compacted")
     val dataCols = small.columns.map(col)
+    // execute: broadcast file→bin map, ONE shuffle keyed (part, bin) so a
+    // bin never spans write tasks — exactly one output file per bin. An
+    // ALL-LARGE layout plans zero bins and writes NOTHING (a zero-row
+    // partitionBy write lands no readable schema — Round18Spec pins this
+    // path): the compacted store simply doesn't exist, which is the
+    // correct no-op for a healthy layout.
+    if (nBins > 0)
+      small.join(broadcast(plan.select(col("path"), col("bin_id"))),
+          col("_metadata.file_path") === col("path"))
+        .drop("path")
+        .repartition(nBins, col(partCol), col("bin_id"))
+        .write.mode("overwrite").partitionBy(partCol, "bin_id")
+        .parquet(s"$base/compacted")
     val ptRows = small.join(broadcast(passThrough.select(col("path"))),
         col("_metadata.file_path") === col("path"))
       .select(dataCols: _*)
-    val allRows = s.read.parquet(s"$base/compacted")
-      .select(dataCols: _*).unionByName(ptRows)
+    val allRows =
+      if (nBins == 0) ptRows
+      else s.read.parquet(s"$base/compacted")
+        .select(dataCols: _*).unionByName(ptRows)
     val planBins = plan.groupBy("part", "bin_id")
       .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("bin_rows"))
     (allRows, planBins, passThrough)

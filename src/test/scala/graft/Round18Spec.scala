@@ -82,6 +82,41 @@ class Round18Spec extends GraftSuite {
     }
   }
 
+  test("rangedCumSum edges: single row, frame smaller than partition count, ties impossible") {
+    // one row: cum == weight, no offset
+    val one = Seq((7L, 3L)).toDF("id", "w")
+    assert(Helpers.rangedCumSum(one, col("w"), Seq(col("id")), "cum")
+      .select("cum").head.getLong(0) === 3L)
+    // 5 rows across 4 shuffle partitions (most range shards empty):
+    // offsets must still reconstruct the exact global running sum
+    val few = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("id", "w").repartition(3)
+    val got = Helpers.rangedCumSum(few, col("w"), Seq(col("id")), "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 10L, 2L -> 30L, 3L -> 60L, 4L -> 100L, 5L -> 150L))
+  }
+
+  test("packSmallFiles: an ALL-LARGE layout packs nothing and serves pass-through only") {
+    // exercises the max(nBins, 1) empty-plan branch: every file is above
+    // the cutoff, the compacted dir must land readable-but-empty, and
+    // the merged read must be exactly the untouched originals
+    val base = s"/tmp/graft_pack_all_large_${spark.sparkContext.applicationId}"
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(base))
+    (0L until 4000L).map(i => (i, i * 2654435761L % 1000003L, i % 2))
+      .toDF("id", "v", "p")
+      .repartition(2).write.partitionBy("p").parquet(s"$base/small")
+    val (allRows, planBins, passThrough) =
+      operators.Profiling.packSmallFiles(spark, base, "p", 1L) // 1-byte cutoff: nothing is small
+    assert(planBins.count() === 0L, "nothing should be planned for packing")
+    assert(passThrough.count() >= 2L, "every file must pass through")
+    assert(allRows.count() === 4000L)
+    // no compacted store is written at all — the correct no-op for a
+    // healthy layout (a zero-row partitionBy write would land an
+    // unreadable schema-less dir)
+    assert(!new java.io.File(s"$base/compacted").exists(),
+      "an all-large layout must not write a compacted store")
+  }
+
   test("AQE skew join: OptimizeSkewedJoin fires on a fixture-derived skewed key (plan lock)") {
     // VERDICT r17 #6: §4's 100-TB story claims AQE handles residual join
     // skew (salting is the planned-skew treatment, join_skew_salted);
