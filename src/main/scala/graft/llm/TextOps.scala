@@ -1367,20 +1367,36 @@ object TextOps extends OpRegistry {
       // re-trains — the same amortization the IVF index artifacts won;
       // the first consumer of a Bench/Probe pass still pays the training
       // honestly (memo cleared per pass).
+      // OOV fallback (r19, ADVICE r18): the trained dict is FLOORED at
+      // BpeWordFloor occurrences, so an inner join would silently drop
+      // the sub-floor word mass — exactly the rare words with the highest
+      // fertility, biasing the sheet optimistically. Untrained words
+      // encode at CHAR level (n_sym = n_char: every base char is a
+      // symbol — the standard byte/char-fallback a floored BPE tokenizer
+      // ships with), so n_words/n_chars/n_tokens cover the FULL word
+      // mass again, and the OOV share lands as an explicit column so the
+      // coverage is visible instead of implied.
       val nSym = bpeVocabArtifact(s, dir)
       val lw = tWide(s, dir)("documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
         .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
-      lw.join(nSym, "w")
+      lw.join(nSym.select(col("w"), col("n_sym")), Seq("w"), "left")
+        .select(col("lang"), col("cnt"),
+          length(col("w")).cast("long").as("n_char"),
+          coalesce(col("n_sym"), length(col("w")).cast("long")).as("n_sym"),
+          col("n_sym").isNull.as("oov"))
         .groupBy("lang")
         .agg(sum(col("cnt")).as("n_words"),
           sum(col("cnt") * col("n_char")).as("n_chars"),
-          sum(col("cnt") * col("n_sym")).as("n_tokens"))
+          sum(col("cnt") * col("n_sym")).as("n_tokens"),
+          sum(when(col("oov"), col("cnt")).otherwise(0L)).as("n_oov_words"))
         .withColumn("tokens_per_kword",
           call_function("div", col("n_tokens") * lit(1000L), col("n_words")))
         .withColumn("chars_per_token_ppm",
           call_function("div", col("n_chars") * lit(1000000L), col("n_tokens")))
+        .withColumn("oov_word_ppm",
+          call_function("div", col("n_oov_words") * lit(1000000L), col("n_words")))
         .orderBy("lang")
     }),
 
@@ -2779,27 +2795,37 @@ object TextOps extends OpRegistry {
     "text_bpe_train_full" -> bpeTrainFullOracleSql,
 
     // r17: apply consumes the FULL 256-budget trained vocab (v256), not
-    // the 6-round twin's v6 — same shared chain, deeper unroll
+    // the 6-round twin's v6 — same shared chain, deeper unroll. r19
+    // (ADVICE r18): LEFT join + char-level fallback for sub-floor words
+    // (n_sym = length(w)) so the sheet covers the full word mass, with
+    // the OOV share explicit.
     "text_bpe_apply" -> (
       "WITH " + bpeCtes(BpeMergeBudget) + s""",
       ns AS (SELECT w,
                CAST(len(string_split(trim(s, '()'), ')(')) AS BIGINT)
-                 AS n_sym,
-               CAST(length(w) AS BIGINT) AS n_char FROM v$BpeMergeBudget),
+                 AS n_sym FROM v$BpeMergeBudget),
       lw AS (SELECT lang, w, CAST(COUNT(1) AS BIGINT) AS cnt FROM (
                SELECT lang, unnest(string_split(text,' ')) AS w
                FROM documents)
              WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$$')
-             GROUP BY 1, 2)
+             GROUP BY 1, 2),
+      enc AS (SELECT lang, cnt,
+                CAST(length(w) AS BIGINT) AS n_char,
+                COALESCE(ns.n_sym, CAST(length(w) AS BIGINT)) AS n_sym,
+                (ns.n_sym IS NULL) AS oov
+              FROM lw LEFT JOIN ns USING (w))
       SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
              CAST(SUM(cnt * n_char) AS BIGINT) AS n_chars,
              CAST(SUM(cnt * n_sym) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN oov THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_oov_words,
              CAST(SUM(cnt * n_sym) * 1000 // SUM(cnt) AS BIGINT)
                AS tokens_per_kword,
              CAST(SUM(cnt * n_char) * 1000000 // SUM(cnt * n_sym) AS BIGINT)
-               AS chars_per_token_ppm
-      FROM lw JOIN ns USING (w)
-      GROUP BY lang ORDER BY lang"""),
+               AS chars_per_token_ppm,
+             CAST(SUM(CASE WHEN oov THEN cnt ELSE 0 END) * 1000000
+               // SUM(cnt) AS BIGINT) AS oov_word_ppm
+      FROM enc GROUP BY lang ORDER BY lang"""),
 
     "docs_boilerplate_spans" -> """
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t

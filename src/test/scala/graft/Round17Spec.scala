@@ -172,11 +172,15 @@ class Round17Spec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === Map(10L -> 7L, 11L -> 7L, 7L -> 7L,
       20L -> 20L, 27L -> 20L, 57L -> 17L, 87L -> 17L, 17L -> 17L))
-    // r18 write-path contract: the store is NEVER rewritten — no
-    // labels/v1..v3 exist, only v0 + the per-wave deltas
-    for (v <- 1 to 3)
+    // r18 write-path contract, amended r19 (VERDICT r18 #1): the store is
+    // never rewritten PER WAVE — only v0, the per-wave deltas, and the
+    // K-amortized checkpoint exist. With K = 2 over 3 waves exactly ONE
+    // checkpoint lands: v2 (after wave 1); v1/v3 must not exist.
+    assert(new java.io.File(s"$base/labels/v2").exists(),
+      "K=2 checkpoint labels/v2 missing — delta chain never re-roots")
+    for (v <- Seq(1, 3))
       assert(!new java.io.File(s"$base/labels/v$v").exists(),
-        s"full-store rewrite labels/v$v exists — delta landing regressed")
+        s"labels/v$v exists — per-wave store rewrite regressed")
   }
 
   test("stream_cc_maintain property: incremental == full rebuild on seeded random corpora") {
@@ -338,26 +342,30 @@ class Round17Spec extends GraftSuite {
     val (_, vocab) = llm.TextOps.bpeTrainFull(spark, sfDir)
     val nsym = vocab.toMap
     // independent apply: plain Scala fold over the corpus words. Words
-    // below the r18 training floor are OOV to the trained dict and drop
-    // from the fertility sums (the op's inner join to the vocab).
+    // below the r18 training floor are OOV to the trained dict and encode
+    // at CHAR level (r19, ADVICE r18: n_sym = n_char fallback), so the
+    // fertility sums cover the FULL word mass and the OOV share is an
+    // explicit column.
     val perLang = Tables.load(spark, sfDir, "documents")
       .select(col("lang"), col("text")).as[(String, String)].collect()
       .flatMap { case (lang, text) => text.split(" ").iterator
         .filter(w => w.length >= 2 &&
           w.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z')))
-        .filter(nsym.contains)
         .map(w => (lang, w)) }
       .groupBy(_._1).map { case (lang, ws) =>
         val words = ws.map(_._2)
         val nWords = words.length.toLong
         val nChars = words.map(_.length.toLong).sum
-        val nToks = words.map(w => nsym(w).toLong).sum
-        (lang, (nWords, nChars, nToks, nToks * 1000L / nWords,
-          nChars * 1000000L / nToks))
+        val nToks = words.map(w => nsym.getOrElse(w, w.length).toLong).sum
+        val nOov = words.count(w => !nsym.contains(w)).toLong
+        (lang, (nWords, nChars, nToks, nOov, nToks * 1000L / nWords,
+          nChars * 1000000L / nToks, nOov * 1000000L / nWords))
       }
     val got = q("text_bpe_apply").collect().map(r =>
-      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))).toMap
+      r.getString(0) -> ((r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov_words"),
+        r.getAs[Long]("tokens_per_kword"), r.getAs[Long]("chars_per_token_ppm"),
+        r.getAs[Long]("oov_word_ppm")))).toMap
     assert(got === perLang)
   }
 }

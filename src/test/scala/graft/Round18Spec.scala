@@ -43,8 +43,13 @@ class Round18Spec extends GraftSuite {
     assert(deltaRowsTot < storeRows,
       s"delta rows $deltaRowsTot not wave-scaled vs store $storeRows")
     assert(dirBytes(s"$base/labels/v0") > 0)
-    // and the store itself was never versioned-over
+    // the store is never versioned-over PER WAVE (r19 amendment: the only
+    // non-delta write is the K-amortized checkpoint — v2 under K=2; a v1
+    // or v3 would mean per-wave rewrites regressed)
     assert(!new java.io.File(s"$base/labels/v1").exists())
+    assert(!new java.io.File(s"$base/labels/v3").exists())
+    assert(new java.io.File(s"$base/labels/v2").exists(),
+      "K=2 checkpoint labels/v2 missing")
   }
 
   test("rangedCumSum == global-Window running sum on seeded random frames") {
@@ -87,8 +92,10 @@ class Round18Spec extends GraftSuite {
     val one = Seq((7L, 3L)).toDF("id", "w")
     assert(Helpers.rangedCumSum(one, col("w"), Seq(col("id")), "cum")
       .select("cum").head.getLong(0) === 3L)
-    // 5 rows across 4 shuffle partitions (most range shards empty):
-    // offsets must still reconstruct the exact global running sum
+    // 5 rows entering on 3 input partitions; the empty/thin-shard edge
+    // under test comes from the repartitionByRange INSIDE rangedCumSum
+    // (the suite's 4 shuffle partitions vs 5 rows leaves range shards
+    // near-empty) — offsets must still reconstruct the exact running sum
     val few = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
       .toDF("id", "w").repartition(3)
     val got = Helpers.rangedCumSum(few, col("w"), Seq(col("id")), "cum")

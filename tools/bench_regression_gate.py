@@ -69,9 +69,14 @@ spread_sum_new = round(sum(sn.values()), 3)
 if max_spread is not None and spread_sum_new > max_spread:
     print(f"WINDOW TOO HOT: spread_sum_new {spread_sum_new} > "
           f"--max-spread {max_spread}; remeasure instead of adjudicating")
+    # stable schema across both exit paths (ADVICE r18): the standard keys
+    # ship empty/null so close tooling can parse the line unconditionally
     print(json.dumps({"window_rejected": True,
                       "spread_sum_new": spread_sum_new,
-                      "max_spread": max_spread}))
+                      "max_spread": max_spread,
+                      "regressions": [], "improvements": [],
+                      "added": [], "removed": [],
+                      "common_sum_old": None, "common_sum_new": None}))
     sys.exit(2)
 
 regressions, improvements = [], []
