@@ -491,7 +491,14 @@ object ScaleProbe {
       // (jaccard_pairs, knn_ivf/ivfpq, graph family, dedup_components,
       // docs_lm_quality_filter); this op is those builds' IO round-trips
       // plus artifact-count-bounded receipt counts
-      "corpus_ingest_index"),
+      "corpus_ingest_index",
+      // r19 (VERDICT r18 #3): the incremental-commit twin — its two real
+      // kernels carry probed scale evidence already (the pair probe is
+      // jaccard_pairs' posting join restricted to delta shingles; the
+      // label merge is dedup_components_incremental's probed
+      // contract-and-subCC); the rest is the catalog's receipt counts
+      // over landed artifacts
+      "corpus_ingest_index_v1"),
     "stream" -> Seq("stream_tumbling_1h", "stream_sliding_1h_15m",
       "stream_session_30m", "stream_threshold_alerts",
       "stream_sink_foreachBatch"),

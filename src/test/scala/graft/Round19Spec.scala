@@ -95,6 +95,30 @@ class Round19Spec extends GraftSuite {
     assert(snapshot() === before, "retrying wave 2 mutated the store")
   }
 
+  test("corpus_ingest_index_v1: appended edges and labels equal a full rebuild over the union") {
+    // VERDICT r18 #3 done-criterion: the incremental refresh (delta-probe
+    // pair kernel + contract-and-subCC label merge) must reproduce the
+    // full kernel re-run over the union corpus BIT-FOR-BIT, under the
+    // zero-crosser guard the op itself certifies.
+    val (edgesV1, labelsV1, nCross, newPairs) =
+      operators.Profiling.ingestV1Refresh(spark, sfDir)
+    assert(nCross === 0L, "fixture commit must not cross the df cap")
+    assert(newPairs.count() > 0L, "the re-delivery must create near-dup pairs")
+    val uniDir = TestSpark.tempDir("graft_r19_uni_")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .unionByName(operators.Profiling.ingestDeltaDocs(spark, sfDir))
+      .write.mode("overwrite").parquet(s"$uniDir/documents.parquet")
+    val rebuiltE = llm.TextOps.jaccardEdges(spark, uniDir, materialize = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val gotE = edgesV1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotE === rebuiltE, "appended edge store diverged from the union rebuild")
+    val rebuiltL = llm.DedupOps.componentLabels(spark, uniDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotL = labelsV1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotL === rebuiltL, "merged labels diverged from the union rebuild")
+  }
+
   test("ccNewestBase picks the newest usable snapshot on a hand-built layout") {
     val base = TestSpark.tempDir("graft_r19_ccnb_")
     for (d <- Seq("v0", "v2", "v4", "delta"))
