@@ -23,6 +23,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object CorpusArtifacts {
   private val memo = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Per-key build serialization (r19 optimization round): the ingest ops
+    * now overlap independent artifact builds from a driver thread pool
+    * (guide §2.6 — concurrent jobs back-fill the tail of each build's
+    * stages). TrieMap.getOrElseUpdate inserts atomically but may evaluate
+    * the by-name build in BOTH racing threads, and two concurrent writes
+    * to the same artifact path would corrupt it — so each key's first
+    * build runs under its own lock (distinct keys stay fully parallel;
+    * TrieMap's putIfAbsent semantics guarantee both racers see the same
+    * lock object). */
+  private val locks = scala.collection.concurrent.TrieMap[String, Object]()
+  private def withKeyLock[T](key: String)(f: => T): T =
+    locks.getOrElseUpdate(key, new Object).synchronized(f)
+
   /** Drop every landed artifact (they are rebuilt lazily on next use). */
   private[graft] def clear(): Unit = memo.clear()
 
@@ -39,7 +52,7 @@ object CorpusArtifacts {
                               bucketCol: String, nBuckets: Int)
                              (build: => DataFrame): DataFrame = {
     val key = s.sparkContext.applicationId + "|bt|" + kind + "|" + dir
-    val tbl = memo.getOrElseUpdate(key, {
+    val tbl = withKeyLock(key)(memo.getOrElseUpdate(key, {
       val name = s"graft_bt_${kind}_${Integer.toHexString(dir.hashCode)}"
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_artifacts_${s.sparkContext.applicationId}")
@@ -53,7 +66,7 @@ object CorpusArtifacts {
         .option("path", new java.io.File(base, name).getPath)
         .bucketBy(nBuckets, bucketCol).sortBy(bucketCol).saveAsTable(name)
       name
-    })
+    }))
     s.table(tbl)
   }
 
@@ -88,7 +101,7 @@ object CorpusArtifacts {
   private[graft] def parquet(s: SparkSession, kind: String, dir: String)
                             (build: => DataFrame): DataFrame = {
     val key = s.sparkContext.applicationId + "|" + kind + "|" + dir
-    val path = memo.getOrElseUpdate(key, {
+    val path = withKeyLock(key)(memo.getOrElseUpdate(key, {
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_artifacts_${s.sparkContext.applicationId}")
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -96,7 +109,7 @@ object CorpusArtifacts {
         s"${kind}_${safe}_${Integer.toHexString(dir.hashCode)}").getPath
       build.write.mode("overwrite").parquet(p)
       p
-    })
+    }))
     s.read.parquet(path)
   }
 }

@@ -53,6 +53,10 @@ object Tables {
   /** Register every table as a temp view so ops can also run as Spark SQL. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** See [[OpRegistry.tWide]] — scan split counts per (app, dir, table). */
+  private[graft] val scanPartsMemo =
+    scala.collection.concurrent.TrieMap[String, Int]()
 }
 
 object Helpers {
@@ -199,6 +203,15 @@ trait OpRegistry {
   protected def tWide(spark: SparkSession, sfDir: String)(name: String): DataFrame = {
     val df = Tables.load(spark, sfDir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // the scan's split count is a pure function of (files, session conf) —
+    // memoized per (app, dir, table) because `.rdd.getNumPartitions` runs
+    // physical planning for the scan on EVERY call, and this helper fronts
+    // most of the text/vector registry (r19 optimization round). A stale
+    // entry could only mis-size the repartition no-op decision, never
+    // change results.
+    val n = Tables.scanPartsMemo.getOrElseUpdate(
+      spark.sparkContext.applicationId + "|" + sfDir + "|" + name,
+      df.rdd.getNumPartitions)
+    if (n < target) df.repartition(target) else df
   }
 }

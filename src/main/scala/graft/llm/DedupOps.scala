@@ -217,7 +217,12 @@ object DedupOps extends OpRegistry {
       (r.getLong(0),
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
-    var edges = pairs.localCheckpoint()
+    // LAZY localCheckpoint (r19 optimization round): the eager form runs a
+    // dedicated materialization job per round; the potential() aggregate
+    // right below is already a full pass over the same frame, so let THAT
+    // action materialize the checkpoint — one job per round instead of
+    // two, with identical lineage truncation.
+    var edges = pairs.localCheckpoint(false)
     var (edgeCount, edgePot) = potential(edges)
     var rounds = 0
     var converged = false
@@ -235,7 +240,7 @@ object DedupOps extends OpRegistry {
         .select(col("m").as("a"), col("v").as("b"))
         .union(m2.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by potential() below
       val (n2, pot2) = potential(ss)
       converged = n2 == edgeCount && pot2.compareTo(edgePot) == 0
       edges = ss
@@ -512,7 +517,10 @@ object DedupOps extends OpRegistry {
       // night's output); the nightly marginal cost is batch hashing + one
       // AQE-sized probe join on (band, bh) — it scales with the BATCH,
       // not the corpus. Output is the one-row ingest receipt.
+      // pinned (r19 optimization round): consumed by the key build and the
+      // batch-membership filter — two branches of planting joins otherwise
       val docs = plantedDocs(tWide(s, dir)("documents").select("doc_id", "text"))
+        .localCheckpoint()
       // land the per-doc band keys ONCE (production stores signatures — it
       // never re-derives them per consumer): without this the shingle +
       // signature pipeline re-executes under every downstream branch
@@ -567,7 +575,11 @@ object DedupOps extends OpRegistry {
       // without planting no batch-base merge would ever fire); the edge
       // list is landed once, because three branches (base CC, batch map,
       // touched set) would otherwise re-run the pair kernel per branch.
+      // pinned (r19 optimization round): the planted frame is join-built
+      // and feeds the edge build plus the base/batch node filters — four
+      // plan branches; unpinned each re-runs the planting joins
       val docs = plantedDocs(tWide(s, dir)("documents").select("doc_id", "text"))
+        .localCheckpoint()
       val isBatch = (n: Column) => pmod(n, lit(10L)) === 7
       val edgePath = s"/tmp/graft_cc_inc_edges_${s.sparkContext.applicationId}"
       plantedJaccardEdges(s, docs).write.mode("overwrite").parquet(edgePath)

@@ -214,7 +214,15 @@ object TextOps extends OpRegistry {
     * jac ≤ 0.1 but containment 1.0. Exact rational compare (2·inter >
     * min), no float in the row set. */
   private def containmentEdges(s: SparkSession, dir: String): DataFrame = {
-    val shCapped = cappedShingles(s, dir, materialize = false)
+    // materialize = true (r19 optimization round, guide §2.4/§5): the
+    // capped-shingle frame feeds THREE plan branches (per-doc sizes and
+    // both self-join sides); unmaterialized, the shingle explode + df
+    // window re-executed under the sizes branch (the self-join sides
+    // share one ReusedExchange, the sizes groupBy does not) — a full
+    // extra occurrence-sized pass per run. jaccardEdges' candidatePairs
+    // call has pinned this same frame since r10; the inline containment
+    // kernel now pins it too.
+    val shCapped = cappedShingles(s, dir, materialize = true)
     val sizes = shCapped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shCapped.as("a").join(shCapped.as("b"),
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))

@@ -1504,8 +1504,15 @@ object VectorOps extends OpRegistry {
         .unionByName(base.filter(col("doc_id") % 100 === 25)
           .select((col("doc_id") + 30000000L).as("doc_id"),
             concat(col("text"), lit(" abcdefghij")).as("text")))
-      // image side: parity-sketch bands, cap 64 per cell, Hamming ≤ 6
-      val ib = phashBands(aug)
+        // pinned (r19 optimization round): the augmented universe feeds
+        // BOTH modality kernels (and the image sketch below feeds three
+        // branches) — unpinned, the 4-way union + text transforms re-ran
+        // under every reference
+        .localCheckpoint()
+      // image side: parity-sketch bands, cap 64 per cell, Hamming ≤ 6.
+      // Pinned too: referenced by the band explode AND both verify joins —
+      // the per-doc codepoint-histogram sketch is the branch's real cost.
+      val ib = phashBands(aug).localCheckpoint()
       val iex = ib.select(col("doc_id"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("k", "v")))

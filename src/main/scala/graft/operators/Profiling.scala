@@ -227,21 +227,30 @@ object Profiling extends OpRegistry {
       val (li, oo) = graft.CorpusArtifacts.orderkeyFacts(s, dir)
       val e0 = graft.llm.VectorOps.quantizedVectors(s, dir).localCheckpoint()
       val (_, cbDf, pqCells) = graft.llm.VectorOps.ivfPqArtifacts(s, dir, e0)
-      val rows: Seq[(String, Long)] = Seq(
-        "basket_sets" -> Analytics.basketSets(s, dir).count(),
-        "bpe_vocab" -> graft.llm.TextOps.bpeVocabArtifact(s, dir).count(),
-        "components" -> graft.llm.DedupOps.componentLabels(s, dir).count(),
-        "cotradew" -> coTradeWeights(s, dir).count(),
-        "edges" -> graft.llm.TextOps.candidatePairs(s, dir).count(),
-        "hybrid_universe" -> graft.CorpusArtifacts.parquet(s,
+      // r19 optimization round (guide §2.6 — overlap independent jobs):
+      // the 12 builds are independent driver-sequenced Spark job chains
+      // (except components ← edges, serialized by CorpusArtifacts'
+      // per-key build lock), and each chain leaves most of local[32]
+      // idle in its stage tails — a small driver pool back-fills those.
+      // Submission order puts the long chains (edges → components, the
+      // two driver-loop trainers) first so they overlap end to end.
+      // Every build still happens INSIDE this op (attribution unchanged);
+      // the receipt rows and their order are byte-identical.
+      val rows: Seq[(String, Long)] = inParallel(Seq(
+        "edges" -> (() => graft.llm.TextOps.candidatePairs(s, dir).count()),
+        "components" -> (() => graft.llm.DedupOps.componentLabels(s, dir).count()),
+        "bpe_vocab" -> (() => graft.llm.TextOps.bpeVocabArtifact(s, dir).count()),
+        "nllscores" -> (() => graft.llm.PipelineOps.lmAvgNll(s, dir).count()),
+        "ivf_cells" -> (() => graft.llm.VectorOps.ivfCellsFrame(s, dir).count()),
+        "cotradew" -> (() => coTradeWeights(s, dir).count()),
+        "basket_sets" -> (() => Analytics.basketSets(s, dir).count()),
+        "hybrid_universe" -> (() => graft.CorpusArtifacts.parquet(s,
             "hybrid_universe", dir)(graft.llm.VectorOps.hybridUniverseOf(
-              t(s, dir)("documents"), tWide(s, dir)("embeddings"))).count(),
-        "ivf_cells" -> graft.llm.VectorOps.ivfCellsFrame(s, dir).count(),
-        "ivfpq_codebook" -> cbDf.count(),
-        "ivfpq_index" -> pqCells.count(),
-        "li_okey" -> li.count(),
-        "nllscores" -> graft.llm.PipelineOps.lmAvgNll(s, dir).count(),
-        "ord_okey" -> oo.count())
+              t(s, dir)("documents"), tWide(s, dir)("embeddings"))).count()),
+        "ivfpq_codebook" -> (() => cbDf.count()),
+        "ivfpq_index" -> (() => pqCells.count()),
+        "li_okey" -> (() => li.count()),
+        "ord_okey" -> (() => oo.count())))
       rows.toDF("artifact", "n_rows").orderBy("artifact")
     }),
 
@@ -278,34 +287,51 @@ object Profiling extends OpRegistry {
       val e0 = graft.llm.VectorOps.quantizedVectors(s, dir).localCheckpoint()
       val (_, cbDf, pqCells) = graft.llm.VectorOps.ivfPqArtifacts(s, dir, e0)
       val delta = ingestDeltaDocs(s, dir).localCheckpoint()
-      val nDelta = delta.count()
       val (edgesV1, labelsV1, nCross, newPairs) = ingestV1Refresh(s, dir)
-      val nNew = newPairs.count()
-      val hybAdd = graft.llm.VectorOps.hybridUniverseOf(
-        delta, tWide(s, dir)("embeddings")).count()
-      val hyb0 = graft.CorpusArtifacts.parquet(s, "hybrid_universe", dir)(
-        graft.llm.VectorOps.hybridUniverseOf(
-          t(s, dir)("documents"), tWide(s, dir)("embeddings"))).count()
-      val nll0 = graft.llm.PipelineOps.lmAvgNll(s, dir)
-      val nllAdd = delta
-        .select((col("doc_id") - lit(IngestDeltaOff)).as("twin_id"))
-        .join(nll0.withColumnRenamed("doc_id", "twin_id"), "twin_id").count()
+      // r19 optimization round (guide §2.6): the refresh above is
+      // internally sequential (df recount → cap guard → probe join →
+      // label merge), but every receipt COUNT below is an independent
+      // job chain — run them from the driver pool so catalog counts
+      // back-fill the refresh chains' idle cores. Values land in a
+      // name-keyed map first because several feed two receipt fields;
+      // the emitted rows are byte-identical to the sequential build.
+      val n = inParallel[Long](Seq(
+        "n_delta" -> (() => delta.count()),
+        "n_new" -> (() => newPairs.count()),
+        "labels_v1" -> (() => labelsV1.count()),
+        "edges_v1" -> (() => edgesV1.count()),
+        "hyb_add" -> (() => graft.llm.VectorOps.hybridUniverseOf(
+          delta, tWide(s, dir)("embeddings")).count()),
+        "hyb0" -> (() => graft.CorpusArtifacts.parquet(s, "hybrid_universe", dir)(
+          graft.llm.VectorOps.hybridUniverseOf(
+            t(s, dir)("documents"), tWide(s, dir)("embeddings"))).count()),
+        "nll0" -> (() => graft.llm.PipelineOps.lmAvgNll(s, dir).count()),
+        "nll_add" -> (() => delta
+          .select((col("doc_id") - lit(IngestDeltaOff)).as("twin_id"))
+          .join(graft.llm.PipelineOps.lmAvgNll(s, dir)
+            .withColumnRenamed("doc_id", "twin_id"), "twin_id").count()),
+        "basket_sets" -> (() => Analytics.basketSets(s, dir).count()),
+        "bpe_vocab" -> (() => graft.llm.TextOps.bpeVocabArtifact(s, dir).count()),
+        "cotradew" -> (() => coTradeWeights(s, dir).count()),
+        "ivf_cells" -> (() => graft.llm.VectorOps.ivfCellsFrame(s, dir).count()),
+        "ivfpq_codebook" -> (() => cbDf.count()),
+        "ivfpq_index" -> (() => pqCells.count()),
+        "li_okey" -> (() => li.count()),
+        "ord_okey" -> (() => oo.count()))).toMap
       val rows: Seq[(String, Long, Long, String)] = Seq(
-        ("basket_sets", Analytics.basketSets(s, dir).count(), 0L, "unchanged"),
-        ("bpe_vocab", graft.llm.TextOps.bpeVocabArtifact(s, dir).count(),
-          0L, "unchanged"),
-        ("components", labelsV1.count(), nDelta, "appended"),
-        ("cotradew", coTradeWeights(s, dir).count(), 0L, "unchanged"),
-        ("edges", edgesV1.count(), nNew, "appended"),
+        ("basket_sets", n("basket_sets"), 0L, "unchanged"),
+        ("bpe_vocab", n("bpe_vocab"), 0L, "unchanged"),
+        ("components", n("labels_v1"), n("n_delta"), "appended"),
+        ("cotradew", n("cotradew"), 0L, "unchanged"),
+        ("edges", n("edges_v1"), n("n_new"), "appended"),
         ("guard_shingle_cap_crossers", nCross, 0L, "guard"),
-        ("hybrid_universe", hyb0 + hybAdd, hybAdd, "appended"),
-        ("ivf_cells", graft.llm.VectorOps.ivfCellsFrame(s, dir).count(),
-          0L, "unchanged"),
-        ("ivfpq_codebook", cbDf.count(), 0L, "unchanged"),
-        ("ivfpq_index", pqCells.count(), 0L, "unchanged"),
-        ("li_okey", li.count(), 0L, "unchanged"),
-        ("nllscores", nll0.count() + nllAdd, nllAdd, "appended"),
-        ("ord_okey", oo.count(), 0L, "unchanged"))
+        ("hybrid_universe", n("hyb0") + n("hyb_add"), n("hyb_add"), "appended"),
+        ("ivf_cells", n("ivf_cells"), 0L, "unchanged"),
+        ("ivfpq_codebook", n("ivfpq_codebook"), 0L, "unchanged"),
+        ("ivfpq_index", n("ivfpq_index"), 0L, "unchanged"),
+        ("li_okey", n("li_okey"), 0L, "unchanged"),
+        ("nllscores", n("nll0") + n("nll_add"), n("nll_add"), "appended"),
+        ("ord_okey", n("ord_okey"), 0L, "unchanged"))
       rows.toDF("artifact", "n_rows", "rows_added", "mode")
         .orderBy("artifact")
     }),
@@ -694,9 +720,12 @@ object Profiling extends OpRegistry {
           org.apache.spark.sql.expressions.Window.partitionBy("src")
             .orderBy(col("w").desc, col("dst"))))
         .filter(col("rn") <= 3).select("src", "dst")
+      // pinned (r19 optimization round): the backbone is a window over the
+      // landed co-trade artifact and `edges` is referenced by EVERY one of
+      // the 8 relax rounds — unpinned, each round re-ran the top-k window
       val edges = backbone
         .unionAll(backbone.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
+        .distinct().localCheckpoint()
       val nodes = t(s, dir)("nation")
         .select(col("n_nationkey").cast("long").as("node"))
       var dist = nodes
@@ -949,6 +978,31 @@ object Profiling extends OpRegistry {
     * the artifact never self-certifies. */
   private def coTradeWeights(s: SparkSession, dir: String): DataFrame =
     graft.CorpusArtifacts.parquet(s, "cotradew", dir)(coTradeBuild(s, dir))
+
+  /** Run independent driver-sequenced Spark job chains concurrently from a
+    * small fixed pool (r19 optimization round, guide §2.6): Spark's
+    * scheduler happily runs several jobs at once inside one application —
+    * actions are only sequential because driver code calls them
+    * sequentially — so the next chain's tasks back-fill executors freed by
+    * the current chain's stage tails. Results keep submission order;
+    * failures rethrow the ORIGINAL cause (Bench's failure accounting keys
+    * on the exception, not an ExecutionException wrapper). Pool size 4:
+    * enough to fill the tail, not so many that chains fight for cores
+    * (the guide's 2-3-jobs-in-flight rule, one notch up for local[32]). */
+  private def inParallel[T](tasks: Seq[(String, () => T)]): Seq[(String, T)] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = tasks.map { case (name, f) =>
+        name -> pool.submit(new java.util.concurrent.Callable[T] {
+          override def call(): T = f()
+        })
+      }
+      futs.map { case (name, fut) =>
+        name -> (try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      }
+    } finally pool.shutdown()
+  }
 
   /** corpus_ingest_index_v1's commit: docs with doc_id % 25 = 7
     * re-delivered under doc_id + [[IngestDeltaOff]] — the

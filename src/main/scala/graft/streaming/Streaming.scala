@@ -270,8 +270,13 @@ object Streaming extends OpRegistry {
     * carry strictly increasing mtimes), which is what lets a batch oracle
     * replay all three admission rounds as unrolled CTEs. */
   private[graft] def streamBandAdmission(s: SparkSession,
-      docs: DataFrame): DataFrame = {
+      docsIn: DataFrame): DataFrame = {
     import graft.llm.DedupOps
+    // pin the planted universe once (r19 optimization round): the planted
+    // frame is a join-built projection of `documents` and is referenced by
+    // the key build AND the per-wave staging filters — unpinned, each
+    // branch re-runs the planting joins.
+    val docs = docsIn.localCheckpoint()
     val base = s"/tmp/graft_sdb_${s.sparkContext.applicationId}"
     org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(base))
     // land the per-doc band keys ONCE (the dedup_incremental_bands
@@ -518,6 +523,11 @@ object Streaming extends OpRegistry {
       .parquet(s"$base/labels/delta/b$batchId/relabel")
     val landedRelabel =
       s.read.parquet(s"$base/labels/delta/b$batchId/relabel")
+    // the post-wave folded snapshot feeds the receipt's component count
+    // AND (on checkpoint waves) the labels/vN write — fold once and let
+    // the receipt job materialize the cache (r19 optimization round;
+    // previously the checkpoint wave re-ran the whole base-sized fold)
+    val folded = ccFoldDelta(s, store, base, batchId).localCheckpoint(false)
     // receipt: wave CONTENT-derived (the stream_dedup_bands rule —
     // mis-ordered delivery fails the oracle instead of passing);
     // relabeled/components are merge-on-read READS, never writes
@@ -530,7 +540,7 @@ object Streaming extends OpRegistry {
           landedRelabel.select(col("old_label").as("label")),
           Seq("label"))
         .agg(count(lit(1)).as("n_relabeled")))
-      .crossJoin(ccFoldDelta(s, store, base, batchId)
+      .crossJoin(folded
         .agg(countDistinct(col("label")).as("n_components")))
       .crossJoin(s.read
         .parquet(s"$base/labels/delta/b$batchId/wave")
@@ -545,13 +555,15 @@ object Streaming extends OpRegistry {
     // content-deterministic, so a micro-batch retry overwrites it with
     // identical content.
     if ((batchId + 1L) % CcCheckpointEveryWaves == 0L)
-      ccFoldDelta(s, store, base, batchId)
-        .write.mode("overwrite").parquet(s"$base/labels/v${batchId + 1L}")
+      folded.write.mode("overwrite").parquet(s"$base/labels/v${batchId + 1L}")
   }
 
   private[graft] def streamCcMaintain(s: SparkSession,
-      docs: DataFrame): DataFrame = {
+      docsIn: DataFrame): DataFrame = {
     import graft.llm.DedupOps
+    // pin the planted universe once (r19 optimization round) — consumed by
+    // the edge build, the base-label build, and the wave staging filters
+    val docs = docsIn.localCheckpoint()
     val base = s"/tmp/graft_scc_${s.sparkContext.applicationId}"
     org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(base))
     val isBatch = (c: Column) => ccIsBatch(c)
